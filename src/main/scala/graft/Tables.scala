@@ -1,11 +1,23 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loader for the driver test data (TESTDATA.md). */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects outright. Read the raw int64 nanos
+    * (`nanosAsLong`) and integer-divide to microseconds — `div`, not `/`:
+    * double division at 1.7e18 loses sub-microsecond precision. This
+    * truncation matches what DuckDB/pyarrow do when narrowing ns → us.
+    */
+  def eventsTs(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = apply(s, d, "nation")
@@ -14,7 +26,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = apply(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame   = eventsTs(s, d)
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

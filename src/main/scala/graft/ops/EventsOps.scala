@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import QueryPack._
+
+/** Event-time windowing family — SURVEY.md §2.9. The reference is batch
+  * with resumable increments (T1-T5); the streaming-native upgrades
+  * (tumbling/sliding/session windows, event-time dedup) are expressed here
+  * as batch queries over the `events` table so the driver can oracle-check
+  * them; `graft.streaming.EventStreams` runs the same logic through
+  * Structured Streaming with watermarks (covered by ScalaTest — streaming
+  * is not SQL-oracle-expressible).
+  *
+  * Scale notes: tumbling/sliding buckets come from `window()`, which is a
+  * map-side projection + ordinary hash aggregate on (bucket, key) — no
+  * per-window state explosion; session windows use Spark's native
+  * session_window merge.
+  */
+object EventsOps extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 10-minute windows per event type.
+    "t_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneyRound(sum(decMoney(col("value")))).as("total_value"))
+        .select(tsStr(col("window.start")).as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Sliding 30-minute window, 10-minute slide (each event in 3 windows).
+    "t_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+        .agg(count(lit(1)).as("n"), moneyRound(sum(decMoney(col("value")))).as("total_value"))
+        .select(tsStr(col("window.start")).as("window_start"), col("n"), col("total_value"))
+        .orderBy(col("window_start"))
+    }),
+
+    // Session windows: 30-minute inactivity gap per user.
+    "t_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), moneyRound(sum(decMoney(col("value")))).as("total_value"))
+        .select(col("user_id"),
+          tsStrUs(col("session_window.start")).as("session_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Event-time dedup: first event per (user, type) — T1/T2 exactly-once
+    // upgrade of the reference's at-least-once ledger (app.js:438-455).
+    "t_dedup_first" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          tsStrUs(col("ts")).as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "t_tumbling_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "t_sliding_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS w0, value FROM events),
+        |w AS (
+        |  SELECT w0 - INTERVAL 20 MINUTES AS wstart, value FROM b
+        |  UNION ALL SELECT w0 - INTERVAL 10 MINUTES, value FROM b
+        |  UNION ALL SELECT w0, value FROM b)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM w GROUP BY wstart ORDER BY window_start""".stripMargin,
+
+    "t_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                >= INTERVAL 30 MINUTES
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "t_dedup_first" ->
+      """SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{ColFns, Normalize}
+import QueryPack._
+
+/** Scalar-function family — SURVEY.md §2.6 (F1-F18). Every function is a
+  * built-in Catalyst expression chain (no UDFs), so the whole projection
+  * stays inside whole-stage codegen.
+  *
+  * F1/F2 key normalization, F3 brand/model split, F4 device-from-url with
+  * iOS override, F5 coalesce-to-'', F6 trim, F8 key-prefix concat, F10
+  * timestamp format, F12 numeric suffix parse, F13 url normalize, F14/F15
+  * JSON extraction, F16 flatten, F17 concat_ws, F18 arithmetic.
+  */
+object Scalars extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 + F2: to_key over real text, then trailing-underscore trim.
+    "f1_to_key" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          ColFns.toKeyCol(substring(col("text"), 1, 40)).as("raw_key"))
+        .withColumn("spec_key", ColFns.trimTrailingUnderscoresCol(col("raw_key")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F3: brand = first token, model = rest (single-token keeps both).
+    "f3_brand_model" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          ColFns.brandCol(col("p_name")).as("brand"),
+          ColFns.modelCol(col("p_name")).as("model"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F4 + F12 + F8: synthesize a geekbench-style URL, re-extract the device
+    // segment, apply the iOS→Apple brand override, parse numeric suffix.
+    "f4_device_override" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val url = concat(lit("https://browser.geekbench.com/"),
+        when(col("c_custkey") % 3 === 0, lit("ios")).otherwise(lower(col("c_mktsegment"))),
+        lit("_devices/"), col("c_custkey").cast("string"))
+      c.select(col("c_custkey"), url.as("url"))
+        .withColumn("device", ColFns.deviceCol(col("url")))
+        .withColumn("brand", ColFns.brandWithIosOverride(col("device"), lit("Generic")))
+        .withColumn("device_num", regexp_extract(col("url"), "/(\\d+)$", 1).cast("long"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F10: timestamp formatting + calendar field extraction (app.js:39).
+    "f10_date_format" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          tsStr(col("o_orderdate")).as("order_ts"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F13 + F5 + F6 + F17: url strip + coalesce + trim + concat_ws pipeline.
+    "f13_url_pipeline" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val url = concat(lit("https://catalog.example.com/p/"),
+        col("p_partkey").cast("string"), lit("?ref="), col("p_brand"), lit("#frag"))
+      p.select(col("p_partkey"), url.as("url"),
+          ColFns.normalizeUrlCol(url).as("clean_url"),
+          coalesce(nullif(col("p_brand"), lit("")), lit("unknown")).as("brand_or_unknown"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed_name"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F14/F15: JSON extraction from the events props blob (app.js:682-704).
+    "f14_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_typed"),
+          get_json_object(col("props"), "$.k").as("k_raw"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F16: nested-array flatten + positional explode (app.js:732-733).
+    "f16_flatten" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          flatten(array(array(col("l_quantity")),
+            array(col("l_discount"), col("l_tax")))).as("flat"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          posexplode(col("flat")).as(Seq("pos", "val")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("pos"))
+    }),
+
+    // F18: arithmetic family (ceil/floor/round/abs/mod/sqrt, app.js:345).
+    "f18_math" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          round(col("l_extendedprice"), 1).as("price_round1"),
+          (col("l_orderkey") % 7).as("key_mod7"),
+          r6(abs(col("l_discount") - col("l_tax"))).as("disc_tax_gap"),
+          r6(sqrt(col("l_quantity"))).as("qty_sqrt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // NOTE: the char class below is the reference's to_key class verbatim
+    // (app.js:99) — RE2 (DuckDB) and Java (Spark) agree on it for ASCII.
+    "f1_to_key" ->
+      """SELECT doc_id,
+        |  regexp_replace(lower(substr(text, 1, 40)),
+        |    '\s|[!"#$%&''()*+,\-./:;<=>?@\[\]^`{|}~]', '_', 'g') AS raw_key,
+        |  regexp_replace(regexp_replace(lower(substr(text, 1, 40)),
+        |    '\s|[!"#$%&''()*+,\-./:;<=>?@\[\]^`{|}~]', '_', 'g'),
+        |    '_+$', '', 'g') AS spec_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f3_brand_model" ->
+      """SELECT p_partkey, split_part(p_name, ' ', 1) AS brand,
+        |  CASE WHEN array_length(string_split(p_name, ' ')) <= 1 THEN p_name
+        |       ELSE array_to_string(list_slice(string_split(p_name, ' '), 2,
+        |              array_length(string_split(p_name, ' '))), ' ')
+        |  END AS model
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f4_device_override" ->
+      """WITH u AS (SELECT c_custkey,
+        |  'https://browser.geekbench.com/' ||
+        |  (CASE WHEN c_custkey % 3 = 0 THEN 'ios' ELSE lower(c_mktsegment) END) ||
+        |  '_devices/' || CAST(c_custkey AS VARCHAR) AS url FROM customer)
+        |SELECT c_custkey, url,
+        |  split_part(split_part(url, 'com/', 2), '_', 1) AS device,
+        |  CASE WHEN split_part(split_part(url, 'com/', 2), '_', 1) = 'ios'
+        |       THEN 'Apple' ELSE 'Generic' END AS brand,
+        |  CAST(regexp_extract(url, '/(\d+)$', 1) AS BIGINT) AS device_num
+        |FROM u ORDER BY c_custkey""".stripMargin,
+
+    "f10_date_format" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(quarter(o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f13_url_pipeline" ->
+      """WITH u AS (SELECT p_partkey, p_brand, p_type, p_name,
+        |  'https://catalog.example.com/p/' || CAST(p_partkey AS VARCHAR) ||
+        |    '?ref=' || p_brand || '#frag' AS url FROM part)
+        |SELECT p_partkey, url,
+        |  regexp_replace(url, '[?#].*$', '') AS clean_url,
+        |  COALESCE(NULLIF(p_brand, ''), 'unknown') AS brand_or_unknown,
+        |  trim('  ' || p_name || '  ') AS trimmed_name,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM u ORDER BY p_partkey""".stripMargin,
+
+    "f14_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+        |  json_extract_string(props, '$.k') AS k_raw
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f16_flatten" ->
+      """SELECT l_orderkey, l_linenumber, pos, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 0 AS pos, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 1, l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 2, l_tax FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, pos""".stripMargin,
+
+    "f18_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  round(l_extendedprice, 1) AS price_round1,
+        |  l_orderkey % 7 AS key_mod7,
+        |  round(abs(l_discount - l_tax), 6) AS disc_tax_gap,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

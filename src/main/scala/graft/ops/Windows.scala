@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import QueryPack._
+
+/** Window-function family — SURVEY.md §2.7. The reference has no window
+  * functions; its nearest analogs (continuation-row carry-forward F8, chunk
+  * assignment floor(idx/150)) are pinned here as ranking / analytic /
+  * frame-spec queries over TESTDATA, all built-in.
+  *
+  * Scale notes: each window partitions by a high-cardinality key
+  * (o_custkey), so the single shuffle it costs spreads evenly; no global
+  * (unpartitioned) ordering window is used anywhere except the ntile
+  * quartile query, which is bounded by its 4-row output and would move to
+  * approx percentiles at 100 TB.
+  */
+object Windows extends QueryPack {
+
+  private val byCust = Window.partitionBy(col("o_custkey"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // row_number top-k per group (the general form of the reference's
+    // sort+pop top-1, app.js:342).
+    "w_row_number_topk" -> ((s, d) => {
+      val w = byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // rank / dense_rank with real ties (priority has few distinct values).
+    "w_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("o_orderpriority"), col("rk"), col("drk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+    }),
+
+    // lag/lead analytics per customer order history.
+    "w_lag_lead" -> ((s, d) => {
+      val w = byCust.orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("days_since_prev",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          tsStr(col("o_orderdate")).as("order_date"),
+          col("prev_price"), col("days_since_prev"),
+          tsStr(col("next_date")).as("next_date"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // running sum over ROWS UNBOUNDED PRECEDING (F8 carry-forward analog).
+    "w_running_sum" -> ((s, d) => {
+      val w = byCust.orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_total",
+          moneyRound(sum(decMoney(col("o_totalprice"))).over(w)))
+        .withColumn("n_so_far", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("n_so_far"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // RANGE frame on event-time: orders within the trailing 30 days.
+    "w_range_frame" -> ((s, d) => {
+      val w = byCust.orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.orders(s, d)
+        .withColumn("n_last_30d", count(lit(1)).over(w))
+        .withColumn("sum_last_30d",
+          moneyRound(sum(decMoney(col("o_totalprice"))).over(w)))
+        .select(col("o_custkey"), col("o_orderkey"), col("n_last_30d"), col("sum_last_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // last(ignoreNulls) carry-forward — the F8 continuation-merge analog
+    // (app.js:555-563): carry the last "big" price forward per customer.
+    "w_last_ignore_nulls" -> ((s, d) => {
+      val w = byCust.orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("big_price",
+          when(col("o_totalprice") > 100000, col("o_totalprice")))
+        .withColumn("last_big_price", last(col("big_price"), ignoreNulls = true).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("last_big_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ntile quartiles + per-quartile aggregate (chunk assignment analog,
+    // floor(idx/150) at app.js:406).
+    "w_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          moneyRound(sum(decMoney(col("o_totalprice")))).as("total"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy(col("quartile"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "w_row_number_topk" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "w_rank_dense" ->
+      """SELECT o_orderpriority, rk, drk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rk,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drk
+        |  FROM orders) t
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin,
+
+    "w_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+        |  strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d %H:%M:%S') AS next_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE)
+        |    AS running_total,
+        |  count(*) OVER w AS n_so_far
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS n_last_30d,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE)
+        |    AS sum_last_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w_last_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |  last_value(CASE WHEN o_totalprice > 100000 THEN o_totalprice END IGNORE NULLS)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w_ntile" ->
+      """SELECT quartile, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (SELECT o_totalprice,
+        |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders) t
+        |GROUP BY quartile ORDER BY quartile""".stripMargin
+  )
+}

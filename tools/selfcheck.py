@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers each test table as a DuckDB
+view over <sfDir>/<table>.parquet, runs every oracle, and diffs it against
+the Spark result parquet at <verifyOutDir>/<name>/. Columns are compared
+sorted by name (the driver's rule); rows in result order.
+
+Dev tooling only (driver-side python has duckdb/pyarrow); not a build dep.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def close(a, b):
+    a, b = norm(a), norm(b)
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def main():
+    sfdir, vout = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    with open(f"{vout}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            exp = con.sql(sql)
+            exp_cols = exp.columns
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{vout}/{name}/*.parquet'")
+            got_cols = got.columns
+            got_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        if sorted(exp_cols) != sorted(got_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != oracle {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # driver compares columns sorted by name
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        if len(exp_rows) != len(got_rows):
+            print(f"FAIL {name}: rowcount {len(got_rows)} != oracle {len(exp_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (er, gr) in enumerate(zip(exp_rows, got_rows)):
+            for j in range(len(eidx)):
+                ev, gv = er[eidx[j]], gr[gidx[j]]
+                if not close(ev, gv):
+                    bad = (i, sorted(exp_cols)[j], ev, gv)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, ev, gv = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={gv!r} oracle={ev!r}")
+            n_fail += 1
+        else:
+            exact = all(
+                norm(er[eidx[j]]) == norm(gr[gidx[j]])
+                for er, gr in zip(exp_rows, got_rows) for j in range(len(eidx)))
+            tag = "PASS" if exact else "PASS~ (float tolerance only)"
+            print(f"{tag} {name}: {len(got_rows)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(oracles)} oracles, {n_pass + n_fail} checked")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
