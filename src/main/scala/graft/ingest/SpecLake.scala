@@ -1,0 +1,54 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The landing zone: schema-evolving parquet data + saved-URL ledger +
+  * resume diff — the reference's crawl lifecycle (S9/S10/T1/T2,
+  * app.js:333-482) upgraded from at-least-once to effectively-once.
+  *
+  * Reference mechanism → here:
+  *  - ALTER TABLE ADD COLUMN per new spec key (app.js:365-375) →
+  *    parquet `mergeSchema` union at read time; writes just append.
+  *  - `_pN` 150-column part tables (app.js:333-363) → gone (columnar).
+  *  - `_saved_list` ledger appended AFTER data lands (app.js:448-453,
+  *    duplicate-row risk on crash) → same write order, but reads dedup on
+  *    `srcUrl` keep-first, making replays invisible (effectively-once).
+  *  - resume diff `source \ saved` (app.js:457-482, O(n·m) nested loop) →
+  *    hash left-anti join.
+  */
+class SpecLake(root: String) {
+  private val dataPath = s"$root/records"
+  private val ledgerPath = s"$root/saved_list"
+
+  /** Land a batch of normalized records, then append its URLs to the
+    * ledger (same data-then-ledger order as the reference; the read-side
+    * dedup makes the crash window harmless). */
+  def append(records: DataFrame): Unit = {
+    records.write.mode(SaveMode.Append).parquet(dataPath)
+    records.select(col("srcUrl").as("url"))
+      .write.mode(SaveMode.Append).parquet(ledgerPath)
+  }
+
+  /** Read back with schemas merged across appends and replay-duplicates
+    * collapsed (first write per srcUrl wins, like the ledger intends). */
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dataPath)
+      .dropDuplicates("srcUrl")
+
+  def savedUrls(spark: SparkSession): DataFrame =
+    if (new java.io.File(ledgerPath).exists())
+      spark.read.parquet(ledgerPath).distinct()
+    else
+      spark.emptyDataFrame.select(lit("").as("url")).limit(0)
+
+  /** Resume diff: frontier URLs not yet saved (J1; anti-join replaces the
+    * reference's quadratic `includes` scan, app.js:479). */
+  def pending(frontier: DataFrame): DataFrame = {
+    val saved = savedUrls(frontier.sparkSession)
+    frontier
+      .filter(col("url").isNotNull && col("url") =!= "")
+      .distinct()
+      .join(saved, Seq("url"), "left_anti")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators — the training-data-pipeline north star.
+  *
+  * Four tiers, trading exactness for scale:
+  *  - exact: md5 grouping — one shuffle on the hash, scales linearly.
+  *  - exact n-gram Jaccard: inverted shingle index self-join — the exact
+  *    verifier; candidate set is bounded by shingle-collision probability
+  *    (see [[Shingles]]) rather than n².
+  *  - MinHash + LSH banding: constant-size signature per doc, candidates
+  *    from band-bucket self-join, then exact verification. The 100 TB path:
+  *    shuffle carries 128 longs per doc, never the text.
+  *  - SimHash: 64-bit sketch, banded buckets, Hamming-distance verify.
+  *
+  * All candidate generation is groupBy/join — no driver-side loops, no
+  * cartesian products.
+  */
+object Dedup {
+
+  val ShingleWidth = 5
+  val NumHashes = 128
+  val NumBands = 64 // 2 rows per band: P(miss | j=0.5) = (1-0.25)^64 ≈ 1e-8
+
+  /** Exact duplicate groups by content hash. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("representative_id"), count(lit(1)).as("n_docs"))
+
+  /** (doc_id, shingles) with empty-shingle docs dropped.
+    *
+    * persist() is load-bearing, not a cache nicety: downstream consumers
+    * reference `shingles` inside higher-order-function lambdas, and
+    * Catalyst's projection collapse would inline the (expensive, per-row)
+    * shingle construction into EVERY lambda iteration — observed 100×
+    * slowdowns. The barrier materializes shingles exactly once; at
+    * cluster scale this is the same "materialize the shingle table"
+    * checkpoint a 100 TB pipeline would make explicit.
+    */
+  def shingled(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
+      .persist()
+    toks.select(col("doc_id"),
+        Shingles.wordShinglesFromTokens(col("toks"), ShingleWidth).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .persist()
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted shingle index.
+    * Returns (doc_a, doc_b, jaccard) for jaccard >= threshold, doc_a < doc_b.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(docs)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val a = inv.select(col("doc_id").as("doc_a"), col("g"))
+    val b = inv.select(col("doc_id").as("doc_b"), col("g"))
+    val inter = a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: sig[i] = min over shingles of xxhash64(i, shingle).
+    * 128 longs per doc regardless of doc size — the shuffle-friendly sketch.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      transform(sequence(lit(0), lit(NumHashes - 1)),
+        i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
+      .persist() // barrier: sig is referenced per-band downstream
+
+  /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct). */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val rows = NumHashes / NumBands
+    val banded = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b +: (1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
+              .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard verified: candidates from
+    * the banded signatures, then verified with true shingle-set Jaccard.
+    */
+  def minhashDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingled(docs)
+    val cands = lshCandidates(minhashSignatures(sh))
+    val withSets = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: majority vote per bit of each
+    * token's xxhash64. Expressed as SQL higher-order functions (codegen'd).
+    */
+  def simhashed(docs: DataFrame): DataFrame = {
+    // The persist between `counters` and `simhash` is a materialization
+    // barrier: without it projection collapse inlines the O(tokens × 64)
+    // counter fold into each of the 64 bit-fold iterations (see shingled()).
+    val counters = docs
+      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("counters", expr(
+        """aggregate(toks, array_repeat(0, 64),
+          |  (acc, t) -> zip_with(acc,
+          |    transform(sequence(0, 63),
+          |      i -> if(((xxhash64(t) >> i) & 1L) = 1L, 1, -1)),
+          |    (a, b) -> a + b))""".stripMargin))
+      .select(col("doc_id"), col("counters"))
+      .persist()
+    counters
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L,
+          |  (acc, i) -> acc | if(counters[i] > 0, shiftleft(1L, i), 0L))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist (<= 3 is
+    * guaranteed found: 4 16-bit bands, pigeonhole). */
+  def simhashDupPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sh = simhashed(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        // shiftright(), not `>>`: Spark 4's parser rejects `>>` inside an
+        // aliased struct field (fine elsewhere).
+        explode(expr(
+          "transform(sequence(0, 3), b -> struct(b as band, shiftright(simhash, cast(b * 16 as int)) & 65535L as bucket))")).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("band"), col("bucket"))
+    val r = banded.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

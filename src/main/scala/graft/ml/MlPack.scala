@@ -1,0 +1,220 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.QueryPack
+import graft.functions.PolyFingerprint
+
+/** North-star training-data-pipeline operators as driver-contract queries
+  * (dedup, similarity search, text analysis, multimodal plumbing).
+  * SQL-expressible ops carry DuckDB oracles; the probabilistic ones
+  * (MinHash/LSH/SimHash) are deterministic under their fixed seeds and are
+  * parity-tested against their exact counterparts in ScalaTest.
+  */
+object MlPack extends QueryPack {
+
+  private val QueryVecIds: Seq[Long] = 0L to 7L
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groups.
+    "ns_dedup_exact" -> ((s, d) => {
+      Dedup.exactDupGroups(Tables.documents(s, d))
+        .orderBy(col("content_hash"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (inverted shingle index).
+    "ns_dedup_jaccard" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash + LSH + exact verify. Deterministic (fixed xxhash64 seeds)
+    // but not ANSI-SQL-expressible: rows-only check here, exact-parity
+    // ScalaTest against ns_dedup_jaccard.
+    "ns_dedup_minhash" -> ((s, d) => {
+      Dedup.minhashDupPairs(Tables.documents(s, d), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup pairs (Hamming <= 3).
+    "ns_dedup_simhash" -> ((s, d) => {
+      Dedup.simhashDupPairs(Tables.documents(s, d), 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Brute-force cosine top-5 for 8 query vectors — the ANN baseline.
+    "ns_similarity_topk" -> ((s, d) => {
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryVecIds, 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed approximate top-5 — the scale path (recall vs brute
+    // force asserted in ScalaTest; not SQL-expressible).
+    "ns_similarity_lsh" -> ((s, d) => {
+      // 10-bit buckets suit the test-data corpus sizes (5e3-5e4 vectors);
+      // a production corpus in the millions would use the 16-bit default.
+      Similarity.lshTopK(Tables.embeddings(s, d), QueryVecIds, 5, nBits = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding near-duplicate pairs via LSH buckets + exact cosine.
+    "ns_cosine_dup_pairs" -> ((s, d) => {
+      Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.8)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Per-label embedding norm stats.
+    "ns_embedding_norms" -> ((s, d) => {
+      Similarity.normStats(Tables.embeddings(s, d))
+        .orderBy(col("label"))
+    }),
+
+    // Token counting (whitespace + BPE-ish regex).
+    "ns_token_count" -> ((s, d) => {
+      TextAnalysis.tokenCounts(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality-score features.
+    "ns_text_quality" -> ((s, d) => {
+      TextAnalysis.qualityFeatures(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stopword-profile language ID.
+    "ns_lang_id" -> ((s, d) => {
+      TextAnalysis.langId(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Polynomial rolling-hash fingerprint — custom Catalyst Expression
+    // with codegen (graft.functions.PolyFingerprint).
+    "ns_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          PolyFingerprint.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal binary-column metadata (decode step stubbed; plumbing real).
+    "ns_multimodal_meta" -> ((s, d) => {
+      Multimodal.assets(Tables.documents(s, d))
+        .select(col("asset_id"), col("modality"),
+          length(col("bytes")).as("byte_len"),
+          md5(col("bytes")).as("content_md5"))
+        .orderBy(col("asset_id"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "ns_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS representative_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "ns_dedup_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
+        |         t[i+3]||' '||t[i+4] for i in range(1, len(t)-3)]) s
+        |       FROM w WHERE len(t) >= 5),
+        |tok AS (SELECT doc_id, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, len(s) n FROM sh),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+        |       JOIN sz sb ON p.doc_b = sb.doc_id
+        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ns_similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 7),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id > 7),
+        |scored AS (SELECT q.query_id, c.vec_id,
+        |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM c CROSS JOIN q),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ns_embedding_norms" ->
+      """WITH e AS (SELECT label,
+        |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                            CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(norm), 6) AS min_norm, round(max(norm), 6) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "ns_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS INT) AS n_re_tokens,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT)
+        |    AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ns_text_quality" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+        |      AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+        |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_ws
+        |  FROM documents)
+        |SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tokens,
+        |  round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS chars_per_token,
+        |  round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        |  round(CAST(n_upper AS DOUBLE) / n_chars, 6) AS upper_ratio,
+        |  round(CAST(n_ws AS DOUBLE) / n_chars, 6) AS ws_ratio,
+        |  round(CAST(len(list_filter(toks, t -> t IN
+        |    ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks), 6)
+        |    AS stopword_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "ns_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, labeled_lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','mit'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour'))) AS INT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','不'))) AS INT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, labeled_lang,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+        |    ELSE 'und' END AS predicted_lang,
+        |  s_en, s_de, s_es, s_fr, s_zh
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "ns_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT) for c in split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ns_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY asset_id""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - Brute-force cosine top-k: broadcast the (small) query set against the
+  *    corpus — O(|Q|·n), embarrassingly parallel, the correctness baseline.
+  *  - Random-hyperplane LSH top-k: 16-bit sign sketch per vector, search
+  *    only the query's bucket — the scale path (the shuffle key is the
+  *    sketch, candidate sets are corpus/2^16 on average). Recall vs the
+  *    brute-force baseline is asserted in ScalaTest.
+  *
+  * Dot products are `aggregate`/`zip_with` higher-order functions over
+  * doubles — codegen'd, sequential accumulation (bit-identical to DuckDB's
+  * list_cosine_similarity for the oracle diff).
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
+    dot / sqrt(na * nb)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding the query set). Deterministic tie-break on vec_id.
+    */
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = broadcast(
+      emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+    val corpus = emb.filter(!col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val scored = corpus.crossJoin(queries)
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Deterministic ±1 hyperplane matrix (nBits × dim), fixed LCG seed. */
+  private[ml] def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    var state = 0x5DEECE66DL
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    Array.fill(nBits, dim) { if (next() >= 0) 1.0 else -1.0 }
+  }
+
+  /** 16-bit random-hyperplane sketch of an array<double> column. */
+  def sketch(v: Column, nBits: Int = 16, dim: Int = 64): Column = {
+    val planes = hyperplanes(nBits, dim)
+    val bits = (0 until nBits).map { b =>
+      val plane = typedLit(planes(b).toSeq) // array<double> literal
+      val dot = aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's sketch
+    * bucket (plus all 1-bit-flip probes for recall). nBits sizes the
+    * bucket space — pick ~log2(corpus)-3 so buckets hold a few dozen
+    * vectors (16 bits ≈ a corpus of millions). */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nBits: Int = 16): DataFrame = {
+    val withSketch = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", sketch(col("v"), nBits))
+    val corpus = withSketch.filter(!col("vec_id").isin(queryIds: _*))
+    require(nBits >= 1 && nBits <= 32, s"nBits out of range: $nBits")
+    // multiprobe: query bucket + each single-bit flip (17 probes)
+    val probes = array((lit(0L) +: (0 until nBits).map(b => shiftleft(lit(1L), b))): _*)
+    val queries = broadcast(withSketch.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket")))
+    val scored = corpus.join(queries, "bucket")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs: LSH bucket candidates verified with
+    * exact cosine >= threshold. */
+  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val withSketch = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", sketch(col("v")))
+    val l = withSketch.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+    val r = withSketch.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+    l.join(r, "bucket").filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
+  /** Per-label embedding stats: exact norms via HOF aggregate. */
+  def normStats(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        sqrt(aggregate(transform(asDouble(col("embedding")), x => x * x),
+          lit(0.0), (acc, x) => acc + x)).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+}

@@ -1,0 +1,78 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, stopword-profile language ID. All built-in expression
+  * chains (whole-stage codegen), no UDFs.
+  */
+object TextAnalysis {
+
+  /** BPE-ish token regex: letter runs, digit runs, single non-space symbol
+    * runs — the classic pre-tokenizer split. Identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB) for this pattern. */
+  val TokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  private def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** Token counts: whitespace tokens + regex (BPE-ish) tokens + distinct. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(wsTokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("n_re_tokens"),
+      size(array_distinct(wsTokens(col("text")))).as("n_distinct_tokens"))
+
+  /** Quality-score features: length, token stats, punctuation / whitespace /
+    * uppercase ratios, English stopword ratio. Ratios divide exact integer
+    * counts so both engines produce identical doubles. */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nChars = length(col("text"))
+    val nPunct = length(col("text")) -
+      length(regexp_replace(col("text"), "[!-/:-@\\[-`{-~]", ""))
+    val nUpper = length(col("text")) -
+      length(regexp_replace(col("text"), "[A-Z]", ""))
+    val nWs = length(col("text")) -
+      length(regexp_replace(col("text"), "\\s", ""))
+    docs.select(col("doc_id"),
+      nChars.as("n_chars"),
+      size(toks).as("n_tokens"),
+      round(nChars.cast("double") / size(toks), 6).as("chars_per_token"),
+      round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(nUpper.cast("double") / nChars, 6).as("upper_ratio"),
+      round(nWs.cast("double") / nChars, 6).as("ws_ratio"),
+      round(stopwordCount(toks, Stopwords("en")).cast("double") / size(toks), 6)
+        .as("stopword_ratio"))
+  }
+
+  /** Stopword-profile language ID: count tokens from each language's
+    * stopword list; highest count wins, ties broken by fixed language
+    * priority (en, de, es, fr, zh), 'und' when no stopwords hit at all.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scored = docs.select(col("doc_id") +: col("lang").as("labeled_lang") +:
+      langs.map(l => stopwordCount(toks, Stopwords(l)).as(s"s_$l")): _*)
+    val best = langs.foldRight(lit("und")) { (l, rest) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(col(s"s_$l") > 0 && isMax, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted_lang", best)
+      .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"),
+        col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Structured Streaming over the events stream — SURVEY §2.9. The
+  * reference's resumable batch loop (checkpoint ledger T1, resume diff T2,
+  * 5-wide waves T3) maps to: checkpointed streaming queries, watermarked
+  * event-time state, and trigger-bounded micro-batches.
+  *
+  * Every transform here is also valid on a batch DataFrame — the same
+  * logic backs the oracle-checked batch queries in `graft.ops.EventsOps`;
+  * StreamingSpec drives these through an actual streaming source and
+  * asserts parity with the batch results.
+  */
+object EventStreams {
+
+  /** File-source schema for the events table (ts already micros). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Parquet-directory streaming source. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** Tumbling 10-minute counts/sums per event type with a 20-minute
+    * watermark (late data beyond it is dropped from state). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 30/10-minute windows. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("total_value"))
+
+  /** Session windows: 30-minute inactivity gap per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** Exactly-once event dedup by id within the watermark horizon — the
+    * streaming upgrade of the reference's saved-list ledger (T1/T2). */
+  def dedupById(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Idempotent foreachBatch sink: overwrite-by-batch-id parquet dirs, so
+    * a replayed micro-batch lands in the same place (effectively-once). */
+  def idempotentParquetSink(out: String)(df: DataFrame, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+
+  /** Run any of the above to completion against a bounded source:
+    * AvailableNow trigger + checkpoint, blocking until drained. */
+  def runOnce(result: DataFrame, checkpoint: String, out: String,
+      mode: OutputMode = OutputMode.Append): Unit = {
+    val q = result.writeStream
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(idempotentParquetSink(out) _)
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` surface so graft can wrap custom
+  * Catalyst Expressions as Columns and register SQL functions. Spark 4
+  * made `Column` a ColumnNode wrapper; `classic.ExpressionUtils` is the
+  * supported conversion for classic (non-Connect) sessions but is
+  * package-private, hence this one-file shim.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

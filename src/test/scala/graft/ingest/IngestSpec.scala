@@ -1,0 +1,105 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpecBase
+import java.nio.file.Files
+
+case class SpecRowFixture(title: String, subtitle: String, content: String)
+
+/** End-to-end ingest tests over hand-built fixtures mimicking the
+  * reference's three extraction shapes (FIXTURES.md §2), with golden
+  * outputs transcribed from the JS semantics.
+  */
+class IngestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("gsmarena shape: continuation rows, to_key, brand/model split") {
+    val rows = Seq(
+      SpecRowFixture("Platform", "OS", "Android 12 "),
+      SpecRowFixture("Platform", "C", " One UI 4.1"), // 1-char subtitle → continuation
+      SpecRowFixture("Platform", "Chipset", "Snapdragon 8"),
+      SpecRowFixture("Display", "Type", "AMOLED"))
+    val raw = Seq(("http://g/a", "Samsung Galaxy S21", "http://img/a", rows))
+      .toDF("src_url", "model", "img_url", "rows")
+    val out = SpecIngest.fromSpecTable(raw).collect().head
+    assert(out.getAs[String]("brand") == "Samsung")
+    assert(out.getAs[String]("model") == "Galaxy S21")
+    val specs = out.getAs[Map[String, String]]("specs")
+    assert(specs("platform_os") == "Android 12 One UI 4.1") // continuation appended
+    assert(specs("platform_chipset") == "Snapdragon 8")
+    assert(specs("display_type") == "AMOLED")
+  }
+
+  test("geekbench shape: zip with '' backfill, last-wins dups, iOS override") {
+    val raw = Seq(
+      ("https://browser.geekbench.com/ios_devices/5", "iPhone 13", "p1",
+        Seq("CPU ", "Cores", "CPU "), Seq("A15", "6")), // mismatch + dup key
+      ("https://browser.geekbench.com/android_devices/9", "Samsung Galaxy", "p2",
+        Seq("Score"), Seq("812")))
+      .toDF("url", "model", "product_id", "keys", "values")
+    val out = SpecIngest.fromParallelArrays(raw).collect()
+      .map(r => r.getAs[String]("srcUrl") -> r).toMap
+    val ios = out("https://browser.geekbench.com/ios_devices/5")
+    assert(ios.getAs[String]("device") == "ios")
+    assert(ios.getAs[String]("brand") == "Apple") // override (app.js:630-634)
+    assert(ios.getAs[String]("model") == "13")
+    val specs = ios.getAs[Map[String, String]]("specs")
+    assert(specs("cores") == "6")
+    assert(specs("cpu") == "") // third key had no value → '' backfill, last wins
+    val android = out("https://browser.geekbench.com/android_devices/9")
+    assert(android.getAs[String]("brand") == "Samsung")
+    assert(android.getAs[Map[String, String]]("specs")("score") == "812")
+  }
+
+  test("versus shape: nested JSON walk, values+unit concat") {
+    val json =
+      """[{"name": "Performance", "reasons": [
+        |  {"name": "CPU speed", "values": ["2.8", "4"], "unit": " GHz"},
+        |  {"name": "RAM", "values": ["8"], "unit": null}]},
+        | {"name": "Display", "reasons": [
+        |  {"name": "resolution", "values": ["1080", "2400"], "unit": null}]}]"""
+        .stripMargin
+    val raw = Seq(("http://v/x", "Google Pixel 6", json))
+      .toDF("src_url", "model", "props_json")
+    val out = SpecIngest.fromNestedJson(raw).collect().head
+    assert(out.getAs[String]("brand") == "Google")
+    assert(out.getAs[String]("model") == "Pixel 6")
+    val specs = out.getAs[Map[String, String]]("specs")
+    assert(specs("performance_cpu_speed") == "2.8,4 GHz") // F9: comma join + unit
+    assert(specs("performance_ram") == "8")
+    assert(specs("display_resolution") == "1080,2400")
+  }
+
+  test("SpecLake: mergeSchema evolution, replay dedup, resume anti-join") {
+    val root = Files.createTempDirectory("graft_lake").toString
+    val lake = new SpecLake(root)
+    // batch 1 and batch 2 have different "wide" columns → schema evolves
+    lake.append(Seq(("u1", "Apple", "a-spec")).toDF("srcUrl", "brand", "spec_a"))
+    lake.append(Seq(("u2", "Samsung", "b-spec")).toDF("srcUrl", "brand", "spec_b"))
+    // replay of u1 (crash-retry) must not duplicate
+    lake.append(Seq(("u1", "Apple", "a-spec")).toDF("srcUrl", "brand", "spec_a"))
+    val data = lake.read(spark)
+    assert(data.count() == 2)
+    assert(data.columns.toSet == Set("srcUrl", "brand", "spec_a", "spec_b"))
+    val u2 = data.filter($"srcUrl" === "u2").collect().head
+    assert(u2.getAs[String]("spec_b") == "b-spec")
+    assert(u2.getAs[String]("spec_a") == null) // evolved column backfills null
+    // resume: frontier \ saved, falsy URLs dropped (P3/J1 semantics)
+    val frontier = Seq("u1", "u2", "u3", "", null.asInstanceOf[String], "u3")
+      .toDF("url")
+    val todo = lake.pending(frontier).as[String].collect().toSet
+    assert(todo == Set("u3"))
+  }
+
+  test("pivotSpecs: wide compat view projects requested keys only") {
+    val recs = Seq(("B", "M", "u", Map("cpu" -> "A15", "ram" -> "8")))
+      .toDF("brand", "model", "srcUrl", "specs")
+    val wide = SpecIngest.pivotSpecs(recs, Seq("cpu", "missing_key"))
+    val row = wide.collect().head
+    assert(row.getAs[String]("cpu") == "A15")
+    assert(row.getAs[String]("missing_key") == null)
+    assert(!wide.columns.contains("ram"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpecBase, Tables}
+import graft.functions.PolyFingerprint
+
+class MlSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  test("exact dedup groups duplicated texts under one representative") {
+    val df = Seq(
+      (1L, "the same text"), (2L, "the same text"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(df).collect()
+    assert(groups.length == 2)
+    val dupGroup = groups.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("representative_id") == 1L)
+  }
+
+  test("jaccard pairs finds the planted near-duplicates (28 at sf0.001)") {
+    val pairs = Dedup.jaccardPairs(docs, 0.5).collect()
+    assert(pairs.length == 28)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("minhash+LSH+verify returns exactly the exact-jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDupPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // verification makes precision exact; banding (64 bands × 2 rows)
+    // makes a miss at j>=0.5 a ~1e-8 event
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-identical docs collide, unrelated docs don't") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 59).map(i => s"tok$i") :+ "tokX").mkString(" ")
+    val other = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashDupPairs(df, 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("brute-force top-k: k rows per query, ranks consecutive, scores sorted") {
+    val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001), 0L to 7L, 5)
+      .collect()
+    assert(topk.length == 8 * 5)
+    val byQuery = topk.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
+
+  test("LSH top-k scores agree with brute force where they overlap; sane recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteForceTopK(emb, 0L to 7L, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val lsh = Similarity.lshTopK(emb, 0L to 7L, 5, nBits = 6).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(b => assert(b == r.getAs[Double]("cos_sim")))
+    }
+    val recall = lsh.count(r =>
+      brute.contains((r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))).toDouble /
+      brute.size
+    assert(recall >= 0.1, s"LSH recall@5 unexpectedly low: $recall")
+  }
+
+  test("cosine of identical and orthogonal vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("poly fingerprint: golden value, expression/pure parity, sensitivity") {
+    assert(PolyFingerprint.hash("abc") == 96354L)
+    assert(PolyFingerprint.hash("") == 0L)
+    val rows = docs.limit(50)
+      .select(col("text"), PolyFingerprint.fingerprint(col("text")).as("fp"))
+      .collect()
+    rows.foreach(r => assert(r.getAs[Long]("fp") == PolyFingerprint.hash(r.getAs[String]("text"))))
+    assert(rows.map(_.getAs[Long]("fp")).distinct.length > 45) // distinct texts → distinct fps
+  }
+
+  test("lang id: stopword-rich fixtures classify correctly; 'und' fallback") {
+    val df = Seq(
+      (1L, "xx", "the cat is in the house and it is warm"),
+      (2L, "xx", "der hund ist ein tier und die katze"),
+      (3L, "xx", "el gato es un animal y la casa es grande"),
+      (4L, "xx", "qqq www eee"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.langId(df)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "es" && got(4L) == "und")
+  }
+
+  test("quality features: hand-computed ratios") {
+    val df = Seq((1L, "The cat, the hat!")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df).collect().head
+    assert(r.getAs[Int]("n_chars") == 17)
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Double]("punct_ratio") == math.rint(2.0 / 17 * 1e6) / 1e6 ||
+      math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 17) < 1e-6)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.25) < 1e-9) // "the" once (lowercase)
+  }
+
+  test("multimodal: frame sampling covers payload, features are distributions") {
+    val assets = Multimodal.assets(docs.limit(10))
+    val frames = Multimodal.frameSample(assets, frameLen = 64, nFrames = 4).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.getAs[Long]("asset_id")).values.foreach { fs =>
+      val idx = fs.map(_.getAs[Int]("frame_idx")).sorted
+      assert(idx.head == 0 && idx.toSeq == (0 until fs.length))
+      fs.foreach(f => assert(f.getAs[Int]("frame_len") <= 64 && f.getAs[Int]("frame_len") > 0))
+    }
+    val feats = Multimodal.featureExtract(assets).collect()
+    feats.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(v.length == 16)
+      assert(math.abs(v.sum - 1.0f) < 1e-3) // normalized histogram
+    }
+    val meta = Multimodal.fakeDecodeMeta(assets).collect()
+    meta.foreach { r =>
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 1920)
+      assert(r.getAs[String]("content_md5").length == 32)
+    }
+  }
+}
