@@ -44,10 +44,17 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
       .persist()
-    toks.select(col("doc_id"),
+    val sh = toks.select(col("doc_id"),
         Shingles.wordShinglesFromTokens(col("toks"), ShingleWidth).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist()
+    // eagerly materialize: downstream plans scan this 2-4 times (index
+    // sides + size lookups), and concurrent stages racing a cold cache
+    // would each recompute the shingle construction. toks is NOT
+    // unpersisted here — unpersist cascades to dependent caches and would
+    // silently drop sh's cache (Bench/Verify clearCache between queries).
+    sh.count()
+    sh
   }
 
   /** Exact n-gram Jaccard pairs via inverted shingle index.
@@ -77,7 +84,7 @@ object Dedup {
     sh.select(col("doc_id"),
       transform(sequence(lit(0), lit(NumHashes - 1)),
         i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
-      .persist() // barrier: sig is referenced per-band downstream
+      .persist() // barrier: sig is referenced per-band downstream (2 join sides)
 
   /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct). */
   def lshCandidates(sigs: DataFrame): DataFrame = {
@@ -99,7 +106,9 @@ object Dedup {
     */
   def minhashDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled(docs)
-    val cands = lshCandidates(minhashSignatures(sh))
+    val sigs = minhashSignatures(sh)
+    sigs.count() // materialize before the two-sided band join reads it
+    val cands = lshCandidates(sigs)
     val withSets = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
@@ -140,6 +149,7 @@ object Dedup {
     * guaranteed found: 4 16-bit bands, pigeonhole). */
   def simhashDupPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     val sh = simhashed(docs)
+    sh.persist().count() // two-sided band join below
     val banded = sh.select(col("doc_id"), col("simhash"),
         // shiftright(), not `>>`: Spark 4's parser rejects `>>` inside an
         // aliased struct field (fine elsewhere).
