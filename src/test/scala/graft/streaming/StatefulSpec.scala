@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{SparkSpecBase, Tables}
+import java.nio.file.Files
+
+class StatefulSpec extends SparkSpecBase {
+  import spark.implicits._
+  import StatefulOps._
+
+  test("flatMapGroupsWithState tracks per-user counts/sessions across batches") {
+    val dir = Files.createTempDirectory("graft_stateful").toString
+    val e = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type", $"value")
+    // two files → with maxFilesPerTrigger=1, two micro-batches
+    e.filter($"user_id" < 8).coalesce(1).write.mode("append").parquet(dir)
+    e.filter($"user_id" >= 8).coalesce(1).write.mode("append").parquet(dir)
+
+    val src = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "20 minutes")
+      .as[UserEvent]
+    val out = Files.createTempDirectory("graft_stateful_out").toString
+    val ckpt = Files.createTempDirectory("graft_stateful_ckpt").toString
+    val q = trackUsers(src).writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[UserSnapshot], id: Long) =>
+        EventStreams.idempotentParquetSink(out)(df.toDF(), id))
+      .start()
+    q.awaitTermination()
+
+    val snaps = spark.read.parquet(s"$out/batch_id=*")
+    // last (non-closed is fine) snapshot per user must match batch truth
+    val lastSnap = snaps.groupBy($"user_id")
+      .agg(max(struct($"n_events", $"total_value", $"n_sessions")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.n_sessions")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, n, ns) => u -> ((n, ns)) }.toMap
+    val truth = Tables.events(spark, sf0001)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    truth.foreach { case (u, n) =>
+      assert(lastSnap(u)._1 == n, s"user $u events: got ${lastSnap(u)._1}, want $n")
+      assert(lastSnap(u)._2 >= 1)
+    }
+  }
+
+  test("late data beyond the watermark is dropped from windowed aggregation") {
+    val dir = Files.createTempDirectory("graft_late").toString
+    // One file per micro-batch (maxFilesPerTrigger=1, increasing mtimes):
+    // b0 on-time 10:0x events; b1 12:00 sentinel; b2 12:30 sentinel —
+    // after b2 the late-admission threshold has passed 10:10 (admission
+    // lags the reported watermark by one batch — measured: a late row
+    // arriving in the batch where the watermark first passes its window
+    // is still admitted); b3 late 10:05 event → dropped, the finalized
+    // 10:00 window keeps only the two on-time events.
+    val mk = (id: Long, t: String, v: Double) =>
+      (id, java.sql.Timestamp.valueOf(t), 1L, "click", v, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    Seq(mk(1, "2024-01-01 10:00:30", 1.0), mk(2, "2024-01-01 10:05:00", 2.0))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100) // strictly increasing file mod times → batch order
+    Seq(mk(3, "2024-01-01 12:00:00", 4.0))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    Seq(mk(5, "2024-01-01 12:30:00", 8.0))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    Seq(mk(4, "2024-01-01 10:05:10", 100.0))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+
+    val src = spark.readStream.schema(EventStreams.EventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = Files.createTempDirectory("graft_late_out").toString
+    val ckpt = Files.createTempDirectory("graft_late_ckpt").toString
+    val q = EventStreams.tumblingAgg(src).writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.idempotentParquetSink(out) _)
+      .start()
+    q.awaitTermination()
+
+    val res = spark.read.parquet(s"$out/batch_id=*")
+      .select($"window_start".cast("string"), $"n", $"total_value")
+      .as[(String, Long, Double)].collect()
+      .map { case (w, n, v) => w -> ((n, v)) }.toMap
+    // the 10:00 window closed with ONLY the two on-time events — the late
+    // 100.0-value event must not appear
+    val w10 = res("2024-01-01 10:00:00")
+    assert(w10 == (2L, 3.0), s"late event leaked into closed window: $w10")
+  }
+
+  test("poly_fingerprint is callable from SQL after extension registration") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT poly_fingerprint('abc') AS fp").as[Long].collect()
+    assert(r.head == 96354L)
+  }
+}
