@@ -57,6 +57,41 @@ object Dedup {
     sh
   }
 
+  /** Exact n-gram Jaccard pairs via inverted shingle index, with an
+    * optional stop-shingle cap for the 100 TB path.
+    *
+    * maxShingleDf = None: candidate pairs are ALL co-shingle pairs —
+    * exact, but a shingle shared by k docs contributes k² candidate
+    * rows, so corpus-wide common shingles make the join quadratic.
+    * maxShingleDf = Some(k): shingles appearing in more than k docs are
+    * excluded from CANDIDATE GENERATION only (near-dup pairs share many
+    * shingles, so they virtually always share a rare one); the Jaccard
+    * itself is then verified exactly on the full shingle sets via
+    * array_intersect. This bounds the join at the cost of (provably
+    * rare) misses for pairs whose every shared shingle is corpus-common.
+    */
+  def jaccardPairsCapped(docs: DataFrame, threshold: Double,
+      maxShingleDf: Int): DataFrame = {
+    val sh = shingled(docs)
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf && col("df") >= 2)
+      .select(col("g"))
+    val rareInv = inv.join(rare, "g")
+    val cands = rareInv.select(col("doc_id").as("doc_a"), col("g"))
+      .join(rareInv.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard pairs via inverted shingle index.
     * Returns (doc_a, doc_b, jaccard) for jaccard >= threshold, doc_a < doc_b.
     */

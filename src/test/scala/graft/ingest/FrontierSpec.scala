@@ -1,0 +1,25 @@
+package graft.ingest
+
+import graft.SparkSpecBase
+
+class FrontierSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("frontier expands to the reachable closure and no further") {
+    // nav graph: root → a,b; a → c; c → d; isolated x → y (unreachable)
+    val edges = Seq(
+      ("root", "a"), ("root", "b"), ("a", "c"), ("c", "d"),
+      ("x", "y"), ("d", "a") /* cycle back */)
+      .toDF("src_url", "dst_url")
+    val seed = Seq("root").toDF("url")
+    val closure = Frontier.expand(seed, edges).as[String].collect().toSet
+    assert(closure == Set("root", "a", "b", "c", "d"))
+  }
+
+  test("maxIter bounds the expansion depth") {
+    val chain = (1 to 20).map(i => (s"u$i", s"u${i + 1}")).toDF("src_url", "dst_url")
+    val got = Frontier.expand(Seq("u1").toDF("url"), chain, maxIter = 3)
+      .as[String].collect().toSet
+    assert(got == Set("u1", "u2", "u3", "u4"))
+  }
+}

@@ -25,6 +25,14 @@ class MlSpec extends SparkSpecBase {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("stop-shingle-capped jaccard still finds every planted near-dup") {
+    val exact = Dedup.jaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.jaccardPairsCapped(docs, 0.5, maxShingleDf = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == exact) // near-dups share rare shingles; verification exact
+  }
+
   test("minhash+LSH+verify returns exactly the exact-jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
