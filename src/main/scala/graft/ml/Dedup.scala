@@ -41,18 +41,17 @@ object Dedup {
     * checkpoint a 100 TB pipeline would make explicit.
     */
   def shingled(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
-      .persist()
-    val sh = toks.select(col("doc_id"),
-        Shingles.wordShinglesFromTokens(col("toks"), ShingleWidth).as("shingles"))
+    // WordShingles is a native codegen Expression (single tight loop per
+    // row) — no HOF lambdas, so projection collapse is harmless and the
+    // token split needs no separate materialization.
+    val sh = docs.select(col("doc_id"),
+        graft.functions.WordShingles.wordShingles(
+          Shingles.tokens(col("text")), ShingleWidth).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist()
     // eagerly materialize: downstream plans scan this 2-4 times (index
     // sides + size lookups), and concurrent stages racing a cold cache
-    // would each recompute the shingle construction. toks is NOT
-    // unpersisted here — unpersist cascades to dependent caches and would
-    // silently drop sh's cache (Bench/Verify clearCache between queries).
+    // would each recompute the shingle construction.
     sh.count()
     sh
   }
@@ -112,13 +111,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: sig[i] = min over shingles of xxhash64(i, shingle).
-    * 128 longs per doc regardless of doc size — the shuffle-friendly sketch.
+  /** MinHash signatures: sig[i] = min over shingles of xxhash64(shingle,
+    * seed=i) — a native codegen Expression (one tight loop) instead of k
+    * interpreted array_min(transform(...)) passes. 128 longs per doc
+    * regardless of doc size — the shuffle-friendly sketch.
     */
   def minhashSignatures(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"),
-      transform(sequence(lit(0), lit(NumHashes - 1)),
-        i => array_min(transform(col("shingles"), s => xxhash64(i, s)))).as("sig"))
+      graft.functions.MinHashSig.minhashSig(col("shingles"), NumHashes).as("sig"))
       .persist() // barrier: sig is referenced per-band downstream (2 join sides)
 
   /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct). */
