@@ -91,6 +91,57 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+/** 64-bit SimHash over a token array: per-bit majority vote of each
+  * token's xxhash64. One pass per row (vs an interpreted aggregate ×
+  * zip_with × 64-transform chain). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs array<string>, got ${child.dataType}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** Static so generated code calls it directly. */
+  def compute(tokens: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    val m = tokens.numElements()
+    var j = 0
+    while (j < m) {
+      val s = tokens.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhash64(c: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+}
+
 object MinHashSig {
   /** Static so generated code calls it directly. */
   def compute(shingles: ArrayData, k: Int): ArrayData = {

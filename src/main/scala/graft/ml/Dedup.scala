@@ -156,29 +156,16 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: majority vote per bit of each
-    * token's xxhash64. Expressed as SQL higher-order functions (codegen'd).
+    * token's xxhash64 — a native codegen Expression (one pass per row;
+    * the earlier HOF formulation needed a persist barrier against
+    * projection collapse and was interpreted).
     */
-  def simhashed(docs: DataFrame): DataFrame = {
-    // The persist between `counters` and `simhash` is a materialization
-    // barrier: without it projection collapse inlines the O(tokens × 64)
-    // counter fold into each of the 64 bit-fold iterations (see shingled()).
-    val counters = docs
+  def simhashed(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("counters", expr(
-        """aggregate(toks, array_repeat(0, 64),
-          |  (acc, t) -> zip_with(acc,
-          |    transform(sequence(0, 63),
-          |      i -> if(((xxhash64(t) >> i) & 1L) = 1L, 1, -1)),
-          |    (a, b) -> a + b))""".stripMargin))
-      .select(col("doc_id"), col("counters"))
-      .persist()
-    counters
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L,
-          |  (acc, i) -> acc | if(counters[i] > 0, shiftleft(1L, i), 0L))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
-  }
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("toks")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist (<= 3 is
     * guaranteed found: 4 16-bit bands, pigeonhole). */
