@@ -51,6 +51,41 @@ object Extras extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Exact percentiles (continuous interpolation) per group.
+    "agg_percentile" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          r4(expr("percentile(c_acctbal, 0.5)")).as("median_bal"),
+          r4(expr("percentile(c_acctbal, 0.9)")).as("p90_bal"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Pearson correlation from decimal-exact sums (same determinism shim
+    // as agg_stats — both engines derive from bit-identical doubles).
+    "agg_corr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          sum(decMoney(col("l_extendedprice"))).as("sx"),
+          sum(col("l_quantity")).as("sy"),
+          sum(decMoney(col("l_extendedprice")) * decMoney(col("l_extendedprice"))).as("sxx"),
+          sum(col("l_quantity") * col("l_quantity")).as("syy"),
+          // quantity must be decimal too: decimal × double promotes the
+          // whole product to double and the sum loses exactness
+          sum(decMoney(col("l_extendedprice"))
+            * col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(4, 1))).as("sxy"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          r6((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy"))
+            / sqrt((col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_price_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Unpivot (melt): part's numeric attributes to long form.
     "unpivot_melt" -> ((s, d) => {
       Tables.part(s, d)
@@ -84,6 +119,31 @@ object Extras extends QueryPack {
         |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
         |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+        |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_corr" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+        |    sum(l_quantity) AS sy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx,
+        |    sum(l_quantity * l_quantity) AS syy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        CAST(l_quantity AS DECIMAL(4,1))) AS sxy,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |    / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (n * syy - sy * sy)), 6) AS corr_price_qty,
+        |  n
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "unpivot_melt" ->
       """SELECT p_partkey, attr, val FROM (
