@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpecBase, Tables}
+import java.nio.file.Files
+
+/** Scale-pattern demonstrations: bucketed co-located joins (shuffle
+  * elimination) and salted aggregation (skew spreading) — verified for
+  * both CORRECTNESS (same results as the direct forms) and PLAN SHAPE
+  * (the shuffle really disappears / the salt really pre-aggregates).
+  */
+class ScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse.dir is a static conf; an explicit DB LOCATION suffices
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$wh/graft_bkt'")
+    spark.sql("USE graft_bkt")
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (the tiny test tables would otherwise
+      // broadcast, which sidesteps bucketing entirely)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(spark, sf0001)
+      val li = Tables.lineitem(spark, sf0001)
+      o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_b")
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_b")
+
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+
+      // both sides bucketed on the join key → co-located SMJ, no shuffle
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(500)}")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(800)}")
+      // and the result matches the plain (shuffling) join
+      val direct = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
+      spark.sql("USE default")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    // orders has bounded custkeys → every key is 'hot' relative to 150
+    val o = Tables.orders(spark, sf0001)
+    val direct = o.groupBy($"o_custkey")
+      .agg(sum($"o_totalprice").as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(o, $"o_custkey", $"o_totalprice", 16)
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (total, n)) =>
+      assert(n == direct(k)._2)
+      assert(math.abs(total - direct(k)._1) < 1e-6)
+    }
+  }
+}
