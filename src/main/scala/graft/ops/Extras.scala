@@ -86,6 +86,46 @@ object Extras extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // String-function family beyond the reference's F-rows.
+    "f_string_pack2" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lpadded"),
+          rpad(col("p_type"), 10, ".").as("rpadded"),
+          substring_index(col("p_name"), " ", 1).as("first_word"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+          repeat(col("p_brand"), 2).as("doubled"),
+          reverse(col("p_name")).as("reversed"),
+          instr(col("p_name"), "wid").as("wid_pos"),
+          ascii(col("p_name")).as("first_ascii"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // first_value / nth_value window functions.
+    "w_first_nth" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("first_price"), col("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // explode_outer: empty arrays keep their parent row (null element).
+    "explode_outer_nulls" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("arr",
+          when(col("o_orderstatus") === "P", array().cast("array<int>"))
+            .otherwise(array(lit(1), lit(2))))
+        .select(col("o_orderkey"), explode_outer(col("arr")).as("val"))
+        .orderBy(col("o_orderkey"), col("val").asc_nulls_first)
+    }),
+
     // Unpivot (melt): part's numeric attributes to long form.
     "unpivot_melt" -> ((s, d) => {
       Tables.part(s, d)
@@ -144,6 +184,36 @@ object Extras extends QueryPack {
         |      * (n * syy - sy * sy)), 6) AS corr_price_qty,
         |  n
         |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "f_string_pack2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS lpadded,
+        |  rpad(p_type, 10, '.') AS rpadded,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+        |  repeat(p_brand, 2) AS doubled,
+        |  reverse(p_name) AS reversed,
+        |  CAST(instr(p_name, 'wid') AS INT) AS wid_pos,
+        |  CAST(ascii(p_name) AS INT) AS first_ascii
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "w_first_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "explode_outer_nulls" ->
+      """SELECT o_orderkey, CAST(NULL AS INT) AS val FROM orders
+        |  WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT o_orderkey, x AS val
+        |  FROM orders CROSS JOIN (VALUES (1), (2)) t(x)
+        |  WHERE o_orderstatus <> 'P'
+        |ORDER BY o_orderkey, val NULLS FIRST""".stripMargin,
 
     "unpivot_melt" ->
       """SELECT p_partkey, attr, val FROM (
