@@ -126,6 +126,25 @@ object Extras extends QueryPack {
         .orderBy(col("o_orderkey"), col("val").asc_nulls_first)
     }),
 
+    // Map functions over a constructed map column (the MapType specs
+    // surface from SURVEY §1.4): build, extract, size, keys, merge.
+    "f_map_ops" -> ((s, d) => {
+      s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      Tables.part(s, d)
+        .withColumn("m", map(
+          lit("brand"), col("p_brand"),
+          lit("type"), col("p_type")))
+        .withColumn("m2", map_concat(col("m"),
+          map(lit("type"), lower(col("p_type"))))) // last-wins overwrite
+        .select(col("p_partkey"),
+          element_at(col("m"), "brand").as("brand_val"),
+          size(col("m")).as("m_size"),
+          array_join(sort_array(map_keys(col("m2"))), ",").as("m2_keys"),
+          element_at(col("m2"), "type").as("type_after_merge"),
+          element_at(col("m2"), "missing").as("missing_val"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Unpivot (melt): part's numeric attributes to long form.
     "unpivot_melt" -> ((s, d) => {
       Tables.part(s, d)
@@ -214,6 +233,15 @@ object Extras extends QueryPack {
         |  FROM orders CROSS JOIN (VALUES (1), (2)) t(x)
         |  WHERE o_orderstatus <> 'P'
         |ORDER BY o_orderkey, val NULLS FIRST""".stripMargin,
+
+    "f_map_ops" ->
+      """SELECT p_partkey,
+        |  p_brand AS brand_val,
+        |  2 AS m_size,
+        |  'brand,type' AS m2_keys,
+        |  lower(p_type) AS type_after_merge,
+        |  CAST(NULL AS VARCHAR) AS missing_val
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "unpivot_melt" ->
       """SELECT p_partkey, attr, val FROM (

@@ -65,6 +65,30 @@ object EventStreams {
       .withWatermark("ts", "20 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: purchases matched to the same user's
+    * clicks within the preceding hour. Both sides watermarked and the
+    * join condition time-bounded — Spark needs both to know when buffered
+    * state can be dropped (state ∝ one hour of clicks per user, not
+    * history). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Idempotent foreachBatch sink: overwrite-by-batch-id parquet dirs, so
     * a replayed micro-batch lands in the same place (effectively-once). */
   def idempotentParquetSink(out: String)(df: DataFrame, batchId: Long): Unit =

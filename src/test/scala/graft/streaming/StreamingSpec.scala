@@ -78,6 +78,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.select($"event_id").distinct().count() == e.count())
   }
 
+  test("stream-stream join matches the batch time-range join") {
+    val streamed = runToParquet(
+      EventStreams.purchaseClickJoin(EventStreams.fromParquetDir(spark, stagedDir)))
+    val e = Tables.events(spark, sf0001)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("click_user"), $"ts".as("click_ts"))
+    val batch = p.join(c,
+        $"user_id" === $"click_user" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+          $"click_ts" <= $"purchase_ts")
+      .select($"purchase_id", $"click_id")
+      .as[(Long, Long)].collect().toSet
+    val got = streamed.select($"purchase_id", $"click_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch), "stream-stream join fabricated pairs")
+    // inner stream-stream join emits every in-watermark match; with all
+    // data fitting in the run, expect full parity
+    assert(got == batch, s"missing ${(batch -- got).size} of ${batch.size} pairs")
+  }
+
   test("idempotent sink: rewriting a batch id does not duplicate rows") {
     val out = Files.createTempDirectory("graft_sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
