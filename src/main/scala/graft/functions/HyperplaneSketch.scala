@@ -63,8 +63,14 @@ object HyperplaneSketch {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Boolean]]]()
 
-  private def planes(nBits: Int, dim: Int): Array[Array[Boolean]] =
+  private[functions] def planes(nBits: Int, dim: Int): Array[Array[Boolean]] =
     cache.computeIfAbsent((nBits, dim), { k: (Int, Int) => makePlanes(k._1, k._2) })
+
+  /** The ±1 plane signs (true = +1), exposed so an oracle can replay the
+    * exact same sketch pipeline outside Spark (e.g. generated DuckDB SQL
+    * embedding the planes as literals). */
+  def planeSigns(nBits: Int, dim: Int): Array[Array[Boolean]] =
+    planes(nBits, dim).map(_.clone())
 
   /** Static so generated code calls it directly. */
   def compute(vec: ArrayData, nBits: Int, dim: Int): Long = {
@@ -89,4 +95,75 @@ object HyperplaneSketch {
 
   def sketch(v: Column, nBits: Int, dim: Int): Column =
     GraftBridge.column(HyperplaneSketch(GraftBridge.expression(v), nBits, dim))
+}
+
+/** Banded sign-random-projection sketch: element b of the result array is
+  * the rowsPerBand-bit bucket of band b (planes drawn from the same LCG
+  * stream as [[HyperplaneSketch]], band b bit j using plane b*rowsPerBand+j).
+  *
+  * Banding turns an approximate bucket-equality test into a
+  * recall-guaranteed candidate generator: two vectors with cosine >= τ
+  * share at least one band with probability 1 - (1 - p^r)^B where
+  * p = 1 - acos(τ)/π — with B=128, r=4 that is 1 - 1.5e-11 even at
+  * τ=0.45. One pass over all B·r planes per row; the shuffle key is a
+  * (band, bucket) pair, never the vector.
+  */
+case class HyperplaneBands(child: Expression, nBands: Int, rowsPerBand: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _)
+        if nBands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 63 && dim >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bands needs array<double>, nBands >= 1, 1 <= rowsPerBand <= 63, " +
+        s"dim >= 1; got ${child.dataType}, nBands=$nBands, rowsPerBand=$rowsPerBand, dim=$dim")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneBands.compute(input.asInstanceOf[ArrayData], nBands, rowsPerBand, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HyperplaneBands.compute($c, $nBands, $rowsPerBand, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bands"
+}
+
+object HyperplaneBands {
+
+  /** Static so generated code calls it directly. */
+  def compute(vec: ArrayData, nBands: Int, rowsPerBand: Int, dim: Int): ArrayData = {
+    val p = HyperplaneSketch.planes(nBands * rowsPerBand, dim)
+    val n = math.min(dim, vec.numElements())
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val plane = p(b * rowsPerBand + j)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val x = vec.getDouble(i)
+          if (plane(i)) dot += x else dot -= x
+          i += 1
+        }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def bands(v: Column, nBands: Int, rowsPerBand: Int, dim: Int): Column =
+    GraftBridge.column(HyperplaneBands(GraftBridge.expression(v), nBands, rowsPerBand, dim))
 }

@@ -29,9 +29,10 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // MinHash + LSH + exact verify. Deterministic (fixed xxhash64 seeds)
-    // but not ANSI-SQL-expressible: rows-only check here, exact-parity
-    // ScalaTest against ns_dedup_jaccard.
+    // MinHash + LSH + exact verify. Exact-Jaccard verification makes the
+    // output equal the exact pair set (band miss at j>=0.5 is a ~1e-8
+    // event), so the ns_dedup_jaccard oracle SQL applies verbatim; MlSpec
+    // additionally proves the identity in-process.
     "ns_dedup_minhash" -> ((s, d) => {
       Dedup.minhashDupPairs(Tables.documents(s, d), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -49,8 +50,9 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed approximate top-5 — the scale path (recall vs brute
-    // force asserted in ScalaTest; not SQL-expressible).
+    // LSH-bucketed approximate top-5 — the scale path. The sketch planes
+    // are deterministic (fixed LCG), so the oracle SQL replays the exact
+    // same pipeline in DuckDB with the plane signs embedded as literals.
     "ns_similarity_lsh" -> ((s, d) => {
       // 10-bit buckets suit the test-data corpus sizes (5e3-5e4 vectors);
       // a production corpus in the millions would use the 16-bit default.
@@ -58,9 +60,13 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Embedding near-duplicate pairs via LSH buckets + exact cosine.
+    // Embedding near-duplicate pairs via banded sign-LSH + exact cosine
+    // verify. Banding makes candidate recall ~1-1e-11, verification makes
+    // precision exact → output equals the brute-force pair set, which is
+    // the oracle. τ=0.45 yields a non-trivial pair set on the test data
+    // (max pairwise cosine ≈ 0.51).
     "ns_cosine_dup_pairs" -> ((s, d) => {
-      Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.8)
+      Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.45)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -107,28 +113,83 @@ object MlPack extends QueryPack {
     })
   )
 
+  /** ±1 plane-sign literals for the 10-bit LSH sketch, generated from the
+    * same fixed-LCG stream the HyperplaneSketch expression uses — lets the
+    * DuckDB oracle replay the sketch bit-for-bit (±1·x is exact in IEEE
+    *754 and both engines accumulate the dot product sequentially).
+    */
+  private def planeValuesSql(nBits: Int, dim: Int): String =
+    graft.functions.HyperplaneSketch.planeSigns(nBits, dim).zipWithIndex.map {
+      case (row, b) =>
+        row.map(s => if (s) "1" else "-1")
+          .mkString(s"($b, CAST([", ",", "] AS DOUBLE[]))")
+    }.mkString(",\n")
+
+  private val jaccardPairsOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
+      |         t[i+3]||' '||t[i+4] for i in range(1, len(t)-3)]) s
+      |       FROM w WHERE len(t) >= 5),
+      |tok AS (SELECT doc_id, unnest(s) g FROM sh),
+      |sz AS (SELECT doc_id, len(s) n FROM sh),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+      |       JOIN sz sb ON p.doc_b = sb.doc_id
+      |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    // The minhash pipeline's exact-Jaccard verify makes its output equal
+    // the exact pair set — same oracle as ns_dedup_jaccard.
+    "ns_dedup_minhash" -> jaccardPairsOracle,
+
+    // Brute-force pair oracle: valid because banded candidate generation
+    // is recall-guaranteed (miss ~1e-11/pair) and verification is exact.
+    "ns_cosine_dup_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Full replay of the LSH top-k pipeline: sketch from embedded ±1 plane
+    // literals, 11 multiprobe buckets (identity + 10 single-bit flips),
+    // bucket join, exact cosine, rank.
+    "ns_similarity_lsh" ->
+      s"""WITH pl AS (SELECT * FROM (VALUES
+         |${planeValuesSql(10, 64)}) t(b, s)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sk AS (SELECT e.vec_id,
+         |         CAST(sum(CASE WHEN list_inner_product(pl.s, e.v) >= 0
+         |                       THEN 1 << pl.b ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM e CROSS JOIN pl GROUP BY e.vec_id),
+         |skv AS (SELECT e.vec_id, e.v, sk.bucket FROM e JOIN sk USING (vec_id)),
+         |pr AS (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128, 256, 512]) AS m),
+         |q AS (SELECT skv.vec_id AS query_id, skv.v AS qv,
+         |        xor(skv.bucket, CAST(pr.m AS BIGINT)) AS bucket
+         |      FROM skv CROSS JOIN pr WHERE skv.vec_id <= 7),
+         |c AS (SELECT vec_id, v, bucket FROM skv WHERE vec_id > 7),
+         |scored AS (SELECT q.query_id, c.vec_id,
+         |             round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+         |           FROM c JOIN q USING (bucket)),
+         |ranked AS (SELECT query_id, vec_id, cos_sim,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY cos_sim DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "ns_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS representative_id,
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
-    "ns_dedup_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
-        |         t[i+3]||' '||t[i+4] for i in range(1, len(t)-3)]) s
-        |       FROM w WHERE len(t) >= 5),
-        |tok AS (SELECT doc_id, unnest(s) g FROM sh),
-        |sz AS (SELECT doc_id, len(s) n FROM sh),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
-        |       JOIN sz sb ON p.doc_b = sb.doc_id
-        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "ns_dedup_jaccard" -> jaccardPairsOracle,
 
     "ns_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

@@ -80,18 +80,39 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
-  /** Embedding near-duplicate pairs: LSH bucket candidates verified with
-    * exact cosine >= threshold. */
-  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Embedding near-duplicate pairs: banded sign-LSH candidates verified
+    * with exact cosine >= threshold.
+    *
+    * Banding (default 128 bands × 4 bits) makes candidate generation
+    * recall-GUARANTEED up to a ~1e-11 miss probability even at τ=0.45
+    * (p = 1-acos(τ)/π per bit; P(miss) = (1-p^4)^128) — unlike a single
+    * wide bucket, which misses most qualifying pairs. Exact verification
+    * makes precision exact, so the output equals the brute-force pair set
+    * (and is oracle-checked against it in the driver). Shuffles carry
+    * (band, bucket) pairs and vec ids, never the vectors; the verify join
+    * fetches vectors only for candidate ids.
+    */
+  def cosineDupPairs(emb: DataFrame, threshold: Double,
+      nBands: Int = 128, rowsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    // persist: the sketch side feeds the two-sided band join and the
+    // verify lookups re-read `v` — same barrier rationale as Dedup.shingled
     val withSketch = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", sketch(col("v")))
-    val l = withSketch.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
-    val r = withSketch.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
-    l.join(r, "bucket").filter(col("vec_a") < col("vec_b"))
+      .withColumn("bands",
+        graft.functions.HyperplaneBands.bands(col("v"), nBands, rowsPerBand, dim))
+      .persist()
+    withSketch.count()
+    val banded = withSketch.select(col("vec_id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val l = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+    val r = banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket"))
+    val cands = l.join(r, Seq("band", "bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cands
+      .join(withSketch.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(withSketch.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
   }
 
   /** Per-label embedding stats: exact norms via HOF aggregate. */

@@ -84,6 +84,21 @@ class MlSpec extends SparkSpecBase {
     assert(recall >= 0.1, s"LSH recall@5 unexpectedly low: $recall")
   }
 
+  test("banded cosine dup pairs equal the brute-force pair set (non-trivially)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val brute = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = Similarity.cosineDupPairs(emb, 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(banded.nonEmpty) // threshold chosen so the test is not vacuous
+    assert(banded == brute) // recall-guaranteed banding + exact verify
+  }
+
   test("cosine of identical and orthogonal vectors") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),
