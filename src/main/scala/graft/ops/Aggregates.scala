@@ -189,17 +189,49 @@ object Aggregates extends QueryPack {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // Approx-distinct (HLL++). No DuckDB oracle — different sketch — the
-    // driver records a rows-only check; exactness is covered by a ScalaTest
-    // comparing against countDistinct within HLL error bounds.
+    // Approx-distinct (HLL++). DuckDB's sketch differs, so the approx
+    // VALUES can't be oracled — instead the row carries the exact
+    // distinct counts (oracled) plus booleans asserting the HLL estimate
+    // landed within ±5% of exact (rsd=0.01 → a 5-sigma bound; the oracle
+    // expects TRUE). ScalaTest additionally checks the raw estimates.
     "agg_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(col("n_parts"), col("n_orders"),
+          (abs(col("ap") - col("n_parts"))
+            <= col("n_parts").cast("double") * 0.05).as("approx_parts_ok"),
+          (abs(col("ao") - col("n_orders"))
+            <= col("n_orders").cast("double") * 0.05).as("approx_orders_ok"))
+    }),
+
+    // Two-phase salted aggregation (hot-key mitigation): semantically
+    // identical to a direct GROUP BY — which is exactly what the oracle
+    // runs. l_quantity is integral-valued, so double sums are exact and
+    // partial-sum order can't perturb the result.
+    "agg_salted_sum" -> ((s, d) => {
+      Skew.saltedSumCount(Tables.lineitem(s, d),
+          col("l_orderkey"), col("l_quantity"), saltBuckets = 16)
+        .select(col("k").as("l_orderkey"), col("total").as("sum_qty"),
+          col("n").as("n_rows"))
+        .orderBy(col("l_orderkey"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  TRUE AS approx_parts_ok, TRUE AS approx_orders_ok
+        |FROM lineitem""".stripMargin,
+
+    "agg_salted_sum" ->
+      """SELECT l_orderkey, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
     "q1_agg" ->
       """WITH g AS (SELECT l_returnflag, l_linestatus,
         |    sum(l_quantity) AS sum_qty,

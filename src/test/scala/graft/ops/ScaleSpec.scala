@@ -48,6 +48,18 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("approx_count_distinct within 5% of exact at rsd=0.01") {
+    val li = Tables.lineitem(spark, sf0001)
+    val r = li.agg(
+      countDistinct($"l_partkey").as("exact_p"),
+      countDistinct($"l_orderkey").as("exact_o"),
+      approx_count_distinct($"l_partkey", 0.01).as("ap"),
+      approx_count_distinct($"l_orderkey", 0.01).as("ao")).collect().head
+    val (ep, eo) = (r.getAs[Long]("exact_p"), r.getAs[Long]("exact_o"))
+    assert(math.abs(r.getAs[Long]("ap") - ep) <= 0.05 * ep)
+    assert(math.abs(r.getAs[Long]("ao") - eo) <= 0.05 * eo)
+  }
+
   test("salted aggregation equals direct aggregation") {
     // orders has bounded custkeys → every key is 'hot' relative to 150
     val o = Tables.orders(spark, sf0001)
