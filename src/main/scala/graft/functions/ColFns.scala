@@ -42,4 +42,18 @@ object ColFns {
   /** F9: comma-join values, append optional unit, trim (app.js:702). */
   def valuesWithUnitCol(values: Column, unit: Column): Column =
     trim(concat(array_join(values, ","), coalesce(unit, lit(""))))
+
+  /** Keep only the LAST entry per key of an array<struct> of map entries —
+    * the expression-level equivalent of mapKeyDedupPolicy=LAST_WIN (JS
+    * object-assignment semantics, app.js:627) WITHOUT mutating session
+    * conf: downstream map_from_entries sees unique keys, so Spark 4's
+    * EXCEPTION default never fires. O(n²) per row; spec maps are small.
+    *
+    * keyField names the struct field holding the key ("key" for
+    * map_entries output, caller-chosen for hand-built structs).
+    */
+  def lastWinsEntries(entries: Column, keyField: String = "key"): Column =
+    filter(entries, (e, i) =>
+      !exists(slice(entries, i + lit(2), size(entries)),
+        e2 => e2.getField(keyField) === e.getField(keyField)))
 }

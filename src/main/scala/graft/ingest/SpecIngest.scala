@@ -43,18 +43,30 @@ object SpecIngest {
     */
   def fromSpecTable(raw: DataFrame): DataFrame = {
     val parse = udf { rows: Seq[org.apache.spark.sql.Row] =>
-      // group rows by spec-table section, keeping first-occurrence section
-      // order (JS object iteration order) so last-wins merges stay stable
-      val grouped = rows.zipWithIndex
-        .groupBy(_._1.getAs[String]("title")).toSeq
-        .sortBy(_._2.head._2)
-        .map { case (title, rs0) =>
-          val rs = rs0.map(_._1)
-          Normalize.foldSpecRows(title,
-            rs.map(_.getAs[String]("subtitle")),
-            rs.map(_.getAs[String]("content")))
-        }
-      Normalize.mergeSpecs(grouped.flatten)
+      // The reference folds EACH spec table independently (one result
+      // object per th, app.js:548-565), then merge_array_object merges
+      // the per-table objects last-wins (app.js:585). The raw shape
+      // flattens one row per (table, subtitle) with the table's title
+      // repeated, so a title change marks a table boundary: group by
+      // consecutive title runs, not globally by title — a repeated title
+      // later in the page starts a FRESH fold (its leading continuation
+      // row writes the bare-title key, not an append to the earlier
+      // table's last subtitle).
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]]
+      var prevTitle: String = null
+      rows.foreach { r =>
+        val t = r.getAs[String]("title")
+        if (runs.isEmpty || t != prevTitle)
+          runs += scala.collection.mutable.ArrayBuffer(r)
+        else runs.last += r
+        prevTitle = t
+      }
+      Normalize.mergeSpecs(runs.toSeq.flatMap { rs =>
+        Normalize.foldSpecRows(rs.head.getAs[String]("title"),
+          rs.map(_.getAs[String]("subtitle")).toSeq,
+          rs.map(_.getAs[String]("content")).toSeq)
+      })
     }
     raw
       .withColumn("specs", parse(col("rows").cast(specRowsType)))
@@ -80,26 +92,38 @@ object SpecIngest {
     val padded = transform(sequence(lit(1), size(col("keys"))),
       i => coalesce(try_element_at(col("values"), i), lit("")))
     val device = ColFns.deviceCol(col("url"))
-    // JS object assignment is last-wins on duplicate keys (app.js:627);
-    // Spark's default map policy is EXCEPTION, so opt into LAST_WIN.
-    raw.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     raw
-      .withColumn("specs", map_from_arrays(keys, padded))
+      // JS object assignment is last-wins on duplicate keys (app.js:627).
+      // Dedup explicitly in the expression (keep each key's LAST entry)
+      // instead of flipping the session-wide mapKeyDedupPolicy conf —
+      // map_from_entries then sees unique keys, so the policy (EXCEPTION
+      // by default in Spark 4) never fires and no session state leaks.
+      .withColumn("specs",
+        map_from_entries(lastWinsEntries(
+          zip_with(keys, padded, (k, v) => struct(k.as("k"), v.as("v"))))))
       .withColumn("device", device)
       .withColumn("brand",
         ColFns.brandWithIosOverride(col("device"), ColFns.brandCol(col("model"))))
-      .withColumn("model", ColFns.modelCol(col("model")))
+      // app.js:634: the first model token is shifted off only when the
+      // device is NOT 'ios' — an iOS multi-token model keeps the full
+      // string (brand is separately forced to 'Apple').
+      .withColumn("model",
+        when(col("device") === "ios", col("model"))
+          .otherwise(ColFns.modelCol(col("model"))))
       .select(col("brand"), col("model"), lit("").as("imgUrl"),
         col("url").as("srcUrl"), coalesce(col("product_id"), lit("")).as("productId"),
         col("device"), col("specs"))
   }
+
+  /** Expression-level LAST_WIN dedup (see [[ColFns.lastWinsEntries]]). */
+  private def lastWinsEntries(entries: Column): Column =
+    ColFns.lastWinsEntries(entries, keyField = "k")
 
   /** versus shape: nested JSON blob → explode propGroups ×
     * reasons → key = to_key(group_name + '_' + reason_name), value =
     * comma-joined values + unit (F9, app.js:702).
     */
   def fromNestedJson(raw: DataFrame): DataFrame = {
-    raw.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val exploded = raw
       .withColumn("pg", explode(from_json(col("props_json"), PropGroupsSchema)))
       .withColumn("reason", explode(col("pg.reasons")))
@@ -110,8 +134,13 @@ object SpecIngest {
           .as("spec_value"))
     exploded
       .groupBy(col("src_url"), col("model"))
-      .agg(map_from_entries(collect_list(struct(col("spec_key"), col("spec_value"))))
-        .as("specs"))
+      // entries originate from a single exploded source row, so
+      // collect_list order is the reason order; last-wins dedup before
+      // map_from_entries (no session-conf mutation, see lastWinsEntries)
+      .agg(collect_list(struct(col("spec_key").as("k"), col("spec_value").as("v")))
+        .as("entries"))
+      .withColumn("specs", map_from_entries(lastWinsEntries(col("entries"))))
+      .drop("entries")
       .withColumn("brand", ColFns.brandCol(col("model")))
       .withColumn("model", ColFns.modelCol(col("model")))
       .select(col("brand"), col("model"), lit("").as("imgUrl"),

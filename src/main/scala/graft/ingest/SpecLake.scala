@@ -36,11 +36,18 @@ class SpecLake(root: String) {
     spark.read.option("mergeSchema", "true").parquet(dataPath)
       .dropDuplicates("srcUrl")
 
-  def savedUrls(spark: SparkSession): DataFrame =
-    if (new java.io.File(ledgerPath).exists())
+  /** The ledger probe goes through the Hadoop FileSystem API so the lake
+    * root can live on any supported store (local, HDFS, s3a, ...) —
+    * `java.io.File` would silently report "missing" for every non-local
+    * root and make pending() re-crawl the world. */
+  def savedUrls(spark: SparkSession): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
       spark.read.parquet(ledgerPath).distinct()
     else
       spark.emptyDataFrame.select(lit("").as("url")).limit(0)
+  }
 
   /** Resume diff: frontier URLs not yet saved (J1; anti-join replaces the
     * reference's quadratic `includes` scan, app.js:479). */

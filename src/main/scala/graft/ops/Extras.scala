@@ -11,28 +11,37 @@ import QueryPack._
   */
 object Extras extends QueryPack {
 
+  // Unique temp-view names per invocation: a fixed name would race if two
+  // queries (or two concurrent runs of one query) shared a session.
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def freshView(prefix: String): String =
+    s"${prefix}_${viewSeq.incrementAndGet()}"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scalar subquery: orders above the (decimal-exact) global average.
     "sub_scalar" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("graft_orders_ss")
+      val v = freshView("graft_orders_ss")
+      Tables.orders(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT o_orderkey, o_totalprice FROM graft_orders_ss
-          |WHERE o_totalprice > (
-          |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-          |         / count(*) FROM graft_orders_ss)
-          |ORDER BY o_orderkey""".stripMargin)
+        s"""SELECT o_orderkey, o_totalprice FROM $v
+           |WHERE o_totalprice > (
+           |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+           |         / count(*) FROM $v)
+           |ORDER BY o_orderkey""".stripMargin)
     }),
 
     // Correlated subquery: customers with more than 8 orders, written as
     // a correlated COUNT (Catalyst decorrelates to an aggregate + join).
     "sub_correlated" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("graft_orders_sc")
-      Tables.customer(s, d).createOrReplaceTempView("graft_customer_sc")
+      val vo = freshView("graft_orders_sc")
+      val vc = freshView("graft_customer_sc")
+      Tables.orders(s, d).createOrReplaceTempView(vo)
+      Tables.customer(s, d).createOrReplaceTempView(vc)
       s.sql(
-        """SELECT c_custkey, c_name FROM graft_customer_sc c
-          |WHERE (SELECT count(*) FROM graft_orders_sc o
-          |       WHERE o.o_custkey = c.c_custkey) > 8
-          |ORDER BY c_custkey""".stripMargin)
+        s"""SELECT c_custkey, c_name FROM $vc c
+           |WHERE (SELECT count(*) FROM $vo o
+           |       WHERE o.o_custkey = c.c_custkey) > 8
+           |ORDER BY c_custkey""".stripMargin)
     }),
 
     // Pivot: order counts per status with priorities as columns.
@@ -129,13 +138,17 @@ object Extras extends QueryPack {
     // Map functions over a constructed map column (the MapType specs
     // surface from SURVEY §1.4): build, extract, size, keys, merge.
     "f_map_ops" -> ((s, d) => {
-      s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       Tables.part(s, d)
         .withColumn("m", map(
           lit("brand"), col("p_brand"),
           lit("type"), col("p_type")))
-        .withColumn("m2", map_concat(col("m"),
-          map(lit("type"), lower(col("p_type"))))) // last-wins overwrite
+        // last-wins overwrite merge, expressed directly (concat the entry
+        // lists, keep each key's last entry, rebuild) — no session-wide
+        // mapKeyDedupPolicy mutation leaking into later queries
+        .withColumn("m2", map_from_entries(
+          graft.functions.ColFns.lastWinsEntries(
+            concat(map_entries(col("m")),
+              map_entries(map(lit("type"), lower(col("p_type"))))))))
         .select(col("p_partkey"),
           element_at(col("m"), "brand").as("brand_val"),
           size(col("m")).as("m_size"),

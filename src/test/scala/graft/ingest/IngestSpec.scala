@@ -32,6 +32,25 @@ class IngestSpec extends SparkSpecBase {
     assert(specs("display_type") == "AMOLED")
   }
 
+  test("gsmarena shape: repeated title starts a fresh per-table fold") {
+    // Two distinct tables share the title 'Network'; the second one's
+    // LEADING continuation row must write the bare-title key (app.js
+    // folds per table: result[text_to_key(title)] when i-1 < 0), not
+    // append to the first table's last subtitle.
+    val rows = Seq(
+      SpecRowFixture("Network", "Technology", "GSM"),
+      SpecRowFixture("Display", "Type", "LCD"),
+      SpecRowFixture("Network", "X", "5G bands"), // 1-char subtitle at table start
+      SpecRowFixture("Network", "Speed", "HSPA"))
+    val raw = Seq(("http://g/b", "Acme One", "http://img/b", rows))
+      .toDF("src_url", "model", "img_url", "rows")
+    val specs = SpecIngest.fromSpecTable(raw).collect().head
+      .getAs[Map[String, String]]("specs")
+    assert(specs("network") == "5G bands") // bare-title key, fresh fold
+    assert(specs("network_technology") == "GSM") // untouched by table 2
+    assert(specs("network_speed") == "HSPA")
+  }
+
   test("geekbench shape: zip with '' backfill, last-wins dups, iOS override") {
     val raw = Seq(
       ("https://browser.geekbench.com/ios_devices/5", "iPhone 13", "p1",
@@ -44,7 +63,9 @@ class IngestSpec extends SparkSpecBase {
     val ios = out("https://browser.geekbench.com/ios_devices/5")
     assert(ios.getAs[String]("device") == "ios")
     assert(ios.getAs[String]("brand") == "Apple") // override (app.js:630-634)
-    assert(ios.getAs[String]("model") == "13")
+    // app.js:634 shifts the first token only when device != 'ios' — an iOS
+    // multi-token model keeps the full string
+    assert(ios.getAs[String]("model") == "iPhone 13")
     val specs = ios.getAs[Map[String, String]]("specs")
     assert(specs("cores") == "6")
     assert(specs("cpu") == "") // third key had no value → '' backfill, last wins
