@@ -50,6 +50,60 @@ class StatefulSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState variant matches batch truth (RocksDB provider)") {
+    val dir = Files.createTempDirectory("graft_tws").toString
+    val e = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type", $"value")
+    e.filter($"user_id" < 8).coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    e.filter($"user_id" >= 8).coalesce(1).write.mode("append").parquet(dir)
+
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream
+        .schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withWatermark("ts", "20 minutes")
+        .as[UserEvent]
+      val out = Files.createTempDirectory("graft_tws_out").toString
+      val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+      val q = trackUsersTws(src).writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[UserSnapshot], id: Long) =>
+          EventStreams.idempotentParquetSink(out)(df.toDF(), id))
+        .start()
+      q.awaitTermination()
+
+      val snaps = spark.read.parquet(s"$out/batch_id=*")
+      val lastSnap = snaps.groupBy($"user_id")
+        .agg(max(struct($"n_events", $"total_value", $"n_sessions")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.n_sessions")
+        .as[(Long, Long, Long)].collect()
+        .map { case (u, n, ns) => u -> ((n, ns)) }.toMap
+      val truth = Tables.events(spark, sf0001)
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      truth.foreach { case (u, n) =>
+        assert(lastSnap(u)._1 == n, s"user $u events: got ${lastSnap(u)._1}, want $n")
+        assert(lastSnap(u)._2 >= 1)
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("late data beyond the watermark is dropped from windowed aggregation") {
     val dir = Files.createTempDirectory("graft_late").toString
     // One file per micro-batch (maxFilesPerTrigger=1, increasing mtimes):
