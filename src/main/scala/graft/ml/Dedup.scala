@@ -155,6 +155,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components over the
+    * pair graph, labeling every member with the smallest doc_id in its
+    * component (the canonical representative a dedup pipeline keeps).
+    *
+    * Distributed min-label propagation to fixpoint: each iteration is one
+    * join + one min-aggregate, `localCheckpoint` truncates lineage (same
+    * pattern as ingest.Frontier). Converges in O(component diameter)
+    * iterations — near-dup components are clique-ish (diameter 2-3), so
+    * this beats the O(log n)-round large-star/small-star alternative in
+    * practice while staying a pure join/agg plan (no driver-side graph).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
+        .select(col("u").as("doc_id"), col("label"))
+      val newLabels = labels.union(nbr)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = newLabels
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") < col("old")).count()
+      labels = newLabels
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: majority vote per bit of each
     * token's xxhash64 — a native codegen Expression (one pass per row;
     * the earlier HOF formulation needed a persist barrier against

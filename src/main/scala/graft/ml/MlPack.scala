@@ -38,6 +38,14 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Duplicate clusters: connected components over the near-dup pair
+    // graph (min-doc_id label per component) — the "pick one canonical
+    // doc per duplicate set" step a dedup pipeline actually ships.
+    "ns_dedup_clusters" -> ((s, d) => {
+      Dedup.dupClusters(Dedup.jaccardPairs(Tables.documents(s, d), 0.5))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs (Hamming <= 3).
     "ns_dedup_simhash" -> ((s, d) => {
       Dedup.simhashDupPairs(Tables.documents(s, d), 3)
@@ -94,6 +102,20 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Top-3 TF-IDF terms per document.
+    "ns_tfidf_top_terms" -> ((s, d) => {
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Deterministic stratified sample: 5 docs per language in md5 order —
+    // reproducible across engines/runs, unlike RNG-based sample().
+    "ns_sample_stratified" -> ((s, d) => {
+      Sampling.stratified(Tables.documents(s, d), col("lang"), col("doc_id"), 5)
+        .select(col("lang"), col("sample_rank").as("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Polynomial rolling-hash fingerprint — custom Catalyst Expression
     // with codegen (graft.functions.PolyFingerprint).
     "ns_fingerprint" -> ((s, d) => {
@@ -125,8 +147,11 @@ object MlPack extends QueryPack {
           .mkString(s"($b, CAST([", ",", "] AS DOUBLE[]))")
     }.mkString(",\n")
 
-  private val jaccardPairsOracle: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+  /** Shared CTE chain producing `jp(doc_a, doc_b, jaccard)` — the exact
+    * n-gram Jaccard pairs at threshold 0.5 — reused by the pair, minhash,
+    * and cluster oracles. */
+  private val jaccardCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
       |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
       |         t[i+3]||' '||t[i+4] for i in range(1, len(t)-3)]) s
       |       FROM w WHERE len(t) >= 5),
@@ -134,13 +159,15 @@ object MlPack extends QueryPack {
       |sz AS (SELECT doc_id, len(s) n FROM sh),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
-      |      GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-      |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
-      |       JOIN sz sb ON p.doc_b = sb.doc_id
-      |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |      GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b,
+      |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |       FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+      |              JOIN sz sb ON p.doc_b = sb.doc_id
+      |       WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5)""".stripMargin
+
+  private val jaccardPairsOracle: String =
+    s"WITH $jaccardCtes\nSELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"
 
   override def oracles: Map[String, String] = Map(
     // The minhash pipeline's exact-Jaccard verify makes its output equal
@@ -190,6 +217,43 @@ object MlPack extends QueryPack {
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "ns_dedup_jaccard" -> jaccardPairsOracle,
+
+    // Connected components via transitive closure (WITH RECURSIVE) over
+    // the same jaccard pair CTEs; cluster id = min reachable doc_id.
+    "ns_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+         |          UNION
+         |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+         |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
+
+    "ns_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "ns_sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |SELECT lang, CAST(rank AS INT) AS rank, doc_id
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "ns_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

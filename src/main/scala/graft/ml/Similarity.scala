@@ -13,19 +13,18 @@ import org.apache.spark.sql.expressions.Window
   *    sketch, candidate sets are corpus/2^16 on average). Recall vs the
   *    brute-force baseline is asserted in ScalaTest.
   *
-  * Dot products are `aggregate`/`zip_with` higher-order functions over
-  * doubles — codegen'd, sequential accumulation (bit-identical to DuckDB's
-  * list_cosine_similarity for the oracle diff).
+  * Cosine is a native codegen Expression ([[graft.functions.CosineSim]]):
+  * sequential accumulation, bit-identical to DuckDB's
+  * list_cosine_similarity for the oracle diff.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
-    dot / sqrt(na * nb)
-  }
+  /** Cosine similarity of two array<double> columns — a native codegen
+    * Expression (one fused sequential pass; bit-identical to the previous
+    * interpreted aggregate/zip_with chains AND to DuckDB's
+    * list_cosine_similarity, so oracle diffs stay exact). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

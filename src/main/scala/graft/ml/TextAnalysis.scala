@@ -75,4 +75,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("labeled_lang"), col("predicted_lang"),
         col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
   }
+
+  /** Top-k terms per document by TF-IDF (tf · ln(N/df)).
+    *
+    * Shape at scale: tf is one shuffle on (doc_id, term); df is a
+    * map-side-combined agg over tf (already unique per pair); N joins in
+    * as a broadcast 1-row aggregate — no driver-side count. tfidf is
+    * rounded BEFORE ranking so the rank order (tfidf desc, term) is
+    * reproducible across engines.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(wsTokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
 }

@@ -43,6 +43,16 @@ class MlSpec extends SparkSpecBase {
     assert(lsh == exact)
   }
 
+  test("dup clusters: transitive components labeled by min doc_id") {
+    // chain 1-2-3 (no direct 1-3 edge) must still form one component
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash: near-identical docs collide, unrelated docs don't") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = ((1 to 59).map(i => s"tok$i") :+ "tokX").mkString(" ")
