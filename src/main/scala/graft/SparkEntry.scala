@@ -12,7 +12,8 @@ import graft.ops._
 object SparkEntry {
 
   private def packs: Seq[QueryPack] =
-    Seq(Scans, Joins, Aggregates, Windows, Scalars, EventsOps, Extras, graft.ml.MlPack)
+    Seq(Scans, Joins, Aggregates, Windows, Scalars, EventsOps, Extras, LayoutPack,
+      graft.ml.MlPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Read → broadcast star join → agg → sort: the full lifecycle slice

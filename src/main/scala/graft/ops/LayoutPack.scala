@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ZOrder2
+
+/** Data-layout queries: the z-order clustering key as a driver-contract
+  * query (the write path itself — [[Layout.writeZOrdered]] / compaction —
+  * is exercised in LayoutSpec; file layout is not SQL-observable).
+  */
+object LayoutPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order (Morton) key over (l_partkey, l_suppkey) — the multi-column
+    // clustering sort key — summarized as a per-z-range histogram with
+    // min/max envelopes (what parquet footer pruning would see per file).
+    "l_zorder_key" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(ZOrder2.zorder(col("l_partkey"), col("l_suppkey"), 21).as("z"))
+        .groupBy(shiftright(col("z"), 10).as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
+          max(col("z")).as("max_z"))
+        .orderBy(col("z_bucket"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "l_zorder_key" -> {
+      val z = ZOrder2.sqlExpr("l_partkey", "l_suppkey", 21)
+      s"""WITH zt AS (SELECT $z AS z FROM lineitem)
+         |SELECT z >> 10 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(z) AS min_z, max(z) AS max_z
+         |FROM zt GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    }
+  )
+}

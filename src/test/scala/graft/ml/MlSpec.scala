@@ -94,6 +94,23 @@ class MlSpec extends SparkSpecBase {
     assert(recall >= 0.1, s"LSH recall@5 unexpectedly low: $recall")
   }
 
+  test("IVF top-k scores agree with brute force where they overlap; sane recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteForceTopK(emb, 0L to 7L, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos_sim"))
+      .toMap
+    val ivf = Similarity.ivfTopK(emb, 0L to 7L, 5, nlist = 16, nprobe = 4).collect()
+    assert(ivf.length == 8 * 5) // probed lists hold >= k candidates per query
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(b => assert(b == r.getAs[Double]("cos_sim")))
+    }
+    val recall = ivf.count(r =>
+      brute.contains((r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))).toDouble /
+      brute.size
+    assert(recall >= 0.1, s"IVF recall@5 unexpectedly low: $recall")
+  }
+
   test("banded cosine dup pairs equal the brute-force pair set (non-trivially)") {
     val emb = Tables.embeddings(spark, sf0001)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -107,6 +124,35 @@ class MlSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect().toSet
     assert(banded.nonEmpty) // threshold chosen so the test is not vacuous
     assert(banded == brute) // recall-guaranteed banding + exact verify
+  }
+
+  test("banded path at dedup threshold finds planted near-dups, equals exact") {
+    // deterministic LCG vectors: planted near-dup pairs (tiny perturbation,
+    // cos > 0.99) among unrelated random vectors (cos ~ N(0, 1/64))
+    var seed = 0x5eedL
+    def nextGauss(): Double = {
+      // sum of 12 uniforms - 6: mean 0, var 1 (Irwin-Hall)
+      var acc = 0.0
+      (0 until 12).foreach { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        acc += ((seed >>> 11).toDouble / (1L << 53).toDouble)
+      }
+      acc - 6.0
+    }
+    def vec(): Seq[Double] = Seq.fill(64)(nextGauss())
+    val bases = (0 until 20).map(_ => vec())
+    val rows = bases.zipWithIndex.flatMap { case (v, i) =>
+      val dup = v.map(_ + 0.02 * nextGauss()) // near-identical twin
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, dup))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineDupPairsExact(df, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.size >= 20) // every planted twin qualifies
+    val banded = Similarity.cosineDupPairsBanded(df, 0.9, nBands = 128,
+      rowsPerBand = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(banded == exact)
   }
 
   test("cosine of identical and orthogonal vectors") {

@@ -1,0 +1,79 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{SparkSpecBase, Tables}
+import graft.functions.ZOrder2
+
+class LayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("zorder2 matches a naive bit-interleave reference") {
+    def naive(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (12345L, 67890L), ((1L << 21) - 1, (1L << 21) - 1), (54321L, 98765L))
+    val got = pairs.toDF("a", "b")
+      .select(ZOrder2.zorder(col("a"), col("b"), 21).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pairs.map { case (a, b) => naive(a, b, 21) })
+    // interleave is monotone in each key holding the other fixed
+    assert(ZOrder2.compute(5, 9, 21) < ZOrder2.compute(6, 9, 21))
+    assert(ZOrder2.compute(5, 9, 21) < ZOrder2.compute(5, 10, 21))
+  }
+
+  test("writeZOrdered preserves data and tightens per-file envelopes on BOTH keys") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val out = tmpDir("zorder")
+    Layout.writeZOrdered(li, col("l_partkey"), col("l_suppkey"), out, numFiles = 8)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+    assert(back.select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet ==
+      li.select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet)
+
+    // Per-file min/max envelopes (what parquet footer pruning sees) must be
+    // substantially tighter than the global range on BOTH keys — the whole
+    // point of z-ordering vs a single-column sort.
+    val env = back.groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).as("pw"),
+        (max("l_suppkey") - min("l_suppkey")).as("sw"))
+      .agg(avg("pw").as("apw"), avg("sw").as("asw"))
+      .as[(Double, Double)].head()
+    val (pMin, pMax) = li.agg(min("l_partkey"), max("l_partkey"))
+      .as[(Long, Long)].head()
+    val (sMin, sMax) = li.agg(min("l_suppkey"), max("l_suppkey"))
+      .as[(Long, Long)].head()
+    assert(env._1 < (pMax - pMin) * 0.7,
+      s"avg partkey envelope ${env._1} not tighter than global ${pMax - pMin}")
+    assert(env._2 < (sMax - sMin) * 0.7,
+      s"avg suppkey envelope ${env._2} not tighter than global ${sMax - sMin}")
+  }
+
+  test("compact merges many small files into the requested count, sorted") {
+    val src = tmpDir("small-files")
+    Tables.orders(spark, sf0001).repartition(32).write.mode("overwrite").parquet(src)
+    val scattered = spark.read.parquet(src)
+    assert(scattered.select(input_file_name()).distinct().count() > 4)
+
+    val out = tmpDir("compacted")
+    Layout.compact(scattered, out, numFiles = 4, Seq(col("o_orderkey")))
+    val back = spark.read.parquet(out)
+    assert(back.select(input_file_name()).distinct().count() == 4)
+    assert(back.count() == scattered.count())
+    // within each file rows are sorted by the compaction key
+    val unsorted = back
+      .withColumn("f", input_file_name())
+      .withColumn("prev", lag("o_orderkey", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev") > col("o_orderkey"))
+    assert(unsorted.count() == 0)
+  }
+}
