@@ -1,0 +1,89 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.WordShingles
+
+/** Corpus-level training-data-pipeline operators: eval-set contamination
+  * detection, sequence packing, and vocabulary heavy hitters.
+  */
+object Corpus {
+
+  /** Eval-set contamination: for each training doc, the distinct n-grams it
+    * shares with any held-out eval doc and how many eval docs it collides
+    * with — the standard pre-training decontamination check (eval n-grams
+    * appearing verbatim in training data).
+    *
+    * Plan shape: both sides shingle once (codegen WordShingles), join on
+    * the n-gram inverted index. The eval side is the small one by
+    * construction (an eval suite is KBs against a 100 TB corpus) and is
+    * broadcast, so the corpus side never shuffles — each task streams its
+    * shingles past the in-memory eval index.
+    */
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 8): DataFrame = {
+    val sh = docs.select(col("doc_id"), isEval.as("is_eval"),
+      WordShingles.wordShingles(split(col("text"), " "), n).as("s"))
+    val ev = broadcast(sh.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), explode(col("s")).as("g")))
+    val corpus = sh.filter(!col("is_eval"))
+      .select(col("doc_id"), explode(col("s")).as("g"))
+    corpus.join(ev, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated in
+    * doc_id order and split into fixed `budget`-token training sequences;
+    * each doc reports the sequence its first token lands in and the offset
+    * within it. This is the global-prefix-sum shape: a naive
+    * `Window.orderBy(doc_id)` would drag the whole corpus into ONE
+    * partition, so the running total is computed scan-style instead —
+    * per-range partial sums within `bucketSize`-wide doc_id ranges, then a
+    * prefix sum over the (tiny) per-range totals joined back broadcast.
+    * Only the per-range windows touch data-sized partitions.
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+      bucketSize: Long = 1000L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bucketSize))
+    val wInBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val cum = toks.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(wInBucket))
+    // per-bucket totals: numBuckets rows (corpus/1000) — the single-
+    // partition window below runs on this tiny frame, not the corpus
+    val offsets = toks.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    cum.join(broadcast(offsets), "bucket")
+      .withColumn("start",
+        col("bucket_offset") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("start") / budget).cast("long").as("seq_id"),
+        (col("start") % budget).as("seq_offset"))
+  }
+
+  /** Corpus vocabulary heavy hitters: the k most frequent lowercased
+    * whitespace tokens with their document frequency. Partial (map-side)
+    * aggregation does the heavy lifting; the global top-k sorts only the
+    * aggregated vocabulary and the rank window runs on k rows.
+    */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+    counts.withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))))
+      .select(col("rank"), col("token"), col("freq"), col("n_docs"))
+  }
+}

@@ -125,6 +125,27 @@ object MlPack extends QueryPack {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // Eval-set contamination: training docs sharing verbatim 8-grams with
+    // the held-out eval shard (every 10th doc) — the pre-training
+    // decontamination check. Eval side broadcasts; corpus never shuffles.
+    "ns_contamination" -> ((s, d) => {
+      Corpus.contamination(Tables.documents(s, d), col("doc_id") % 10 === 0, 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing (concat-and-chunk at 512 tokens) via the scan-style
+    // distributed prefix sum — no single-partition window over the corpus.
+    "ns_seq_packing" -> ((s, d) => {
+      Corpus.packSequences(Tables.documents(s, d), 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Top-20 corpus vocabulary heavy hitters with document frequency.
+    "ns_heavy_hitters" -> ((s, d) => {
+      Corpus.heavyHitters(Tables.documents(s, d), 20)
+        .orderBy(col("rank"))
+    }),
+
     // Polynomial rolling-hash fingerprint — custom Catalyst Expression
     // with codegen (graft.functions.PolyFingerprint).
     "ns_fingerprint" -> ((s, d) => {
@@ -364,6 +385,39 @@ object MlPack extends QueryPack {
         |    ELSE 'und' END AS predicted_lang,
         |  s_en, s_de, s_es, s_fr, s_zh
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "ns_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
+        |         t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]
+        |         for i in range(1, len(t)-6)]) s
+        |       FROM w WHERE len(t) >= 8),
+        |ev AS (SELECT doc_id AS eval_id, unnest(s) g FROM sh WHERE doc_id % 10 = 0),
+        |co AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT co.doc_id,
+        |  CAST(count(DISTINCT co.g) AS BIGINT) AS n_shared_ngrams,
+        |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM co JOIN ev USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "ns_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS start FROM t)
+        |SELECT doc_id, n_tokens, start // 512 AS seq_id, start % 512 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ns_heavy_hitters" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS token FROM documents),
+        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM tok WHERE token <> '' GROUP BY 1),
+        |ranked AS (SELECT token, freq, n_docs,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS rank FROM counts)
+        |SELECT CAST(rank AS INT) AS rank, token, freq, n_docs
+        |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "ns_fingerprint" ->
       """SELECT doc_id,

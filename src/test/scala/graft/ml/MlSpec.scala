@@ -155,6 +155,42 @@ class MlSpec extends SparkSpecBase {
     assert(banded == exact)
   }
 
+  test("contamination flags the doc sharing an eval 8-gram, skips clean docs") {
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
+    val df = Seq(
+      (0L, s"eval doc starts $run and continues onward"), // eval (0 % 10 == 0)
+      (13L, s"training doc quoting $run verbatim here"),  // contaminated
+      (25L, "completely unrelated training text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val out = Corpus.contamination(df, col("doc_id") % 10 === 0, 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((13L, 1L, 1L))) // one shared 8-gram, one eval doc
+  }
+
+  test("sequence packing: hand-computed offsets across bucket boundaries") {
+    // token counts 4, 3, 5, 2, 6 → starts 0, 4, 7, 12, 14; budget 5 →
+    // seq ids 0, 0, 1, 2, 2; offsets 0, 4, 2, 2, 4. bucketSize=2 forces
+    // the cross-bucket prefix-sum path (3 buckets).
+    val df = Seq(
+      (0L, "a b c d"), (1L, "a b c"), (2L, "a b c d e"),
+      (3L, "a b"), (4L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Corpus.packSequences(df, 5, bucketSize = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 4L, 0L, 0L), (1L, 3L, 0L, 4L), (2L, 5L, 1L, 2L),
+      (3L, 2L, 2L, 2L), (4L, 6L, 2L, 4L)))
+  }
+
+  test("heavy hitters: frequency order, token tie-break, document frequency") {
+    val df = Seq(
+      (1L, "the cat and the dog"), (2L, "the dog"), (3L, "and and zebra"))
+      .toDF("doc_id", "text")
+    val out = Corpus.heavyHitters(df, 3)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // freq: the=3, and=3, dog=2 — 'and' before 'the' on the tie
+    assert(out == Seq((1, "and", 3L, 2L), (2, "the", 3L, 2L), (3, "dog", 2L, 2L)))
+  }
+
   test("cosine of identical and orthogonal vectors") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0)),
