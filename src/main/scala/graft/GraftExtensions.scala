@@ -2,27 +2,61 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions, GraftBridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PolyFingerprint
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions. Attach at session build time
   * (`.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`), or post-hoc on a live
   * session via [[GraftExtensions.register]].
+  *
+  * Integer tuning parameters (shingle width, signature length, sketch
+  * bits) are taken as trailing literal arguments — they parameterize the
+  * generated code, so they must be constants, like Spark's own
+  * `approx_count_distinct` rsd argument.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("poly_fingerprint"),
-      new ExpressionInfo(classOf[PolyFingerprint].getName, "poly_fingerprint"),
-      (children: Seq[Expression]) => PolyFingerprint(children.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+
+  private def intArg(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+
+  /** name -> children-to-expression builder, shared by the extension
+    * injection and post-hoc registration. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_fingerprint" -> (c => PolyFingerprint(c.head)),
+    "cosine_sim" -> (c => CosineSim(c(0), c(1))),
+    "zorder2" -> { c =>
+      val bits = if (c.length > 2) intArg(c(2), "zorder2", "bitsPerKey") else 21
+      ZOrder2(c(0), c(1), bits)
+    },
+    "word_shingles" -> (c =>
+      WordShingles(c(0), intArg(c(1), "word_shingles", "n"))),
+    "minhash_sig" -> (c =>
+      MinHashSig(c(0), intArg(c(1), "minhash_sig", "k"))),
+    "simhash64" -> (c => SimHash64(c.head)),
+    "hyperplane_sketch" -> { c =>
+      HyperplaneSketch(c(0), intArg(c(1), "hyperplane_sketch", "nBits"),
+        intArg(c(2), "hyperplane_sketch", "dim"))
+    })
+
   /** Register graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =
-    GraftBridge.registerFunction(spark, "poly_fingerprint",
-      children => PolyFingerprint(children.head))
+    builders.foreach { case (name, builder) =>
+      GraftBridge.registerFunction(spark, name, builder)
+    }
 }

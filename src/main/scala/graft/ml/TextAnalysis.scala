@@ -90,9 +90,14 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency as a count over the term partition: one shuffle
+    // serves both the df computation and its "join" back to tf (the
+    // previous shape aggregated tf a second time and joined on term —
+    // a full recompute of the explode plus a vocab-sized join side)
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+    val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
           .as("tfidf"))

@@ -155,4 +155,22 @@ class StatefulSpec extends SparkSpecBase {
     val r = spark.sql("SELECT poly_fingerprint('abc') AS fp").as[Long].collect()
     assert(r.head == 96354L)
   }
+
+  test("every custom expression is callable from SQL with literal params") {
+    graft.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+        |  zorder2(3L, 1L) AS z,
+        |  word_shingles(array('a','b','c'), 2) AS sh,
+        |  minhash_sig(array('x'), 4) AS sig,
+        |  simhash64(array('x','y')) AS sim,
+        |  hyperplane_sketch(array_repeat(0.5d, 64), 10, 64) AS sk
+        |""".stripMargin).collect().head
+    assert(row.getAs[Double]("cos") == 1.0)
+    assert(row.getAs[Long]("z") == 7L) // interleave(0b11, 0b01) = 0b0111
+    assert(row.getAs[collection.Seq[String]]("sh").toSeq == Seq("a b", "b c"))
+    assert(row.getAs[collection.Seq[Long]]("sig").length == 4)
+    assert(row.getAs[Long]("sk") >= 0L && row.getAs[Long]("sk") < (1L << 10))
+  }
 }
