@@ -1,0 +1,101 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.QueryPack
+
+/** Corpus-quality operators as driver-contract queries: within-document
+  * repetition, cross-document boilerplate coverage, PII scrubbing.
+  * Every query carries a full-replay DuckDB oracle.
+  */
+object QualityPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style repetition filters: duplicated 3-gram occurrence
+    // fraction + top-unigram share, per document.
+    "ns_repetition" -> ((s, d) => {
+      Quality.repetitionStats(Tables.documents(s, d), n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document boilerplate: share of a doc's distinct 6-grams that
+    // appear in >= 2 documents corpus-wide.
+    "ns_boilerplate" -> ((s, d) => {
+      Quality.boilerplateCoverage(Tables.documents(s, d), n = 6, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII/ID scrubbing over the customer master with redaction counts.
+    "ns_pii_scrub" -> ((s, d) => {
+      Quality.scrubPii(Tables.customer(s, d))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // Full replay: same posexplode/lead-window gram construction, same
+    // inner-join semantics (docs shorter than n tokens drop out of the
+    // gram stats — none exist in the test data, mirrored regardless).
+    "ns_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g,
+        |    lead(tok, 2) OVER w IS NOT NULL AS keep
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |grams AS (SELECT doc_id, g FROM g0 WHERE keep),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        |dup AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occ
+        |        FROM gc GROUP BY 1),
+        |uc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, tok AS top_token, c AS top_cnt FROM (
+        |          SELECT doc_id, tok, c,
+        |            row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rk
+        |          FROM uc) t WHERE rk = 1),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1)
+        |SELECT nt.doc_id, n_tokens, top_token,
+        |  round(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+        |  round(CAST(dup_occ AS DOUBLE) / n_grams, 6) AS dup_gram_frac
+        |FROM nt JOIN top USING (doc_id) JOIN dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Distinct 6-grams per doc (list comprehension + list_distinct, the
+    // same contract as WordShingles), doc frequency = plain count, then
+    // per-doc boilerplate share.
+    "ns_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(t[i:i+5], ' ')
+        |                        for i in range(1, len(t) - 4)]) s
+        |       FROM w WHERE len(t) >= 6),
+        |g AS (SELECT doc_id, unnest(s) AS ng FROM sh),
+        |dfq AS (SELECT ng, count(*) AS n_docs FROM g GROUP BY 1),
+        |per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        |        FROM g JOIN dfq USING (ng) WHERE n_docs >= 2 GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |        FROM g GROUP BY 1)
+        |SELECT tot.doc_id, n_grams,
+        |  CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  round(CAST(coalesce(n_boiler, 0) AS DOUBLE) / n_grams, 6) AS boiler_frac
+        |FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all by
+    // default); patterns are portable Java-regex/RE2 syntax.
+    "ns_pii_scrub" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(c_name,
+        |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{6,}', '<ID>', 'g') AS name_scrubbed,
+        |  CAST(len(regexp_extract_all(c_name, '\d{6,}')) +
+        |       len(regexp_extract_all(c_name,
+        |         '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]{2,}'))
+        |    AS BIGINT) AS n_redactions
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

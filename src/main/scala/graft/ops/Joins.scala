@@ -159,10 +159,32 @@ object Joins extends QueryPack {
         .select(col("event_id"), col("user_id"), tsStrUs(col("ts")).as("ts"),
           col("asof_click_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // Bloom-pruned semi-join: runtime-filter pattern — broadcast a bloom
+    // of the dim keys, prune the fact scan map-side, exact semi-join
+    // removes false positives → result equals the plain semi-join.
+    "join_bloom_prune" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+      BloomPrune.semiJoin(li, "l_suppkey", sup, "s_suppkey")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_suppkey"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    // Plain semi-join oracle is valid: the bloom pass only pre-prunes;
+    // the exact semi-join restores set equality (fpp affects cost, not
+    // results). sum(l_quantity) sums integral doubles — exact in IEEE.
+    "join_bloom_prune" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
     "j1_anti_resume" ->
       """SELECT o_orderkey FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM orders s

@@ -1,0 +1,69 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpecBase, Tables}
+import graft.ops.BloomPrune
+
+class QualitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("repetition stats: dup-gram fraction and top-token share on a hand-computed doc") {
+    val df = Seq(
+      (1L, "a b a b a c"), // 3-grams: "a b a","b a b","a b a","b a c" → 4 grams, "a b a"×2 dup → 2/4
+      (2L, "x y z w"))     // 3-grams: "x y z","y z w" → no dups
+      .toDF("doc_id", "text")
+    val got = Quality.repetitionStats(df, n = 3).orderBy("doc_id").collect()
+    val d1 = got(0)
+    assert(d1.getAs[Long]("n_tokens") == 6L)
+    assert(d1.getAs[String]("top_token") == "a") // 3×'a' of 6 tokens
+    assert(d1.getAs[Double]("top_token_frac") == 0.5)
+    assert(d1.getAs[Double]("dup_gram_frac") == 0.5)
+    val d2 = got(1)
+    assert(d2.getAs[Double]("dup_gram_frac") == 0.0)
+    assert(d2.getAs[Double]("top_token_frac") == 0.25)
+  }
+
+  test("boilerplate coverage: shared 6-gram counted, unique doc at zero") {
+    val shared = "one two three four five six"
+    val df = Seq(
+      (1L, s"$shared tail1 tail2"),
+      (2L, s"$shared other words here"),
+      (3L, "totally unrelated text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val got = Quality.boilerplateCoverage(df, n = 6, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // doc1 has 3 distinct 6-grams; only the leading one is shared with doc2
+    assert(got(0).getAs[Long]("n_grams") == 3L)
+    assert(got(0).getAs[Long]("n_boiler") == 1L)
+    assert(got(2).getAs[Long]("n_boiler") == 0L)
+    assert(got(2).getAs[Double]("boiler_frac") == 0.0)
+  }
+
+  test("pii scrub masks long digit runs and emails, counts redactions") {
+    val df = Seq(
+      (7L, "Customer#000000007"),
+      (8L, "bob.smith@example.com id 99887766"),
+      (9L, "no pii here"))
+      .toDF("c_custkey", "c_name")
+    val got = Quality.scrubPii(df).orderBy("c_custkey").collect()
+    assert(got(0).getAs[String]("name_scrubbed") == "Customer#<ID>")
+    assert(got(0).getAs[Long]("n_redactions") == 1L)
+    assert(got(1).getAs[String]("name_scrubbed") == "<EMAIL> id <ID>")
+    assert(got(1).getAs[Long]("n_redactions") == 2L)
+    assert(got(2).getAs[Long]("n_redactions") == 0L)
+  }
+
+  test("bloom-pruned semi-join equals the plain semi-join") {
+    val li = Tables.lineitem(spark, sf0001)
+    val sup = Tables.supplier(spark, sf0001).filter(col("s_nationkey") < 5)
+    val pruned = BloomPrune.semiJoin(li, "l_suppkey", sup, "s_suppkey")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = li.join(sup.select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pruned == exact)
+    assert(pruned.nonEmpty)
+  }
+}
