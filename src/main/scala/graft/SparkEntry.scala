@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] =
     Seq(Scans, Joins, Aggregates, Windows, Scalars, EventsOps, Extras, LayoutPack,
-      graft.ml.MlPack, graft.ml.QualityPack)
+      graft.ml.MlPack, graft.ml.QualityPack, graft.ml.ClusterPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Read → broadcast star join → agg → sort: the full lifecycle slice

@@ -1,0 +1,68 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.QueryPack
+
+/** Embedding-clustering operators as driver-contract queries. The k-means
+  * pipeline is fully deterministic (seeded centroids, fixed-point
+  * averaging), so both queries carry full-replay DuckDB oracles.
+  */
+object ClusterPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic k-means (k=8, 2 Lloyd rounds): final assignment.
+    "ns_kmeans_assign" -> ((s, d) => {
+      Clustering.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup: near-dup pairs compared within k-means clusters only.
+    "ns_semantic_dup" -> ((s, d) => {
+      Clustering.semanticDupPairs(Tables.embeddings(s, d), tau = 0.45,
+        k = 8, iters = 2)
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+  )
+
+  /** Shared CTE chain replaying the deterministic k-means: seeds = 8
+    * lowest-id vectors, one fixed-point recompute, final assignment. */
+  private val kmeansCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |a1 AS (SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid)
+      |        AS rk
+      |    FROM e CROSS JOIN c0 c) t WHERE rk = 1),
+      |x1 AS (SELECT cid, unnest(range(1, len(v) + 1)) AS d, v FROM a1),
+      |m1 AS (SELECT cid, d,
+      |        CAST(sum(CAST(round(v[d] * 1e6) AS BIGINT)) AS DOUBLE) /
+      |          (1e6 * count(*)) AS comp
+      |      FROM x1 GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(comp ORDER BY d) AS cv FROM m1 GROUP BY cid),
+      |a2 AS (SELECT vec_id, v, cid, cos_sim FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      round(list_cosine_similarity(e.v, c.cv), 6) AS cos_sim,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.cid)
+      |        AS rk
+      |    FROM e CROSS JOIN c1 c) t WHERE rk = 1)""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "ns_kmeans_assign" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster_id, cos_sim
+         |FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "ns_semantic_dup" ->
+      s"""WITH $kmeansCtes
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}

@@ -69,6 +69,39 @@ object Corpus {
         (col("start") % budget).as("seq_offset"))
   }
 
+  /** Training-mixture weights per source: token counts and the
+    * temperature-scaled sampling weight `tokens^alpha / Σ tokens^alpha`
+    * (alpha<1 upsamples small sources — the standard multilingual/
+    * multi-source mixing rule). One groupBy on source plus a broadcast
+    * 1-row denominator: the per-source score is rounded BEFORE the
+    * denominator sum so both engines sum identical doubles.
+    */
+  def sourceMixture(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+      .withColumn("score", round(pow(col("n_tokens").cast("double"), alpha), 6))
+    val denom = per.agg(sum(col("score")).as("denom"))
+    per.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("score") / col("denom"), 6).as("mix_weight"))
+  }
+
+  /** Quality-threshold selection: keep documents whose stopword ratio is
+    * strictly above the corpus median — the "top half by quality signal"
+    * selection step. The exact median is a 1-row broadcast aggregate
+    * (scalar-subquery shape), not a driver-side collect.
+    */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityFeatures(docs)
+      .select(col("doc_id"), col("stopword_ratio"))
+    val med = q.agg(expr("percentile(stopword_ratio, 0.5)").as("median_ratio"))
+    q.crossJoin(broadcast(med))
+      .filter(col("stopword_ratio") > col("median_ratio"))
+      .select(col("doc_id"), col("stopword_ratio"),
+        col("median_ratio"))
+  }
+
   /** Corpus vocabulary heavy hitters: the k most frequent lowercased
     * whitespace tokens with their document frequency. Partial (map-side)
     * aggregation does the heavy lifting; the global top-k sorts only the

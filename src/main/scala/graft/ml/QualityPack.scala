@@ -30,6 +30,18 @@ object QualityPack extends QueryPack {
     "ns_pii_scrub" -> ((s, d) => {
       Quality.scrubPii(Tables.customer(s, d))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Temperature-scaled training-mixture weights per source.
+    "ns_source_mixture" -> ((s, d) => {
+      Corpus.sourceMixture(Tables.documents(s, d), alpha = 0.3)
+        .orderBy(col("source"))
+    }),
+
+    // Above-median quality selection (scalar-subquery threshold).
+    "ns_quality_filter" -> ((s, d) => {
+      Corpus.qualityFilter(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -96,6 +108,33 @@ object QualityPack extends QueryPack {
         |       len(regexp_extract_all(c_name,
         |         '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]{2,}'))
         |    AS BIGINT) AS n_redactions
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Per-source score is rounded BEFORE the denominator sum so both
+    // engines sum identical doubles (20 sources — order effects nil).
+    "ns_source_mixture" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sc AS (SELECT source, n_docs, n_tokens,
+        |    round(pow(CAST(n_tokens AS DOUBLE), 0.3), 6) AS score FROM per),
+        |dn AS (SELECT sum(score) AS denom FROM sc)
+        |SELECT source, n_docs, n_tokens,
+        |  round(score / denom, 6) AS mix_weight
+        |FROM sc CROSS JOIN dn ORDER BY source""".stripMargin,
+
+    // Same stopword-ratio definition as ns_text_quality; exact continuous
+    // median via quantile_cont == Spark percentile(0.5).
+    "ns_quality_filter" ->
+      """WITH q AS (SELECT doc_id,
+        |    round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
+        |      len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
+        |  FROM documents),
+        |m AS (SELECT quantile_cont(stopword_ratio, 0.5) AS median_ratio FROM q)
+        |SELECT doc_id, stopword_ratio, median_ratio
+        |FROM q CROSS JOIN m WHERE stopword_ratio > median_ratio
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -53,6 +53,49 @@ class QualitySpec extends SparkSpecBase {
     assert(got(2).getAs[Long]("n_redactions") == 0L)
   }
 
+  test("kmeans assigns every vector; semantic dups are a subset of exact cosine pairs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val asg = Clustering.kmeansAssign(emb, k = 8, iters = 2)
+    assert(asg.count() == n)
+    assert(asg.select("cluster_id").distinct().count() <= 8)
+    val sem = Clustering.semanticDupPairs(emb, tau = 0.45, k = 8, iters = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val all = {
+      val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      l.crossJoin(r).filter(col("vec_a") < col("vec_b"))
+        .filter(round(graft.functions.CosineSim.cosine(col("va"), col("vb")), 6) >= 0.45)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    }
+    assert(sem.subsetOf(all))
+    assert(sem.nonEmpty) // planted near-dups co-cluster
+  }
+
+  test("source mixture weights sum to ~1 and upsample small sources") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = Corpus.sourceMixture(docs, alpha = 0.3).collect()
+    val total = rows.map(_.getAs[Double]("mix_weight")).sum
+    assert(math.abs(total - 1.0) < 1e-3)
+    // alpha<1 compresses: weight ratio < token ratio for any two sources
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    val (lo, hi) = (byTok.head, byTok.last)
+    if (lo.getAs[Long]("n_tokens") < hi.getAs[Long]("n_tokens")) {
+      val tokRatio = hi.getAs[Long]("n_tokens").toDouble / lo.getAs[Long]("n_tokens")
+      val wRatio = hi.getAs[Double]("mix_weight") / lo.getAs[Double]("mix_weight")
+      assert(wRatio < tokRatio)
+    }
+  }
+
+  test("quality filter keeps only docs strictly above the median ratio") {
+    val docs = Tables.documents(spark, sf0001)
+    val kept = Corpus.qualityFilter(docs).collect()
+    assert(kept.nonEmpty && kept.length < docs.count())
+    assert(kept.forall(r =>
+      r.getAs[Double]("stopword_ratio") > r.getAs[Double]("median_ratio")))
+  }
+
   test("bloom-pruned semi-join equals the plain semi-join") {
     val li = Tables.lineitem(spark, sf0001)
     val sup = Tables.supplier(spark, sf0001).filter(col("s_nationkey") < 5)
