@@ -23,6 +23,12 @@ object ClusterPack extends QueryPack {
       Clustering.semanticDupPairs(Tables.embeddings(s, d), tau = 0.45,
         k = 8, iters = 2)
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Int8 scalar quantization report (fixed-point-exact MSE + q-norm).
+    "ns_embedding_quantize" -> ((s, d) => {
+      Quantize.int8Stats(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -63,6 +69,26 @@ object ClusterPack extends QueryPack {
          |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
          |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Same affine quantizer, same expression shapes (left-assoc double
+    // math), same 1e-12 fixed-point SSE — exact parity by construction.
+    "ns_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |ix AS (SELECT vec_id, unnest(range(1, len(v) + 1)) AS d, v FROM e),
+        |dx AS (SELECT vec_id, d, v[d] AS x FROM ix),
+        |rg AS (SELECT d, min(x) AS lo, max(x) AS hi FROM dx GROUP BY d),
+        |q AS (SELECT vec_id, x, lo, hi,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE CAST(round((x - lo) / (hi - lo) * 254 - 127) AS INT)
+        |    END AS q
+        |  FROM dx JOIN rg USING (d)),
+        |r AS (SELECT vec_id, q, x,
+        |    lo + CAST(q + 127 AS DOUBLE) / 254 * (hi - lo) AS xr FROM q)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+        |  round(CAST(sum(CAST(round(pow(x - xr, 2) * 1e12) AS BIGINT))
+        |          AS DOUBLE) / 1e12 / count(*), 9) AS mse,
+        |  CAST(sum(CAST(q AS BIGINT) * q) AS BIGINT) AS qnorm2
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

@@ -190,6 +190,19 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Dedup RETENTION: the corpus a pipeline actually ships — every document
+    * that is either untouched by the near-dup graph or the canonical
+    * (min-doc_id) representative of its duplicate cluster. One left-anti
+    * join of the full corpus against the non-representative members; the
+    * cluster table is tiny relative to the corpus (only docs with a dup),
+    * so Spark broadcasts the anti-join side.
+    */
+  def keepCanonical(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+        clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
   /** 64-bit SimHash over whitespace tokens: majority vote per bit of each
     * token's xxhash64 — a native codegen Expression (one pass per row;
     * the earlier HOF formulation needed a persist barrier against

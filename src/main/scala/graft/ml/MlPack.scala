@@ -46,6 +46,14 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Retention: full corpus minus non-canonical duplicate-cluster members.
+    "ns_dedup_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepCanonical(docs,
+          Dedup.dupClusters(Dedup.jaccardPairs(docs, 0.5)))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs (Hamming <= 3).
     "ns_dedup_simhash" -> ((s, d) => {
       Dedup.simhashDupPairs(Tables.documents(s, d), 3)
@@ -287,6 +295,21 @@ object MlPack extends QueryPack {
          |          UNION
          |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+         |ORDER BY doc_id""".stripMargin,
+
+    // Same transitive closure; drop every member whose component min is
+    // not itself, keep the rest of the corpus.
+    "ns_dedup_keep" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+         |          UNION
+         |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN
+         |  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
 
     "ns_tfidf_top_terms" ->
