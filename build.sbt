@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps the tail of `sbt "runMain graft.Bench"` stdout for the
+// one-line JSON summary. With the default output strategy sbt relogs the
+// forked process's stdout as "[info] {...}" and then appends its own
+// "[success] Total time: ..." line — both of which defeat a strict JSON
+// parse of the tail (BENCH_r01/r02 both came back parsed:null). Pass the
+// child's stdout through verbatim and drop the success banner so the JSON
+// summary is the literal last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
