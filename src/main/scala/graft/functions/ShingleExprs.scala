@@ -95,8 +95,16 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 /** 64-bit SimHash over a token array: per-bit majority vote of each
-  * token's xxhash64. One pass per row (vs an interpreted aggregate ×
-  * zip_with × 64-transform chain). */
+  * token's 64-bit hash. One pass per row (vs an interpreted aggregate ×
+  * zip_with × 64-transform chain).
+  *
+  * The per-token hash is the first 8 bytes (big-endian, unsigned) of
+  * `md5(token)` rather than xxhash64: md5 is the one 64-bit-derivable
+  * hash both Spark and DuckDB compute bit-identically, which makes the
+  * whole simhash pipeline oracle-checkable end to end
+  * (`('0x' || substr(md5(t), 1, 16))::UBIGINT` on the DuckDB side).
+  * SimHash quality only needs a uniform hash, so the basis choice is
+  * semantically free. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -120,6 +128,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  // MessageDigest is stateful; one instance per executor thread.
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(bytes), big-endian — matches DuckDB's
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT` bit for bit. */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+    h
+  }
+
   /** Static so generated code calls it directly. */
   def compute(tokens: ArrayData): Long = {
     val counters = new Array[Int](64)
@@ -127,7 +153,7 @@ object SimHash64 {
     var j = 0
     while (j < m) {
       val s = tokens.getUTF8String(j)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      val h = md5Hash64(s.getBytes)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1

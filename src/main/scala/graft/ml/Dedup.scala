@@ -204,7 +204,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
   /** 64-bit SimHash over whitespace tokens: majority vote per bit of each
-    * token's xxhash64 — a native codegen Expression (one pass per row;
+    * token's md5-derived 64-bit hash — a native codegen Expression (one pass per row;
     * the earlier HOF formulation needed a persist barrier against
     * projection collapse and was interpreted).
     */

@@ -212,6 +212,27 @@ object MlPack extends QueryPack {
     // the exact pair set — same oracle as ns_dedup_jaccard.
     "ns_dedup_minhash" -> jaccardPairsOracle,
 
+    // Full simhash replay: per-token 64-bit hash is the md5 prefix (the
+    // one hash both engines derive bit-identically — SimHash64's basis),
+    // per-bit majority vote, then brute-force Hamming<=3 pairs. Valid as
+    // an oracle for the banded Spark plan because 4x16-bit bands
+    // pigeonhole-guarantee recall at distance <= 3.
+    "ns_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |    sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |    bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS s
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Brute-force pair oracle: valid because banded candidate generation
     // is recall-guaranteed (miss ~1e-11/pair) and verification is exact.
     "ns_cosine_dup_pairs" ->
@@ -427,7 +448,9 @@ object MlPack extends QueryPack {
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |    sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS start FROM t)
+        |    -- window sum(BIGINT) is HUGEINT in DuckDB; cast so seq_id /
+        |    -- seq_offset come out BIGINT like Spark's (r02 hash mismatch)
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) - n_tokens AS start FROM t)
         |SELECT doc_id, n_tokens, start // 512 AS seq_id, start % 512 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 

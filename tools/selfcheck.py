@@ -65,6 +65,21 @@ def main():
             print(f"FAIL {name}: columns {sorted(got_cols)} != oracle {sorted(exp_cols)}")
             n_fail += 1
             continue
+        # Type drift the value-compare can't see: DuckDB promotes integer
+        # sums to HUGEINT / DECIMAL, which the driver's hash treats as a
+        # mismatch even when every value is equal (ns_seq_packing, r02).
+        exp_types = {c: t for c, t in zip(exp_cols,
+                     [str(t) for t in exp.types])}
+        got_types = {c: t for c, t in zip(got_cols,
+                     [str(t) for t in got.types])}
+        drift = [c for c in exp_cols
+                 if ("HUGEINT" in exp_types[c]) != ("HUGEINT" in got_types[c])
+                 or ("DECIMAL" in exp_types[c]) != ("DECIMAL" in got_types[c])]
+        if drift:
+            print(f"FAIL {name}: oracle type drift "
+                  f"{[(c, exp_types[c], got_types[c]) for c in drift]}")
+            n_fail += 1
+            continue
         # driver compares columns sorted by name
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
