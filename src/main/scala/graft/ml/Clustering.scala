@@ -53,16 +53,25 @@ object Clustering {
         s => s.getField("comp")).as("cv"))
   }
 
+  /** Shared seed-selection + Lloyd-iteration chain: the final
+    * (vec_id, v, cid, cos_sim) assignment both entry points build on.
+    * One definition so the two queries sharing an oracle CTE chain can't
+    * silently desynchronize. */
+  private def finalAssignment(corpus: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val finalCentroids = (1 until iters).foldLeft(seeds) { (c, _) =>
+      recompute(assign(corpus, c))
+    }
+    assign(corpus, finalCentroids)
+  }
+
   /** Cluster assignment after `iters` Lloyd rounds: (vec_id, cluster_id,
     * cos_sim to the final centroid). Centroid ids are the seed vec_ids. */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val init = corpus.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val finalCentroids = (1 until iters).foldLeft(init) { (c, _) =>
-      recompute(assign(corpus, c))
-    }
-    assign(corpus, finalCentroids)
+    finalAssignment(corpus, k, iters)
       .select(col("vec_id"), col("cid").as("cluster_id"), col("cos_sim"))
   }
 
@@ -76,12 +85,7 @@ object Clustering {
   def semanticDupPairs(emb: DataFrame, tau: Double, k: Int = 8,
       iters: Int = 2): DataFrame = {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val seeds = corpus.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val finalCentroids = (1 until iters).foldLeft(seeds) { (c, _) =>
-      recompute(assign(corpus, c))
-    }
-    val a = assign(corpus, finalCentroids)
+    val a = finalAssignment(corpus, k, iters)
       .select(col("vec_id"), col("v"), col("cid"))
     val l = a.select(col("cid"), col("vec_id").as("vec_a"), col("v").as("va"))
     val r = a.select(col("cid"), col("vec_id").as("vec_b"), col("v").as("vb"))

@@ -81,7 +81,12 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
       .withColumn("score", round(pow(col("n_tokens").cast("double"), alpha), 6))
-    val denom = per.agg(sum(col("score")).as("denom"))
+    // Fixed-point denominator: double addition is order-dependent and the
+    // aggregation order is partition-dependent; summing round(score*1e6)
+    // as long and dividing once is associative, so both engines (and any
+    // partitioning) produce the identical double.
+    val denom = per.agg(
+      (sum(round(col("score") * 1e6).cast("long")) / 1e6).as("denom"))
     per.crossJoin(broadcast(denom))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("score") / col("denom"), 6).as("mix_weight"))
@@ -95,7 +100,11 @@ object Corpus {
   def qualityFilter(docs: DataFrame): DataFrame = {
     val q = TextAnalysis.qualityFeatures(docs)
       .select(col("doc_id"), col("stopword_ratio"))
-    val med = q.agg(expr("percentile(stopword_ratio, 0.5)").as("median_ratio"))
+    // Rounded before the comparison and in the output: Spark percentile()
+    // vs DuckDB quantile_cont() can differ in the last ulp for even-count
+    // interpolation, which would flip membership at the boundary.
+    val med = q.agg(
+      round(expr("percentile(stopword_ratio, 0.5)"), 6).as("median_ratio"))
     q.crossJoin(broadcast(med))
       .filter(col("stopword_ratio") > col("median_ratio"))
       .select(col("doc_id"), col("stopword_ratio"),

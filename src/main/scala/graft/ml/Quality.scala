@@ -94,11 +94,15 @@ object Quality {
     * (Patterns use only portable regex syntax — char classes and bounded
     * repetition — identical under Java regex and RE2.)
     */
-  def scrubPii(customer: DataFrame): DataFrame =
+  def scrubPii(customer: DataFrame): DataFrame = {
+    // Count ID matches on the email-scrubbed text (mirroring replacement
+    // order) so a digit run inside an email is not double-counted: the
+    // replacement masks it once, and n_redactions reports actual edits.
+    val emailScrubbed = regexp_replace(col("c_name"), EmailPat, "<EMAIL>")
     customer.select(col("c_custkey"),
-      regexp_replace(regexp_replace(col("c_name"), EmailPat, "<EMAIL>"),
-        IdPat, "<ID>").as("name_scrubbed"),
-      (size(regexp_extract_all(col("c_name"), lit(IdPat), lit(0))) +
+      regexp_replace(emailScrubbed, IdPat, "<ID>").as("name_scrubbed"),
+      (size(regexp_extract_all(emailScrubbed, lit(IdPat), lit(0))) +
         size(regexp_extract_all(col("c_name"), lit(EmailPat), lit(0))))
         .cast("long").as("n_redactions"))
+  }
 }

@@ -104,14 +104,18 @@ object QualityPack extends QueryPack {
         |  regexp_replace(regexp_replace(c_name,
         |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '\d{6,}', '<ID>', 'g') AS name_scrubbed,
-        |  CAST(len(regexp_extract_all(c_name, '\d{6,}')) +
+        |  CAST(len(regexp_extract_all(
+        |         regexp_replace(c_name,
+        |           '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |         '\d{6,}')) +
         |       len(regexp_extract_all(c_name,
         |         '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]{2,}'))
         |    AS BIGINT) AS n_redactions
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    // Per-source score is rounded BEFORE the denominator sum so both
-    // engines sum identical doubles (20 sources — order effects nil).
+    // Per-source score is rounded BEFORE the denominator sum, and the
+    // denominator is summed in fixed point (round(score*1e6) as BIGINT,
+    // divided once) — associative, so partition order can't shift an ulp.
     "ns_source_mixture" ->
       """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
@@ -119,20 +123,24 @@ object QualityPack extends QueryPack {
         |  FROM documents GROUP BY source),
         |sc AS (SELECT source, n_docs, n_tokens,
         |    round(pow(CAST(n_tokens AS DOUBLE), 0.3), 6) AS score FROM per),
-        |dn AS (SELECT sum(score) AS denom FROM sc)
+        |dn AS (SELECT CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT)
+        |         / 1e6 AS denom FROM sc)
         |SELECT source, n_docs, n_tokens,
         |  round(score / denom, 6) AS mix_weight
         |FROM sc CROSS JOIN dn ORDER BY source""".stripMargin,
 
-    // Same stopword-ratio definition as ns_text_quality; exact continuous
-    // median via quantile_cont == Spark percentile(0.5).
+    // Same stopword-ratio definition as ns_text_quality; the continuous
+    // median (quantile_cont == Spark percentile(0.5)) is rounded to 6
+    // decimals before the comparison so an even-count interpolation ulp
+    // can't flip row membership.
     "ns_quality_filter" ->
       """WITH q AS (SELECT doc_id,
         |    round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
         |      len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
         |  FROM documents),
-        |m AS (SELECT quantile_cont(stopword_ratio, 0.5) AS median_ratio FROM q)
+        |m AS (SELECT round(quantile_cont(stopword_ratio, 0.5), 6)
+        |        AS median_ratio FROM q)
         |SELECT doc_id, stopword_ratio, median_ratio
         |FROM q CROSS JOIN m WHERE stopword_ratio > median_ratio
         |ORDER BY doc_id""".stripMargin

@@ -29,8 +29,10 @@ object BloomPrune {
     // No forced broadcast on the exact pass: AQE picks broadcast when the
     // dim fits, shuffle-hash otherwise — by then the fact side is already
     // bloom-pruned either way.
+    // Rename the dim key first: if factKey and dimKey share a name, the
+    // post-join condition col(factKey) === col(dimKey) would be ambiguous.
     fact.filter(might(col(factKey)))
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey).as("__bloom_key")).distinct(),
+        col(factKey) === col("__bloom_key"), "left_semi")
   }
 }
