@@ -170,21 +170,30 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // Seed one hop ahead: label(u) = min(u, min neighbor) directly from
+    // the edge list — same shuffle the plain distinct would cost, one
+    // fewer propagation round.
+    var labels = edges.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("label"))
+      .select(col("u").as("doc_id"), col("label"))
       .localCheckpoint()
-    var changed = 1L
+    // Labels only ever decrease, so Σlabel is strictly monotone until the
+    // fixpoint: an unchanged sum proves convergence. One scan of the
+    // checkpointed frame per round instead of a join + count.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
         .select(col("u").as("doc_id"), col("label"))
-      val newLabels = labels.union(nbr)
+      labels = labels.union(nbr)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = newLabels
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") < col("old")).count()
-      labels = newLabels
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
