@@ -111,6 +111,84 @@ object Corpus {
         col("median_ratio"))
   }
 
+  /** Paragraph-granularity dedup (Gopher/RefinedWeb line-dedup shape): the
+    * token stream is chunked into fixed `chunkTokens`-token paragraphs,
+    * each chunk is fingerprinted (md5), and a chunk is "duplicated" when
+    * it appears verbatim in 2+ distinct documents. Per doc: chunk count,
+    * duplicated-chunk count, duplicated fraction — the boilerplate signal
+    * a curation pipeline filters on.
+    *
+    * Scale shape: chunking is a map-side explode (no shuffle); the only
+    * shuffles are the chunk-frequency aggregate and the per-doc rollup,
+    * both on constant-size md5 keys — the text itself never shuffles.
+    * The chunk index explodes the token array per chunk row, but rows are
+    * bounded by chunk count (n_tokens / chunkTokens per doc).
+    */
+  def paragraphDedup(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("t"))
+    // chunk index exploded OUTSIDE any lambda: md5/array_join/slice stay
+    // codegen projections (HOF lambdas are interpreted — NOTES.md §7).
+    val chunks = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          // Column `/` is double division; truncate back to the integral
+          // chunk-count bound sequence() requires (size >= 1 always).
+          ((size(col("t")) - lit(1)) / lit(chunkTokens)).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(
+          slice(col("t"), col("i") * chunkTokens + 1, lit(chunkTokens)),
+          " ")).as("h"))
+    val freq = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks") / col("n_chunks"), 6))
+  }
+
+  /** DSIR-style importance score: how much a document looks like the
+    * target domain (here: the `en` slice) relative to the raw corpus,
+    * measured over hashed token buckets — the importance-resampling
+    * weight from "Data Selection for Language Models via Importance
+    * Resampling" (Xie et al., 2023), with unigram features hashed into
+    * `nBuckets` and add-one smoothing.
+    *
+    * Determinism: bucket ids derive from md5 (cross-engine identical);
+    * each bucket's log-ratio is rounded to 6 decimals, and the per-doc
+    * sum runs in 1e-6 fixed point, so partition order cannot move an ulp.
+    *
+    * Scale shape: the bucket table is `nBuckets` rows — broadcast — so
+    * scoring is a map-side join over the token stream; the only shuffles
+    * are the bucket histogram (nBuckets keys) and the per-doc rollup.
+    */
+  def dsirScore(docs: DataFrame, isTarget: Column,
+      nBuckets: Int = 1024): DataFrame = {
+    val tok = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .select(col("doc_id"), col("is_tgt"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+          % nBuckets).as("b"))
+    val stats = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val tot = stats.agg(sum(col("c_all")).as("t_all"),
+      sum(col("c_tgt")).as("t_tgt"))
+    val contrib = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(
+          ((col("c_tgt") + lit(1.0)) / (col("t_tgt") + lit(nBuckets.toDouble))) /
+          ((col("c_all") + lit(1.0)) / (col("t_all") + lit(nBuckets.toDouble)))
+        ), 6).as("contrib"))
+    tok.join(broadcast(contrib), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(round(col("contrib") * 1e6).cast("long")) / 1e6, 6)
+          .as("dsir_score"))
+  }
+
   /** Corpus vocabulary heavy hitters: the k most frequent lowercased
     * whitespace tokens with their document frequency. Partial (map-side)
     * aggregation does the heavy lifting; the global top-k sorts only the

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators — the training-data-pipeline north star.
@@ -153,6 +153,38 @@ object Dedup {
         (size(col("sa")) + size(col("sb")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental dedup: near-dup pairs between a NEW batch and the
+    * already-ingested corpus only (no batch-batch or corpus-corpus pairs)
+    * — the shape a continuously-ingesting pipeline runs per arrival wave.
+    *
+    * Scale shape: the batch side of the inverted-index join is tiny by
+    * construction (one arrival wave vs the corpus), so the shingle join
+    * shuffles the batch and streams the corpus index past it; at real
+    * scale the corpus side is a PRE-BUILT persisted shingle index (built
+    * once, appended per wave), not recomputed — recomputation here is an
+    * artifact of the benchmark being self-contained.
+    */
+  def incrementalDupPairs(docs: DataFrame, isNew: Column,
+      threshold: Double): DataFrame = {
+    val sh = shingled(docs)
+    val flags = docs.select(col("doc_id"), isNew.as("is_new"))
+    val shf = sh.join(flags, "doc_id")
+    val newInv = shf.filter(col("is_new"))
+      .select(col("doc_id").as("new_id"), explode(col("shingles")).as("g"))
+    val oldInv = shf.filter(!col("is_new"))
+      .select(col("doc_id").as("old_id"), explode(col("shingles")).as("g"))
+    val inter = newInv.join(oldInv, "g")
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("nn")), "new_id")
+      .join(sizes.select(col("doc_id").as("old_id"), col("n").as("no")), "old_id")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("nn") + col("no") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
   /** Duplicate CLUSTERS from near-dup pairs: connected components over the

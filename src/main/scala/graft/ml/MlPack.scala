@@ -54,6 +54,21 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup: new-arrival batch (doc_id % 5 = 4) against the
+    // already-ingested corpus — cross-set pairs only.
+    "ns_incremental_dedup" -> ((s, d) => {
+      Dedup.incrementalDupPairs(Tables.documents(s, d),
+          col("doc_id") % 5 === 4, 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
+    // Paragraph-granularity dedup: 20-token chunk fingerprints, per-doc
+    // duplicated-chunk fraction.
+    "ns_paragraph_dedup" -> ((s, d) => {
+      Corpus.paragraphDedup(Tables.documents(s, d), 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs (Hamming <= 3).
     "ns_dedup_simhash" -> ((s, d) => {
       Dedup.simhashDupPairs(Tables.documents(s, d), 3)
@@ -211,6 +226,42 @@ object MlPack extends QueryPack {
     // The minhash pipeline's exact-Jaccard verify makes its output equal
     // the exact pair set — same oracle as ns_dedup_jaccard.
     "ns_dedup_minhash" -> jaccardPairsOracle,
+
+    // Cross-set (batch vs corpus) variant of the jaccard CTE chain.
+    "ns_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
+        |         t[i+3]||' '||t[i+4] for i in range(1, len(t)-3)]) s
+        |       FROM w WHERE len(t) >= 5),
+        |sz AS (SELECT doc_id, len(s) n FROM sh),
+        |tn AS (SELECT doc_id AS new_id, unnest(s) g FROM sh WHERE doc_id % 5 = 4),
+        |tc AS (SELECT doc_id AS old_id, unnest(s) g FROM sh WHERE doc_id % 5 <> 4),
+        |p AS (SELECT new_id, old_id, count(*) AS i
+        |      FROM tn JOIN tc USING (g) GROUP BY 1, 2)
+        |SELECT new_id, old_id,
+        |  round(i * 1.0 / (sn.n + sc.n - i), 6) AS jaccard
+        |FROM p JOIN sz sn ON p.new_id = sn.doc_id
+        |       JOIN sz sc ON p.old_id = sc.doc_id
+        |WHERE round(i * 1.0 / (sn.n + sc.n - i), 6) >= 0.5
+        |ORDER BY new_id, old_id""".stripMargin,
+
+    // Paragraph dedup: fixed 20-token chunk md5 fingerprints; a chunk is
+    // duplicated when 2+ distinct docs contain it verbatim.
+    "ns_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |ci AS (SELECT doc_id, t,
+        |    unnest(range(0, ((len(t) - 1) // 20) + 1)) AS i FROM t),
+        |ch AS (SELECT doc_id,
+        |    md5(array_to_string(t[(i*20 + 1):(i*20 + 20)], ' ')) AS h FROM ci),
+        |df AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h),
+        |pd AS (SELECT doc_id, count(*) AS n_chunks,
+        |    sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM ch JOIN df USING (h) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_dup AS BIGINT) AS n_dup_chunks,
+        |  round(CAST(n_dup AS DOUBLE) / n_chunks, 6) AS dup_frac
+        |FROM pd ORDER BY doc_id""".stripMargin,
 
     // Full simhash replay: per-token 64-bit hash is the md5 prefix (the
     // one hash both engines derive bit-identically — SimHash64's basis),

@@ -42,6 +42,13 @@ object QualityPack extends QueryPack {
     "ns_quality_filter" -> ((s, d) => {
       Corpus.qualityFilter(Tables.documents(s, d))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance score vs the `en` target slice over 1024
+    // hashed unigram buckets.
+    "ns_dsir_score" -> ((s, d) => {
+      Corpus.dsirScore(Tables.documents(s, d), col("lang") === "en", 1024)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -143,6 +150,28 @@ object QualityPack extends QueryPack {
         |        AS median_ratio FROM q)
         |SELECT doc_id, stopword_ratio, median_ratio
         |FROM q CROSS JOIN m WHERE stopword_ratio > median_ratio
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: md5-derived unigram buckets, add-one smoothing, bucket
+    // log-ratio rounded to 6 decimals, per-doc fixed-point sum — every
+    // double arithmetic step mirrored so both engines round identically.
+    "ns_dsir_score" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents),
+        |tb AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(t), 1, 8))::UINTEGER % 1024 AS b FROM tok),
+        |bs AS (SELECT b, count(*) AS c_all,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+        |    CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM bs),
+        |ctr AS (SELECT b,
+        |    round(ln(((c_tgt + 1.0) / (t_tgt + 1024.0)) /
+        |             ((c_all + 1.0) / (t_all + 1024.0))), 6) AS contrib
+        |  FROM bs CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(round(contrib * 1e6) AS BIGINT)) AS BIGINT)
+        |    / 1e6, 6) AS dsir_score
+        |FROM tb JOIN ctr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -52,6 +52,36 @@ object EventsOps extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // CDC merge (SCD1 upsert + delete): the latest pre-cutoff state per
+    // user is the base snapshot; post-cutoff events are the change feed,
+    // applied last-wins, with a latest-change 'error' acting as a delete
+    // tombstone. One window per side + one full-outer join on the key —
+    // the MERGE INTO shape without a table format. At scale both sides
+    // shuffle once on user_id and the join is co-partitioned.
+    "t_cdc_upsert" -> ((s, d) => {
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: DataFrame) =
+        df.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).drop("rk")
+      val ev = Tables.events(s, d)
+      val base = latest(ev.filter(col("ts") < cutoff))
+        .select(col("user_id"), col("ts").as("b_ts"),
+          col("event_type").as("b_type"), col("value").as("b_value"))
+      val chg = latest(ev.filter(col("ts") >= cutoff))
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_type").as("c_type"), col("value").as("c_value"))
+      base.join(chg, Seq("user_id"), "full_outer")
+        .filter(col("c_type").isNull || col("c_type") =!= "error")
+        .select(col("user_id"),
+          tsStrUs(coalesce(col("c_ts"), col("b_ts"))).as("ts"),
+          coalesce(col("c_type"), col("b_type")).as("event_type"),
+          coalesce(col("c_value"), col("b_value")).as("value"),
+          when(col("c_ts").isNotNull, "update").otherwise("base").as("src"))
+        .orderBy(col("user_id"))
+    }),
+
     // Event-time dedup: first event per (user, type) — T1/T2 exactly-once
     // upgrade of the reference's at-least-once ledger (app.js:438-455).
     "t_dedup_first" -> ((s, d) => {
@@ -102,6 +132,28 @@ object EventsOps extends QueryPack {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  CAST(count(*) AS BIGINT) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "t_cdc_upsert" ->
+      """WITH b AS (SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |c AS (SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |bl AS (SELECT user_id, ts AS b_ts, event_type AS b_type,
+        |         value AS b_value FROM b WHERE rk = 1),
+        |cl AS (SELECT user_id, ts AS c_ts, event_type AS c_type,
+        |         value AS c_value FROM c WHERE rk = 1)
+        |SELECT user_id,
+        |  strftime(coalesce(c_ts, b_ts), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  coalesce(c_type, b_type) AS event_type,
+        |  coalesce(c_value, b_value) AS value,
+        |  CASE WHEN c_ts IS NOT NULL THEN 'update' ELSE 'base' END AS src
+        |FROM bl FULL OUTER JOIN cl USING (user_id)
+        |WHERE c_type IS NULL OR c_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
 
     "t_dedup_first" ->
       """SELECT user_id, event_type, event_id,

@@ -254,4 +254,42 @@ class MlSpec extends SparkSpecBase {
       assert(r.getAs[String]("content_md5").length == 32)
     }
   }
+
+  test("incremental dedup reports only cross-set (batch x corpus) pairs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base),                      // corpus
+      (2L, base + " extra"),           // corpus near-dup of 1 — NOT reported
+      (10L, base + " tail"),           // batch near-dup of 1 and 2
+      (11L, base + " tail also"),      // batch near-dup — batch-batch NOT reported
+      (12L, (100 to 140).map(i => s"z$i").mkString(" "))) // batch, unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDupPairs(df, col("doc_id") >= 10L, 0.5)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(got.forall { case (n, o) => n >= 10L && o < 10L })
+    assert(got.contains((10L, 1L)) && got.contains((10L, 2L)))
+    assert(!got.exists { case (n, o) => n == 12L || o == 12L })
+  }
+
+  test("paragraph dedup: shared 20-token chunk counted, unique chunks not") {
+    val chunk = (1 to 20).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, chunk + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, chunk + " " + (1 to 20).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.paragraphDedup(df, 20).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))).toMap
+    assert(got(1L) == (2L, 1L) && got(2L) == (2L, 1L) && got(3L) == (2L, 0L))
+  }
+
+  test("dsir score: target-typical docs outrank off-target docs") {
+    val scores = Corpus.dsirScore(docs, col("lang") === "en", 1024)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_score")).as("s"))
+      .collect().map(r => r.getBoolean(0) -> r.getAs[Double]("s")).toMap
+    assert(scores(true) > scores(false))
+  }
 }
