@@ -244,6 +244,26 @@ object Dedup {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
+  /** Quality-aware canonical selection: per duplicate cluster, keep the
+    * member with the most content (max n_chars, ties to the lowest
+    * doc_id) — what curation pipelines actually retain, vs the min-id
+    * convention of [[keepCanonical]]. One window over cluster members
+    * (tiny: only docs with a duplicate) plus a member count.
+    */
+  def keepBest(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val members = clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val counts = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    members.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_id"),
+        col("n_chars").as("kept_n_chars"))
+      .join(counts, "cluster_id")
+  }
+
   /** 64-bit SimHash over whitespace tokens: majority vote per bit of each
     * token's md5-derived 64-bit hash — a native codegen Expression (one pass per row;
     * the earlier HOF formulation needed a persist barrier against

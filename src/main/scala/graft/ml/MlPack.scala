@@ -54,6 +54,14 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-aware canonical per duplicate cluster: keep the member with
+    // max n_chars (ties to lowest doc_id).
+    "ns_dedup_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepBest(docs, Dedup.dupClusters(Dedup.jaccardPairs(docs, 0.5)))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Incremental dedup: new-arrival batch (doc_id % 5 = 4) against the
     // already-ingested corpus — cross-set pairs only.
     "ns_incremental_dedup" -> ((s, d) => {
@@ -226,6 +234,28 @@ object MlPack extends QueryPack {
     // The minhash pipeline's exact-Jaccard verify makes its output equal
     // the exact pair set — same oracle as ns_dedup_jaccard.
     "ns_dedup_minhash" -> jaccardPairsOracle,
+
+    // Same recursive component labeling as ns_dedup_keep, then max-
+    // n_chars canonical per cluster.
+    "ns_dedup_best" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+         |          UNION
+         |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |m AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |best AS (SELECT cluster_id, doc_id AS kept_id,
+         |           n_chars AS kept_n_chars,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |             ORDER BY n_chars DESC, doc_id) AS rk FROM m),
+         |cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |        FROM m GROUP BY 1)
+         |SELECT b.cluster_id, kept_id, kept_n_chars, n_members
+         |FROM best b JOIN cnt USING (cluster_id)
+         |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
     // Cross-set (batch vs corpus) variant of the jaccard CTE chain.
     "ns_incremental_dedup" ->

@@ -94,6 +94,64 @@ object EventStreams {
   def idempotentParquetSink(out: String)(df: DataFrame, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
 
+  /** Streaming CDC upsert sink — the streaming half of `t_cdc_upsert`:
+    * each micro-batch merges last-wins (by ts, then event_id) into a
+    * keyed user snapshot. Tombstones ('error' events) are KEPT in the
+    * snapshot so an out-of-order older event in a later batch cannot
+    * resurrect a deleted key; [[activeSnapshot]] is the reader view that
+    * hides them.
+    *
+    * The merge is read-merge-swap: write the merged snapshot to a fresh
+    * generation dir, then atomically swap a pointer file — a crash
+    * mid-merge leaves the previous generation intact, and a replayed
+    * micro-batch re-merges idempotently (last-wins is idempotent and
+    * commutative in (ts, event_id)). At scale both sides shuffle once on
+    * user_id; the snapshot stays partitioned by the merge key.
+    */
+  def upsertSnapshotSink(spark: SparkSession, dir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val cols = Seq("user_id", "ts", "event_type", "value", "event_id")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(s"$dir/CURRENT")
+    val current: Option[String] =
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      } else None
+    val merged = current match {
+      case Some(gen) =>
+        spark.read.parquet(s"$dir/$gen").select(cols.map(col): _*)
+          .unionByName(batch.select(cols.map(col): _*))
+      case None => batch.select(cols.map(col): _*)
+    }
+    val next = s"gen_$batchId"
+    merged.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .drop("rk")
+      .write.mode("overwrite").parquet(s"$dir/$next")
+    val out = fs.create(ptr, true)
+    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Live (non-tombstoned) rows of the [[upsertSnapshotSink]] snapshot. */
+  def activeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(s"$dir/CURRENT")
+    val in = fs.open(ptr)
+    val gen =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    spark.read.parquet(s"$dir/$gen").filter(col("event_type") =!= "error")
+  }
+
   /** Run any of the above to completion against a bounded source:
     * AvailableNow trigger + checkpoint, blocking until drained. */
   def runOnce(result: DataFrame, checkpoint: String, out: String,

@@ -108,4 +108,36 @@ class StreamingSpec extends SparkSpecBase {
     EventStreams.idempotentParquetSink(out)(df, 7L) // replay of same batch
     assert(spark.read.parquet(s"$out/batch_id=*").count() == 2)
   }
+
+  test("upsert snapshot sink: streamed merge == batch latest-per-user") {
+    val snap = Files.createTempDirectory("graft_snap").toString
+    val ckpt = Files.createTempDirectory("graft_snap_ckpt").toString
+    val q = EventStreams.fromParquetDir(spark, stagedDir)
+      .select($"user_id", $"ts", $"event_type", $"value", $"event_id")
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(EventStreams.upsertSnapshotSink(spark, snap) _)
+      .start()
+    q.awaitTermination()
+    val got = EventStreams.activeSnapshot(spark, snap)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    // batch expectation: globally-latest event per user, hidden if it is
+    // an 'error' tombstone
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val expected = Tables.events(spark, sf0001)
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .filter($"event_type" =!= "error")
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    // replaying the final micro-batch must not change the snapshot
+    val last = spark.read.parquet(stagedDir).filter($"event_id" % 2 === 1)
+      .select($"user_id", $"ts", $"event_type", $"value", $"event_id")
+    EventStreams.upsertSnapshotSink(spark, snap)(last, 999L)
+    val again = EventStreams.activeSnapshot(spark, snap)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(again == expected)
+  }
 }
