@@ -136,6 +136,18 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic hash-rate Bernoulli sample: keep a doc iff its
+    // md5-derived uniform falls under the rate — reproducible across
+    // runs/partitionings (unlike df.sample), purely map-side, and the
+    // standard way a 100 TB corpus is thinned without a shuffle.
+    "ns_sample_hash_rate" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 1000000L) < 100000L)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stopword-profile language ID.
     "ns_lang_id" -> ((s, d) => {
       TextAnalysis.langId(Tables.documents(s, d))
@@ -430,6 +442,12 @@ object MlPack extends QueryPack {
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "ns_sample_hash_rate" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |        % 1000000 < 100000
+        |ORDER BY doc_id""".stripMargin,
 
     "ns_sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id,

@@ -194,6 +194,22 @@ object Aggregates extends QueryPack {
     // distinct counts (oracled) plus booleans asserting the HLL estimate
     // landed within ±5% of exact (rsd=0.01 → a 5-sigma bound; the oracle
     // expects TRUE). ScalaTest additionally checks the raw estimates.
+    // Sketch quantiles next to their exact values (same pattern as
+    // agg_approx_distinct): the oracle pins the exact columns, the
+    // bounded-error flags assert the sketch stayed within tolerance.
+    // At 100 TB approx_percentile is the only viable form — constant
+    // sketch state vs a global sort.
+    "agg_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_exact"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.95, 1000)").as("ap95"))
+        .select(col("p50_exact"), col("p95_exact"),
+          (abs(col("ap50") - col("p50_exact")) <= lit(1.0)).as("approx_p50_ok"),
+          (abs(col("ap95") - col("p95_exact")) <= lit(1.0)).as("approx_p95_ok"))
+    }),
+
     "agg_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d).agg(
           countDistinct(col("l_partkey")).as("n_parts"),
@@ -221,6 +237,12 @@ object Aggregates extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "agg_approx_percentile" ->
+      """SELECT round(quantile_cont(l_quantity, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95_exact,
+        |  TRUE AS approx_p50_ok, TRUE AS approx_p95_ok
+        |FROM lineitem""".stripMargin,
+
     "agg_approx_distinct" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
