@@ -74,4 +74,21 @@ class ScaleSpec extends SparkSpecBase {
       assert(math.abs(total - direct(k)._1) < 1e-6)
     }
   }
+
+  test("dsir scoring join broadcasts the bucket table (map-side scoring)") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = graft.ml.Corpus.dsirScore(docs, $"lang" === "en", 1024)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucket-table join is not broadcast:\n${plan.take(800)}")
+  }
+
+  test("cdc upsert shuffles each side once; join reuses the window partitioning") {
+    val q = graft.SparkEntry.queries("t_cdc_upsert")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    // one hashpartitioning exchange per windowed side; the full-outer
+    // join and final sort must not add per-side re-shuffles on user_id
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected <=2 key shuffles, got $shuffles:\n${plan.take(1200)}")
+  }
 }
