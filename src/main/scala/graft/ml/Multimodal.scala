@@ -77,4 +77,31 @@ object Multimodal {
     assetsDf.select(col("asset_id"), col("modality"),
       histo(col("bytes")).as("features"))
   }
+
+  /** Resize stub: deterministic stride downsample of the payload to at
+    * most `targetLen` bytes — the byte-level stand-in for an image/audio
+    * resample. The (binary, target) → binary signature, re-derived
+    * metadata, and map-side execution are the production shape; a codec-
+    * aware scaler replaces the stride loop. */
+  val strideDownsample: (Array[Byte], Int) => Array[Byte] = { (bytes, target) =>
+    if (bytes == null || bytes.length <= target) bytes
+    else {
+      val stride = math.ceil(bytes.length.toDouble / target).toInt
+      val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+      var i = 0
+      var j = 0
+      while (i < bytes.length) { out(j) = bytes(i); j += 1; i += stride }
+      out
+    }
+  }
+
+  def resizeAssets(assetsDf: DataFrame, targetLen: Int): DataFrame = {
+    val resize = udf((b: Array[Byte]) => strideDownsample(b, targetLen))
+    assetsDf
+      .withColumn("resized", resize(col("bytes")))
+      .select(col("asset_id"), col("modality"),
+        length(col("bytes")).as("orig_len"),
+        length(col("resized")).as("resized_len"),
+        md5(col("resized")).as("resized_md5"))
+  }
 }

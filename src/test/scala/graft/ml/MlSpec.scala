@@ -255,6 +255,21 @@ class MlSpec extends SparkSpecBase {
     }
   }
 
+  test("resize: bounded length, deterministic, identity under target") {
+    val assets = Multimodal.assets(docs.limit(20))
+    val r1 = Multimodal.resizeAssets(assets, 32).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Int]("resized_len"), r.getAs[String]("resized_md5"))).toMap
+    r1.values.foreach { case (len, _) => assert(len <= 32 && len > 0) }
+    val r2 = Multimodal.resizeAssets(assets, 32).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Int]("resized_len"), r.getAs[String]("resized_md5"))).toMap
+    assert(r1 == r2) // deterministic
+    // target larger than any payload → identity
+    val id = Multimodal.resizeAssets(assets, 1 << 20).collect()
+    id.foreach(r => assert(r.getAs[Int]("resized_len") == r.getAs[Int]("orig_len")))
+  }
+
   test("incremental dedup reports only cross-set (batch x corpus) pairs") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = Seq(
