@@ -75,6 +75,44 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("partition pruning: lang-partitioned layout reads only the filtered partition") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = Tables.documents(spark, sf0001)
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"lang" === "en")
+      .select($"doc_id", $"n_chars")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition filter in scan:\n${plan.take(800)}")
+    assert(q.count() == docs.filter($"lang" === "en").count())
+    // the executed scan must have touched exactly the one en partition
+    // file (5 lang partitions × 1 file each were written)
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metrics("numFiles").value == 1,
+      s"scan read ${scan.metrics("numFiles").value} files; pruning failed")
+  }
+
+  test("count-min sketch heavy hitters: estimates bound true counts") {
+    val docs = Tables.documents(spark, sf0001)
+    val tok = docs.select(explode(split(trim(lower($"text")), "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    val cms = tok.stat.countMinSketch($"token", eps = 0.001, confidence = 0.99,
+      seed = 42)
+    val exact = tok.groupBy($"token").count()
+      .orderBy($"count".desc, $"token").limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = tok.count()
+    exact.foreach { case (t, c) =>
+      val est = cms.estimateCount(t)
+      assert(est >= c, s"CMS underestimated $t: $est < $c") // CMS never undercounts
+      assert(est <= c + (0.001 * n).toLong + 1,
+        s"CMS overestimate out of eps bound for $t: $est vs $c (n=$n)")
+    }
+  }
+
   test("dsir scoring join broadcasts the bucket table (map-side scoring)") {
     val docs = Tables.documents(spark, sf0001)
     val plan = graft.ml.Corpus.dsirScore(docs, $"lang" === "en", 1024)
