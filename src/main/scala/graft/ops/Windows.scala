@@ -33,6 +33,19 @@ object Windows extends QueryPack {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Same top-3-per-customer as w_row_number_topk, computed by the
+    // custom bounded-heap operator (graft.plans.TopKPerKey): partial
+    // map-side top-k before the shuffle, no sort anywhere — the
+    // whole-operator custom-plan tier of the design brief, oracle-checked
+    // against the window formulation's SQL.
+    "w_topk_heap" -> ((s, d) => {
+      graft.plans.TopK.perKey(Tables.orders(s, d),
+          Seq("o_custkey"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // rank / dense_rank with real ties (priority has few distinct values).
     "w_rank_dense" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
@@ -118,6 +131,15 @@ object Windows extends QueryPack {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "w_topk_heap" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "w_rank_dense" ->
       """SELECT o_orderpriority, rk, drk, o_orderkey, o_totalprice FROM (

@@ -1,0 +1,161 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom plan: bounded-heap top-k per key.
+  *
+  * `row_number().over(Window.partitionBy(keys).orderBy(ord)) <= k` — the
+  * idiomatic formulation — shuffles EVERY row of every key group and then
+  * fully sorts each group, only to discard all but k rows. This operator
+  * keeps a k-bounded heap per key instead, and is planned as a
+  * partial/final pair (top-k is a semigroup: topk(A ∪ B) =
+  * topk(topk(A) ∪ topk(B))):
+  *
+  *   TopKPerKeyExec(final)    — requires ClusteredDistribution(keys)
+  *     Exchange hashpartitioning(keys)   — carries ≤ k rows/key/partition
+  *       TopKPerKeyExec(partial)         — map-side, no distribution req
+  *
+  * so the shuffle volume drops from |rows| to ≤ k·|keys|·|partitions| —
+  * at 100 TB the difference between shuffling the fact table and
+  * shuffling a bounded candidate set. No sort happens anywhere: heap
+  * maintenance is O(log k) per row and emission order is left to the
+  * query's final ORDER BY.
+  *
+  * The full custom-operator ladder from the design brief: logical node +
+  * optimizer rule ([[TopKFilterPushdown]]) + strategy + physical exec,
+  * injectable via `SparkSessionExtensions` ([[graft.GraftExtensions]])
+  * or post-hoc through `spark.experimental` ([[TopK.ensurePlanning]]).
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+/** Catalyst cannot push a filter through an operator it doesn't know;
+  * teach it the safe case — predicates over the KEY columns commute with
+  * per-key top-k selection (they drop whole groups, never reorder within
+  * one). */
+object TopKFilterPushdown extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, t: TopKPerKeyNode)
+        if cond.references.subsetOf(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            t.keys.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true,
+          planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // codegen'd row comparator for the requested sort order; heap head
+      // is the WEAKEST of the current top k (reverse ordering)
+      val rowOrd: Ordering[InternalRow] =
+        GenerateOrdering.generate(sortOrder, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      while (rows.hasNext) {
+        val row = rows.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](
+            limit + 1, rowOrd.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.add(row.copy())
+        else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val it = heaps.values().iterator()
+      new Iterator[InternalRow] {
+        private var cur: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && it.hasNext) cur = it.next().iterator()
+          cur.hasNext
+        }
+        override def next(): InternalRow = cur.next()
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object TopK {
+
+  /** Make the custom strategy + pushdown rule available on a live session
+    * (idempotent); `GraftExtensions` injects the same pair at build time. */
+  def ensurePlanning(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKFilterPushdown
+  }
+
+  /** Top-k rows per key group, ordered by `order` columns (`ascending =
+    * false` for descending). Row order within and across groups is
+    * unspecified — add a final orderBy.
+    *
+    * Column names, not Columns: the custom logical node needs plain
+    * catalyst `UnresolvedAttribute`s the analyzer resolves in place —
+    * Spark 4's Column wraps a lazily-converted ColumnNode that only
+    * standard nodes convert. */
+  def perKey(df: DataFrame, keyCols: Seq[String],
+      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val spark = df.sparkSession
+    ensurePlanning(spark)
+    val keys = keyCols.map(UnresolvedAttribute.quoted)
+    val sortOrder = order.map { case (name, ascending) =>
+      SortOrder(UnresolvedAttribute.quoted(name),
+        if (ascending) Ascending else Descending)
+    }
+    GraftBridge.ofRows(spark,
+      TopKPerKeyNode(keys, sortOrder, k, GraftBridge.plan(df)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{SparkSpecBase, Tables}
+
+class TopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def heapTopK(k: Int) =
+    TopK.perKey(Tables.orders(spark, sf0001),
+      Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), k)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+
+  test("bounded-heap top-k equals the window row_number formulation") {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val expected = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = heapTopK(3).as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // k = 1 (the reference's sort+pop max) and k larger than any group
+    val max1 = heapTopK(1).as[(Long, Long, Double)].collect()
+    assert(max1.map(_._1).distinct.length == max1.length) // one row per key
+    val all = heapTopK(1000000).count()
+    assert(all == Tables.orders(spark, sf0001).count())
+  }
+
+  test("planned as a partial/final pair around one exchange, with no sort") {
+    val plan = heapTopK(3).queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size == 2,
+      s"expected partial+final TopKPerKey:\n${plan.take(900)}")
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"missing key exchange:\n${plan.take(900)}")
+    assert(!plan.contains("Sort "), s"unexpected sort:\n${plan.take(900)}")
+  }
+
+  test("key-only filters push below the custom node; value filters do not") {
+    val base = TopK.perKey(Tables.orders(spark, sf0001),
+      Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val keyF = base.filter($"o_custkey" < 100)
+    val optK = keyF.queryExecution.optimizedPlan.toString
+    assert(optK.indexOf("TopKPerKey") < optK.indexOf("Filter"),
+      s"key filter not pushed through:\n$optK")
+    // and the pushed plan still computes the right answer
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val expected = Tables.orders(spark, sf0001).filter($"o_custkey" < 100)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(keyF.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSet == expected)
+    // a filter over a NON-key column must stay above the operator
+    // (pushing it would change which rows make the top k)
+    val valF = base.filter($"o_totalprice" < 50000.0)
+    val optV = valF.queryExecution.optimizedPlan.toString
+    assert(optV.indexOf("Filter") < optV.indexOf("TopKPerKey"),
+      s"value filter wrongly pushed:\n$optV")
+  }
+}
