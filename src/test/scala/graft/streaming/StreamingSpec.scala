@@ -109,6 +109,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$out/batch_id=*").count() == 2)
   }
 
+  test("doc ingest ledger: streamed exact-dedup admits one doc per content") {
+    val src = Files.createTempDirectory("graft_docs_src").toString
+    val ledger = Files.createTempDirectory("graft_docs_ledger").toString + "/l"
+    val out = Files.createTempDirectory("graft_docs_out").toString + "/o"
+    val ckpt = Files.createTempDirectory("graft_docs_ckpt").toString
+    val docs = Tables.documents(spark, sf0001)
+    // two arrival waves so the ledger has to carry state across batches
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    DocStreams.runOnce(spark, src, ledger, out, ckpt)
+    val kept = spark.read.parquet(out)
+    // one admitted doc per distinct content, nothing fabricated
+    assert(kept.count() ==
+      docs.select(md5($"text")).distinct().count())
+    assert(kept.select(md5($"text")).distinct().count() == kept.count())
+    // replaying a wave admits nothing new (ledger anti-join)
+    val before = kept.count()
+    DocStreams.dedupIngestSink(spark, ledger, out)(
+      docs.filter($"doc_id" % 2 === 0), 999L)
+    assert(spark.read.parquet(out).count() == before)
+  }
+
   test("upsert snapshot sink: streamed merge == batch latest-per-user") {
     val snap = Files.createTempDirectory("graft_snap").toString
     val ckpt = Files.createTempDirectory("graft_snap_ckpt").toString
