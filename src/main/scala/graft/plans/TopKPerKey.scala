@@ -50,10 +50,14 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
 object TopKFilterPushdown extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.Filter
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Sound only for PLAIN ATTRIBUTE keys: with an expression key like
+    // `a % 10`, a predicate on `a` references only key inputs yet can
+    // split a key group (a=5 vs a=15 share a group), changing which rows
+    // win the top k.
     case f @ Filter(cond, t: TopKPerKeyNode)
-        if cond.references.subsetOf(
-          org.apache.spark.sql.catalyst.expressions.AttributeSet(
-            t.keys.flatMap(_.references))) =>
+        if t.keys.forall(_.isInstanceOf[Attribute]) &&
+          cond.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(t.keys)) =>
       t.copy(child = Filter(cond, t.child))
   }
 }
@@ -96,8 +100,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          // small initial capacity: PriorityQueue allocates its backing
+          // array eagerly, and limit can be huge while groups are tiny —
+          // it grows on demand either way
           heap = new java.util.PriorityQueue[InternalRow](
-            limit + 1, rowOrd.reverse)
+            math.min(limit, 16) + 1, rowOrd.reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) heap.add(row.copy())

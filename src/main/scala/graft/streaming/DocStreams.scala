@@ -46,17 +46,27 @@ object DocStreams {
     val batchFirst = fingerprinted
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .drop("rk")
-    // cross-batch: drop anything already in the ledger
+    // cross-batch: drop anything already in the ledger. Explicit schema:
+    // a crash can leave the ledger dir existing but holding no committed
+    // part files, where schema inference would fail and wedge every
+    // replay.
     val fresh =
       if (fs.exists(new Path(ledgerDir)))
-        batchFirst.join(spark.read.parquet(ledgerDir).select(col("fp")),
+        batchFirst.join(
+          spark.read.schema("fp STRING, doc_id BIGINT").parquet(ledgerDir)
+            .select(col("fp")),
           Seq("fp"), "left_anti")
       else batchFirst
-    // data first, ledger second (reference's crash-safe ordering: a crash
-    // between the writes re-admits, never loses)
-    fresh.drop("fp").write.mode("append").parquet(outDir)
-    fresh.select(col("fp"), col("doc_id")).write.mode("append")
-      .parquet(ledgerDir)
+    // persist: both writes below consume this plan; uncached it would
+    // re-run the window dedup + ledger anti-join per write
+    fresh.persist()
+    try {
+      // data first, ledger second (reference's crash-safe ordering: a
+      // crash between the writes re-admits, never loses)
+      fresh.drop("fp").write.mode("append").parquet(outDir)
+      fresh.select(col("fp"), col("doc_id")).write.mode("append")
+        .parquet(ledgerDir)
+    } finally fresh.unpersist()
   }
 
   /** Drain a bounded doc stream through the dedup-ingest sink. */

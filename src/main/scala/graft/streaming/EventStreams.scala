@@ -124,19 +124,38 @@ object EventStreams {
           java.nio.charset.StandardCharsets.UTF_8).trim)
         finally in.close()
       } else None
+    val next = s"gen_$batchId"
+    // The pointer swap IS the commit: if CURRENT already names this
+    // batch's generation, the batch completed before a crash and the
+    // replay must no-op (re-merging would read and overwrite gen_N at
+    // once).
+    if (current.contains(next)) return
     val merged = current match {
       case Some(gen) =>
         spark.read.parquet(s"$dir/$gen").select(cols.map(col): _*)
           .unionByName(batch.select(cols.map(col): _*))
       case None => batch.select(cols.map(col): _*)
     }
-    val next = s"gen_$batchId"
     merged.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .drop("rk")
       .write.mode("overwrite").parquet(s"$dir/$next")
-    val out = fs.create(ptr, true)
+    // atomic pointer swap: write CURRENT.tmp, rename over CURRENT —
+    // readers see the old or the new generation, never a partial write
+    val tmp = new Path(s"$dir/CURRENT.tmp")
+    val out = fs.create(tmp, true)
     try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // bound storage: drop superseded generations, keeping the new
+    // current and its predecessor (rollback margin)
+    val keep = Set(next) ++ current
+    fs.listStatus(new Path(dir)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen_") && !keep.contains(name))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Live (non-tombstoned) rows of the [[upsertSnapshotSink]] snapshot. */

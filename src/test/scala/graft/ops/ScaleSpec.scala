@@ -78,7 +78,9 @@ class ScaleSpec extends SparkSpecBase {
   test("partition pruning: lang-partitioned layout reads only the filtered partition") {
     val dir = Files.createTempDirectory("graft_part").toString
     val docs = Tables.documents(spark, sf0001)
-    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    // coalesce(1): exactly one file per lang partition, so the
+    // numFiles == 1 assertion below is about pruning, not input splits
+    docs.coalesce(1).write.partitionBy("lang").mode("overwrite").parquet(dir)
     val q = spark.read.parquet(dir).filter($"lang" === "en")
       .select($"doc_id", $"n_chars")
     val plan = q.queryExecution.executedPlan.toString

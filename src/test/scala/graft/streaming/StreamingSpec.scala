@@ -161,5 +161,11 @@ class StreamingSpec extends SparkSpecBase {
     val again = EventStreams.activeSnapshot(spark, snap)
       .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
     assert(again == expected)
+    // crash-recovery replay of the SAME batch id (pointer already names
+    // its generation) must no-op, not read-and-overwrite one path
+    EventStreams.upsertSnapshotSink(spark, snap)(last, 999L)
+    val sameId = EventStreams.activeSnapshot(spark, snap)
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(sameId == expected)
   }
 }
