@@ -108,10 +108,35 @@ object Scalars extends QueryPack {
           r6(abs(col("l_discount") - col("l_tax"))).as("disc_tax_gap"),
           r6(sqrt(col("l_quantity"))).as("qty_sqrt"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ANSI-safe error handling: Spark 4 runs ANSI mode ON, where a bad
+    // cast or division-by-zero THROWS mid-job; the try_* family turns
+    // row-level garbage into NULLs so one malformed record can't kill a
+    // 100 TB scan. Mixed-validity input built from order columns.
+    "f_try_parse" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+            .as("prio_num"),          // '1'-'5' parse; letters would null
+          expr("try_cast(o_orderstatus AS INT)").as("status_num"), // null
+          expr("try_divide(o_totalprice, o_custkey % 3)").as("per_bucket"),
+          expr("try_cast(o_orderdate AS DATE)").as("order_date"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    // try_cast is try_cast in both engines; try_divide maps to
+    // x / nullif(y, 0) (DuckDB integer-zero division would raise).
+    "f_try_parse" ->
+      """SELECT o_orderkey,
+        |  try_cast(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+        |  try_cast(o_orderstatus AS INTEGER) AS status_num,
+        |  o_totalprice / nullif(o_custkey % 3, 0) AS per_bucket,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // NOTE: the char class below is the reference's to_key class verbatim
     // (app.js:99) — RE2 (DuckDB) and Java (Spark) agree on it for ASCII.
     "f1_to_key" ->
