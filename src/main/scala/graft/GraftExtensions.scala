@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator custom plan: bounded-heap top-k per key
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKFilterPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 

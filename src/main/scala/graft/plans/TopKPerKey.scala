@@ -62,6 +62,72 @@ object TopKFilterPushdown extends Rule[LogicalPlan] {
   }
 }
 
+/** Rewrite the idiomatic top-k-per-group pattern
+  *
+  *   Project(p)                          -- p does not reference rn
+  *     Filter(rn <= k  |  rn = 1)
+  *       Window(row_number() OVER (PARTITION BY keys ORDER BY ord) AS rn)
+  *
+  * into `TopKPerKeyNode(keys, ord, k)` — the rank column is provably
+  * unobservable, so the bounded-heap operator returns the identical row
+  * set without the per-group sort or the full-row shuffle. Fires only
+  * when: exactly ONE window expression (the Window node can be dropped
+  * whole), it is row_number (rank/dense_rank admit ties beyond k),
+  * the predicate is a bare `<= literal` / `< literal` / `= 1`, the
+  * partition spec is non-empty (global top-k would need a different
+  * distribution), and no projected expression references the rank.
+  * Queries that keep the rank in their output (w_row_number_topk) are
+  * untouched.
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow}
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types.IntegerType
+
+  private def rankBound(cond: Expression, rn: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) => Some(k)
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) => Some(k - 1)
+      case EqualTo(a: Attribute, Literal(1, IntegerType))
+        if a.semanticEquals(rn) => Some(1)
+      case EqualTo(Literal(1, IntegerType), a: Attribute)
+        if a.semanticEquals(rn) => Some(1)
+      case _ => None
+    }
+
+  /** Spark's own InferWindowGroupLimit has usually already inserted a
+    * WindowGroupLimit under the window by the time user rules run; the
+    * heap operator subsumes it (same bound, no sort), so strip a
+    * matching one rather than stacking the two. */
+  private def stripGroupLimit(child: LogicalPlan, w: LWindow,
+      k: Int): LogicalPlan = child match {
+    case g: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+        if g.rankLikeFunction.isInstanceOf[RowNumber] &&
+          g.partitionSpec == w.partitionSpec &&
+          g.orderSpec == w.orderSpec && g.limit >= k => g.child
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(plist, Filter(cond, w: LWindow))
+        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty =>
+      w.windowExpressions.head match {
+        case a @ Alias(WindowExpression(_: RowNumber, _), _) =>
+          val rn = a.toAttribute
+          rankBound(cond, rn) match {
+            case Some(k) if k > 0 &&
+                !plist.exists(_.references.contains(rn)) =>
+              Project(plist, TopKPerKeyNode(w.partitionSpec, w.orderSpec, k,
+                stripGroupLimit(w.child, w, k)))
+            case _ => p
+          }
+        case _ => p
+      }
+  }
+}
+
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
@@ -138,9 +204,11 @@ object TopK {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
-    if (!spark.experimental.extraOptimizations.contains(TopKFilterPushdown))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ TopKFilterPushdown
+    Seq(TopKFilterPushdown, WindowTopKRewrite).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 
   /** Top-k rows per key group, ordered by `order` columns (`ascending =

@@ -37,6 +37,42 @@ class TopKSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), s"unexpected sort:\n${plan.take(900)}")
   }
 
+  test("window row_number<=k pattern auto-rewrites when the rank is dropped") {
+    TopK.ensurePlanning(spark)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    def pattern = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice") // rn dropped
+    val rewritten = pattern
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+      "rank-dropped pattern not rewritten")
+    val exec = rewritten.queryExecution.executedPlan.toString
+    // neither the Window exec nor Spark's sort-based WindowGroupLimit
+    // survives — the heap operator subsumes both, sort-free
+    assert(!exec.contains("Window [") && !exec.contains("WindowGroupLimit"),
+      s"window machinery survived the rewrite:\n${exec.take(900)}")
+    assert(!exec.contains("Sort "), s"unexpected sort:\n${exec.take(900)}")
+    // identical rows to the untouched window formulation (rank kept →
+    // not rewritten), which doubles as the semantics proof
+    val kept = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+    assert(!kept.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+      "rank-in-output query wrongly rewritten")
+    val a = rewritten.as[(Long, Long, Double)].collect().toSet
+    val b = kept.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+    // rn = 1 (top-1 / dedup-first shape) also rewrites
+    val top1 = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey")
+    assert(top1.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    assert(top1.count() ==
+      Tables.orders(spark, sf0001).select($"o_custkey").distinct().count())
+  }
+
   test("key-only filters push below the custom node; value filters do not") {
     val base = TopK.perKey(Tables.orders(spark, sf0001),
       Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
