@@ -10,6 +10,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deterministic planning across the whole run (see Verify)
+    graft.plans.TopK.ensurePlanning(spark)
     // Warm the session (codegen, parquet footer reads, JIT) before timing.
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
