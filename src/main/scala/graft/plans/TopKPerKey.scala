@@ -89,7 +89,9 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
         if a.semanticEquals(rn) => Some(k)
       case LessThan(a: Attribute, Literal(k: Int, IntegerType))
-        if a.semanticEquals(rn) => Some(k - 1)
+        // k > 0 also guards the k-1 overflow at Int.MinValue (an
+        // always-false filter must stay a filter, not become top-MaxValue)
+        if a.semanticEquals(rn) && k > 0 => Some(k - 1)
       case EqualTo(a: Attribute, Literal(1, IntegerType))
         if a.semanticEquals(rn) => Some(1)
       case EqualTo(Literal(1, IntegerType), a: Attribute)
@@ -110,22 +112,30 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(plist, Filter(cond, w: LWindow))
-        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty =>
-      w.windowExpressions.head match {
-        case a @ Alias(WindowExpression(_: RowNumber, _), _) =>
-          val rn = a.toAttribute
-          rankBound(cond, rn) match {
-            case Some(k) if k > 0 &&
-                !plist.exists(_.references.contains(rn)) =>
-              Project(plist, TopKPerKeyNode(w.partitionSpec, w.orderSpec, k,
-                stripGroupLimit(w.child, w, k)))
-            case _ => p
-          }
-        case _ => p
-      }
-  }
+  /** Opt-out: the heap operator holds ≤ k row copies per distinct key
+    * per partition on-heap without spill, vs the Window path's spillable
+    * ExternalSorter. `SET spark.graft.topk.rewrite=false` restores the
+    * window plan for extreme key-cardinality × k workloads. */
+  val RewriteFlag = "spark.graft.topk.rewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(RewriteFlag, "true") != "true") plan
+    else plan.transformUp {
+      case p @ Project(plist, Filter(cond, w: LWindow))
+          if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty =>
+        w.windowExpressions.head match {
+          case a @ Alias(WindowExpression(_: RowNumber, _), _) =>
+            val rn = a.toAttribute
+            rankBound(cond, rn) match {
+              case Some(k) if k > 0 &&
+                  !plist.exists(_.references.contains(rn)) =>
+                Project(plist, TopKPerKeyNode(w.partitionSpec, w.orderSpec, k,
+                  stripGroupLimit(w.child, w, k)))
+              case _ => p
+            }
+          case _ => p
+        }
+    }
 }
 
 object TopKStrategy extends SparkStrategy {

@@ -31,13 +31,17 @@ class FormatsSpec extends SparkSpecBase {
     assert(back.exceptAll(docsSorted).isEmpty && docsSorted.exceptAll(back).isEmpty)
   }
 
-  test("CSV round trip with quoting survives embedded delimiters") {
+  test("CSV round trip with quoting survives embedded delimiters and newlines") {
     val dir = Files.createTempDirectory("graft_csv").toString + "/docs"
-    // inject a delimiter and a quote into one text to exercise escaping
+    // inject a delimiter, a quote, and an embedded newline to exercise
+    // escaping; multiLine=true on the read side is what makes quoted
+    // newlines survive (the default reader splits records at \n)
     val tricky = docsSorted.withColumn("text",
-      when($"doc_id" === 0L, lit("a,b \"quoted\" c")).otherwise($"text"))
+      when($"doc_id" === 0L, lit("a,b \"quoted\" c\nsecond line"))
+        .otherwise($"text"))
     tricky.write.mode("overwrite").option("header", "true").csv(dir)
-    val back = spark.read.schema(docSchema).option("header", "true").csv(dir)
+    val back = spark.read.schema(docSchema)
+      .option("header", "true").option("multiLine", "true").csv(dir)
     assert(back.count() == tricky.count())
     assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
   }
