@@ -167,5 +167,9 @@ class StreamingSpec extends SparkSpecBase {
     val sameId = EventStreams.activeSnapshot(spark, snap)
       .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
     assert(sameId == expected)
+    // superseded generations are reaped: at most current + predecessor
+    val gens = new java.io.File(snap).listFiles()
+      .map(_.getName).filter(_.startsWith("gen_"))
+    assert(gens.length <= 2, s"generation dirs not bounded: ${gens.mkString(",")}")
   }
 }
