@@ -36,7 +36,8 @@ object Bench {
     // broadcast join, a window, a streaming-shaped event agg, a scalar pack.
     val headline = Seq("q1_agg", "ns_dedup_exact", "ns_dedup_jaccard",
       "ns_dedup_minhash", "ns_dedup_simhash", "ns_similarity_topk",
-      "ns_similarity_lsh", "ns_cosine_dup_pairs", "join_broadcast_star",
+      "ns_similarity_lsh", "ns_cosine_dup_pairs", "ns_cosine_dup_pairs_banded",
+      "join_broadcast_star",
       "w_row_number_topk", "w_topk_heap", "t_tumbling_window",
       "f13_url_pipeline")
     val head = headline.flatMap(h => results.get(h).map(h -> _))

@@ -118,6 +118,21 @@ object MlPack extends QueryPack {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // The BANDED 100 TB dedup path scored at a realistic dedup threshold
+    // (τ=0.85). The raw test embeddings max out at pairwise cosine ~0.51,
+    // so the corpus is augmented with deterministic zero-prefix twins
+    // (cos ≈ 0.87 ± spread — the τ=0.85 cut keeps ~2/3 of twin pairs and
+    // rejects the rest, so the threshold genuinely bites). 256 bands × 12
+    // bits: recall per qualifying pair ≥ 1-(1-p(0.85)^12)^256 ≈ 1-5e-12,
+    // random-pair candidate rate ~6%, verification exact → output equals
+    // the brute-force oracle.
+    "ns_cosine_dup_pairs_banded" -> ((s, d) => {
+      Similarity.cosineDupPairsBanded(
+          Similarity.withNoisyTwins(Tables.embeddings(s, d)), 0.85,
+          nBands = 256, rowsPerBand = 12)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // Per-label embedding norm stats.
     "ns_embedding_norms" -> ((s, d) => {
       Similarity.normStats(Tables.embeddings(s, d))
@@ -335,6 +350,21 @@ object MlPack extends QueryPack {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Same brute-force pair oracle over the twin-augmented corpus at the
+    // realistic dedup threshold; valid for the banded path because banding
+    // recall is ~1-5e-12 per qualifying pair and verification is exact.
+    "ns_cosine_dup_pairs_banded" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |aug AS (SELECT vec_id, v FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |    list_concat([${List.fill(16)("0.0").mkString(",")}], v[17:64]) FROM e)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.85
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     // Full replay of the LSH top-k pipeline: sketch from embedded ±1 plane
     // literals, 11 multiprobe buckets (identity + 10 single-bit flips),

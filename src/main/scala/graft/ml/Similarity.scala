@@ -199,6 +199,22 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Deterministic near-dup twin corpus: each vector gains a copy (id +
+    * `idOffset`) with its first `zeroPrefix` components zeroed. cos(v,
+    * twin) = sqrt(1 - prefixNorm²/‖v‖²) — ~0.87 at zeroPrefix=16 on
+    * unit-ish 64-dim data, varying per vector, so a τ=0.85 cut is
+    * genuinely selective. Pure copy/zero (no float arithmetic), so the
+    * construction is bit-identical in any engine — it exists to give the
+    * banded dedup path a scored, non-empty, non-trivial pair set on test
+    * data whose natural max pairwise cosine is only ~0.51. */
+  def withNoisyTwins(emb: DataFrame, zeroPrefix: Int = 16, dim: Int = 64,
+      idOffset: Long = 1000000L): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+    e.unionAll(e.select((col("vec_id") + lit(idOffset)).as("vec_id"),
+      concat(array_repeat(lit(0.0), zeroPrefix),
+        slice(col("embedding"), zeroPrefix + 1, dim - zeroPrefix)).as("embedding")))
+  }
+
   /** Per-label embedding stats: exact norms via HOF aggregate. */
   def normStats(emb: DataFrame): DataFrame =
     emb.select(col("label"),

@@ -46,6 +46,18 @@ object Windows extends QueryPack {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // GLOBAL top-k via the heap ladder's empty-key form: partials keep
+    // ≤ k rows per map partition, one single-partition final heap over
+    // ≤ k·partitions candidates — never a full shuffle or global sort.
+    // (The row_number()-over-empty-window spelling of the same query is
+    // auto-rewritten to TakeOrderedAndProject; see WindowTopKRewrite.)
+    "w_topk_global" -> ((s, d) => {
+      graft.plans.TopK.global(Tables.orders(s, d),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), 10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // rank / dense_rank with real ties (priority has few distinct values).
     "w_rank_dense" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
@@ -140,6 +152,10 @@ object Windows extends QueryPack {
         |  FROM orders) t
         |WHERE rn <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "w_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "w_rank_dense" ->
       """SELECT o_orderpriority, rk, drk, o_orderkey, o_totalprice FROM (

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrd
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom plan: bounded-heap top-k per key.
@@ -54,8 +54,13 @@ object TopKFilterPushdown extends Rule[LogicalPlan] {
     // `a % 10`, a predicate on `a` references only key inputs yet can
     // split a key group (a=5 vs a=15 share a group), changing which rows
     // win the top k.
+    // Deterministic only: a predicate like rand() < 0.5 has an EMPTY
+    // reference set (trivially a subset of the keys) yet sampling input
+    // rows before selection changes which rows win the top k — same
+    // reason Spark's PushPredicateThroughNonJoin gates on deterministic.
     case f @ Filter(cond, t: TopKPerKeyNode)
-        if t.keys.forall(_.isInstanceOf[Attribute]) &&
+        if cond.deterministic &&
+          t.keys.forall(_.isInstanceOf[Attribute]) &&
           cond.references.subsetOf(
             org.apache.spark.sql.catalyst.expressions.AttributeSet(t.keys)) =>
       t.copy(child = Filter(cond, t.child))
@@ -73,14 +78,18 @@ object TopKFilterPushdown extends Rule[LogicalPlan] {
   * set without the per-group sort or the full-row shuffle. Fires only
   * when: exactly ONE window expression (the Window node can be dropped
   * whole), it is row_number (rank/dense_rank admit ties beyond k),
-  * the predicate is a bare `<= literal` / `< literal` / `= 1`, the
-  * partition spec is non-empty (global top-k would need a different
-  * distribution), and no projected expression references the rank.
-  * Queries that keep the rank in their output (w_row_number_topk) are
-  * untouched.
+  * the predicate is a bare `<= literal` / `< literal` / `= 1`, and no
+  * projected expression references the rank. An EMPTY partition spec
+  * (global top-k) is rewritten too — to Spark's canonical
+  * `Limit(k, Sort(ord))`, which plans as TakeOrderedAndProject (bounded
+  * per-partition priority queues, single-partition merge). Spark 4's own
+  * optimizer already inserts that Limit+Sort UNDER the window but leaves
+  * the Window + rank Filter running on top; the rewrite strips that
+  * leftover machinery. Queries that keep the rank in their output
+  * (w_row_number_topk) are untouched.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Limit, LocalLimit, Project, Sort, Window => LWindow}
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.types.IntegerType
 
@@ -112,25 +121,43 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** Opt-out: the heap operator holds ≤ k row copies per distinct key
-    * per partition on-heap without spill, vs the Window path's spillable
+  /** Empty-partition analog of [[stripGroupLimit]]: for a global window
+    * Spark inserts `GlobalLimit(k, LocalLimit(k, Sort(ord)))` under it —
+    * strip a matching stack so the rewrite's own Limit+Sort replaces it
+    * rather than stacking on top. */
+  private def stripLimitSort(child: LogicalPlan, w: LWindow,
+      k: Int): LogicalPlan = child match {
+    case GlobalLimit(IntegerLiteral(l), LocalLimit(_, Sort(so, true, grand, _)))
+        if l >= k && so == w.orderSpec => grand
+    case other => stripGroupLimit(other, w, k)
+  }
+
+  /** Opt-out: the heap operator holds ≤ k row copies per key on-heap,
+    * bounded at [[TopK.MaxPartialKeysFlag]] distinct keys map-side
+    * (overflow emits-and-resets), vs the Window path's spillable
     * ExternalSorter. `SET spark.graft.topk.rewrite=false` restores the
-    * window plan for extreme key-cardinality × k workloads. */
+    * window plan for workloads where even k·maxPartialKeys rows/partition
+    * is too much. */
   val RewriteFlag = "spark.graft.topk.rewrite"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(RewriteFlag, "true") != "true") plan
     else plan.transformUp {
       case p @ Project(plist, Filter(cond, w: LWindow))
-          if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty =>
+          if w.windowExpressions.size == 1 =>
         w.windowExpressions.head match {
           case a @ Alias(WindowExpression(_: RowNumber, _), _) =>
             val rn = a.toAttribute
             rankBound(cond, rn) match {
               case Some(k) if k > 0 &&
                   !plist.exists(_.references.contains(rn)) =>
-                Project(plist, TopKPerKeyNode(w.partitionSpec, w.orderSpec, k,
-                  stripGroupLimit(w.child, w, k)))
+                if (w.partitionSpec.nonEmpty)
+                  Project(plist, TopKPerKeyNode(w.partitionSpec, w.orderSpec, k,
+                    stripGroupLimit(w.child, w, k)))
+                else
+                  Project(plist, Limit(Literal(k),
+                    Sort(w.orderSpec, global = true,
+                      stripLimitSort(w.child, w, k))))
               case _ => p
             }
           case _ => p
@@ -156,6 +183,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    // empty keys = global top-k: all partial survivors (≤ k per map
+    // partition) meet at a single reducer
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -163,41 +193,91 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    // Memory safety: the map-side pass would otherwise hold ≤ k row
+    // copies for EVERY distinct key in the partition with no spill — an
+    // OOM at o_custkey-like cardinality. Top-k is a semigroup, so the
+    // partial exec may flush its state early at any point (the final
+    // stage re-reduces) — exactly Spark's hash-agg partial fallback.
+    // Cap applies only to the partial side: the final side must hold one
+    // complete heap per key it owns, but receives ≤ k·partitions rows
+    // per key, and relies on the shuffle having spread keys.
+    val maxKeys =
+      if (partial) conf.getConfString(TopK.MaxPartialKeysFlag, "65536").toInt
+      else Int.MaxValue
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd row comparator for the requested sort order; heap head
       // is the WEAKEST of the current top k (reverse ordering)
       val rowOrd: Ordering[InternalRow] =
         GenerateOrdering.generate(sortOrder, childOutput)
-      val heaps = new java.util.HashMap[UnsafeRow,
-        java.util.PriorityQueue[InternalRow]]()
-      while (rows.hasNext) {
-        val row = rows.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
+      // Streams output in chunks: ingest rows until the key map would
+      // exceed maxKeys, emit-and-reset, continue. No global barrier —
+      // chunks of the SAME key re-merge at the final exec.
+      new Iterator[InternalRow] {
+        private var heaps = new java.util.HashMap[UnsafeRow,
+          java.util.PriorityQueue[InternalRow]]()
+        private var drain: java.util.Iterator[
+          java.util.PriorityQueue[InternalRow]] =
+          java.util.Collections.emptyIterator()
+        private var cur: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        private var inputDone = false
+
+        private def newHeap(): java.util.PriorityQueue[InternalRow] =
           // small initial capacity: PriorityQueue allocates its backing
           // array eagerly, and limit can be huge while groups are tiny —
           // it grows on demand either way
-          heap = new java.util.PriorityQueue[InternalRow](
+          new java.util.PriorityQueue[InternalRow](
             math.min(limit, 16) + 1, rowOrd.reverse)
-          heaps.put(key.copy(), heap)
+
+        private def offer(heap: java.util.PriorityQueue[InternalRow],
+            row: InternalRow): Unit =
+          if (heap.size < limit) heap.add(row.copy())
+          else if (rowOrd.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+
+        /** Consume input until either a flush is pending or input ends;
+          * leaves `drain` pointing at the state to emit. */
+        private def ingest(): Unit = {
+          while (rows.hasNext) {
+            val row = rows.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (heaps.size() >= maxKeys) {
+                // overflow: hand the full map to the drain, restart with
+                // a fresh map seeded by this row
+                drain = heaps.values().iterator()
+                heaps = new java.util.HashMap()
+                heap = newHeap()
+                heaps.put(key.copy(), heap)
+                offer(heap, row)
+                return
+              }
+              heap = newHeap()
+              heaps.put(key.copy(), heap)
+            }
+            offer(heap, row)
+          }
+          inputDone = true
+          drain = heaps.values().iterator()
+          heaps = new java.util.HashMap() // release for GC while draining
         }
-        if (heap.size < limit) heap.add(row.copy())
-        else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
-      val it = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var cur: java.util.Iterator[InternalRow] =
-          java.util.Collections.emptyIterator()
+
         override def hasNext: Boolean = {
-          while (!cur.hasNext && it.hasNext) cur = it.next().iterator()
-          cur.hasNext
+          while (!cur.hasNext) {
+            if (drain.hasNext) cur = drain.next().iterator()
+            else if (inputDone) return false
+            else ingest()
+          }
+          true
         }
-        override def next(): InternalRow = cur.next()
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          cur.next()
+        }
       }
     }, preservesPartitioning = true)
   }
@@ -207,6 +287,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 object TopK {
+
+  /** Hard ceiling on distinct keys held by one PARTIAL exec's heap map;
+    * on overflow the map is emitted and reset (correct by the semigroup
+    * law — the final stage re-reduces duplicated keys). Bounds map-side
+    * memory at ≤ k·maxPartialKeys row copies regardless of key
+    * cardinality. */
+  val MaxPartialKeysFlag = "spark.graft.topk.maxPartialKeys"
 
   /** Make the custom strategy + pushdown rule available on a live session
     * (idempotent); `GraftExtensions` injects the same pair at build time. */
@@ -243,4 +330,11 @@ object TopK {
     GraftBridge.ofRows(spark,
       TopKPerKeyNode(keys, sortOrder, k, GraftBridge.plan(df)))
   }
+
+  /** GLOBAL top-k (no grouping): partials keep ≤ k rows per map
+    * partition, the final heap runs on a single reducer over ≤
+    * k·partitions candidate rows — never the full input, unlike a
+    * global-window row_number plan. */
+  def global(df: DataFrame, order: Seq[(String, Boolean)],
+      k: Int): DataFrame = perKey(df, Nil, order, k)
 }

@@ -95,5 +95,65 @@ class TopKSpec extends SparkSpecBase {
     val optV = valF.queryExecution.optimizedPlan.toString
     assert(optV.indexOf("Filter") < optV.indexOf("TopKPerKey"),
       s"value filter wrongly pushed:\n$optV")
+    // a NONDETERMINISTIC key-referencing filter must also stay above:
+    // sampling input rows before selection changes which rows win
+    val ndF = base.filter(rand(7) < lit(2.0)) // always true, but nondeterministic
+    val optN = ndF.queryExecution.optimizedPlan.toString
+    assert(optN.indexOf("Filter") < optN.indexOf("TopKPerKey"),
+      s"nondeterministic filter wrongly pushed:\n$optN")
+  }
+
+  test("partial heap map caps at maxPartialKeys and stays correct via emit-and-reset") {
+    // ~1e6 distinct keys, 3 rows each, under a 1000-key map cap: the
+    // partial exec must flush ~1000× per partition and the final stage
+    // must re-reduce the duplicated keys to the exact per-key top 2
+    val n = 1000000L
+    val rows = spark.range(3 * n).select(
+      (col("id") % n).as("key"),
+      // values laid out so each key's top-2 by value desc is the
+      // occurrences at id∈[n,3n) (values key+n, key+2n), never id∈[0,n)
+      col("id").as("value"))
+    spark.conf.set(TopK.MaxPartialKeysFlag, "1000")
+    try {
+      val got = TopK.perKey(rows, Seq("key"), Seq("value" -> false), 2)
+      assert(got.count() == 2 * n)
+      // spot-check exact membership: every key keeps values {key+n, key+2n}
+      val bad = got.groupBy($"key")
+        .agg(sum($"value").as("s"), count(lit(1)).as("c"))
+        .filter($"c" =!= 2 || $"s" =!= $"key" * 2 + 3 * n)
+        .count()
+      assert(bad == 0, s"$bad keys with wrong top-2 membership under flush")
+    } finally spark.conf.unset(TopK.MaxPartialKeysFlag)
+  }
+
+  test("global top-k (empty keys): rewrite fires, final runs single-partition") {
+    TopK.ensurePlanning(spark)
+    val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey")
+    val pattern = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"o_orderkey", $"o_totalprice")
+    // rewritten to Spark's canonical Limit(Sort) → TakeOrderedAndProject,
+    // with the leftover Window + rank-Filter machinery stripped
+    val exec = pattern.queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject(limit=5"),
+      s"global top-k not planned as TakeOrderedAndProject:\n${exec.take(900)}")
+    assert(!exec.contains("Window ["),
+      s"window machinery survived the global rewrite:\n${exec.take(900)}")
+    val expected = Tables.orders(spark, sf0001)
+      .orderBy($"o_totalprice".desc, $"o_orderkey").limit(5)
+      .select($"o_orderkey", $"o_totalprice")
+      .as[(Long, Double)].collect().toSet
+    assert(pattern.as[(Long, Double)].collect().toSet == expected)
+    // direct API spelling takes the heap ladder: partials keep ≤ k rows
+    // per map partition, the final heap runs after a single-partition
+    // exchange over ≤ k·partitions candidates
+    val api = TopK.global(Tables.orders(spark, sf0001),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 5)
+      .select($"o_orderkey", $"o_totalprice")
+    val apiExec = api.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(apiExec).size == 2 &&
+      apiExec.contains("Exchange SinglePartition"),
+      s"API global top-k not a partial/final heap pair:\n${apiExec.take(900)}")
+    assert(api.as[(Long, Double)].collect().toSet == expected)
   }
 }
