@@ -131,6 +131,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == before)
   }
 
+  test("doc ledger: pruned prefix reads, bounded file count, replay-safe writes") {
+    import org.apache.hadoop.fs.Path
+    val ledger = Files.createTempDirectory("graft_docs_ledger2").toString + "/l"
+    val out = Files.createTempDirectory("graft_docs_out2").toString + "/o"
+    val docs = Tables.documents(spark, sf0001)
+    val sink = DocStreams.dedupIngestSink(spark, ledger, out, compactEvery = 3) _
+    val fs = new Path(ledger).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ledgerFiles(): Int = {
+      val it = fs.listFiles(new Path(ledger), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    // 9 batches = 3 compaction cycles; file count must RETURN to ≤ one
+    // file per touched prefix after every compaction instead of growing
+    // one file set per batch forever
+    var postCompact = List.empty[Int]
+    (1L to 9L).foreach { b =>
+      sink(docs.filter($"doc_id" % 9 === (b - 1)), b)
+      if (b % 3 == 0) postCompact ::= ledgerFiles()
+    }
+    val prefixes = spark.read.parquet(out).select(substring(md5($"text"), 1, 2))
+      .distinct().count()
+    postCompact.foreach(n => assert(n <= prefixes,
+      s"compaction left $n ledger files for $prefixes prefixes"))
+    // exactly one live generation after compaction
+    assert(fs.listStatus(new Path(ledger))
+      .count(_.getPath.getName.startsWith("gen_")) == 1)
+    // the anti-join's ledger read prunes on prefix partitions
+    val pruned = DocStreams.ledgerFingerprints(spark, ledger)
+      .filter($"pfx".isin("00", "a1"))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pfx".r.findFirstIn(scan).isDefined,
+      s"ledger read does not partition-prune on pfx:\n${scan.take(600)}")
+    // ledger holds exactly the admitted fingerprints
+    assert(DocStreams.ledgerFingerprints(spark, ledger).count() ==
+      spark.read.parquet(out).count())
+    // full-replay idempotence: rerunning a completed batch changes nothing
+    val n0 = spark.read.parquet(out).count()
+    sink(docs.filter($"doc_id" % 9 === 3), 4L)
+    assert(spark.read.parquet(out).count() == n0)
+    // crash-between-writes replay: data landed but the ledger append was
+    // lost; the rerun must OVERWRITE its own ingest_batch partition, not
+    // append duplicates
+    val gen = fs.listStatus(new Path(ledger))
+      .map(_.getPath.getName).find(_.startsWith("gen_")).get
+    fs.delete(new Path(s"$ledger/$gen"), true) // simulate lost ledger
+    sink(docs.filter($"doc_id" % 9 === 3), 4L)
+    assert(spark.read.parquet(out).count() == n0,
+      "replay after ledger loss duplicated corpus rows")
+  }
+
   test("upsert snapshot sink: streamed merge == batch latest-per-user") {
     val snap = Files.createTempDirectory("graft_snap").toString
     val ckpt = Files.createTempDirectory("graft_snap_ckpt").toString
