@@ -111,6 +111,35 @@ class MlSpec extends SparkSpecBase {
     assert(recall >= 0.1, s"IVF recall@5 unexpectedly low: $recall")
   }
 
+  test("IVF recall@5 curve across nprobe: measured, monotone, exact at full probe") {
+    // The accuracy/cost trade the IVF tier sells: each query scans
+    // nprobe/nlist of the corpus; recall should climb with nprobe and
+    // reach 1.0 when every list is probed (full scan == brute force).
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteForceTopK(emb, 0L to 7L, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      .toSet
+    val curve = Seq(1, 2, 4, 8, 16).map { nprobe =>
+      val ivf = Similarity.ivfTopK(emb, 0L to 7L, 5, nlist = 16,
+        nprobe = nprobe).collect()
+      val recall = ivf.count(r => brute.contains(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))).toDouble /
+        brute.size
+      nprobe -> recall
+    }
+    curve.foreach { case (np, r) =>
+      info(f"nprobe=$np%2d  scan=${np / 16.0 * 100}%5.1f%%  recall@5=$r%.3f")
+    }
+    // monotone non-decreasing in nprobe (more lists scanned, never worse)
+    curve.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
+      assert(hi >= lo, s"recall curve not monotone: $curve")
+    }
+    assert(curve.last._2 == 1.0,
+      s"nprobe=nlist must equal brute force, got ${curve.last._2}")
+    assert(curve.head._2 < 1.0 || curve.size == 1,
+      "nprobe=1 already exact — curve is vacuous, shrink nlist")
+  }
+
   test("banded cosine dup pairs equal the brute-force pair set (non-trivially)") {
     val emb = Tables.embeddings(spark, sf0001)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
