@@ -122,14 +122,18 @@ object MlPack extends QueryPack {
     // (τ=0.85). The raw test embeddings max out at pairwise cosine ~0.51,
     // so the corpus is augmented with deterministic zero-prefix twins
     // (cos ≈ 0.87 ± spread — the τ=0.85 cut keeps ~2/3 of twin pairs and
-    // rejects the rest, so the threshold genuinely bites). 256 bands × 12
-    // bits: recall per qualifying pair ≥ 1-(1-p(0.85)^12)^256 ≈ 1-5e-12,
-    // random-pair candidate rate ~6%, verification exact → output equals
-    // the brute-force oracle.
+    // rejects the rest, so the threshold genuinely bites). 128 bands × 10
+    // bits: recall per qualifying pair ≥ 1-(1-p(0.85)^10)^128 ≈ 1-2.5e-9
+    // (equality with the brute-force oracle verified at sf0.001/0.01/0.1
+    // against the fixed plane set, so the result is deterministic, not
+    // probabilistic), random-pair candidate rate ~12%, verification
+    // exact. Sketch cost is the dominant term at this corpus size —
+    // 1280 plane dots/vector here vs 3072 for the 256×12 alternative
+    // with its ~1e-11 miss bound.
     "ns_cosine_dup_pairs_banded" -> ((s, d) => {
       Similarity.cosineDupPairsBanded(
           Similarity.withNoisyTwins(Tables.embeddings(s, d)), 0.85,
-          nBands = 256, rowsPerBand = 12)
+          nBands = 128, rowsPerBand = 10)
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 

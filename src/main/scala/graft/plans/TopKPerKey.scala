@@ -198,9 +198,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     // OOM at o_custkey-like cardinality. Top-k is a semigroup, so the
     // partial exec may flush its state early at any point (the final
     // stage re-reduces) — exactly Spark's hash-agg partial fallback.
-    // Cap applies only to the partial side: the final side must hold one
-    // complete heap per key it owns, but receives ≤ k·partitions rows
-    // per key, and relies on the shuffle having spread keys.
+    // Two flush triggers, partial side only (the final side must hold
+    // one complete heap per key it owns, receives ≤ k·partitions rows
+    // per key, and relies on the shuffle having spread keys):
+    //  - a hard distinct-key cap (backstop, configurable), and
+    //  - EXECUTION-MEMORY PRESSURE: heap-state bytes are acquired from
+    //    the TaskMemoryManager as they grow, so this operator competes
+    //    fairly with spillable operators in the same task; a denied
+    //    acquisition flushes instead of overcommitting the heap.
     val maxKeys =
       if (partial) conf.getConfString(TopK.MaxPartialKeysFlag, "65536").toInt
       else Int.MaxValue
@@ -210,10 +215,27 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // is the WEAKEST of the current top k (reverse ordering)
       val rowOrd: Ordering[InternalRow] =
         GenerateOrdering.generate(sortOrder, childOutput)
+      val taskCtx = org.apache.spark.TaskContext.get()
+      val tmm =
+        if (taskCtx == null) null
+        else org.apache.spark.sql.GraftBridge.taskMemoryManager(taskCtx)
+      val consumer =
+        if (maxKeys != Int.MaxValue && tmm != null)
+          new org.apache.spark.memory.MemoryConsumer(
+              tmm, tmm.pageSizeBytes(),
+              org.apache.spark.memory.MemoryMode.ON_HEAP) {
+            // state is on-heap java objects released only at flush
+            // boundaries; a forced spill request can reclaim nothing
+            // here — pressure is answered at the next acquisition
+            override def spill(size: Long,
+                trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+          }
+        else null
       // Streams output in chunks: ingest rows until the key map would
-      // exceed maxKeys, emit-and-reset, continue. No global barrier —
-      // chunks of the SAME key re-merge at the final exec.
-      new Iterator[InternalRow] {
+      // exceed maxKeys (or memory is denied), emit-and-reset, continue.
+      // No global barrier — chunks of the SAME key re-merge at the
+      // final exec.
+      class ChunkedTopKIterator extends Iterator[InternalRow] {
         private var heaps = new java.util.HashMap[UnsafeRow,
           java.util.PriorityQueue[InternalRow]]()
         private var drain: java.util.Iterator[
@@ -222,6 +244,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         private var cur: java.util.Iterator[InternalRow] =
           java.util.Collections.emptyIterator()
         private var inputDone = false
+        // bytes granted by the memory manager / our live-state estimate
+        private[plans] var reserved = 0L
+        private var usedBytes = 0L
+        private val Chunk = 4L << 20
+
+        private def rowSize(row: InternalRow): Long = (row match {
+          case u: UnsafeRow => u.getSizeInBytes.toLong
+          case _ => 64L
+        }) + 32L // object header + PriorityQueue slot
 
         private def newHeap(): java.util.PriorityQueue[InternalRow] =
           // small initial capacity: PriorityQueue allocates its backing
@@ -230,13 +261,38 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           new java.util.PriorityQueue[InternalRow](
             math.min(limit, 16) + 1, rowOrd.reverse)
 
-        private def offer(heap: java.util.PriorityQueue[InternalRow],
-            row: InternalRow): Unit =
-          if (heap.size < limit) heap.add(row.copy())
-          else if (rowOrd.compare(row, heap.peek()) < 0) {
-            heap.poll()
-            heap.add(row.copy())
+        /** Reserve `need` more bytes of execution memory (chunked);
+          * false = denied, caller must flush. Always true when no task
+          * memory manager is in scope (final exec, driver-local). */
+        private def ensure(need: Long): Boolean = {
+          if (consumer == null) return true
+          if (usedBytes + need <= reserved) return true
+          reserved += consumer.acquireMemory(
+            math.max(Chunk, usedBytes + need - reserved))
+          usedBytes + need <= reserved
+        }
+
+        private[plans] def release(): Unit = {
+          usedBytes = 0
+          if (consumer != null && reserved > 0) {
+            consumer.freeMemory(reserved)
+            reserved = 0
           }
+        }
+
+        /** Emit-and-reset, seeding the fresh map with the row that
+          * triggered the flush — unconditional, so progress is
+          * guaranteed even under total memory denial (degrades to
+          * chunk-per-row, still correct by the semigroup law). */
+        private def flushAndSeed(key: UnsafeRow, row: InternalRow): Unit = {
+          drain = heaps.values().iterator()
+          heaps = new java.util.HashMap()
+          release()
+          val h = newHeap()
+          heaps.put(key.copy(), h)
+          h.add(row.copy())
+          usedBytes += rowSize(key) + rowSize(row)
+        }
 
         /** Consume input until either a flush is pending or input ends;
           * leaves `drain` pointing at the state to emit. */
@@ -244,26 +300,31 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           while (rows.hasNext) {
             val row = rows.next()
             val key = keyProj(row)
-            var heap = heaps.get(key)
+            val heap = heaps.get(key)
             if (heap == null) {
-              if (heaps.size() >= maxKeys) {
-                // overflow: hand the full map to the drain, restart with
-                // a fresh map seeded by this row
-                drain = heaps.values().iterator()
-                heaps = new java.util.HashMap()
-                heap = newHeap()
-                heaps.put(key.copy(), heap)
-                offer(heap, row)
+              val need = rowSize(key) + rowSize(row)
+              if (heaps.size() >= maxKeys || !ensure(need)) {
+                flushAndSeed(key, row)
                 return
               }
-              heap = newHeap()
-              heaps.put(key.copy(), heap)
+              val h = newHeap()
+              heaps.put(key.copy(), h)
+              h.add(row.copy())
+              usedBytes += need
+            } else if (heap.size < limit) {
+              val need = rowSize(row)
+              if (!ensure(need)) { flushAndSeed(key, row); return }
+              heap.add(row.copy())
+              usedBytes += need
+            } else if (rowOrd.compare(row, heap.peek()) < 0) {
+              heap.poll() // replacement: ~net-zero state bytes
+              heap.add(row.copy())
             }
-            offer(heap, row)
           }
           inputDone = true
           drain = heaps.values().iterator()
           heaps = new java.util.HashMap() // release for GC while draining
+          release()
         }
 
         override def hasNext: Boolean = {
@@ -279,6 +340,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           cur.next()
         }
       }
+      val iter = new ChunkedTopKIterator
+      // a task killed/limited mid-stream must not strand the reservation
+      if (taskCtx != null)
+        taskCtx.addTaskCompletionListener[Unit](_ => iter.release())
+      iter
     }, preservesPartitioning = true)
   }
 
@@ -292,7 +358,10 @@ object TopK {
     * on overflow the map is emitted and reset (correct by the semigroup
     * law — the final stage re-reduces duplicated keys). Bounds map-side
     * memory at ≤ k·maxPartialKeys row copies regardless of key
-    * cardinality. */
+    * cardinality. This is the BACKSTOP: the partial exec also registers
+    * a MemoryConsumer with the TaskMemoryManager and flushes whenever an
+    * execution-memory acquisition is denied, so under real pressure the
+    * effective bound is the task's fair memory share, not this count. */
   val MaxPartialKeysFlag = "spark.graft.topk.maxPartialKeys"
 
   /** Make the custom strategy + pushdown rule available on a live session

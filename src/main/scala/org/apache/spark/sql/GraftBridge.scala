@@ -26,4 +26,11 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** `TaskContext.taskMemoryManager()` is `private[spark]`; custom
+    * physical operators need it to register a MemoryConsumer and
+    * participate in execution-memory accounting. */
+  def taskMemoryManager(ctx: org.apache.spark.TaskContext)
+      : org.apache.spark.memory.TaskMemoryManager =
+    ctx.taskMemoryManager()
 }

@@ -18,6 +18,9 @@ object SparkSpecBase {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // unreleased TaskMemoryManager reservations (e.g. from the top-k
+      // partial exec's MemoryConsumer) fail the task instead of warning
+      .config("spark.unsafe.exceptionOnMemoryLeak", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
