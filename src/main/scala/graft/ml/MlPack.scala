@@ -357,7 +357,9 @@ object MlPack extends QueryPack {
 
     // Same brute-force pair oracle over the twin-augmented corpus at the
     // realistic dedup threshold; valid for the banded path because banding
-    // recall is ~1-5e-12 per qualifying pair and verification is exact.
+    // recall at 128×10 is ~1-2.5e-9 per qualifying pair (and equality was
+    // verified at every SF against the fixed planes) and verification is
+    // exact.
     "ns_cosine_dup_pairs_banded" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |aug AS (SELECT vec_id, v FROM e

@@ -244,9 +244,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         private var cur: java.util.Iterator[InternalRow] =
           java.util.Collections.emptyIterator()
         private var inputDone = false
-        // bytes granted by the memory manager / our live-state estimate
+        // bytes granted by the memory manager / our live-state estimate;
+        // drainBytes keeps the reservation honest for a flushed chunk
+        // that is still being emitted (its rows are live until consumed)
         private[plans] var reserved = 0L
         private var usedBytes = 0L
+        private var drainBytes = 0L
         private val Chunk = 4L << 20
 
         private def rowSize(row: InternalRow): Long = (row match {
@@ -266,14 +269,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           * memory manager is in scope (final exec, driver-local). */
         private def ensure(need: Long): Boolean = {
           if (consumer == null) return true
-          if (usedBytes + need <= reserved) return true
+          if (usedBytes + drainBytes + need <= reserved) return true
           reserved += consumer.acquireMemory(
-            math.max(Chunk, usedBytes + need - reserved))
-          usedBytes + need <= reserved
+            math.max(Chunk, usedBytes + drainBytes + need - reserved))
+          usedBytes + drainBytes + need <= reserved
         }
 
         private[plans] def release(): Unit = {
           usedBytes = 0
+          drainBytes = 0
           if (consumer != null && reserved > 0) {
             consumer.freeMemory(reserved)
             reserved = 0
@@ -283,15 +287,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         /** Emit-and-reset, seeding the fresh map with the row that
           * triggered the flush — unconditional, so progress is
           * guaranteed even under total memory denial (degrades to
-          * chunk-per-row, still correct by the semigroup law). */
+          * chunk-per-row, still correct by the semigroup law). The old
+          * chunk's bytes move to `drainBytes` (NOT freed yet — its rows
+          * stay live until the drain is consumed); the reservation is
+          * recycled once the drain completes. */
         private def flushAndSeed(key: UnsafeRow, row: InternalRow): Unit = {
           drain = heaps.values().iterator()
           heaps = new java.util.HashMap()
-          release()
+          drainBytes = usedBytes
           val h = newHeap()
           heaps.put(key.copy(), h)
           h.add(row.copy())
-          usedBytes += rowSize(key) + rowSize(row)
+          usedBytes = rowSize(key) + rowSize(row)
         }
 
         /** Consume input until either a flush is pending or input ends;
@@ -324,14 +331,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           inputDone = true
           drain = heaps.values().iterator()
           heaps = new java.util.HashMap() // release for GC while draining
-          release()
+          drainBytes = usedBytes
+          usedBytes = 0
         }
 
         override def hasNext: Boolean = {
           while (!cur.hasNext) {
             if (drain.hasNext) cur = drain.next().iterator()
-            else if (inputDone) return false
-            else ingest()
+            else if (inputDone) { release(); return false }
+            else { drainBytes = 0; ingest() } // previous chunk fully emitted
           }
           true
         }

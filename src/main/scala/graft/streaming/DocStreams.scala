@@ -153,18 +153,24 @@ object DocStreams {
     // crash mid-compaction leaves CURRENT on the old (complete)
     // generation; the partial next-gen dir is deleted by the stray-gen
     // sweep of a later compaction.
+    val next = s"gen_c$batchId"
+    // `next != gen` guards the replay of a compaction batch whose pointer
+    // swap committed before the crash: CURRENT already names this batch's
+    // generation, and re-compacting would read and overwrite one path.
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
-        fs.exists(new Path(genPath))) {
-      val next = s"gen_c$batchId"
+        next != gen && fs.exists(new Path(genPath))) {
       spark.read.schema(LedgerSchema).parquet(genPath)
         .repartition(col("pfx")) // all rows of a pfx in one task → 1 file/pfx
         .sortWithinPartitions(col("fp"))
         .write.mode("overwrite").partitionBy("pfx")
         .parquet(s"$ledgerDir/$next")
       swapPtr(spark, fs, ledgerDir, next)
+      // keep the predecessor one cycle (readers that resolved the old
+      // generation finish their scan; same rollback margin as
+      // upsertSnapshotSink); older/stray gens are swept
       fs.listStatus(new Path(ledgerDir)).foreach { st =>
         val name = st.getPath.getName
-        if (name.startsWith("gen_") && name != next)
+        if (name.startsWith("gen_") && name != next && name != gen)
           fs.delete(st.getPath, true)
       }
     }
