@@ -175,6 +175,14 @@ object Similarity {
     * per pair while a random pair collides with probability b/2^r ≈ 0.2%,
     * so shuffles carry (band, bucket, id) triples and candidate sets stay
     * bucket-sized. Verification is exact, so precision is exact.
+    *
+    * SIZING LAW: candidate volume is Σ over (band, bucket) of
+    * C(bucket_size, 2) ≈ b·n²/2^(r+1) on uncorrelated data, so r must
+    * grow with log₂(n) to keep buckets O(1) and the join linear-ish —
+    * r and b are corpus-size knobs, not constants (r≈10 suits 10³–10⁴
+    * vectors; a 10⁹-vector corpus wants r≈26-30 with b scaled to hold
+    * the recall target per the formula above). Sketch cost b·r·dim per
+    * vector is the linear price paid to avoid the quadratic join.
     */
   def cosineDupPairsBanded(emb: DataFrame, threshold: Double,
       nBands: Int = 128, rowsPerBand: Int = 16, dim: Int = 64): DataFrame = {

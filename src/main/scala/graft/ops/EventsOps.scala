@@ -82,6 +82,23 @@ object EventsOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Stream-static enrichment: the event fact stream broadcast-joined
+    // to a customer→nation dimension, aggregated per nation. Batch form
+    // of EventStreams.enrichWithDim (StreamingSpec runs the same logic
+    // through an actual stream and asserts parity). The stream side
+    // never shuffles for the join — the dim broadcasts.
+    "t_stream_static_enrich" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      graft.streaming.EventStreams
+        .enrichWithDim(Tables.events(s, d), dim, "user_id", "c_custkey")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          moneyRound(sum(decMoney(col("value")))).as("total_value"))
+        .orderBy(col("n_name"))
+    }),
+
     // Event-time dedup: first event per (user, type) — T1/T2 exactly-once
     // upgrade of the reference's at-least-once ledger (app.js:438-455).
     "t_dedup_first" -> ((s, d) => {
@@ -154,6 +171,14 @@ object EventsOps extends QueryPack {
         |FROM bl FULL OUTER JOIN cl USING (user_id)
         |WHERE c_type IS NULL OR c_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+
+    "t_stream_static_enrich" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "t_dedup_first" ->
       """SELECT user_id, event_type, event_id,

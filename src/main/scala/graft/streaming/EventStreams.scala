@@ -89,6 +89,17 @@ object EventStreams {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-static enrichment join — the standard fact-stream ×
+    * dimension pattern: each micro-batch broadcast-joins the STATIC
+    * side (no streaming state, no watermark needed; Spark re-resolves
+    * the static relation per batch, so slowly-changing dim updates are
+    * picked up at the next micro-batch). At scale the dim stays under
+    * the broadcast threshold or becomes a bucketed table; the stream
+    * side never shuffles. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+
   /** Idempotent foreachBatch sink: overwrite-by-batch-id parquet dirs, so
     * a replayed micro-batch lands in the same place (effectively-once). */
   def idempotentParquetSink(out: String)(df: DataFrame, batchId: Long): Unit =

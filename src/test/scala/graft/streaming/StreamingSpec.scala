@@ -101,6 +101,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == batch, s"missing ${(batch -- got).size} of ${batch.size} pairs")
   }
 
+  test("stream-static enrichment join matches the batch dimension join") {
+    val dim = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val streamed = runToParquet(
+      EventStreams.enrichWithDim(EventStreams.fromParquetDir(spark, stagedDir),
+          dim, "user_id", "c_custkey")
+        .select($"event_id", $"n_name"))
+    val batch = EventStreams.enrichWithDim(
+        Tables.events(spark, sf0001), dim, "user_id", "c_custkey")
+      .select($"event_id", $"n_name")
+      .as[(Long, String)].collect().toSet
+    val got = streamed.select($"event_id", $"n_name")
+      .as[(Long, String)].collect().toSet
+    assert(got.nonEmpty)
+    // stateless per-batch broadcast join: exact parity, nothing dropped
+    assert(got == batch,
+      s"missing ${(batch -- got).size}, fabricated ${(got -- batch).size}")
+  }
+
   test("idempotent sink: rewriting a batch id does not duplicate rows") {
     val out = Files.createTempDirectory("graft_sink").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
