@@ -137,6 +137,26 @@ object MlPack extends QueryPack {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Fuzzy near-identical prefix pairs (entity-resolution tier):
+    // SymSpell deletion-neighborhood candidates + exact levenshtein ≤ 2
+    // verify over 24-char document prefixes. The natural data has exact
+    // dups but almost no 1-2-edit neighbors at small SF, so the corpus
+    // is augmented with deterministic one-character typo twins (position
+    // 10 → 'x'), making every edit distance 0/1/2 band non-empty —
+    // recall is guaranteed by the deletion-neighborhood theorem, so
+    // output equals the brute-force oracle exactly.
+    "ns_fuzzy_prefix_pairs" -> ((s, d) => {
+      val pref = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+      val aug = pref.unionAll(pref.select(
+        (col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(substring(col("s"), 1, 9), lit("x"),
+          substring(col("s"), 11, 14)).as("s")))
+      Fuzzy.fuzzyPairs(aug, "doc_id", "s", maxEd = 2)
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Per-label embedding norm stats.
     "ns_embedding_norms" -> ((s, d) => {
       Similarity.normStats(Tables.embeddings(s, d))
@@ -371,6 +391,21 @@ object MlPack extends QueryPack {
          |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.85
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Brute-force pair oracle: valid because deletion-neighborhood
+    // candidate generation is recall-guaranteed (theorem, not
+    // probability) and verification is exact.
+    "ns_fuzzy_prefix_pairs" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
+        |aug AS (SELECT doc_id, s FROM p
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    substr(s, 1, 9) || 'x' || substr(s, 11, 14) FROM p)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist
+        |FROM aug a JOIN aug b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Full replay of the LSH top-k pipeline: sketch from embedded ±1 plane
     // literals, 11 multiprobe buckets (identity + 10 single-bit flips),

@@ -140,6 +140,40 @@ class MlSpec extends SparkSpecBase {
       "nprobe=1 already exact — curve is vacuous, shrink nlist")
   }
 
+  test("fuzzy pairs: deletion-neighborhood join equals brute-force levenshtein") {
+    // fixture spans every relation: exact dup (ed 0), substitution (1),
+    // insert+substitute (2), and a 3-edit pair that must be EXCLUDED
+    val rows = Seq(
+      (1L, "spark streaming"), (2L, "spark streaming"),  // ed 0
+      (3L, "spark streeming"),                           // ed 1 vs 1/2
+      (4L, "sparc streemingz!"),                         // ed 3 vs 3 — excluded
+      (5L, "flink batch"), (6L, "blink match"))          // ed 2 pair; far from others
+    val df = rows.toDF("id", "s")
+    val got = Fuzzy.fuzzyPairs(df, "id", "s", maxEd = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      d = {
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      }
+      if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"got $got expected $brute")
+    assert(got.exists(_._3 == 0) && got.exists(_._3 == 1) && got.exists(_._3 == 2))
+    assert(!got.exists(p => p._1 == 3L && p._2 == 4L)) // the 3-edit pair
+    // candidate generation is a signature equi-join — no cartesian product
+    val plan = Fuzzy.fuzzyPairs(df, "id", "s", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell back to all-pairs:\n${plan.take(600)}")
+  }
+
   test("banded cosine dup pairs equal the brute-force pair set (non-trivially)") {
     val emb = Tables.embeddings(spark, sf0001)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
