@@ -46,7 +46,10 @@ object Bench {
     // driver captures only the tail of stdout — round 1's single giant
     // line had its head (the total) truncated away.
     println(s"""{"metric":"queries","queries":${toJson(results)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(head)},"sf":"$sfDir"}""")
+    // n_queries: the total is a SUM over every registered query, so it
+    // grows as coverage grows — comparisons across rounds should be
+    // per-query or normalized by this count
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,7 +57,9 @@ object GraftExtensions {
     "hyperplane_sketch" -> { c =>
       HyperplaneSketch(c(0), intArg(c(1), "hyperplane_sketch", "nBits"),
         intArg(c(2), "hyperplane_sketch", "dim"))
-    })
+    },
+    "deletion_sigs" -> (c =>
+      DeletionSigs(c(0), intArg(c(1), "deletion_sigs", "maxEd"))))
 
   /** Register graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -213,3 +213,102 @@ object MinHashSig {
   def minhashSig(c: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
 }
+
+/** 64-bit signatures of every ≤ maxEd-deletion variant of a string — the
+  * SymSpell candidate-generation hot path ([[graft.ml.Fuzzy]]) as one
+  * codegen'd tight loop. The HOF spelling (nested transform + substr +
+  * explode + xxhash64) is interpreted per element and dominated the fuzzy
+  * query's runtime; this hashes each variant's bytes straight out of the
+  * source string through a reused scratch buffer, never materializing
+  * variant strings.
+  *
+  * Deletions are by CODE POINT, not byte (char offsets walked via UTF-8
+  * lead bytes): Levenshtein counts characters, so byte-level deletes
+  * would silently break the recall theorem on multi-byte text (one char
+  * substitution can change 4 bytes). Signature semantics: equal variant
+  * strings ⇒ equal hashes, so the deletion-neighborhood intersection
+  * survives hashing; cross-string collisions only add candidates that
+  * exact verification discards.
+  */
+case class DeletionSigs(child: Expression, maxEd: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if maxEd >= 1 && maxEd <= 2 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"deletion_sigs needs a string and maxEd in [1,2], got ${child.dataType}, maxEd=$maxEd")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeletionSigs.compute(input.asInstanceOf[UTF8String], maxEd)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DeletionSigs.compute($c, $maxEd)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeletionSigs =
+    copy(child = newChild)
+
+  override def prettyName: String = "deletion_sigs"
+}
+
+object DeletionSigs {
+
+  private def hashRange(buf: Array[Byte], len: Int): Long =
+    XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      len, 42L)
+
+  /** Static so generated code calls it directly. Emits hashes for: the
+    * string itself, every 1-char deletion, and (maxEd == 2) every
+    * unordered 2-char deletion — 1 + n + C(n,2) entries for n chars. */
+  def compute(s: UTF8String, maxEd: Int): ArrayData = {
+    val bytes = s.getBytes
+    val L = bytes.length
+    // char start offsets (code-point boundaries), offs(n) == L
+    var n = 0
+    var p = 0
+    while (p < L) { p += UTF8String.numBytesForFirstByte(bytes(p)); n += 1 }
+    val offs = new Array[Int](n + 1)
+    p = 0; var ci = 0
+    while (p < L) { offs(ci) = p; p += UTF8String.numBytesForFirstByte(bytes(p)); ci += 1 }
+    offs(n) = L
+    val total = 1 + n + (if (maxEd >= 2) n * (n - 1) / 2 else 0)
+    val out = new Array[Long](total)
+    val buf = new Array[Byte](L)
+    var idx = 0
+    out(idx) = hashRange(bytes, L); idx += 1
+    // delete char i: bytes [0, offs(i)) ++ [offs(i+1), L)
+    var i = 0
+    while (i < n) {
+      var w = 0
+      System.arraycopy(bytes, 0, buf, 0, offs(i)); w = offs(i)
+      val tail = L - offs(i + 1)
+      System.arraycopy(bytes, offs(i + 1), buf, w, tail); w += tail
+      out(idx) = hashRange(buf, w); idx += 1
+      i += 1
+    }
+    if (maxEd >= 2) {
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          // skip char spans i and j (i < j)
+          var w = offs(i)
+          System.arraycopy(bytes, 0, buf, 0, w)
+          val mid = offs(j) - offs(i + 1)
+          System.arraycopy(bytes, offs(i + 1), buf, w, mid); w += mid
+          val tail = L - offs(j + 1)
+          System.arraycopy(bytes, offs(j + 1), buf, w, tail); w += tail
+          out(idx) = hashRange(buf, w); idx += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  def sigs(c: Column, maxEd: Int): Column =
+    GraftBridge.column(DeletionSigs(GraftBridge.expression(c), maxEd))
+}

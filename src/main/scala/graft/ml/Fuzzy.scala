@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * signature self-join shuffles (signature, id) pairs only — a string of
   * length L yields ~C(L,d) short variants, linear work per row — and
   * strings are re-fetched just for the verified candidate ids. The
-  * quadratic all-pairs comparison never materializes. Everything is
-  * built-ins (sequence/transform HOFs + levenshtein), no UDFs.
+  * quadratic all-pairs comparison never materializes. Candidate
+  * signatures come from the codegen [[graft.functions.DeletionSigs]]
+  * expression (the interpreted HOF spelling [[deletionVariants]] is kept
+  * as its parity reference); verification is the built-in levenshtein.
   */
 object Fuzzy {
 
@@ -29,14 +31,31 @@ object Fuzzy {
     transform(sequence(lit(0), greatest(length(s) - 1, lit(0))),
       i => concat(substr(s, lit(1), i), substr(s, i + lit(2), length(s))))
 
+  /** Strings from deleting the (0-based) positions i < j in one pass —
+    * each index pair exactly once, so no quadratic per-row
+    * `array_distinct` is needed (different pairs CAN coincide on strings
+    * with repeated chars; the harmless duplicate signatures are absorbed
+    * by the candidate `.distinct()`). Guarded for length < 2: Spark's
+    * `sequence(0, -1)` counts DOWN, it is not empty. */
+  private def deleteTwoOrdered(s: Column): Column =
+    when(length(s) >= 2,
+      flatten(transform(sequence(lit(0), length(s) - 2),
+        i => transform(sequence(i + lit(1), length(s) - 1),
+          j => concat(
+            substr(s, lit(1), i),
+            substr(s, i + lit(2), j - i - lit(1)),
+            substr(s, j + lit(2), length(s)))))))
+      .otherwise(array().cast("array<string>"))
+
   /** Deletion neighborhood of `s` up to `maxEd` deletes (includes `s`
-    * itself), distinct. maxEd ≤ 2 keeps variant counts ~C(L,2). */
+    * itself). maxEd ≤ 2 keeps variant counts ~C(L,2). Reference spelling
+    * for [[graft.functions.DeletionSigs]] (MlSpec parity): xxhash64 over
+    * these variants equals the expression's signature array. */
   def deletionVariants(s: Column, maxEd: Int): Column = {
     require(maxEd >= 1 && maxEd <= 2, s"maxEd must be 1 or 2, got $maxEd")
-    val d1 = array_distinct(concat(array(s), deleteOne(s)))
-    if (maxEd == 1) d1
-    else array_distinct(flatten(transform(d1,
-      t => concat(array(t), deleteOne(t)))))
+    val d01 = concat(array(s), deleteOne(s))
+    if (maxEd == 1) d01
+    else concat(d01, deleteTwoOrdered(s))
   }
 
   /** All id pairs whose `strCol` values are within Levenshtein `maxEd`,
@@ -46,9 +65,15 @@ object Fuzzy {
       maxEd: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
     // persist: feeds the two-sided signature join and the verify lookups
-    // (same barrier rationale as Dedup.shingled / cosineDupPairsBanded)
+    // (same barrier rationale as Dedup.shingled / cosineDupPairsBanded).
+    // Signatures shuffle as 8-byte hashes, not variant strings — equal
+    // strings hash equal (recall intact); a cross-string collision only
+    // adds a candidate the exact verify discards. DeletionSigs is the
+    // codegen form of xxhash64 over [[deletionVariants]] (parity-tested);
+    // the interpreted HOF spelling dominated this query's runtime.
     val sigs = base
-      .withColumn("sig", explode(deletionVariants(col("s"), maxEd)))
+      .withColumn("sig",
+        explode(graft.functions.DeletionSigs.sigs(col("s"), maxEd)))
       .select(col("id"), col("sig"))
       .persist()
     sigs.count()

@@ -174,6 +174,28 @@ class MlSpec extends SparkSpecBase {
       s"fuzzy join fell back to all-pairs:\n${plan.take(600)}")
   }
 
+  test("DeletionSigs codegen expression == xxhash64 over HOF deletion variants") {
+    // includes multi-byte chars (code-point deletes, not byte deletes),
+    // repeated chars (duplicate variants), and degenerate lengths
+    val df = Seq((1L, "spark streaming"), (2L, "héllo wörld ✓"),
+      (3L, "aa"), (4L, "a"), (5L, "")).toDF("id", "s")
+    val expr = df.select($"id",
+        explode(graft.functions.DeletionSigs.sigs($"s", 2)).as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val hof = df.select($"id",
+        explode(Fuzzy.deletionVariants($"s", 2)).as("v"))
+      .select($"id", xxhash64($"v").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(expr == hof)
+    // count sanity: 1 + n + C(n,2) signatures for an n-char string
+    val n15 = df.filter($"id" === 1)
+      .select(size(graft.functions.DeletionSigs.sigs($"s", 2)))
+      .head().getInt(0)
+    assert(n15 == 1 + 15 + 15 * 14 / 2)
+  }
+
   test("banded cosine dup pairs equal the brute-force pair set (non-trivially)") {
     val emb = Tables.embeddings(spark, sf0001)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
