@@ -131,4 +131,37 @@ class ScaleSpec extends SparkSpecBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(shuffles <= 2, s"expected <=2 key shuffles, got $shuffles:\n${plan.take(1200)}")
   }
+
+  test("fuzzy-join signature exchanges carry hashed longs, never variant strings") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", substring($"text", 1, 24).as("s"))
+    // at test scale the sig table broadcasts and AQE hides exchanges
+    // behind the adaptive root; the claim under test is the SHUFFLE path
+    // a large corpus takes, so force it and plan non-adaptively
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      graft.ml.Fuzzy.fuzzyPairs(docs, "doc_id", "s", 2)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+    assert(exchanges.nonEmpty)
+    // any exchange keyed on the signature must ship (sig: long, id) rows
+    // only — the 100 TB property: candidate generation never shuffles
+    // the strings themselves
+    val sigExchanges = exchanges.filter(
+      _.outputPartitioning.toString.contains("sig"))
+    assert(sigExchanges.nonEmpty, "no signature-keyed exchange found")
+    sigExchanges.foreach { e =>
+      val tpes = e.child.output.map(_.dataType.simpleString).toSet
+      assert(!tpes.contains("string"),
+        s"signature exchange ships strings: ${e.child.output.map(a =>
+          s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
+    }
+    spark.catalog.clearCache() // fuzzyPairs persists its signature table
+  }
 }
