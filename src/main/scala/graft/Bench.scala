@@ -37,7 +37,8 @@ object Bench {
     val headline = Seq("q1_agg", "ns_dedup_exact", "ns_dedup_jaccard",
       "ns_dedup_minhash", "ns_dedup_simhash", "ns_similarity_topk",
       "ns_similarity_lsh", "ns_cosine_dup_pairs", "ns_cosine_dup_pairs_banded",
-      "ns_fuzzy_prefix_pairs", "join_broadcast_star",
+      "ns_fuzzy_prefix_pairs", "ns_dup_ngram_spans", "ns_lm_perplexity",
+      "join_broadcast_star",
       "w_row_number_topk", "w_topk_heap", "w_topk_global",
       "t_tumbling_window", "t_stream_static_enrich", "f13_url_pipeline")
     val head = headline.flatMap(h => results.get(h).map(h -> _))

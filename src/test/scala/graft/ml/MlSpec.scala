@@ -240,6 +240,54 @@ class MlSpec extends SparkSpecBase {
     assert(banded == exact)
   }
 
+  test("lm perplexity: hand-computed add-one bigram model on a 2-doc corpus") {
+    // tokens: doc0 = a b a b, doc1 = a b c → uni a:3 b:3 c:1, V=3
+    // bigrams: doc0 (a,b)x2 (b,a); doc1 (a,b) (b,c) → cb (a,b):3 others:1
+    // nlp(a,b) = -ln(4/6); nlp(b,a) = nlp(b,c) = -ln(2/6) = ln 3
+    val df = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(df).orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val nlpAb = -math.log(4.0 / 6.0)
+    val ln3 = math.log(3.0)
+    val avg0 = (2 * nlpAb + ln3) / 3
+    val avg1 = (nlpAb + ln3) / 2
+    assert(out.map(r => (r._1, r._2)) == Seq((0L, 3L), (1L, 2L)))
+    assert(math.abs(out(0)._3 - avg0) < 1e-6 && math.abs(out(0)._4 - math.exp(avg0)) < 1e-3)
+    assert(math.abs(out(1)._3 - avg1) < 1e-6 && math.abs(out(1)._4 - math.exp(avg1)) < 1e-3)
+  }
+
+  test("dup ngram spans: shared run coalesces into one island, unique docs report zero") {
+    // doc0/doc1 share the 5-token run "q w e r t" = three consecutive
+    // duplicated 3-grams; doc2 shares nothing.
+    val df = Seq(
+      (0L, "q w e r t y u"),
+      (1L, "z x q w e r t c v"),
+      (2L, "m n b v c x l")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramSpans(df, 3).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 5L, 3L, 3L, 5L), (1L, 7L, 3L, 3L, 5L), (2L, 5L, 0L, 0L, 0L)))
+  }
+
+  test("PosShingles codegen == transform HOF, positional and multiplicity-preserving") {
+    val base = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("toks")).persist()
+    base.count()
+    val hof = base.select(col("doc_id"), expr(
+      """CASE WHEN size(toks) >= 8
+        |  THEN transform(sequence(1, size(toks) - 7), i -> concat_ws(' ', slice(toks, i, 8)))
+        |  ELSE cast(array() as array<string>) END""".stripMargin).as("g"))
+    val cg = base.select(col("doc_id"),
+      graft.functions.PosShingles.posShingles(col("toks"), 8).as("g"))
+    assert(cg.exceptAll(hof).isEmpty && hof.exceptAll(cg).isEmpty)
+    // duplicated grams must be preserved (WordShingles would collapse them)
+    val rep = Seq((0L, Seq.fill(3)("x y").mkString(" "))).toDF("doc_id", "text")
+      .select(split(col("text"), " ").as("toks"))
+      .select(graft.functions.PosShingles.posShingles(col("toks"), 2).as("g"))
+      .as[Seq[String]].head
+    assert(rep == Seq("x y", "y x", "x y", "y x", "x y"))
+  }
+
   test("contamination flags the doc sharing an eval 8-gram, skips clean docs") {
     val run = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 tokens
     val df = Seq(
