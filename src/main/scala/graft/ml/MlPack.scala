@@ -169,6 +169,12 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Shannon character entropy — low-entropy filler detector.
+    "ns_char_entropy" -> ((s, d) => {
+      TextAnalysis.charEntropy(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-score features.
     "ns_text_quality" -> ((s, d) => {
       TextAnalysis.qualityFeatures(Tables.documents(s, d))
@@ -573,6 +579,29 @@ object MlPack extends QueryPack {
         |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT)
         |    AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same fixed-point contribution sum as ns_dsir_score: each char's
+    // -p·ln(p) is rounded to 6 decimals, then summed as round(x*1e6)
+    // BIGINTs — addition is associative in fixed point, so engine-side
+    // aggregation order cannot shift an ulp.
+    "ns_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |t AS (SELECT doc_id, c,
+        |    sum(c) OVER (PARTITION BY doc_id) AS n_chars,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_distinct_chars
+        |  FROM pc),
+        |co AS (SELECT doc_id, n_chars, n_distinct_chars,
+        |    round(-(CAST(c AS DOUBLE) / n_chars) *
+        |      ln(CAST(c AS DOUBLE) / n_chars), 6) AS contrib
+        |  FROM t)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+        |  round(CAST(sum(CAST(round(contrib * 1e6) AS BIGINT)) AS BIGINT)
+        |    / 1e6, 6) AS char_entropy
+        |FROM co GROUP BY doc_id, n_chars, n_distinct_chars
+        |ORDER BY doc_id""".stripMargin,
 
     "ns_text_quality" ->
       """WITH f AS (SELECT doc_id, text,

@@ -26,6 +26,39 @@ object TextAnalysis {
   private def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
+  /** Shannon character entropy per document — a classic low-quality-text
+    * signal (near-zero entropy = padded/repeated filler; natural prose sits
+    * around 4 bits ≈ 2.8 nats). One explode + two hash aggregates; at
+    * scale the (doc_id, ch) shuffle key keeps partial aggregation
+    * map-side-combinable, so shuffle volume is |docs|·|alphabet|, not
+    * |chars|. Per-char contributions are rounded to 6 decimals and summed
+    * in fixed point so addition order (Spark partition order vs DuckDB's)
+    * cannot shift an ulp — the same discipline as dsirScore.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    // Spark's split("") can emit boundary empties (Java regex); DuckDB's
+    // doesn't — filter them so both engines see the same char multiset
+    val chars = docs.select(col("doc_id"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+    // doc totals via an unordered window over the partial-agg output
+    // (the tfidf df trick): one shuffle on (doc_id, ch) for the combine,
+    // one on doc_id for window + final agg — no per-doc self-join
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val perChar = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_chars", sum(col("c")).over(byDoc))
+      .withColumn("n_distinct_chars", count(lit(1)).over(byDoc))
+    val p = col("c").cast("double") / col("n_chars")
+    perChar
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round(-p * log(p), 6).as("contrib"))
+      .groupBy(col("doc_id"), col("n_chars"), col("n_distinct_chars"))
+      .agg((sum(round(col("contrib") * 1e6, 0).cast("long")) / 1e6).as("ent"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        round(col("ent"), 6).as("char_entropy"))
+  }
+
   /** Token counts: whitespace tokens + regex (BPE-ish) tokens + distinct. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -99,6 +99,30 @@ object EventsOps extends QueryPack {
         .orderBy(col("n_name"))
     }),
 
+    // Batch form of EventStreams.purchaseClickLeftJoin — the interval
+    // left-outer join (every purchase, matched clicks from the preceding
+    // hour or a null click side). In streaming the null rows are
+    // watermark-deferred; in batch the same plan is a plain range-predicate
+    // outer join. At scale both sides shuffle once on user_id and the
+    // range predicate evaluates inside the join — no post-filter blowup.
+    "t_stream_left_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("ts").as("click_ts"))
+      purchases.join(clicks,
+          col("user_id") === col("click_user") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"), "left_outer")
+        .select(col("purchase_id"), col("user_id"),
+          tsStrUs(col("purchase_ts")).as("purchase_ts"),
+          col("click_id"), tsStrUs(col("click_ts")).as("click_ts"))
+        .orderBy(col("purchase_id"), coalesce(col("click_id"), lit(-1L)))
+    }),
+
     // Event-time dedup: first event per (user, type) — T1/T2 exactly-once
     // upgrade of the reference's at-least-once ledger (app.js:438-455).
     "t_dedup_first" -> ((s, d) => {
@@ -179,6 +203,20 @@ object EventsOps extends QueryPack {
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // Nullable click_id is kept out of the sort key via coalesce so both
+    // engines order null-padded rows identically (Spark sorts nulls
+    // first ASC, DuckDB last — -1 sidesteps the difference).
+    "t_stream_left_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, coalesce(click_id, -1)""".stripMargin,
 
     "t_dedup_first" ->
       """SELECT user_id, event_type, event_id,

@@ -89,6 +89,35 @@ object EventStreams {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: every purchase, matched to same-user
+    * clicks in the preceding hour, or emitted ONCE with a null click side.
+    * The outer row cannot be produced eagerly — Spark holds the purchase
+    * in state until the click-side watermark passes `purchase_ts` (the
+    * join condition bounds any future click to `click_ts <= purchase_ts`,
+    * so beyond that point no match can arrive) and only then emits the
+    * null-padded row. Purchases inside the final watermark horizon are
+    * therefore withheld at stream end — StreamingSpec asserts parity
+    * against the batch left join restricted to the emittable horizon.
+    * State stays bounded exactly as in [[purchaseClickJoin]]. */
+  def purchaseClickLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"), "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Stream-static enrichment join — the standard fact-stream ×
     * dimension pattern: each micro-batch broadcast-joins the STATIC
     * side (no streaming state, no watermark needed; Spark re-resolves

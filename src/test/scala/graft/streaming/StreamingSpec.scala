@@ -101,6 +101,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == batch, s"missing ${(batch -- got).size} of ${batch.size} pairs")
   }
 
+  test("stream-stream left-outer join emits matches plus watermark-expired unmatched rows") {
+    val streamed = runToParquet(
+      EventStreams.purchaseClickLeftJoin(EventStreams.fromParquetDir(spark, stagedDir)))
+    val e = Tables.events(spark, sf0001)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("click_user"), $"ts".as("click_ts"))
+    val batch = p.join(c,
+        $"user_id" === $"click_user" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+          $"click_ts" <= $"purchase_ts", "left_outer")
+      .select($"purchase_id", $"click_id", $"purchase_ts")
+    val gotPairs = streamed.filter($"click_id".isNotNull)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    val batchPairs = batch.filter($"click_id".isNotNull)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    // the matched half behaves exactly like the inner join: eager, complete
+    assert(gotPairs == batchPairs,
+      s"matched side: missing ${(batchPairs -- gotPairs).size}, " +
+        s"fabricated ${(gotPairs -- batchPairs).size}")
+    // a null row emits only when the click watermark passes purchase_ts
+    // (beyond it no in-watermark click can still match); the final
+    // watermark is max(click_ts) - 30 min, so unmatched purchases older
+    // than that horizon MUST have been emitted, and nothing else may be
+    val maxTs = e.filter($"event_type" === "click")
+      .agg(max($"ts")).collect().head.getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+    val gotNull = streamed.filter($"click_id".isNull)
+      .select($"purchase_id").as[Long].collect().toSet
+    val batchNull = batch.filter($"click_id".isNull)
+      .select($"purchase_id").as[Long].collect().toSet
+    val mustEmit = batch.filter($"click_id".isNull && $"purchase_ts" < horizon)
+      .select($"purchase_id").as[Long].collect().toSet
+    assert(gotNull.subsetOf(batchNull), "fabricated unmatched purchases")
+    assert(mustEmit.subsetOf(gotNull),
+      s"withheld ${(mustEmit -- gotNull).size} expired unmatched purchases")
+    assert(mustEmit.nonEmpty, "horizon left no expired unmatched purchases to check")
+  }
+
   test("stream-static enrichment join matches the batch dimension join") {
     val dim = Tables.customer(spark, sf0001)
       .join(Tables.nation(spark, sf0001), $"c_nationkey" === $"n_nationkey")
