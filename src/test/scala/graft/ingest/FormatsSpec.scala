@@ -46,6 +46,27 @@ class FormatsSpec extends SparkSpecBase {
     assert(back.exceptAll(tricky).isEmpty && tricky.exceptAll(back).isEmpty)
   }
 
+  test("ORC round trip preserves every row and column") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    docsSorted.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(docSchema).orc(dir)
+    assert(back.count() == docsSorted.count())
+    assert(back.exceptAll(docsSorted).isEmpty && docsSorted.exceptAll(back).isEmpty)
+  }
+
+  test("ORC scan pushes filters and prunes columns like parquet") {
+    val dir = Files.createTempDirectory("graft_orc_push").toString + "/docs"
+    docsSorted.write.mode("overwrite").orc(dir)
+    val q = spark.read.schema(docSchema).orc(dir)
+      .filter($"doc_id" < 100L).select($"doc_id", $"lang")
+    val plan = q.queryExecution.executedPlan.toString
+    // the ORC v1 scan reports pushed filters and the pruned read schema
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,100)"),
+      s"filter not pushed to ORC scan:\n$plan")
+    assert(!plan.contains("text"), s"column pruning failed — text still read:\n$plan")
+    assert(q.count() == docsSorted.filter($"doc_id" < 100L).count())
+  }
+
   test("malformed JSONL rows land in the corrupt-record column, not mid-job failures") {
     val dir = Files.createTempDirectory("graft_badjson").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
