@@ -193,6 +193,34 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split (80/10/10) by md5 bucket — the
+    // reproducible-split op every training pipeline needs: assignment is
+    // a pure function of doc_id, so re-runs, backfills, and engines all
+    // agree, and no shuffle happens (map-side projection only).
+    "ns_split_assign" -> ((s, d) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 100L).as("bucket")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-domain document cap — the crawl-pipeline guard against one
+    // domain flooding the corpus: keep the 3 longest docs per source.
+    // Runs through the custom bounded-heap TopKPerKeyExec (partial/final,
+    // ≤ k rows per key per partition shuffled — never the corpus), so the
+    // custom-plan ladder is exercised by the driver's oracle gate on a
+    // second, ML-shaped surface beyond w_topk_heap.
+    "ns_domain_cap" -> ((s, d) => {
+      graft.plans.TopK.perKey(
+          Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")),
+          Seq("source"), Seq(("n_chars", false), ("doc_id", true)), 3)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Stopword-profile language ID.
     "ns_lang_id" -> ((s, d) => {
       TextAnalysis.langId(Tables.documents(s, d))
@@ -539,6 +567,25 @@ object MlPack extends QueryPack {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
         |        % 1000000 < 100000
         |ORDER BY doc_id""".stripMargin,
+
+    "ns_split_assign" ->
+      """SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |    % 100 AS BIGINT) AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |         % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |         % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ns_domain_cap" ->
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 3 ORDER BY source, doc_id""".stripMargin,
 
     "ns_sample_stratified" ->
       """WITH r AS (SELECT lang, doc_id,

@@ -187,12 +187,16 @@ object Similarity {
   def cosineDupPairsBanded(emb: DataFrame, threshold: Double,
       nBands: Int = 128, rowsPerBand: Int = 16, dim: Int = 64): DataFrame = {
     // persist: the sketch side feeds the two-sided band join and the
-    // verify lookups re-read `v` — same barrier rationale as Dedup.shingled
+    // verify lookups re-read `v`. No eager count() barrier — the first
+    // stage that scans the plan populates the cache in-line, and the
+    // sketch expression is deterministic, so a concurrent map stage
+    // racing the cache at worst recomputes a partition (never diverges).
+    // Dropping the barrier saves one full scheduling round + data pass,
+    // which dominates at small SF and is pure overhead at any SF.
     val withSketch = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bands",
         graft.functions.HyperplaneBands.bands(col("v"), nBands, rowsPerBand, dim))
       .persist()
-    withSketch.count()
     val banded = withSketch.select(col("vec_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val l = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))

@@ -132,6 +132,18 @@ class ScaleSpec extends SparkSpecBase {
     assert(shuffles <= 2, s"expected <=2 key shuffles, got $shuffles:\n${plan.take(1200)}")
   }
 
+  test("char entropy shuffles twice: (doc, char) combine, then doc window+agg") {
+    val plan = graft.ml.TextAnalysis.charEntropy(Tables.documents(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    // partial agg combines map-side on (doc_id, ch); the doc_id window's
+    // partitioning then satisfies the final group-by's distribution
+    // (doc_id ⊆ grouping keys), so no third exchange appears
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 shuffles, got $shuffles:\n${plan.take(1200)}")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"missing map-side combine:\n${plan.take(800)}")
+  }
+
   test("fuzzy-join signature exchanges carry hashed longs, never variant strings") {
     val docs = Tables.documents(spark, sf0001)
       .select($"doc_id", substring($"text", 1, 24).as("s"))

@@ -37,6 +37,21 @@ class TopKSpec extends SparkSpecBase {
     assert(!plan.contains("Sort "), s"unexpected sort:\n${plan.take(900)}")
   }
 
+  test("ns_domain_cap's per-source cap plans through the heap operator") {
+    val df = graft.ml.MlPack.queries("ns_domain_cap")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size == 2,
+      s"domain cap not planned as partial+final TopKPerKey:\n${plan.take(900)}")
+    // matches the row_number formulation it replaces
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val expected = Tables.documents(spark, sf0001)
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect().toSet
+    assert(df.select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect().toSet == expected)
+  }
+
   test("window row_number<=k pattern auto-rewrites when the rank is dropped") {
     TopK.ensurePlanning(spark)
     val w = Window.partitionBy($"o_custkey")
