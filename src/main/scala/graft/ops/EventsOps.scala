@@ -123,6 +123,29 @@ object EventsOps extends QueryPack {
         .orderBy(col("purchase_id"), coalesce(col("click_id"), lit(-1L)))
     }),
 
+    // Batch form of EventStreams.purchaseClickFullJoin — both unmatched
+    // directions survive with null padding. Same single user_id shuffle
+    // per side as the left variant.
+    "t_stream_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("ts").as("click_ts"))
+      purchases.join(clicks,
+          col("user_id") === col("click_user") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"), "full_outer")
+        .select(col("purchase_id"),
+          coalesce(col("user_id"), col("click_user")).as("uid"),
+          tsStrUs(col("purchase_ts")).as("purchase_ts"),
+          col("click_id"), tsStrUs(col("click_ts")).as("click_ts"))
+        .orderBy(coalesce(col("purchase_id"), lit(-1L)),
+          coalesce(col("click_id"), lit(-1L)))
+    }),
+
     // Event-time dedup: first event per (user, type) — T1/T2 exactly-once
     // upgrade of the reference's at-least-once ledger (app.js:438-455).
     "t_dedup_first" -> ((s, d) => {
@@ -217,6 +240,18 @@ object EventsOps extends QueryPack {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY purchase_id, coalesce(click_id, -1)""".stripMargin,
+
+    "t_stream_full_outer" ->
+      """SELECT p.event_id AS purchase_id,
+        |  coalesce(p.user_id, c.user_id) AS uid,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY coalesce(purchase_id, -1), coalesce(click_id, -1)""".stripMargin,
 
     "t_dedup_first" ->
       """SELECT user_id, event_type, event_id,

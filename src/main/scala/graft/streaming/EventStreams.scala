@@ -118,6 +118,32 @@ object EventStreams {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-stream FULL OUTER join — both unmatched directions survive.
+    * Null-padded purchases emit once the click watermark passes
+    * `purchase_ts` (as in [[purchaseClickLeftJoin]]); null-padded clicks
+    * wait LONGER — a future purchase up to one hour ahead could still
+    * match, so a click's state lives until the purchase watermark passes
+    * `click_ts + 1h`. Same bounded state as the inner join; only the
+    * eviction-time emission differs. */
+  def purchaseClickFullJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"), "full_outer")
+      .select(col("purchase_id"), coalesce(col("user_id"), col("click_user")).as("uid"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Stream-static enrichment join — the standard fact-stream ×
     * dimension pattern: each micro-batch broadcast-joins the STATIC
     * side (no streaming state, no watermark needed; Spark re-resolves

@@ -126,8 +126,10 @@ class StreamingSpec extends SparkSpecBase {
     // (beyond it no in-watermark click can still match); the final
     // watermark is max(click_ts) - 30 min, so unmatched purchases older
     // than that horizon MUST have been emitted, and nothing else may be
-    val maxTs = e.filter($"event_type" === "click")
-      .agg(max($"ts")).collect().head.getTimestamp(0)
+    // the global watermark is the MIN across both watermarked inputs
+    val maxTs = e.filter($"event_type".isin("click", "purchase"))
+      .groupBy($"event_type").agg(max($"ts").as("m"))
+      .agg(min($"m")).collect().head.getTimestamp(0)
     val horizon = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
     val gotNull = streamed.filter($"click_id".isNull)
       .select($"purchase_id").as[Long].collect().toSet
@@ -139,6 +141,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(mustEmit.subsetOf(gotNull),
       s"withheld ${(mustEmit -- gotNull).size} expired unmatched purchases")
     assert(mustEmit.nonEmpty, "horizon left no expired unmatched purchases to check")
+  }
+
+  test("stream-stream full-outer join: both unmatched directions emit by their horizons") {
+    val streamed = runToParquet(
+      EventStreams.purchaseClickFullJoin(EventStreams.fromParquetDir(spark, stagedDir)))
+    val e = Tables.events(spark, sf0001)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("click_user"), $"ts".as("click_ts"))
+    val batch = p.join(c,
+        $"user_id" === $"click_user" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+          $"click_ts" <= $"purchase_ts", "full_outer")
+    val gotPairs = streamed.filter($"purchase_id".isNotNull && $"click_id".isNotNull)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    val batchPairs = batch.filter($"purchase_id".isNotNull && $"click_id".isNotNull)
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(gotPairs == batchPairs, "matched side diverged from batch")
+    val maxClick = c.agg(max($"click_ts")).collect().head.getTimestamp(0)
+    val maxPurch = p.agg(max($"purchase_ts")).collect().head.getTimestamp(0)
+    // Spark keeps ONE global watermark = min over all watermarked inputs
+    val wm = new java.sql.Timestamp(
+      math.min(maxClick.getTime, maxPurch.getTime) - 30 * 60 * 1000)
+    // unmatched purchase: evictable once the watermark passes purchase_ts
+    val pHorizon = wm
+    // unmatched click: a purchase up to 1h AHEAD could still match, so
+    // eviction needs the watermark past click_ts + 1h
+    val cHorizon = new java.sql.Timestamp(wm.getTime - 60 * 60 * 1000)
+    val gotNullP = streamed.filter($"click_id".isNull)
+      .select($"purchase_id").as[Long].collect().toSet
+    val gotNullC = streamed.filter($"purchase_id".isNull)
+      .select($"click_id").as[Long].collect().toSet
+    val batchNullP = batch.filter($"click_id".isNull)
+      .select($"purchase_id").as[Long].collect().toSet
+    val batchNullC = batch.filter($"purchase_id".isNull)
+      .select($"click_id").as[Long].collect().toSet
+    assert(gotNullP.subsetOf(batchNullP) && gotNullC.subsetOf(batchNullC),
+      "fabricated unmatched rows")
+    val mustP = batch.filter($"click_id".isNull && $"purchase_ts" < pHorizon)
+      .select($"purchase_id").as[Long].collect().toSet
+    val mustC = batch.filter($"purchase_id".isNull && $"click_ts" < cHorizon)
+      .select($"click_id").as[Long].collect().toSet
+    assert(mustP.subsetOf(gotNullP),
+      s"withheld ${(mustP -- gotNullP).size} expired unmatched purchases")
+    assert(mustC.subsetOf(gotNullC),
+      s"withheld ${(mustC -- gotNullC).size} expired unmatched clicks")
+    assert(mustP.nonEmpty && mustC.nonEmpty, "horizons left nothing to check")
   }
 
   test("stream-static enrichment join matches the batch dimension join") {
