@@ -58,6 +58,29 @@ object Windows extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // Tie-aware heap top-k: rank()<=3 semantics through the custom
+    // operator's Rank mode — tie groups survive whole (ordering by date
+    // alone guarantees real ties), still partial/final with no sort.
+    "w_topk_rank" -> ((s, d) => {
+      graft.plans.TopK.perKey(Tables.orders(s, d),
+          Seq("o_orderpriority"), Seq("o_orderdate" -> false), 3,
+          graft.plans.TopKMode.Rank)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          tsStr(col("o_orderdate")).as("od"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // dense_rank()<=2 through the operator's DenseRank mode: the 2 best
+    // DISTINCT dates per priority, every row carrying them.
+    "w_topk_dense" -> ((s, d) => {
+      graft.plans.TopK.perKey(Tables.orders(s, d),
+          Seq("o_orderpriority"), Seq("o_orderdate" -> false), 2,
+          graft.plans.TopKMode.DenseRank)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          tsStr(col("o_orderdate")).as("od"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // rank / dense_rank with real ties (priority has few distinct values).
     "w_rank_dense" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
@@ -156,6 +179,24 @@ object Windows extends QueryPack {
     "w_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "w_topk_rank" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+        |FROM (SELECT o_orderpriority, o_orderkey, o_orderdate,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate DESC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "w_topk_dense" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+        |FROM (SELECT o_orderpriority, o_orderkey, o_orderdate,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate DESC) AS drk
+        |  FROM orders) t
+        |WHERE drk <= 2 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "w_rank_dense" ->
       """SELECT o_orderpriority, rk, drk, o_orderkey, o_totalprice FROM (

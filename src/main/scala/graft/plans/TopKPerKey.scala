@@ -34,8 +34,25 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * injectable via `SparkSessionExtensions` ([[graft.GraftExtensions]])
   * or post-hoc through `spark.experimental` ([[TopK.ensurePlanning]]).
   */
+/** Which rank function's `<= k` selection the operator computes. All three
+  * are semigroups (survivors of a union survive in their own half, and
+  * every strictly-better row of a survivor is itself a survivor, so
+  * partial results merge losslessly) — the partial/final split and the
+  * overflow emit-and-reset stay correct for each:
+  *  - [[TopKMode.RowNumber]]: exactly k rows per key (heap-bounded).
+  *  - [[TopKMode.Rank]]: rows with < k strictly-better rows — tie groups
+  *    survive whole, so per-key state is k plus the worst tie group.
+  *  - [[TopKMode.DenseRank]]: rows among the k best DISTINCT order
+  *    values — state is bounded by k tie groups. */
+sealed trait TopKMode
+object TopKMode {
+  case object RowNumber extends TopKMode
+  case object Rank extends TopKMode
+  case object DenseRank extends TopKMode
+}
+
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, mode: TopKMode, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"top-k needs k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -111,11 +128,13 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   /** Spark's own InferWindowGroupLimit has usually already inserted a
     * WindowGroupLimit under the window by the time user rules run; the
     * heap operator subsumes it (same bound, no sort), so strip a
-    * matching one rather than stacking the two. */
-  private def stripGroupLimit(child: LogicalPlan, w: LWindow,
-      k: Int): LogicalPlan = child match {
+    * matching one rather than stacking the two. Safe when it carries the
+    * SAME rank function (row_number/rank/dense_rank pre-filters differ
+    * only in tie handling) with a bound at least as loose as ours. */
+  private def stripGroupLimit(child: LogicalPlan, w: LWindow, k: Int,
+      wf: Expression): LogicalPlan = child match {
     case g: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
-        if g.rankLikeFunction.isInstanceOf[RowNumber] &&
+        if g.rankLikeFunction.getClass == wf.getClass &&
           g.partitionSpec == w.partitionSpec &&
           g.orderSpec == w.orderSpec && g.limit >= k => g.child
     case other => other
@@ -125,11 +144,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     * Spark inserts `GlobalLimit(k, LocalLimit(k, Sort(ord)))` under it —
     * strip a matching stack so the rewrite's own Limit+Sort replaces it
     * rather than stacking on top. */
-  private def stripLimitSort(child: LogicalPlan, w: LWindow,
-      k: Int): LogicalPlan = child match {
+  private def stripLimitSort(child: LogicalPlan, w: LWindow, k: Int,
+      wf: Expression): LogicalPlan = child match {
     case GlobalLimit(IntegerLiteral(l), LocalLimit(_, Sort(so, true, grand, _)))
         if l >= k && so == w.orderSpec => grand
-    case other => stripGroupLimit(other, w, k)
+    case other => stripGroupLimit(other, w, k, wf)
   }
 
   /** Opt-out: the heap operator holds ≤ k row copies per key on-heap,
@@ -140,24 +159,41 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     * is too much. */
   val RewriteFlag = "spark.graft.topk.rewrite"
 
+  private def modeOf(wf: Expression): Option[TopKMode] = wf match {
+    case _: RowNumber => Some(TopKMode.RowNumber)
+    case _: Rank => Some(TopKMode.Rank)
+    case _: DenseRank => Some(TopKMode.DenseRank)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(RewriteFlag, "true") != "true") plan
     else plan.transformUp {
       case p @ Project(plist, Filter(cond, w: LWindow))
           if w.windowExpressions.size == 1 =>
         w.windowExpressions.head match {
-          case a @ Alias(WindowExpression(_: RowNumber, _), _) =>
+          case a @ Alias(WindowExpression(wf, _), _) if modeOf(wf).nonEmpty =>
+            val mode = modeOf(wf).get
             val rn = a.toAttribute
             rankBound(cond, rn) match {
               case Some(k) if k > 0 &&
                   !plist.exists(_.references.contains(rn)) =>
                 if (w.partitionSpec.nonEmpty)
                   Project(plist, TopKPerKeyNode(w.partitionSpec, w.orderSpec, k,
-                    stripGroupLimit(w.child, w, k)))
-                else
+                    mode, stripGroupLimit(w.child, w, k, wf)))
+                else if (mode == TopKMode.RowNumber)
+                  // global row_number: Spark's canonical Limit+Sort plans
+                  // as TakeOrderedAndProject — already optimal
                   Project(plist, Limit(Literal(k),
                     Sort(w.orderSpec, global = true,
-                      stripLimitSort(w.child, w, k))))
+                      stripLimitSort(w.child, w, k, wf))))
+                else
+                  // global rank/dense_rank: boundary ties make Limit+Sort
+                  // inequivalent, but the empty-key heap node is exact —
+                  // partials keep tie-bounded survivors per partition,
+                  // one single-reducer final merge
+                  Project(plist, TopKPerKeyNode(Nil, w.orderSpec, k, mode,
+                    stripGroupLimit(w.child, w, k, wf)))
               case _ => p
             }
           case _ => p
@@ -167,16 +203,17 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true,
+    case TopKPerKeyNode(keys, order, k, mode, child) =>
+      TopKPerKeyExec(keys, order, k, mode, partial = false,
+        TopKPerKeyExec(keys, order, k, mode, partial = true,
           planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, mode: TopKMode, partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -209,6 +246,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val maxKeys =
       if (partial) conf.getConfString(TopK.MaxPartialKeysFlag, "65536").toInt
       else Int.MaxValue
+    val heapMode = mode
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd row comparator for the requested sort order; heap head
@@ -231,15 +269,130 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                 trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
           }
         else null
+      def rowSizeOf(row: InternalRow): Long = (row match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 64L
+      }) + 32L // object header + container slot
+
+      /** Per-key survivor state for one rank mode. insert() copies any
+        * retained row and returns the net change in retained state bytes
+        * (negative when an insert triggers tie-group eviction);
+        * growthBound() is a pre-insert upper bound on that delta, 0 when
+        * the insert cannot grow state — memory is negotiated against it
+        * BEFORE mutating, so a denied acquisition can still flush a
+        * consistent map. */
+      abstract class KeyHeap {
+        def growthBound(row: InternalRow): Long
+        def insert(row: InternalRow): Long
+        def rowIterator: java.util.Iterator[InternalRow]
+      }
+
+      /** row_number: exactly k rows; classic bounded reverse-heap. */
+      final class RowNumberHeap extends KeyHeap {
+        // small initial capacity: PriorityQueue allocates its backing
+        // array eagerly, and limit can be huge while groups are tiny —
+        // it grows on demand either way
+        private val pq = new java.util.PriorityQueue[InternalRow](
+          math.min(limit, 16) + 1, rowOrd.reverse)
+        override def growthBound(row: InternalRow): Long =
+          if (pq.size < limit) rowSizeOf(row) else 0L
+        override def insert(row: InternalRow): Long =
+          if (pq.size < limit) { pq.add(row.copy()); rowSizeOf(row) }
+          else if (rowOrd.compare(row, pq.peek()) < 0) {
+            pq.poll() // replacement: ~net-zero state bytes
+            pq.add(row.copy()); 0L
+          } else 0L
+        override def rowIterator: java.util.Iterator[InternalRow] =
+          pq.iterator()
+      }
+
+      /** rank / dense_rank: tie groups survive whole. A comparator-keyed
+        * TreeMap holds one entry per distinct order value (the entry's
+        * list is the tie group); the invariant after every insert is
+        * "every group still selected by the mode's <= k rule":
+        *  - rank: strictly-better rows of the worst group < k
+        *  - dense_rank: at most k groups. */
+      final class RankHeap(dense: Boolean) extends KeyHeap {
+        private val map = new java.util.TreeMap[InternalRow,
+          java.util.ArrayList[InternalRow]](rowOrd)
+        private var total = 0
+
+        override def growthBound(row: InternalRow): Long =
+          if (map.isEmpty) rowSizeOf(row)
+          else {
+            val cmpLast = rowOrd.compare(row, map.lastKey())
+            val mayAccept =
+              if (dense) map.size < limit || cmpLast <= 0
+              else total < limit || cmpLast <= 0
+            if (mayAccept) rowSizeOf(row) else 0L
+          }
+
+        override def insert(row: InternalRow): Long = {
+          var delta = 0L
+          val group = map.get(row)
+          if (group != null) {
+            // the group is in the map, so it survives; ties share its rank
+            group.add(row.copy()); total += 1; delta += rowSizeOf(row)
+          } else {
+            val cmpLast =
+              if (map.isEmpty) -1 else rowOrd.compare(row, map.lastKey())
+            val accept =
+              if (dense) map.size < limit || cmpLast < 0
+              else total < limit || cmpLast < 0
+            if (accept) {
+              val cp = row.copy()
+              val lst = new java.util.ArrayList[InternalRow](2)
+              lst.add(cp)
+              map.put(cp, lst); total += 1; delta += rowSizeOf(row)
+            }
+          }
+          // evict worst groups the insert pushed past the k rule
+          var done = map.isEmpty
+          while (!done) {
+            val last = map.lastEntry()
+            val lastSize = last.getValue.size
+            val evict =
+              if (dense) map.size > limit
+              else total - lastSize >= limit
+            if (evict) {
+              map.remove(last.getKey); total -= lastSize
+              val it = last.getValue.iterator()
+              while (it.hasNext) delta -= rowSizeOf(it.next())
+            } else done = true
+          }
+          delta
+        }
+
+        override def rowIterator: java.util.Iterator[InternalRow] = {
+          val groups = map.values().iterator()
+          new java.util.Iterator[InternalRow] {
+            private var cur: java.util.Iterator[InternalRow] =
+              java.util.Collections.emptyIterator()
+            override def hasNext: Boolean = {
+              while (!cur.hasNext && groups.hasNext) cur = groups.next().iterator()
+              cur.hasNext
+            }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException("empty iterator")
+              cur.next()
+            }
+          }
+        }
+      }
+
+      def newHeap(): KeyHeap = heapMode match {
+        case TopKMode.RowNumber => new RowNumberHeap
+        case TopKMode.Rank => new RankHeap(dense = false)
+        case TopKMode.DenseRank => new RankHeap(dense = true)
+      }
+
       // Streams output in chunks: ingest rows until the key map would
       // exceed maxKeys (or memory is denied), emit-and-reset, continue.
       // No global barrier — chunks of the SAME key re-merge at the
       // final exec.
       class ChunkedTopKIterator extends Iterator[InternalRow] {
-        private var heaps = new java.util.HashMap[UnsafeRow,
-          java.util.PriorityQueue[InternalRow]]()
-        private var drain: java.util.Iterator[
-          java.util.PriorityQueue[InternalRow]] =
+        private var heaps = new java.util.HashMap[UnsafeRow, KeyHeap]()
+        private var drain: java.util.Iterator[KeyHeap] =
           java.util.Collections.emptyIterator()
         private var cur: java.util.Iterator[InternalRow] =
           java.util.Collections.emptyIterator()
@@ -252,17 +405,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         private var drainBytes = 0L
         private val Chunk = 4L << 20
 
-        private def rowSize(row: InternalRow): Long = (row match {
-          case u: UnsafeRow => u.getSizeInBytes.toLong
-          case _ => 64L
-        }) + 32L // object header + PriorityQueue slot
-
-        private def newHeap(): java.util.PriorityQueue[InternalRow] =
-          // small initial capacity: PriorityQueue allocates its backing
-          // array eagerly, and limit can be huge while groups are tiny —
-          // it grows on demand either way
-          new java.util.PriorityQueue[InternalRow](
-            math.min(limit, 16) + 1, rowOrd.reverse)
+        private def rowSize(row: InternalRow): Long = rowSizeOf(row)
 
         /** Reserve `need` more bytes of execution memory (chunked);
           * false = denied, caller must flush. Always true when no task
@@ -297,8 +440,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           drainBytes = usedBytes
           val h = newHeap()
           heaps.put(key.copy(), h)
-          h.add(row.copy())
-          usedBytes = rowSize(key) + rowSize(row)
+          usedBytes = rowSize(key) + h.insert(row)
         }
 
         /** Consume input until either a flush is pending or input ends;
@@ -316,16 +458,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
               }
               val h = newHeap()
               heaps.put(key.copy(), h)
-              h.add(row.copy())
-              usedBytes += need
-            } else if (heap.size < limit) {
-              val need = rowSize(row)
-              if (!ensure(need)) { flushAndSeed(key, row); return }
-              heap.add(row.copy())
-              usedBytes += need
-            } else if (rowOrd.compare(row, heap.peek()) < 0) {
-              heap.poll() // replacement: ~net-zero state bytes
-              heap.add(row.copy())
+              usedBytes += rowSize(key) + h.insert(row)
+            } else {
+              val bound = heap.growthBound(row)
+              if (bound > 0 && !ensure(bound)) { flushAndSeed(key, row); return }
+              usedBytes += heap.insert(row)
             }
           }
           inputDone = true
@@ -337,7 +474,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
         override def hasNext: Boolean = {
           while (!cur.hasNext) {
-            if (drain.hasNext) cur = drain.next().iterator()
+            if (drain.hasNext) cur = drain.next().rowIterator
             else if (inputDone) { release(); return false }
             else { drainBytes = 0; ingest() } // previous chunk fully emitted
           }
@@ -387,14 +524,18 @@ object TopK {
 
   /** Top-k rows per key group, ordered by `order` columns (`ascending =
     * false` for descending). Row order within and across groups is
-    * unspecified — add a final orderBy.
+    * unspecified — add a final orderBy. `mode` selects the rank rule:
+    * [[TopKMode.RowNumber]] (exactly k), [[TopKMode.Rank]] /
+    * [[TopKMode.DenseRank]] (tie groups kept whole, like the matching
+    * window function's `<= k` filter).
     *
     * Column names, not Columns: the custom logical node needs plain
     * catalyst `UnresolvedAttribute`s the analyzer resolves in place —
     * Spark 4's Column wraps a lazily-converted ColumnNode that only
     * standard nodes convert. */
   def perKey(df: DataFrame, keyCols: Seq[String],
-      order: Seq[(String, Boolean)], k: Int): DataFrame = {
+      order: Seq[(String, Boolean)], k: Int,
+      mode: TopKMode = TopKMode.RowNumber): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
     val spark = df.sparkSession
@@ -405,7 +546,7 @@ object TopK {
         if (ascending) Ascending else Descending)
     }
     GraftBridge.ofRows(spark,
-      TopKPerKeyNode(keys, sortOrder, k, GraftBridge.plan(df)))
+      TopKPerKeyNode(keys, sortOrder, k, mode, GraftBridge.plan(df)))
   }
 
   /** GLOBAL top-k (no grouping): partials keep ≤ k rows per map

@@ -52,6 +52,69 @@ class TopKSpec extends SparkSpecBase {
       .as[(String, Long, Long)].collect().toSet == expected)
   }
 
+  test("rank mode keeps whole tie groups, under normal and flushing partials") {
+    // order by date only — real ties within each priority group
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderdate".desc)
+    val expected = Tables.orders(spark, sf0001)
+      .withColumn("rk", rank().over(w)).filter($"rk" <= 3)
+      .select($"o_orderpriority", $"o_orderkey")
+      .as[(String, Long)].collect().toSet
+    def viaHeap = TopK.perKey(Tables.orders(spark, sf0001),
+        Seq("o_orderpriority"), Seq("o_orderdate" -> false), 3, TopKMode.Rank)
+      .select($"o_orderpriority", $"o_orderkey")
+      .as[(String, Long)].collect().toSet
+    assert(viaHeap == expected)
+    // ties make expected > 3 rows somewhere, or the mode isn't exercised
+    val perKeyCounts = expected.groupBy(_._1).map(_._2.size)
+    assert(perKeyCounts.exists(_ > 3), "no tie group extended past k")
+    // emit-and-reset path: every flushed chunk must re-merge tie-correctly
+    spark.conf.set(TopK.MaxPartialKeysFlag, "2")
+    try assert(viaHeap == expected)
+    finally spark.conf.unset(TopK.MaxPartialKeysFlag)
+  }
+
+  test("dense_rank mode keeps the k best distinct order values") {
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderdate".desc)
+    val expected = Tables.orders(spark, sf0001)
+      .withColumn("rk", dense_rank().over(w)).filter($"rk" <= 2)
+      .select($"o_orderpriority", $"o_orderkey")
+      .as[(String, Long)].collect().toSet
+    val got = TopK.perKey(Tables.orders(spark, sf0001),
+        Seq("o_orderpriority"), Seq("o_orderdate" -> false), 2, TopKMode.DenseRank)
+      .select($"o_orderpriority", $"o_orderkey")
+      .as[(String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("rank()<=k and global dense_rank patterns auto-rewrite when the rank is dropped") {
+    TopK.ensurePlanning(spark)
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderdate".desc)
+    val grouped = Tables.orders(spark, sf0001)
+      .withColumn("rk", rank().over(w)).filter($"rk" <= 2)
+      .select($"o_orderpriority", $"o_orderkey")
+    assert(grouped.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+      "rank()<=k filter not rewritten to the heap operator")
+    val wg = Window.orderBy($"o_orderdate".desc)
+    val global = Tables.orders(spark, sf0001)
+      .withColumn("rk", dense_rank().over(wg)).filter($"rk" <= 2)
+      .select($"o_orderkey")
+    assert(global.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+      "global dense_rank()<=k not rewritten to the empty-key heap node")
+    // rewritten results match the window path with the rewrite disabled
+    spark.conf.set(WindowTopKRewrite.RewriteFlag, "false")
+    val (expG, expGlob) =
+      try ((Tables.orders(spark, sf0001)
+          .withColumn("rk", rank().over(w)).filter($"rk" <= 2)
+          .select($"o_orderpriority", $"o_orderkey")
+          .as[(String, Long)].collect().toSet,
+        Tables.orders(spark, sf0001)
+          .withColumn("rk", dense_rank().over(wg)).filter($"rk" <= 2)
+          .select($"o_orderkey").as[Long].collect().toSet))
+      finally spark.conf.unset(WindowTopKRewrite.RewriteFlag)
+    assert(grouped.as[(String, Long)].collect().toSet == expG)
+    assert(global.as[Long].collect().toSet == expGlob)
+  }
+
   test("window row_number<=k pattern auto-rewrites when the rank is dropped") {
     TopK.ensurePlanning(spark)
     val w = Window.partitionBy($"o_custkey")
