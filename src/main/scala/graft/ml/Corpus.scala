@@ -161,19 +161,25 @@ object Corpus {
     * sum runs in 1e-6 fixed point, so partition order cannot move an ulp.
     *
     * Scale shape: the bucket table is `nBuckets` rows — broadcast — so
-    * scoring is a map-side join over the token stream; the only shuffles
-    * are the bucket histogram (nBuckets keys) and the per-doc rollup.
+    * scoring is a map-side join over the (doc, bucket) counts; the only
+    * shuffles are the per-doc bucket histogram and the per-doc rollup.
+    * The tokenize+hash map side runs ONCE: both the global bucket stats
+    * and the scoring branch consume the same `groupBy(doc_id, is_tgt, b)`
+    * exchange, which Spark's ReuseExchange dedups — without the shared
+    * exchange the corpus would be scanned and exploded twice.
     */
   def dsirScore(docs: DataFrame, isTarget: Column,
       nBuckets: Int = 1024): DataFrame = {
-    val tok = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+    val docBucket = docs.select(col("doc_id"), isTarget.as("is_tgt"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
       .select(col("doc_id"), col("is_tgt"),
         (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
           % nBuckets).as("b"))
-    val stats = tok.groupBy(col("b"))
-      .agg(count(lit(1)).as("c_all"),
-        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+      .groupBy(col("doc_id"), col("is_tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = docBucket.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("c_all"),
+        sum(when(col("is_tgt"), col("cnt")).otherwise(0L)).as("c_tgt"))
     val tot = stats.agg(sum(col("c_all")).as("t_all"),
       sum(col("c_tgt")).as("t_tgt"))
     val contrib = stats.crossJoin(broadcast(tot))
@@ -182,10 +188,12 @@ object Corpus {
           ((col("c_tgt") + lit(1.0)) / (col("t_tgt") + lit(nBuckets.toDouble))) /
           ((col("c_all") + lit(1.0)) / (col("t_all") + lit(nBuckets.toDouble)))
         ), 6).as("contrib"))
-    tok.join(broadcast(contrib), "b")
+    // Per-token sum == cnt-weighted sum (all tokens in a bucket share one
+    // contrib), so the fixed-point semantics of the oracle are unchanged.
+    docBucket.join(broadcast(contrib), "b")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(round(col("contrib") * 1e6).cast("long")) / 1e6, 6)
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt") * round(col("contrib") * 1e6).cast("long")) / 1e6, 6)
           .as("dsir_score"))
   }
 

@@ -123,6 +123,20 @@ object Scalars extends QueryPack {
           expr("try_divide(o_totalprice, o_custkey % 3)").as("per_bucket"),
           expr("try_cast(o_orderdate AS DATE)").as("order_date"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // VARIANT (Spark 4 semi-structured type): parse the JSON blob once
+    // into the binary variant encoding, then typed-path extraction —
+    // the scale upgrade of get_json_object (one parse feeds every field
+    // access; open schemas survive without a DDL migration).
+    "f_variant_extract" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          variant_get(v, "$.k", "int").as("k_int"),
+          try_variant_get(v, "$.k", "double").as("k_dbl"),
+          variant_get(v, "$.missing", "string").as("absent"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -187,6 +201,15 @@ object Scalars extends QueryPack {
         |  trim('  ' || p_name || '  ') AS trimmed_name,
         |  concat_ws('|', p_brand, p_type) AS brand_type
         |FROM u ORDER BY p_partkey""".stripMargin,
+
+    // Typed extraction parity: DuckDB has no VARIANT; the observable
+    // results (typed values out of JSON) are engine-agnostic.
+    "f_variant_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "f14_json_extract" ->
       """SELECT event_id,

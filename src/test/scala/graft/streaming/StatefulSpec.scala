@@ -150,6 +150,85 @@ class StatefulSpec extends SparkSpecBase {
     assert(w10 == (2L, 3.0), s"late event leaked into closed window: $w10")
   }
 
+  test("streaming heavy hitters: exact at full capacity, bounded error when capped") {
+    import HeavyHitterStream._
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val dir = Files.createTempDirectory("graft_hh").toString
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val nShards = 8
+      def run(capacity: Int): Map[String, (Long, Long)] = {
+        val src = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+        val out = Files.createTempDirectory("graft_hh_out").toString
+        val ckpt = Files.createTempDirectory("graft_hh_ckpt").toString
+        val q = streamingHeavyHitters(src, nShards, capacity).writeStream
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((df: org.apache.spark.sql.Dataset[HitterEmit], id: Long) =>
+            EventStreams.idempotentParquetSink(out)(df.toDF(), id))
+          .start()
+        q.awaitTermination()
+        // current summary = max-emit_seq emission per shard
+        val emits = spark.read.parquet(s"$out/batch_id=*")
+        val last = emits.groupBy($"shard").agg(max($"emit_seq").as("emit_seq"))
+        emits.join(last, Seq("shard", "emit_seq"))
+          .select($"token", $"count_est", $"overcount")
+          .as[(String, Long, Long)].collect()
+          .map { case (t, c, o) => t -> ((c, o)) }.toMap
+      }
+
+      val truth = docs
+        .select(explode(split(trim(lower($"text")), "\\s+")).as("token"))
+        .filter(length($"token") > 0)
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val totalTokens = truth.values.sum
+
+      // capacity >= any shard's vocabulary → SpaceSaving degenerates to
+      // exact counting: summary == full vocabulary histogram
+      val exact = run(capacity = truth.size + 1)
+      assert(exact.keySet == truth.keySet)
+      exact.foreach { case (t, (c, o)) =>
+        assert(c == truth(t), s"token '$t': est $c != true ${truth(t)}")
+        assert(o == 0L)
+      }
+
+      // capped summaries keep the invariants: est overestimates by at most
+      // overcount, overcount <= shard stream length / capacity, and state
+      // is bounded at nShards*capacity entries
+      val capacity = 64
+      val capped = run(capacity)
+      assert(capped.size <= nShards * capacity)
+      capped.foreach { case (t, (c, o)) =>
+        val tc = truth.getOrElse(t, 0L)
+        assert(c >= tc, s"token '$t': est $c below true $tc")
+        assert(c - o <= tc, s"token '$t': guaranteed floor ${c - o} above true $tc")
+        assert(o <= totalTokens / capacity,
+          s"token '$t': overcount $o above bound ${totalTokens / capacity}")
+      }
+      // every token heavier than the per-shard error bound must be tracked
+      truth.filter(_._2 > totalTokens / capacity).keys.foreach { t =>
+        assert(capped.contains(t), s"heavy token '$t' missing from capped summary")
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("poly_fingerprint is callable from SQL after extension registration") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql("SELECT poly_fingerprint('abc') AS fp").as[Long].collect()
