@@ -57,4 +57,26 @@ object Layout {
     part.sortWithinPartitions(sortKeys: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Write parquet with per-column BLOOM FILTERS on `bloomCols` — the
+    * point-lookup complement to min/max envelopes. Min/max prunes range
+    * scans but is useless for high-cardinality point predicates on
+    * unsorted columns (every row group's [min,max] spans the probe);
+    * a bloom filter answers "definitely absent" per row group, so
+    * `WHERE content_hash = X` skips row groups with no false-negative
+    * risk. `ndv` sizes the filter (bits ∝ ndv for the target fpp).
+    *
+    * The options are plain parquet-hadoop writer properties — the sort
+    * order of the data is unconstrained, so this composes with
+    * [[writeZOrdered]]/[[compact]] (cluster for ranges, bloom for point
+    * probes on the OTHER columns).
+    */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+      bloomCols: Seq[String], ndv: Long = 100000L): Unit = {
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
 }

@@ -67,6 +67,53 @@ class FormatsSpec extends SparkSpecBase {
     assert(q.count() == docsSorted.filter($"doc_id" < 100L).count())
   }
 
+  test("parquet bloom filters: written per column, probe-able, and selective") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+
+    val dir = Files.createTempDirectory("graft_bloom").toString + "/t"
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", md5($"text").as("content_hash"))
+    graft.ops.Layout.writeWithBloomFilters(docs.coalesce(1), dir,
+      Seq("content_hash"), ndv = 1000L)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val file = fs.listStatus(new Path(dir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val present = docs.select($"content_hash").as[String].head(50)
+      val block = reader.getFooter.getBlocks.asScala.head
+      val colMeta = block.getColumns.asScala
+        .find(_.getPath.toDotString == "content_hash").get
+      // the filter was written…
+      assert(colMeta.getBloomFilterOffset >= 0,
+        "no bloom filter offset recorded for content_hash")
+      // doc_id got none (not requested) — blooms are opt-in per column
+      val idMeta = block.getColumns.asScala
+        .find(_.getPath.toDotString == "doc_id").get
+      assert(idMeta.getBloomFilterOffset < 0,
+        "bloom filter written for a column that never asked for one")
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(colMeta)
+      // …contains every present value (no false negatives, the guarantee
+      // row-group skipping relies on)…
+      present.foreach { h =>
+        assert(bloom.findHash(bloom.hash(Binary.fromString(h))),
+          s"present hash $h not found — bloom would wrongly skip its row group")
+      }
+      // …and rejects nearly all absent probes (selectivity: the point of
+      // paying the filter bytes)
+      val falsePos = (1 to 200).count { i =>
+        bloom.findHash(bloom.hash(Binary.fromString(s"absent_probe_$i")))
+      }
+      assert(falsePos < 20, s"bloom filter useless: $falsePos/200 false positives")
+    } finally reader.close()
+  }
+
   test("malformed JSONL rows land in the corrupt-record column, not mid-job failures") {
     val dir = Files.createTempDirectory("graft_badjson").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),

@@ -144,6 +144,41 @@ class ScaleSpec extends SparkSpecBase {
       s"missing map-side combine:\n${plan.take(800)}")
   }
 
+  test("minhash candidate generation shuffles (band, bucket, id) longs only") {
+    // the 100 TB dedup property: LSH candidate generation must never ship
+    // text or shingle arrays — only the constant-size banded sketch rows.
+    // (The later verify step joins shingles for CANDIDATES only, which is
+    // |candidate pairs| ≪ |corpus| by the S-curve; this test pins the
+    // all-rows stage.) Broadcast + AQE would hide the exchanges at test
+    // scale, so force the shuffle path a large corpus takes.
+    val docs = Tables.documents(spark, sf0001)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      val sh = graft.ml.Dedup.shingled(docs)
+      val sigs = sh.select($"doc_id",
+        graft.functions.MinHashSig.minhashSig($"shingles", 128).as("sig"))
+      graft.ml.Dedup.lshCandidates(sigs)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+    val bucketExchanges = exchanges.filter(
+      _.outputPartitioning.toString.contains("bucket"))
+    assert(bucketExchanges.nonEmpty, "no band/bucket-keyed exchange found")
+    bucketExchanges.foreach { e =>
+      val bad = e.child.output.filter(a =>
+        a.dataType.simpleString.contains("string") ||
+        a.dataType.simpleString.contains("array"))
+      assert(bad.isEmpty,
+        s"candidate exchange ships variable-width data: ${bad.map(a =>
+          s"${a.name}:${a.dataType.simpleString}").mkString(", ")}")
+    }
+  }
+
   test("fuzzy-join signature exchanges carry hashed longs, never variant strings") {
     val docs = Tables.documents(spark, sf0001)
       .select($"doc_id", substring($"text", 1, 24).as("s"))
