@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** BENCH_FLOOR.json: per-query min across all prior rounds' benches —
+    * the committed baseline that makes regressions decidable on a box
+    * with documented 5x co-tenant noise (NOTES.md §9). Flat
+    * {"query":seconds} JSON; parsed with a regex to stay
+    * dependency-free. */
+  def loadFloor(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // targeted-bisect knobs: ONLY=comma-sep query names, REPS=min-of-N
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,11 +44,14 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    // min-of-2 per query: this box has bursty co-tenant load (NOTES.md §9)
-    // and single-shot timings varied up to 5x across identical binaries.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
-    }
+    // min-of-N per query (default 2): this box has bursty co-tenant load
+    // (NOTES.md §9) and single-shot timings varied up to 5x across
+    // identical binaries.
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> Seq.fill(reps)(timeOnce(fn)).min
+      }
     def toJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -42,6 +65,14 @@ object Bench {
       "w_row_number_topk", "w_topk_heap", "w_topk_global",
       "t_tumbling_window", "t_stream_static_enrich", "f13_url_pipeline")
     val head = headline.flatMap(h => results.get(h).map(h -> _))
+    // vs_floor: current/floor ratio per query against the committed
+    // per-query floor — >1 is slower than the best round ever recorded.
+    val floor = loadFloor(sys.env.getOrElse("SPARK_GRAFT_FLOOR",
+      "BENCH_FLOOR.json"))
+    val vsFloor = results.toSeq.sortBy(_._1).flatMap { case (q, v) =>
+      floor.get(q).filter(_ > 0)
+        .map(f => q -> (math.round(v / f * 100.0) / 100.0))
+    }
     // Per-query detail on its own line FIRST; the parseable summary line is
     // printed LAST and kept compact (headline subset only), because the
     // driver captures only the tail of stdout — round 1's single giant
@@ -50,7 +81,7 @@ object Bench {
     // n_queries: the total is a SUM over every registered query, so it
     // grows as coverage grows — comparisons across rounds should be
     // per-query or normalized by this count
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"vs_floor":${toJson(vsFloor)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

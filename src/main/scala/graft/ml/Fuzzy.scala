@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * step makes precision exact, so output equals the brute-force pair set.
   *
   * Scale shape (mirrors [[Similarity.cosineDupPairsBanded]]): the
-  * signature self-join shuffles (signature, id) pairs only — a string of
-  * length L yields ~C(L,d) short variants, linear work per row — and
-  * strings are re-fetched just for the verified candidate ids. The
-  * quadratic all-pairs comparison never materializes. Candidate
+  * signature self-join runs over DISTINCT strings and shuffles
+  * (signature, representative-id) long pairs only — a string of length L
+  * yields ~C(L,d) short variants, linear work per distinct string — and
+  * strings are re-fetched just for the verified candidates. The
+  * quadratic all-pairs comparison never materializes, and duplicate
+  * strings (the common case in real corpora) never multiply the
+  * candidate join. Candidate
   * signatures come from the codegen [[graft.functions.DeletionSigs]]
   * expression (the interpreted HOF spelling [[deletionVariants]] is kept
   * as its parity reference); verification is the built-in levenshtein.
@@ -60,10 +63,34 @@ object Fuzzy {
 
   /** All id pairs whose `strCol` values are within Levenshtein `maxEd`,
     * with the exact distance. Output: (id_a, id_b, edit_dist),
-    * id_a < id_b. */
+    * id_a < id_b.
+    *
+    * Distinct-string reduction (the standard SymSpell scale shape): the
+    * deletion-signature self-join runs over DISTINCT strings only, keyed
+    * by each string group's representative id (min id — deterministic,
+    * collision-free, fixed-width, so signature exchanges still ship only
+    * (long, long) rows). Real corpora are dup-heavy, and a string with k
+    * exact copies would otherwise push C(k,2) id pairs through every one
+    * of its ~C(L,2) shared signatures before the candidate `.distinct()`
+    * — a quadratic hot-bucket at scale. After the reduction, candidate
+    * volume is quadratic only in DISTINCT near-neighbors: verified
+    * distinct-string pairs re-expand to id pairs by joining group
+    * membership, and the lev=0 pairs within each dup group are emitted
+    * directly (a self-equi-join on the representative id), never touching
+    * the signature join. Recall is unchanged — identical strings
+    * trivially qualify, and the deletion-neighborhood theorem applies
+    * per distinct string exactly as before. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxEd: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // (id, s, rid): rid = min id over the string's dup group. One shuffle
+    // on s (the window); the filter to representatives reuses it.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val memb = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("rid", min(col("id")).over(w))
+      .persist()
+    memb.count()
+    val reps = memb.filter(col("id") === col("rid"))
+      .select(col("rid"), col("s"))
     // persist: feeds the two-sided signature join and the verify lookups
     // (same barrier rationale as Dedup.shingled / cosineDupPairsBanded).
     // Signatures shuffle as 8-byte hashes, not variant strings — equal
@@ -71,21 +98,35 @@ object Fuzzy {
     // adds a candidate the exact verify discards. DeletionSigs is the
     // codegen form of xxhash64 over [[deletionVariants]] (parity-tested);
     // the interpreted HOF spelling dominated this query's runtime.
-    val sigs = base
+    val sigs = reps
       .withColumn("sig",
         explode(graft.functions.DeletionSigs.sigs(col("s"), maxEd)))
-      .select(col("id"), col("sig"))
+      .select(col("rid"), col("sig"))
       .persist()
     sigs.count()
-    val l = sigs.select(col("id").as("id_a"), col("sig"))
-    val r = sigs.select(col("id").as("id_b"), col("sig"))
-    val cands = l.join(r, "sig").filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    cands
-      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val l = sigs.select(col("rid").as("rid_a"), col("sig"))
+    val r = sigs.select(col("rid").as("rid_b"), col("sig"))
+    val cands = l.join(r, "sig").filter(col("rid_a") < col("rid_b"))
+      .select(col("rid_a"), col("rid_b")).distinct()
+    // verify on distinct strings (edit_dist >= 1 here by construction)
+    val strPairs = cands
+      .join(reps.select(col("rid").as("rid_a"), col("s").as("s_a")), "rid_a")
+      .join(reps.select(col("rid").as("rid_b"), col("s").as("s_b")), "rid_b")
+      .select(col("rid_a"), col("rid_b"),
         levenshtein(col("s_a"), col("s_b")).as("edit_dist"))
       .filter(col("edit_dist") <= maxEd)
+    // re-expand verified distinct-string pairs to id pairs (an id belongs
+    // to exactly one string group, so no pair is emitted twice)
+    val cross = strPairs
+      .join(memb.select(col("rid").as("rid_a"), col("id").as("ia")), "rid_a")
+      .join(memb.select(col("rid").as("rid_b"), col("id").as("ib")), "rid_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("edit_dist"))
+    // lev=0 pairs within each dup group, straight from membership
+    val zeros = memb.select(col("rid"), col("id").as("id_a"))
+      .join(memb.select(col("rid"), col("id").as("id_b")), "rid")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("edit_dist"))
+    cross.unionAll(zeros)
   }
 }

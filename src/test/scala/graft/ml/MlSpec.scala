@@ -172,6 +172,11 @@ class MlSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join fell back to all-pairs:\n${plan.take(600)}")
+    // and it runs over DISTINCT strings: the dup-group window (min id
+    // over s) that collapses duplicates must sit below the signature join
+    assert(plan.contains("Window"),
+      s"signature join input is not distinct-string reduced:\n${plan.take(600)}")
+    spark.catalog.clearCache() // fuzzyPairs persists memb + sigs
   }
 
   test("DeletionSigs codegen expression == xxhash64 over HOF deletion variants") {
