@@ -72,10 +72,19 @@ object Layout {
     * probes on the OTHER columns).
     */
   def writeWithBloomFilters(df: DataFrame, path: String,
-      bloomCols: Seq[String], ndv: Long = 100000L): Unit = {
-    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
-      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+      bloomCols: Seq[String], ndv: Long = 100000L): Unit =
+    writeWithBloomFilters(df, path, bloomCols.map(_ -> ndv))
+
+  /** Per-column ndv overload: mixed-cardinality column sets (a 1e9-ndv
+    * content hash next to a 1e3-ndv source id) need per-column sizing —
+    * one shared ndv either wastes bits on the small column or inflates
+    * the false-positive rate on the big one. */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+      bloomNdv: Seq[(String, Long)]): Unit = {
+    val w = bloomNdv.foldLeft(df.write.mode("overwrite")) {
+      case (wr, (c, n)) =>
+        wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", n.toString)
     }
     w.parquet(path)
   }

@@ -61,18 +61,31 @@ object HeavyHitterStream {
       rows.foreach(r => local.update(r.token, local.getOrElse(r.token, 0L) + 1L))
       // the summary is ≤ capacity entries — load, mutate in memory, rewrite
       val summary = collection.mutable.HashMap.empty[String, CountPair]
-      counters.iterator().foreach { case (t, cp) => summary.update(t, cp) }
+      // (est, token)-ordered index alongside the map: eviction pops the
+      // head in O(log capacity) instead of an O(capacity) minBy scan —
+      // a batch full of fresh tokens is O(distinct · log capacity), not
+      // O(distinct · capacity)
+      val byEst = collection.mutable.TreeSet.empty[(Long, String)]
+      counters.iterator().foreach { case (t, cp) =>
+        summary.update(t, cp); byEst.add((cp.est, t))
+      }
       // token-sorted replay so eviction order (and thus the summary) is
       // deterministic across retries and partition counts
       local.toSeq.sortBy(_._1).foreach { case (tok, w) =>
         summary.get(tok) match {
-          case Some(cp) => summary.update(tok, CountPair(cp.est + w, cp.over))
+          case Some(cp) =>
+            byEst.remove((cp.est, tok))
+            summary.update(tok, CountPair(cp.est + w, cp.over))
+            byEst.add((cp.est + w, tok))
           case None if summary.size < capacity =>
             summary.update(tok, CountPair(w, 0L))
+            byEst.add((w, tok))
           case None =>
-            val (mTok, mCp) = summary.minBy { case (t, cp) => (cp.est, t) }
+            val (mEst, mTok) = byEst.head
+            byEst.remove((mEst, mTok))
             summary.remove(mTok)
-            summary.update(tok, CountPair(mCp.est + w, mCp.est))
+            summary.update(tok, CountPair(mEst + w, mEst))
+            byEst.add((mEst + w, tok))
         }
       }
       counters.clear()
@@ -87,7 +100,14 @@ object HeavyHitterStream {
 
   /** Tokenize a streaming `documents` frame and maintain per-shard
     * SpaceSaving summaries. `capacity` bounds state per shard; accuracy is
-    * ±(shard token count)/capacity. */
+    * ±(shard token count)/capacity.
+    *
+    * REQUIRES the RocksDB state store provider: `transformWithState` is
+    * rejected at runtime by the default HDFS-backed provider — set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * on the session running the query (as StatefulSpec and
+    * RocksDBStatefulSpec do). */
   def streamingHeavyHitters(docs: DataFrame, nShards: Int,
       capacity: Int): Dataset[HitterEmit] = {
     import docs.sparkSession.implicits._

@@ -76,9 +76,13 @@ class FormatsSpec extends SparkSpecBase {
 
     val dir = Files.createTempDirectory("graft_bloom").toString + "/t"
     val docs = Tables.documents(spark, sf0001)
-      .select($"doc_id", md5($"text").as("content_hash"))
+      .select($"doc_id", md5($"text").as("content_hash"),
+        md5(concat($"text", lit("x"))).as("url_hash"), $"lang")
+    // per-column ndv: two high-cardinality hash columns sized
+    // independently, plus low-ndv lang (one shared ndv would waste bytes
+    // on a small column or inflate a big column's fpp)
     graft.ops.Layout.writeWithBloomFilters(docs.coalesce(1), dir,
-      Seq("content_hash"), ndv = 1000L)
+      Seq("content_hash" -> 1000L, "url_hash" -> 500L, "lang" -> 8L))
 
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
@@ -98,6 +102,19 @@ class FormatsSpec extends SparkSpecBase {
         .find(_.getPath.toDotString == "doc_id").get
       assert(idMeta.getBloomFilterOffset < 0,
         "bloom filter written for a column that never asked for one")
+      // the second requested hash column got its own filter too
+      val urlMeta = block.getColumns.asScala
+        .find(_.getPath.toDotString == "url_hash").get
+      assert(urlMeta.getBloomFilterOffset >= 0,
+        "no bloom filter offset recorded for url_hash")
+      // lang asked for one but is fully dictionary-encoded — parquet-mr
+      // suppresses the bloom there (the dictionary page is already an
+      // exact membership filter), which is the right outcome for low-ndv
+      // columns and worth pinning so nobody "fixes" it
+      val langMeta = block.getColumns.asScala
+        .find(_.getPath.toDotString == "lang").get
+      assert(langMeta.getBloomFilterOffset < 0,
+        "bloom written for a fully dictionary-encoded column")
       val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(colMeta)
       // …contains every present value (no false negatives, the guarantee
       // row-group skipping relies on)…

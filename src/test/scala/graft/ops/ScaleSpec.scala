@@ -12,6 +12,21 @@ import java.nio.file.Files
 class ScaleSpec extends SparkSpecBase {
   import spark.implicits._
 
+  /** Disable broadcast + AQE for the block, SAVING and RESTORING any
+    * pre-existing session values (unset would discard them). */
+  private def withForcedShufflePlanning[A](body: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "-1")
+    spark.conf.set(keys(1), "false")
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse.dir is a static conf; an explicit DB LOCATION suffices
     val wh = Files.createTempDirectory("graft_wh").toString
@@ -152,9 +167,7 @@ class ScaleSpec extends SparkSpecBase {
     // all-rows stage.) Broadcast + AQE would hide the exchanges at test
     // scale, so force the shuffle path a large corpus takes.
     val docs = Tables.documents(spark, sf0001)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val exchanges = try {
+    val exchanges = withForcedShufflePlanning {
       val sh = graft.ml.Dedup.shingled(docs)
       val sigs = sh.select($"doc_id",
         graft.functions.MinHashSig.minhashSig($"shingles", 128).as("sig"))
@@ -162,9 +175,6 @@ class ScaleSpec extends SparkSpecBase {
         .queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.unset("spark.sql.adaptive.enabled")
     }
     val bucketExchanges = exchanges.filter(
       _.outputPartitioning.toString.contains("bucket"))
@@ -185,16 +195,11 @@ class ScaleSpec extends SparkSpecBase {
     // at test scale the sig table broadcasts and AQE hides exchanges
     // behind the adaptive root; the claim under test is the SHUFFLE path
     // a large corpus takes, so force it and plan non-adaptively
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val exchanges = try {
+    val exchanges = withForcedShufflePlanning {
       graft.ml.Fuzzy.fuzzyPairs(docs, "doc_id", "s", 2)
         .queryExecution.executedPlan.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
         }
-    } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.unset("spark.sql.adaptive.enabled")
     }
     assert(exchanges.nonEmpty)
     // any exchange keyed on the signature must ship (sig: long, id) rows
