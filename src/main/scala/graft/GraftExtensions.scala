@@ -61,7 +61,8 @@ object GraftExtensions {
         intArg(c(2), "hyperplane_sketch", "dim"))
     },
     "deletion_sigs" -> (c =>
-      DeletionSigs(c(0), intArg(c(1), "deletion_sigs", "maxEd"))))
+      DeletionSigs(c(0), intArg(c(1), "deletion_sigs", "maxEd"))),
+    "bpe_token_count" -> (c => BpeTokenCount(c.head)))
 
   /** Register graft SQL functions on an already-built session. */
   def register(spark: SparkSession): Unit =

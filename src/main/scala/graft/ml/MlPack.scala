@@ -169,6 +169,18 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL token accounting: byte-level BPE under the committed
+    // BpeTable merge table, as a codegen expression. The oracle replays
+    // the identical 128 merges as chained replace() calls (see
+    // Bpe.oracleReplaceChain), so this row scores the exact tokenizer,
+    // not a regex approximation.
+    "ns_token_count_bpe" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Shannon character entropy — low-entropy filler detector.
     "ns_char_entropy" -> ((s, d) => {
       TextAnalysis.charEntropy(Tables.documents(s, d))
@@ -626,6 +638,17 @@ object MlPack extends QueryPack {
         |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT)
         |    AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The committed BpeTable merge list replayed literally: merge rank r
+    // is one replace(s, chr(a)||chr(b), chr(256+r)) — left-to-right
+    // non-overlapping, exactly one encoder pass — and the final token
+    // count is the codepoint length of the symbol string (staged through
+    // CTEs to stay under DuckDB's 128-deep expression-binding cap).
+    // Valid because the corpus is ASCII (byte == codepoint); the Spark
+    // side runs on true UTF-8 bytes.
+    "ns_token_count_bpe" ->
+      graft.functions.Bpe.oracleSql("documents", "doc_id", "text",
+        "n_bpe_tokens"),
 
     // Same fixed-point contribution sum as ns_dsir_score: each char's
     // -p·ln(p) is rounded to 6 decimals, then summed as round(x*1e6)

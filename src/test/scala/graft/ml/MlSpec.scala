@@ -445,4 +445,49 @@ class MlSpec extends SparkSpecBase {
       .collect().map(r => r.getBoolean(0) -> r.getAs[Double]("s")).toMap
     assert(scores(true) > scores(false))
   }
+
+  test("BPE: goldens from an independent min-rank encoder; expression parity") {
+    import graft.functions.Bpe
+    // Goldens computed by a SEPARATE Python implementation of the
+    // GPT-2-style encoder (repeatedly merge the lowest-rank adjacent
+    // pair) over the same committed BpeTable — agreement here validates
+    // both the table transcription and the rank-order-pass equivalence
+    // the Scala encoder and the SQL oracle rely on.
+    val goldens = Seq(
+      ("the fast key order sort table scan merge part window small hash ",
+        12, Seq(349, 347, 342, 366, 337, 376, 338, 339, 344, 362, 356, 348)),
+      ("the table scan", 3, Seq(349, 376, 369)),
+      ("spark", 2, Seq(115, 315)),
+      // multi-byte chars tokenize per UTF-8 BYTE (é = 2 bytes), never
+      // merged by this ASCII-trained table
+      ("héllo wörld", 13,
+        Seq(104, 195, 169, 108, 108, 111, 32, 119, 195, 182, 114, 108, 100)),
+      ("", 0, Seq()),
+      ("a", 1, Seq(97)),
+      ("zzzzqqqq", 8, Seq(122, 122, 122, 122, 113, 113, 113, 113)))
+    goldens.foreach { case (s, n, toks) =>
+      val enc = Bpe.encode(s.getBytes("UTF-8")).toSeq
+      assert(enc == toks, s"encode('$s') = $enc, want $toks")
+      assert(enc.length == n)
+    }
+    // expression output == the shared encoder, over real corpus text
+    val got = docs.select(col("doc_id"), col("text"),
+        Bpe.tokenCount(col("text")).as("n"))
+      .collect()
+    got.foreach { r =>
+      val want = Bpe.encode(r.getAs[String]("text").getBytes("UTF-8")).length
+      assert(r.getAs[Int]("n") == want,
+        s"doc ${r.getLong(0)}: expression ${r.getAs[Int]("n")} != encoder $want")
+    }
+    // BPE compresses real text well below the byte count (the point of
+    // budgeting by tokens, not bytes)
+    val ratio = got.map(r =>
+      r.getAs[String]("text").length.toDouble / math.max(1, r.getAs[Int]("n"))).min
+    assert(ratio > 2.0, s"suspiciously weak compression: min ratio $ratio")
+    // callable from SQL after extension registration
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT bpe_token_count('the table scan') AS n").head().getInt(0)
+    assert(viaSql == 3)
+  }
 }
