@@ -25,4 +25,49 @@ object Skew {
       .groupBy(col("k"))
       .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
   }
+
+  /** Salted self-join PAIR GENERATION — the skew escape hatch for
+    * LSH-band / deletion-signature candidate joins ([[graft.ml.Dedup
+    * .lshCandidates]], [[graft.ml.Fuzzy.fuzzyPairs]]). A bucket with k
+    * members emits C(k,2) candidate pairs, and in a plain self-equi-join
+    * on the bucket key ONE reducer does all of that work — the remaining
+    * 100x-scale risk after df-caps and distinct-string reductions, since
+    * a single pathological bucket (boilerplate shingle band, hot
+    * signature) makes one task quadratic while its peers idle.
+    *
+    * The g²-cell decomposition: each member gets a deterministic salt
+    * `s(id) = xxhash64(id) mod g`; the left side keeps its own salt as
+    * the FIRST coordinate and replicates across all g values of the
+    * second, the right side mirrors this, and the join key becomes
+    * (bucket, s1, s2). The unordered pair {x, y} matches in exactly the
+    * cell (s(x), s(y)) for orientation (x, y) and (s(y), s(x)) for
+    * (y, x); the `id_a < id_b` filter keeps exactly one orientation, so
+    * output parity with the direct join is exact (ScaleSpec). Shuffle
+    * volume grows g× per side, but the hot bucket's C(k,2) pairs spread
+    * over g² independent reducers — g=32 turns one 8-hour straggler
+    * into a thousand 30-second tasks at the cost of one extra
+    * replication pass. AQE's skew-join splitting attacks the same
+    * problem reactively; this is the deterministic, planner-independent
+    * form for the candidate joins where the blowup is OUTPUT-side
+    * (post-join pair explosion), which byte-size-based AQE splitting
+    * systematically underestimates.
+    *
+    * Output: (keyCol, id_a, id_b), id_a < id_b, one row per unordered
+    * member pair per bucket key. */
+  def saltedSelfJoinPairs(df: DataFrame, keyCol: String, idCol: String,
+      g: Int): DataFrame = {
+    require(g >= 1, s"salt buckets must be >= 1, got $g")
+    val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
+      pmod(xxhash64(col(idCol)), lit(g.toLong)).cast("int").as("s"))
+    val allSalts = sequence(lit(0), lit(g - 1))
+    val left = base
+      .withColumn("s2", explode(allSalts))
+      .select(col("k"), col("id").as("id_a"), col("s").as("s1"), col("s2"))
+    val right = base
+      .withColumn("s1", explode(allSalts))
+      .select(col("k"), col("id").as("id_b"), col("s1"), col("s").as("s2"))
+    left.join(right, Seq("k", "s1", "s2"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("k").as(keyCol), col("id_a"), col("id_b"))
+  }
 }

@@ -189,6 +189,51 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("salted candidate self-join: hot bucket spreads over salt cells, exact parity") {
+    // one pathologically hot signature bucket (200 members -> 19,900
+    // pairs) among small background buckets — the skew shape a
+    // boilerplate LSH band or shared deletion signature produces
+    val g = 4
+    val rows = (1L to 200L).map(id => ("hot", id)) ++
+      (1L to 50L).map(i => (s"cold_${i % 10}", 1000L + i))
+    val df = rows.toDF("sig", "doc_id")
+    val salted = Skew.saltedSelfJoinPairs(df, "sig", "doc_id", g)
+    // parity: exactly the direct self-join's unordered pair set
+    val l = df.select($"sig", $"doc_id".as("id_a"))
+    val r = df.select($"sig", $"doc_id".as("id_b"))
+    val direct = l.join(r, "sig").filter($"id_a" < $"id_b")
+      .select($"sig", $"id_a", $"id_b")
+      .as[(String, Long, Long)].collect().toSet
+    val got = salted.as[(String, Long, Long)].collect().toSet
+    assert(got == direct,
+      s"salted pairs diverge: missing ${(direct -- got).size}, " +
+        s"fabricated ${(got -- direct).size} of ${direct.size}")
+    // plan: the join shuffles on (bucket, s1, s2) — the salt coordinates
+    // must be IN the exchange key, or nothing was spread
+    val exchanges = withForcedShufflePlanning {
+      Skew.saltedSelfJoinPairs(df, "sig", "doc_id", g)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+    }
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      val p = e.outputPartitioning.toString
+      assert(p.contains("s1") && p.contains("s2"),
+        s"join exchange not keyed on salt cells: $p")
+    }
+    // and the hot bucket's pairs really land in many independent
+    // reducer cells (the point: C(k,2) work no longer serializes on one
+    // task) — up to g^2 = 16 cells for the single hot key
+    val hotCells = withForcedShufflePlanning {
+      Skew.saltedSelfJoinPairs(df, "sig", "doc_id", g)
+        .filter($"sig" === "hot")
+        .select(spark_partition_id()).distinct().count()
+    }
+    assert(hotCells > g,
+      s"hot bucket concentrated in $hotCells partitions; salting spread nothing")
+  }
+
   test("fuzzy-join signature exchanges carry hashed longs, never variant strings") {
     val docs = Tables.documents(spark, sf0001)
       .select($"doc_id", substring($"text", 1, 24).as("s"))
