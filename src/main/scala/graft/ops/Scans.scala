@@ -87,6 +87,35 @@ object Scans extends QueryPack {
           (col("id") * 150 + 150).as("window_end"),
           ceil(col("id") / 150.0).cast("long").as("chunk"))
         .orderBy(col("id"))
+    }),
+
+    // SURVEY §7.5.3: the pivotSpecs wide-table compatibility view — the
+    // MapType spec record projected to the columns a reference-shaped
+    // consumer asks for (app.js:401-417's wide tables, read side).
+    // Spec-shaped records (brand, model, srcUrl, specs MAP) are derived
+    // in-query from `part` because the driver's oracle registers only
+    // the ten parquet tables, not the JSON device fixtures; the pivot
+    // itself is the exact production path: element_at per requested
+    // key, absent keys (size_mm on small parts, battery_mah everywhere)
+    // surfacing as NULL columns.
+    "s_pivot_specs_wide" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val records = p.select(
+        col("p_brand").as("brand"),
+        col("p_name").as("model"),
+        concat(lit("https://specs.example/part/"), col("p_partkey"))
+          .as("srcUrl"),
+        map_filter(
+          map(
+            lit("part_type"), col("p_type"),
+            lit("size_mm"), col("p_size").cast("string"),
+            lit("price_usd"),
+            round(col("p_retailprice")).cast("long").cast("string")),
+          (k, _) => !(k === lit("size_mm") && col("p_size") < 10))
+          .as("specs"))
+      graft.ingest.SpecIngest.pivotSpecs(records,
+          Seq("part_type", "size_mm", "price_usd", "battery_mah"))
+        .orderBy(col("srcUrl"))
     })
   )
 
@@ -129,6 +158,17 @@ object Scans extends QueryPack {
     "o4_range_gen" ->
       """SELECT gs AS id, gs * 150 + 150 AS window_end,
         |  CAST(ceil(gs / 150.0) AS BIGINT) AS chunk
-        |FROM generate_series(1, 999, 5) t(gs) ORDER BY id""".stripMargin
+        |FROM generate_series(1, 999, 5) t(gs) ORDER BY id""".stripMargin,
+
+    // manual-CASE spelling of the same wide view: present keys project
+    // their value, conditionally-absent and never-present keys are NULL
+    "s_pivot_specs_wide" ->
+      """SELECT p_brand AS brand, p_name AS model,
+        |  'https://specs.example/part/' || p_partkey AS srcUrl,
+        |  p_type AS part_type,
+        |  CASE WHEN p_size >= 10 THEN CAST(p_size AS VARCHAR) END AS size_mm,
+        |  CAST(CAST(round(p_retailprice) AS BIGINT) AS VARCHAR) AS price_usd,
+        |  CAST(NULL AS VARCHAR) AS battery_mah
+        |FROM part ORDER BY srcUrl""".stripMargin
   )
 }
