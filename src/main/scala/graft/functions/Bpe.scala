@@ -131,6 +131,16 @@ object Bpe {
     * INT) AS <outCol> FROM sN ORDER BY <id>`. */
   def oracleSql(table: String, idCol: String, textCol: String,
       outCol: String, perStage: Int = 16): String = {
+    val (ctes, last) = oracleCtes(table, idCol, textCol, perStage)
+    s"$ctes\nSELECT $idCol, CAST(length(s) AS INT) AS $outCol " +
+      s"FROM $last ORDER BY $idCol"
+  }
+
+  /** The staged-CTE prefix alone (and the final CTE's name), for oracles
+    * that post-process the symbol string — e.g. BPE-budget sequence
+    * packing sums `length(s)` instead of selecting it. */
+  def oracleCtes(table: String, idCol: String, textCol: String,
+      perStage: Int = 16): (String, String) = {
     val stages = BpeTable.merges.zipWithIndex.grouped(perStage).toSeq
     val ctes = new StringBuilder(
       s"WITH s0 AS (SELECT $idCol, $textCol AS s FROM $table)")
@@ -140,9 +150,6 @@ object Bpe {
       }
       ctes.append(s",\ns${gi + 1} AS (SELECT $idCol, $chain AS s FROM s$gi)")
     }
-    ctes.append(
-      s"\nSELECT $idCol, CAST(length(s) AS INT) AS $outCol " +
-        s"FROM s${stages.size} ORDER BY $idCol")
-    ctes.toString
+    (ctes.toString, s"s${stages.size}")
   }
 }

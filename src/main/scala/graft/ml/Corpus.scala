@@ -45,9 +45,17 @@ object Corpus {
     * Only the per-range windows touch data-sized partitions.
     */
   def packSequences(docs: DataFrame, budget: Int,
-      bucketSize: Long = 1000L): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      bucketSize: Long = 1000L): DataFrame =
+    packSequencesBy(docs,
+      size(split(trim(col("text")), "\\s+")).cast("long"), budget, bucketSize)
+
+  /** [[packSequences]] under an arbitrary per-document token measure —
+    * e.g. the real BPE count ([[graft.functions.Bpe]]) instead of the
+    * whitespace approximation, so packed sequences respect the budget a
+    * model actually trains with. */
+  def packSequencesBy(docs: DataFrame, nTokens: org.apache.spark.sql.Column,
+      budget: Int, bucketSize: Long = 1000L): DataFrame = {
+    val toks = docs.select(col("doc_id"), nTokens.as("n_tokens"))
       .withColumn("bucket", floor(col("doc_id") / bucketSize))
     val wInBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
     val cum = toks.withColumn("cum_in_bucket",

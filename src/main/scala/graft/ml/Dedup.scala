@@ -139,11 +139,43 @@ object Dedup {
   /** MinHash+LSH near-dup pairs, exact-Jaccard verified: candidates from
     * the banded signatures, then verified with true shingle-set Jaccard.
     */
-  def minhashDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashDupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    minhashDupPairsFrom(docs, threshold, lshCandidates)
+
+  /** [[lshCandidates]] with the hot-bucket escape hatch: identical pair
+    * set, but the bucket self-join runs through
+    * [[graft.ops.Skew.saltedSelfJoinPairs]], spreading a pathological
+    * bucket's C(k,2) candidates over g² salt cells instead of one
+    * reducer. The (band, bucket) pair collapses to one xxhash64 join
+    * key — a cross-bucket hash collision can only ADD candidates (the
+    * exact-Jaccard verify removes them), never lose one, so recall is
+    * untouched. This is the candidate generator to swap in when a
+    * corpus has boilerplate-heavy bands (the 100× skew scenario
+    * ScaleSpec's hot-bucket test models). */
+  def lshCandidatesSalted(sigs: DataFrame, g: Int): DataFrame = {
+    val rows = NumHashes / NumBands
+    val banded = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b +: (1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
+              .as("bucket")))).as("bb"))
+      .select(col("doc_id"),
+        xxhash64(col("bb.band"), col("bb.bucket")).as("bb"))
+    graft.ops.Skew.saltedSelfJoinPairs(banded, "bb", "doc_id", g)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")).distinct()
+  }
+
+  /** [[minhashDupPairs]] over the salted candidate generator. */
+  def minhashDupPairsSalted(docs: DataFrame, threshold: Double,
+      g: Int): DataFrame =
+    minhashDupPairsFrom(docs, threshold, lshCandidatesSalted(_, g))
+
+  private def minhashDupPairsFrom(docs: DataFrame, threshold: Double,
+      candidates: DataFrame => DataFrame): DataFrame = {
     val sh = shingled(docs)
     val sigs = minhashSignatures(sh)
     sigs.count() // materialize before the two-sided band join reads it
-    val cands = lshCandidates(sigs)
+    val cands = candidates(sigs)
     val withSets = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")

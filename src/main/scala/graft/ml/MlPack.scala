@@ -38,6 +38,16 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Same pipeline through the SKEW-HARDENED candidate generator
+    // (Skew.saltedSelfJoinPairs over g=4 salt cells): the scored proof
+    // that the hot-bucket escape hatch is output-identical end to end,
+    // not just in ScaleSpec's synthetic fixture. Same oracle as
+    // ns_dedup_minhash by the same argument.
+    "ns_dedup_minhash_salted" -> ((s, d) => {
+      Dedup.minhashDupPairsSalted(Tables.documents(s, d), 0.5, g = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Duplicate clusters: connected components over the near-dup pair
     // graph (min-doc_id label per component) — the "pick one canonical
     // doc per duplicate set" step a dedup pipeline actually ships.
@@ -282,6 +292,18 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Sequence packing under the REAL token budget: same distributed
+    // prefix-sum packing, but doc lengths come from the committed BPE
+    // tokenizer instead of the whitespace approximation — the form a
+    // training pipeline actually ships (a 512-BPE-token budget, not a
+    // 512-word one; the whitespace count overestimates BPE length ~5x
+    // on this corpus, so the two packings differ materially).
+    "ns_seq_packing_bpe" -> ((s, d) => {
+      Corpus.packSequencesBy(Tables.documents(s, d),
+          graft.functions.Bpe.tokenCount(col("text")).cast("long"), 512)
+        .orderBy(col("doc_id"))
+    }),
+
     // Top-20 corpus vocabulary heavy hitters with document frequency.
     "ns_heavy_hitters" -> ((s, d) => {
       Corpus.heavyHitters(Tables.documents(s, d), 20)
@@ -345,6 +367,7 @@ object MlPack extends QueryPack {
     // The minhash pipeline's exact-Jaccard verify makes its output equal
     // the exact pair set — same oracle as ns_dedup_jaccard.
     "ns_dedup_minhash" -> jaccardPairsOracle,
+    "ns_dedup_minhash_salted" -> jaccardPairsOracle,
 
     // Same recursive component labeling as ns_dedup_keep, then max-
     // n_chars canonical per cluster.
@@ -771,6 +794,20 @@ object MlPack extends QueryPack {
         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) - n_tokens AS start FROM t)
         |SELECT doc_id, n_tokens, start // 512 AS seq_id, start % 512 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the BPE CTE chain computes the symbol string; packing then runs
+    // the identical prefix-sum arithmetic over its length
+    "ns_seq_packing_bpe" -> {
+      val (ctes, last) =
+        graft.functions.Bpe.oracleCtes("documents", "doc_id", "text")
+      s"""$ctes,
+         |t AS (SELECT doc_id, CAST(length(s) AS BIGINT) AS n_tokens
+         |  FROM $last),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) - n_tokens AS start FROM t)
+         |SELECT doc_id, n_tokens, start // 512 AS seq_id, start % 512 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "ns_heavy_hitters" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
