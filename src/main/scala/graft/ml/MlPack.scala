@@ -118,6 +118,17 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ-ADC approximate top-5 — the memory-compressed ANN tier: 8
+    // subspaces × 16 centroids (4-byte codes vs 256-byte vectors),
+    // asymmetric-distance scoring against the codes only. Deterministic
+    // sample codebook + fixed-point partial dots make the full
+    // encode/LUT/score pipeline replay exactly in DuckDB.
+    "ns_similarity_pq" -> ((s, d) => {
+      Similarity.pqTopK(Tables.embeddings(s, d), QueryVecIds, 5,
+        m = 8, ksub = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     // verify. Banding makes candidate recall ~1-1e-11, verification makes
     // precision exact → output equals the brute-force pair set, which is
@@ -544,6 +555,41 @@ object MlPack extends QueryPack {
         |      ORDER BY cos_sim DESC, vec_id) AS rank
         |  FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Full PQ replay: deterministic sample codebook (subvectors of the 16
+    // lowest-id corpus vectors), per-subspace nearest-centroid encoding
+    // (sequential squared-L2 via list_zip, rounded + cid tie-break), ADC
+    // lookup table with fixed-point partial dots, code-only scoring.
+    "ns_similarity_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |subs AS (SELECT CAST(gs AS INT) AS sub FROM generate_series(0, 7) t(gs)),
+        |seed AS (SELECT vec_id, v FROM e WHERE vec_id > 7 ORDER BY vec_id LIMIT 16),
+        |sr AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        |       FROM seed),
+        |cb AS (SELECT sub, cid, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
+        |       FROM sr CROSS JOIN subs),
+        |sv AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS sv
+        |       FROM e CROSS JOIN subs WHERE vec_id > 7),
+        |enc AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT sv.vec_id, sv.sub, cb.cid,
+        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+        |        ORDER BY round(list_sum(list_transform(list_zip(sv.sv, cb.cv),
+        |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 6),
+        |          cb.cid) AS rk
+        |    FROM sv JOIN cb USING (sub)) t WHERE rk = 1),
+        |qs AS (SELECT vec_id AS query_id, sub,
+        |         list_slice(v, sub*8 + 1, sub*8 + 8) AS qsv
+        |       FROM e CROSS JOIN subs WHERE vec_id <= 7),
+        |lut AS (SELECT query_id, sub, cid,
+        |      CAST(round(list_inner_product(qsv, cv) * 1e6) AS BIGINT) AS pfix
+        |    FROM qs JOIN cb USING (sub)),
+        |scored AS (SELECT query_id, vec_id, round(sum(pfix) / 1e6, 6) AS adc_dot
+        |    FROM enc JOIN lut USING (sub, cid) GROUP BY query_id, vec_id),
+        |ranked AS (SELECT query_id, vec_id, adc_dot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dot DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ns_dedup_exact" ->

@@ -122,6 +122,81 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** PQ-ADC approximate top-k — the memory-compressed ANN tier: each
+    * corpus vector is stored as `m` sub-codes (one per `dim/m`-wide
+    * subspace, each the nearest of `ksub` per-subspace centroids), and a
+    * query scores a vector WITHOUT touching it — an asymmetric-distance
+    * (ADC) lookup: score = Σ over subspaces of ⟨query-subvector,
+    * centroid[code]⟩, i.e. the inner product with the PQ reconstruction.
+    * At 100 TB this is the tier that changes the economics: the scan
+    * reads m log₂(ksub)-bit codes per vector (4 bytes here vs 256 for
+    * the raw floats — 64×) and the per-query work is an m×ksub lookup
+    * table plus one table-lookup sum per vector; the float vectors are
+    * never shuffled or scanned after encoding.
+    *
+    * The codebook is seeded deterministically per subspace (the
+    * subvectors of the `ksub` lowest-id corpus vectors) for the same
+    * reason as [[ivfTopK]]'s coarse quantizer: Lloyd refinement (see
+    * `Clustering.kmeans`) changes WHICH centroids exist, not the
+    * encode/ADC plan, and determinism makes the whole pipeline
+    * oracle-checkable. Per-subspace partial dots are fixed-point rounded
+    * (×1e6 to longs) before the sum so aggregation order cannot shift an
+    * ulp between engines.
+    *
+    * Output: (query_id, rank, vec_id, adc_dot) — ranked by the ADC inner
+    * product, ties to vec_id.
+    */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
+    val subs = explode(sequence(lit(0), lit(m - 1)))
+    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // codebook: (sub, cid, cv) — ksub × m rows, broadcast everywhere
+    val codebook = broadcast(
+      corpus.orderBy(col("vec_id")).limit(ksub)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .select(col("cid"), subs.as("sub"), col("v"))
+        .select(col("sub"), col("cid"), sub(col("v"), col("sub")).as("cv")))
+    // encode: nearest centroid per (vector, subspace); rounded distance +
+    // cid tie-break keeps the argmin engine-identical
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d"), col("cid"))
+    val codes = corpus
+      .select(col("vec_id"), subs.as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"), sub(col("v"), col("sub")).as("sv"))
+      .join(codebook, "sub")
+      .withColumn("d", round(l2sq(col("sv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    // ADC lookup table: per (query, sub, cid) partial inner product,
+    // fixed-point; |Q| × m × ksub rows, broadcast
+    val lut = broadcast(
+      all.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), subs.as("sub"), col("v"))
+        .select(col("query_id"), col("sub"), sub(col("v"), col("sub")).as("qsv"))
+        .join(codebook, "sub")
+        .select(col("query_id"), col("sub"), col("cid"),
+          round(dot(col("qsv"), col("cv")) * 1e6).cast("long").as("pfix")))
+    val scored = codes.join(lut, Seq("sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("pfix")) / 1e6, 6).as("adc_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates verified
     * with exact cosine >= threshold.
     *

@@ -452,6 +452,50 @@ class MlSpec extends SparkSpecBase {
     assert(scores(true) > scores(false))
   }
 
+  test("PQ-ADC: seed vectors score exactly; recall@5 is real") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qids = 0L to 7L
+    val all = Similarity.pqTopK(emb, qids, k = 1000000)
+    // a codebook seed vector (the 16 lowest corpus ids) encodes to itself
+    // in every subspace (distance 0), so its PQ reconstruction is itself
+    // and the ADC score must equal the exact fixed-point inner product —
+    // the sharpest checkable point of the ADC identity
+    val seedIds = (8L to 23L)
+    val exact = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .crossJoin(emb.filter(col("vec_id").isin(seedIds: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .select(col("query_id"), col("vec_id"),
+        (aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x)).as("dot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val adc = all.filter(col("vec_id").isin(seedIds: _*))
+      .collect().map(r =>
+        (r.getLong(0), r.getAs[Long]("vec_id")) -> r.getAs[Double]("adc_dot")).toMap
+    assert(adc.keySet == exact.keySet)
+    adc.foreach { case (k2, a) =>
+      // ADC sums m per-subspace fixed-point dots; each rounds to 1e-6, so
+      // the total may differ from the exact dot by at most m ulps of 1e-6
+      assert(math.abs(a - exact(k2)) <= 8.5e-6,
+        s"seed $k2: adc $a != exact ${exact(k2)}")
+    }
+    // recall@5 vs brute force: sample codebooks are crude, but PQ must
+    // beat noise by a wide margin (random recall ≈ 5/492 ≈ 1%)
+    val brute = Similarity.bruteForceTopK(emb, qids, 5)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top5 = Similarity.pqTopK(emb, qids, 5)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val recall = (brute & top5).size.toDouble / brute.size
+    info(f"PQ recall@5 = $recall%.3f")
+    // measured 0.175 with the 16-centroid sample codebook — an order of
+    // magnitude above noise; Lloyd-trained codebooks are the quality
+    // lever, the floor here only guards against a broken ADC
+    assert(recall >= 0.1, f"PQ recall@5 $recall%.3f is indistinguishable from noise")
+  }
+
   test("BPE: goldens from an independent min-rank encoder; expression parity") {
     import graft.functions.Bpe
     // Goldens computed by a SEPARATE Python implementation of the
