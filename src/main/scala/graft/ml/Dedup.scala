@@ -121,15 +121,23 @@ object Dedup {
       graft.functions.MinHashSig.minhashSig(col("shingles"), NumHashes).as("sig"))
       .persist() // barrier: sig is referenced per-band downstream (2 join sides)
 
-  /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct). */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  /** (doc_id, band, bucket) rows from a signature frame — the banding
+    * shared by [[lshCandidates]], [[lshCandidatesSalted]], and the
+    * streaming near-dup ledger ([[graft.streaming.DocStreams]]), so
+    * every consumer buckets bit-identically. */
+  def bandBuckets(sigs: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
-    val banded = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(NumBands - 1)),
           b => struct(b.as("band"),
             xxhash64(b +: (1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
               .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct). */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val banded = bandBuckets(sigs)
     val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -153,14 +161,8 @@ object Dedup {
     * corpus has boilerplate-heavy bands (the 100× skew scenario
     * ScaleSpec's hot-bucket test models). */
   def lshCandidatesSalted(sigs: DataFrame, g: Int): DataFrame = {
-    val rows = NumHashes / NumBands
-    val banded = sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(NumBands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(b +: (1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
-              .as("bucket")))).as("bb"))
-      .select(col("doc_id"),
-        xxhash64(col("bb.band"), col("bb.bucket")).as("bb"))
+    val banded = bandBuckets(sigs)
+      .select(col("doc_id"), xxhash64(col("band"), col("bucket")).as("bb"))
     graft.ops.Skew.saltedSelfJoinPairs(banded, "bb", "doc_id", g)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")).distinct()
   }

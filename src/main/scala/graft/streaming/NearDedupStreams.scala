@@ -1,0 +1,251 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming NEAR-duplicate ingest — [[DocStreams]] upgraded from exact
+  * content identity to MinHash similarity: a document is admitted iff no
+  * already-admitted document estimates Jaccard ≥ τ against it. This is
+  * the online form of the batch dedup tiers (`Dedup.minhashDupPairs`),
+  * the shape a continuously-crawling pipeline actually runs: dedup AT
+  * ingest, against everything ever admitted, with bounded per-doc state.
+  *
+  * Ledger (one generation dir, same CURRENT-pointer chassis as
+  * [[DocStreams]], two tables inside):
+  *  - `sigs/`:    (doc_id, sig ARRAY<BIGINT>) partitioned by `spfx`
+  *                (doc_id mod 256) — 128 longs per admitted doc, the
+  *                bounded state that replaces unbounded shingle storage.
+  *  - `buckets/`: (band, bucket, doc_id) partitioned by `pfx`
+  *                (bucket mod 256) — the inverted LSH index. A batch
+  *                collects its ≤256 touched prefixes (metadata, not
+  *                data) and the candidate join reads only those
+  *                partitions.
+  *
+  * Per micro-batch:
+  *  1. signature + band buckets for incoming docs (bit-identical banding
+  *     to the batch operators via [[graft.ml.Dedup.bandBuckets]]);
+  *  2. candidates = batch buckets ⋈ pruned ledger buckets; estimated
+  *     Jaccard = matching-component fraction of the two signatures;
+  *     est ≥ τ against any ledger doc → rejected. A REPLAYED doc
+  *     collides with its own ledger rows at est = 1.0, which is exactly
+  *     what makes replay a no-op — self-pairs are the idempotence
+  *     mechanism, not an artifact;
+  *  3. survivors run greedy minimum-id admission within the batch
+  *     (the lexicographically-first maximal independent set over the
+  *     est ≥ τ candidate graph — identical to processing the batch
+  *     sequentially by doc_id), computed as the standard iterative
+  *     frontier: admit docs with no smaller-id surviving neighbor,
+  *     remove them and their neighbors, repeat (each round admits the
+  *     smallest survivor, so it terminates);
+  *  4. admitted docs land in the corpus via batch-keyed dynamic
+  *     partition overwrite (effectively-once, as in DocStreams), then
+  *     sigs, then buckets. Any crash point replays to the identical
+  *     state: data-only → identical recompute overwrites itself;
+  *     data+sigs → bucket rows regenerate (duplicate sig rows are
+  *     absorbed by the candidate `.distinct()`); all three → full
+  *     self-rejection, empty writes.
+  *
+  * Like every banded tier here, admission uses the LSH candidate
+  * restriction: only pairs sharing a band bucket are compared (recall
+  * 1-(1-p^r)^b per the S-curve), and the decision statistic is the
+  * signature estimate, not exact Jaccard — bounded state means the
+  * shingle sets are gone. Both facts are part of the operator's
+  * contract, and the spec's sequential reference applies the identical
+  * rule.
+  */
+object NearDedupStreams {
+
+  private val SigSchema = "doc_id BIGINT, sig ARRAY<BIGINT>, spfx STRING"
+  private val BucketSchema = "band INT, bucket BIGINT, doc_id BIGINT, pfx STRING"
+
+  private def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / graft.ml.Dedup.NumHashes
+
+  private def readPtr(fs: org.apache.hadoop.fs.FileSystem,
+      ledgerDir: String): Option[String] = {
+    val ptr = new org.apache.hadoop.fs.Path(s"$ledgerDir/CURRENT")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  private def swapPtr(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, ledgerDir: String,
+      gen: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(s"$ledgerDir/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(s"$ledgerDir/CURRENT"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def readOrEmpty(spark: SparkSession, path: String, schema: String,
+      fs: org.apache.hadoop.fs.FileSystem): DataFrame =
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.schema(schema).parquet(path)
+    else {
+      val fields = schema.split(",").map(_.trim.split(" ", 2))
+      spark.range(0).selectExpr(
+        fields.map(f => s"CAST(NULL AS ${f(1)}) AS ${f(0)}").toIndexedSeq: _*)
+    }
+
+  /** Admitted signatures currently in the ledger (reader view). */
+  def ledgerSigs(spark: SparkSession, ledgerDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(ledgerDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    readPtr(fs, ledgerDir)
+      .map(g => readOrEmpty(spark, s"$ledgerDir/$g/sigs", SigSchema, fs))
+      .getOrElse(readOrEmpty(spark, s"$ledgerDir/__none__", SigSchema, fs))
+  }
+
+  /** foreachBatch body: near-dedup `batch` against the ledger and itself,
+    * write admitted docs, extend the ledger. */
+  def nearDedupIngestSink(spark: SparkSession, ledgerDir: String,
+      outDir: String, tau: Double, compactEvery: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.ml.Dedup
+    val fs = new Path(ledgerDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val gen = readPtr(fs, ledgerDir).getOrElse {
+      fs.mkdirs(new Path(ledgerDir))
+      val g = s"gen_$batchId"
+      swapPtr(spark, fs, ledgerDir, g)
+      g
+    }
+    val genPath = s"$ledgerDir/$gen"
+
+    // 1. signatures + band buckets for the batch
+    val sigs = Dedup.minhashSignatures(Dedup.shingled(batch)) // persists
+    try {
+      val bands = Dedup.bandBuckets(sigs)
+        .withColumn("pfx", format_string("%02x", pmod(col("bucket"), lit(256L))))
+        .persist()
+      try {
+        val prefixes = bands.select(col("pfx")).distinct()
+          .collect().map(_.getString(0)).toSeq // ≤256 prune keys (metadata)
+
+        // 2. ledger rejection: candidates via the pruned inverted index,
+        // estimate on the stored signatures
+        val ledgerBuckets = readOrEmpty(spark, s"$genPath/buckets",
+          BucketSchema, fs).filter(col("pfx").isin(prefixes: _*))
+        val cands = bands
+          .select(col("doc_id").as("new_id"), col("band"), col("bucket"))
+          .join(ledgerBuckets
+            .select(col("doc_id").as("old_id"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .select(col("new_id"), col("old_id")).distinct()
+        val candPfx = cands.select(
+            format_string("%02x", pmod(col("old_id"), lit(256L))).as("spfx"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val oldSigs = readOrEmpty(spark, s"$genPath/sigs", SigSchema, fs)
+          .filter(col("spfx").isin(candPfx: _*))
+          .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
+        val ledgerRejected = cands
+          .join(sigs.select(col("doc_id").as("new_id"), col("sig")), "new_id")
+          .join(oldSigs, "old_id")
+          .filter(estJaccard(col("sig"), col("old_sig")) >= tau)
+          .select(col("new_id").as("doc_id")).distinct()
+
+        // 3. within-batch greedy min-id admission over surviving docs
+        val pairs = Dedup.lshCandidates(sigs)
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+          .filter(estJaccard(col("sa"), col("sb")) >= tau)
+          .select(col("doc_a"), col("doc_b"))
+        var remaining = sigs.select(col("doc_id"))
+          .join(ledgerRejected, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        var edges = pairs
+          .join(remaining.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .join(remaining.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+          .localCheckpoint()
+        var admitted = spark.range(0).select(col("id").as("doc_id"))
+        var done = remaining.isEmpty
+        while (!done) {
+          // frontier: no surviving smaller-id neighbor
+          val blocked = edges.select(col("doc_b").as("doc_id")).distinct()
+          val frontier = remaining.join(blocked, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          admitted = admitted.union(frontier).localCheckpoint()
+          // remove the frontier and everything it rejects
+          val rejected = edges
+            .join(frontier.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .select(col("doc_b").as("doc_id")).distinct()
+          remaining = remaining
+            .join(frontier, Seq("doc_id"), "left_anti")
+            .join(rejected, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          edges = edges
+            .join(remaining.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(remaining.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .localCheckpoint()
+          done = remaining.isEmpty
+        }
+
+        // 4. writes: corpus (effectively-once), then sigs, then buckets
+        val fresh = batch.join(admitted, "doc_id").persist()
+        try {
+          fresh.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outDir)
+          sigs.join(admitted, "doc_id")
+            .withColumn("spfx",
+              format_string("%02x", pmod(col("doc_id"), lit(256L))))
+            .write.mode("append").partitionBy("spfx")
+            .parquet(s"$genPath/sigs")
+          bands.join(admitted, "doc_id")
+            .select(col("band"), col("bucket"), col("doc_id"), col("pfx"))
+            .write.mode("append").partitionBy("pfx")
+            .parquet(s"$genPath/buckets")
+        } finally fresh.unpersist()
+      } finally bands.unpersist()
+    } finally sigs.unpersist()
+
+    // maintenance: same generation-swap compaction as DocStreams
+    val next = s"gen_c$batchId"
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+        next != gen && fs.exists(new Path(genPath))) {
+      readOrEmpty(spark, s"$genPath/sigs", SigSchema, fs)
+        .repartition(col("spfx")).sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").partitionBy("spfx")
+        .parquet(s"$ledgerDir/$next/sigs")
+      readOrEmpty(spark, s"$genPath/buckets", BucketSchema, fs)
+        .distinct() // crash-replay bucket duplicates compact away here
+        .repartition(col("pfx")).sortWithinPartitions(col("bucket"))
+        .write.mode("overwrite").partitionBy("pfx")
+        .parquet(s"$ledgerDir/$next/buckets")
+      swapPtr(spark, fs, ledgerDir, next)
+      fs.listStatus(new Path(ledgerDir)).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("gen_") && name != next && name != gen)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Drain a bounded doc stream through the near-dedup ingest sink. */
+  def runOnce(spark: SparkSession, srcDir: String, ledgerDir: String,
+      outDir: String, tau: Double, checkpoint: String,
+      compactEvery: Int = 16): Unit = {
+    val q = DocStreams.fromParquetDir(spark, srcDir).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(
+        nearDedupIngestSink(spark, ledgerDir, outDir, tau, compactEvery) _)
+      .start()
+    q.awaitTermination()
+  }
+}

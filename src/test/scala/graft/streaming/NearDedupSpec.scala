@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpecBase, Tables}
+import graft.ml.Dedup
+import java.nio.file.Files
+
+/** Streaming near-dup ingest vs a SEQUENTIAL reference: admit each doc
+  * (stream order: wave, then doc_id) iff no already-admitted doc sharing
+  * a band bucket estimates Jaccard ≥ τ — the exact rule the sink
+  * implements (ledger rejection + within-batch greedy min-id MIS equals
+  * sequential processing by construction; this test proves it on real
+  * data).
+  */
+class NearDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("near-dup ingest: streamed admission == sequential greedy; replay no-op") {
+    val docs = Tables.documents(spark, sf0001)
+    val src = Files.createTempDirectory("graft_nd_src").toString
+    val ledger = Files.createTempDirectory("graft_nd_ledger").toString + "/l"
+    val out = Files.createTempDirectory("graft_nd_out").toString + "/o"
+    val ckpt = Files.createTempDirectory("graft_nd_ckpt").toString
+    val tau = 0.5
+
+    // two arrival waves: even doc_ids, then odd
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // strictly increasing mtimes → deterministic batch order
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    NearDedupStreams.runOnce(spark, src, ledger, out, tau, ckpt)
+
+    val got = spark.read.parquet(out).select($"doc_id")
+      .as[Long].collect().toSet
+
+    // sequential reference with the same signatures, buckets, and rule
+    val sigs = Dedup.minhashSignatures(Dedup.shingled(docs))
+    val sigMap = sigs.as[(Long, Array[Long])].collect().toMap
+    val bandMap = Dedup.bandBuckets(sigs)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    spark.catalog.clearCache() // minhashSignatures persists
+    def est(a: Array[Long], b: Array[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / a.length
+    val order = sigMap.keys.toSeq.sortBy(id => (id % 2, id))
+    val inv = collection.mutable.Map.empty[(Int, Long), List[Long]]
+    val expected = collection.mutable.Set.empty[Long]
+    order.foreach { id =>
+      val cands = bandMap(id).flatMap(inv.get).flatten
+      if (!cands.exists(o => est(sigMap(id), sigMap(o)) >= tau)) {
+        expected += id
+        bandMap(id).foreach(bb => inv.update(bb, id :: inv.getOrElse(bb, Nil)))
+      }
+    }
+    assert(got == expected.toSet,
+      s"admission diverged: missing ${(expected -- got).size}, " +
+        s"extra ${(got -- expected).size} of ${expected.size}")
+    // the dedup genuinely bit (planted near-dups exist at sf0.001)
+    assert(got.size < docs.count())
+
+    // ledger state: one signature per admitted doc
+    assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == got.size)
+
+    // full replay of wave 0: every doc self-rejects at est 1.0 against
+    // its own ledger entry — corpus and ledger unchanged
+    NearDedupStreams.nearDedupIngestSink(spark, ledger, out, tau)(
+      docs.filter($"doc_id" % 2 === 0), 0L)
+    assert(spark.read.parquet(out).select($"doc_id")
+      .as[Long].collect().toSet == got)
+    assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == got.size)
+    spark.catalog.clearCache()
+  }
+}
