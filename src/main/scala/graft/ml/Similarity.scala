@@ -147,7 +147,100 @@ object Similarity {
     * product, ties to vec_id.
     */
   def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame =
+    pqTopKWith(emb, queryIds, k, m, dim,
+      pqSampleCodebook(emb, queryIds, m, ksub, dim))
+
+  /** [[pqTopK]] with `iters` rounds of per-subspace Lloyd refinement on
+    * the codebook — the offline training step that closes most of the
+    * sample-codebook recall gap (MlSpec measures it). Centroid means
+    * average floating-point sums whose order Spark does not fix, so the
+    * trained variant is for pipelines, not the byte-exact oracle — the
+    * scored row stays on the deterministic sample codebook. Empty
+    * clusters keep their previous centroid (the standard fallback). */
+  def pqTopKTrained(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, iters: Int = 5): DataFrame =
+    pqTopKWith(emb, queryIds, k, m, dim,
+      pqTrainCodebook(emb, queryIds, m, ksub, dim, iters))
+
+  /** `iters` rounds of per-subspace Lloyd over the sample codebook.
+    * Exposed so callers (and the distortion spec) can inspect the
+    * trained centroids. */
+  def pqTrainCodebook(emb: DataFrame, queryIds: Seq[Long], m: Int,
+      ksub: Int, dim: Int, iters: Int): DataFrame = {
+    val dsub = dim / m
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(!col("vec_id").isin(queryIds: _*))
+    val subVecs = corpus
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+      .localCheckpoint() // reused every Lloyd round
+    var codebook = pqSampleCodebook(emb, queryIds, m, ksub, dim)
+    (1 to iters).foreach { _ =>
+      val wAsg = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d"), col("cid"))
+      val assigned = subVecs.join(codebook, "sub")
+        .withColumn("d", pqL2sq(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
+        .select(col("sub"), col("cid"), col("sv"))
+      val means = assigned
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("cv"))
+      // empty clusters vanish from `means`; keep their old centroid
+      val kept = codebook.join(means.select(col("sub"), col("cid")),
+        Seq("sub", "cid"), "left_anti")
+      codebook = broadcast(means.unionByName(kept).localCheckpoint())
+    }
+    codebook
+  }
+
+  /** Total squared-L2 encoding distortion of `emb`'s corpus under a
+    * (sub, cid, cv) codebook — the quantity Lloyd monotonically
+    * decreases; the spec asserts trained < sample. */
+  def pqDistortion(emb: DataFrame, queryIds: Seq[Long], m: Int, dim: Int,
+      codebook: DataFrame): Double = {
+    val dsub = dim / m
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(!col("vec_id").isin(queryIds: _*))
+    val subVecs = corpus
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+    subVecs.join(broadcast(codebook), "sub")
+      .withColumn("d", pqL2sq(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub")).agg(min(col("d")).as("d"))
+      .agg(sum(col("d"))).head.getDouble(0)
+  }
+
+  private def pqL2sq(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** Deterministic sample codebook: (sub, cid, cv) from the `ksub`
+    * lowest-id corpus vectors' subvectors. */
+  def pqSampleCodebook(emb: DataFrame, queryIds: Seq[Long],
+      m: Int, ksub: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(!col("vec_id").isin(queryIds: _*))
+    broadcast(
+      corpus.orderBy(col("vec_id")).limit(ksub)
+        .withColumn("cid",
+          row_number().over(Window.orderBy(col("vec_id"))) - 1)
+        .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+          col("v"))
+        .select(col("sub"), col("cid"),
+          slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("cv")))
+  }
+
+  private def pqTopKWith(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int, dim: Int, codebookIn: DataFrame): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -160,12 +253,7 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
     // codebook: (sub, cid, cv) — ksub × m rows, broadcast everywhere
-    val codebook = broadcast(
-      corpus.orderBy(col("vec_id")).limit(ksub)
-        .withColumn("cid",
-          row_number().over(Window.orderBy(col("vec_id"))) - 1)
-        .select(col("cid"), subs.as("sub"), col("v"))
-        .select(col("sub"), col("cid"), sub(col("v"), col("sub")).as("cv")))
+    val codebook = broadcast(codebookIn)
     // encode: nearest centroid per (vector, subspace); rounded distance +
     // cid tie-break keeps the argmin engine-identical
     val wEnc = Window.partitionBy(col("vec_id"), col("sub"))

@@ -494,6 +494,23 @@ class MlSpec extends SparkSpecBase {
     // magnitude above noise; Lloyd-trained codebooks are the quality
     // lever, the floor here only guards against a broken ADC
     assert(recall >= 0.1, f"PQ recall@5 $recall%.3f is indistinguishable from noise")
+    // Lloyd refinement: the guaranteed invariant is DISTORTION descent
+    // (k-means monotonically reduces within-cluster SSE); recall on a
+    // 40-pair sample is too noisy to order two codebooks, so it stays
+    // informational with a one-pair tolerance
+    val sampleCb = Similarity.pqSampleCodebook(emb, qids, 8, 16, 64)
+    val trainedCb = Similarity.pqTrainCodebook(emb, qids, 8, 16, 64, 5)
+    val d0 = Similarity.pqDistortion(emb, qids, 8, 64, sampleCb)
+    val d5 = Similarity.pqDistortion(emb, qids, 8, 64, trainedCb)
+    info(f"PQ distortion: sample $d0%.3f -> trained $d5%.3f")
+    assert(d5 < d0, f"Lloyd did not reduce distortion: $d5%.3f >= $d0%.3f")
+    val trained = Similarity.pqTopKTrained(emb, qids, 5)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val recallT = (brute & trained).size.toDouble / brute.size
+    info(f"PQ recall@5 trained = $recallT%.3f (sample codebook: $recall%.3f)")
+    assert(recallT >= recall - 1.0 / brute.size,
+      f"trained codebook lost more than one pair of recall: $recallT%.3f vs $recall%.3f")
   }
 
   test("BPE: goldens from an independent min-rank encoder; expression parity") {
