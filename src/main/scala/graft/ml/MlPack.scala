@@ -129,6 +129,16 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-ADC approximate top-5 — the production composition (FAISS
+    // IVFPQ, non-residual): probe 4 of 16 inverted lists, ADC-score only
+    // their PQ codes. Both component tiers are deterministic, so the
+    // composed pipeline replays fully in DuckDB.
+    "ns_similarity_ivfpq" -> ((s, d) => {
+      Similarity.ivfpqTopK(Tables.embeddings(s, d), QueryVecIds, 5,
+        nlist = 16, nprobe = 4, m = 8, ksub = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     // verify. Banding makes candidate recall ~1-1e-11, verification makes
     // precision exact → output equals the brute-force pair set, which is
@@ -586,6 +596,58 @@ object MlPack extends QueryPack {
         |    FROM qs JOIN cb USING (sub)),
         |scored AS (SELECT query_id, vec_id, round(sum(pfix) / 1e6, 6) AS adc_dot
         |    FROM enc JOIN lut USING (sub, cid) GROUP BY query_id, vec_id),
+        |ranked AS (SELECT query_id, vec_id, adc_dot,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dot DESC, vec_id) AS rank FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // The IVF oracle's coarse/probe CTEs composed with the PQ oracle's
+    // codebook/encode/LUT CTEs; scoring joins the probed lists.
+    "ns_similarity_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS lid, v AS lv FROM e WHERE vec_id > 7
+        |       ORDER BY vec_id LIMIT 16),
+        |lists AS (SELECT vec_id, lid FROM (
+        |    SELECT e.vec_id, c0.lid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c0.lv), 6) DESC, c0.lid)
+        |        AS rk
+        |    FROM e CROSS JOIN c0 WHERE e.vec_id > 7) t WHERE rk = 1),
+        |probes AS (SELECT query_id, lid FROM (
+        |    SELECT e.vec_id AS query_id, c0.lid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c0.lv), 6) DESC, c0.lid)
+        |        AS rk
+        |    FROM e CROSS JOIN c0 WHERE e.vec_id <= 7) t WHERE rk <= 4),
+        |subs AS (SELECT CAST(gs AS INT) AS sub FROM generate_series(0, 7) t(gs)),
+        |seed AS (SELECT vec_id, v FROM e WHERE vec_id > 7 ORDER BY vec_id LIMIT 16),
+        |sr AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        |       FROM seed),
+        |cb AS (SELECT sub, cid, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
+        |       FROM sr CROSS JOIN subs),
+        |sv AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS sv
+        |       FROM e CROSS JOIN subs WHERE vec_id > 7),
+        |enc AS (SELECT vec_id, sub, cid FROM (
+        |    SELECT sv.vec_id, sv.sub, cb.cid,
+        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+        |        ORDER BY round(list_sum(list_transform(list_zip(sv.sv, cb.cv),
+        |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), cb.cid) AS rk
+        |    FROM sv JOIN cb USING (sub)) t WHERE rk = 1),
+        |qs AS (SELECT vec_id AS query_id, sub,
+        |         list_slice(v, sub*8 + 1, sub*8 + 8) AS qsv
+        |       FROM e CROSS JOIN subs WHERE vec_id <= 7),
+        |lut AS (SELECT query_id, sub, cid,
+        |      CAST(round(list_inner_product(qsv, cv) * 1e6) AS BIGINT) AS pfix
+        |    FROM qs JOIN cb USING (sub)),
+        |cands AS (SELECT probes.query_id, lists.vec_id
+        |    FROM lists JOIN probes USING (lid)),
+        |scored AS (SELECT c.query_id, c.vec_id,
+        |      round(sum(l.pfix) / 1e6, 6) AS adc_dot
+        |    FROM cands c JOIN enc ON c.vec_id = enc.vec_id
+        |    JOIN lut l ON l.query_id = c.query_id
+        |      AND l.sub = enc.sub AND l.cid = enc.cid
+        |    GROUP BY c.query_id, c.vec_id),
         |ranked AS (SELECT query_id, vec_id, adc_dot,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY adc_dot DESC, vec_id) AS rank FROM scored)

@@ -285,6 +285,79 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
   }
 
+  /** IVF-ADC approximate top-k — [[ivfTopK]]'s inverted lists combined
+    * with [[pqTopK]]'s code-only scoring, the standard production ANN
+    * composition (FAISS's IVFPQ, non-residual form): a query probes its
+    * `nprobe` nearest coarse lists and ADC-scores ONLY those lists'
+    * PQ codes. Cost per query ≈ (nprobe/nlist) × (code-scan of PQ), so
+    * the two speedups multiply: the scan touches a fraction of the
+    * corpus AND reads 4-byte codes instead of vectors. Production
+    * systems encode residuals (v − coarse centroid) for tighter
+    * quantization; the non-residual form here keeps every stage exactly
+    * replayable in the DuckDB oracle, and the residual refinement —
+    * like Lloyd training — changes the codebook, not the plan.
+    */
+  def ivfpqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
+    val subs = explode(sequence(lit(0), lit(m - 1)))
+    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // coarse quantizer + list assignment: exactly ivfTopK's
+    val centroids = broadcast(corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("lid"), col("v").as("lv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("lid"))
+    val lists = corpus.crossJoin(centroids)
+      .withColumn("cos_c", round(cosine(col("v"), col("lv")), 6))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("lid"))
+    // PQ codes: exactly pqTopK's encoding under the sample codebook
+    val codebook = pqSampleCodebook(emb, queryIds, m, ksub, dim)
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d"), col("cid"))
+    val codes = corpus
+      .select(col("vec_id"), subs.as("sub"), col("v"))
+      .select(col("vec_id"), col("sub"), sub(col("v"), col("sub")).as("sv"))
+      .join(codebook, "sub")
+      .withColumn("d", pqL2sq(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("cid"))
+    // query side: probed lists + ADC lookup table
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+    val probes = broadcast(queries.crossJoin(centroids)
+      .withColumn("cos_c", round(cosine(col("v"), col("lv")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("lid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("lid")))
+    val lut = broadcast(queries
+      .select(col("vec_id").as("query_id"), subs.as("sub"), col("v"))
+      .select(col("query_id"), col("sub"), sub(col("v"), col("sub")).as("qsv"))
+      .join(codebook, "sub")
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(dot(col("qsv"), col("cv")) * 1e6).cast("long").as("pfix")))
+    // candidates: docs in probed lists; ADC sum over their codes
+    val cands = lists.join(probes, "lid")
+      .select(col("query_id"), col("vec_id"))
+    val scored = cands.join(codes, "vec_id")
+      .join(lut, Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("pfix")) / 1e6, 6).as("adc_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates verified
     * with exact cosine >= threshold.
     *

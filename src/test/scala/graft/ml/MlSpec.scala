@@ -513,6 +513,32 @@ class MlSpec extends SparkSpecBase {
       f"trained codebook lost more than one pair of recall: $recallT%.3f vs $recall%.3f")
   }
 
+  test("IVF-ADC at full probe equals plain PQ; restricted probe loses only recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qids = 0L to 7L
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Long]("vec_id"),
+          r.getAs[Double]("adc_dot"))).toSet
+    // probing every list degenerates to scoring every code: exact identity
+    val full = key(Similarity.ivfpqTopK(emb, qids, 5, nlist = 16, nprobe = 16))
+    val pq = key(Similarity.pqTopK(emb, qids, 5))
+    assert(full == pq, s"full-probe IVF-ADC diverged from PQ: ${(full -- pq).size}")
+    // restricted probe: scores of returned items are still true ADC dots
+    // (subset of the full scoring), only coverage shrinks
+    val part = Similarity.ivfpqTopK(emb, qids, 5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("vec_id"), col("adc_dot"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("adc_dot")).toMap
+    val allAdc = Similarity.pqTopK(emb, qids, 1000000)
+      .select(col("query_id"), col("vec_id"), col("adc_dot"))
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("adc_dot")).toMap
+    part.foreach { case (k2, v) =>
+      assert(allAdc(k2) == v, s"probed ADC diverged for $k2: $v vs ${allAdc(k2)}")
+    }
+  }
+
   test("BPE: goldens from an independent min-rank encoder; expression parity") {
     import graft.functions.Bpe
     // Goldens computed by a SEPARATE Python implementation of the
