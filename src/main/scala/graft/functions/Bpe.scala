@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
@@ -29,6 +30,52 @@ import org.apache.spark.unsafe.types.UTF8String
   * per merge rank over a short int array (the array only shrinks, and
   * passes stop as soon as a single symbol remains).
   */
+/** UTF-8 bytes of a string as `array<int>` (0-255) — the initial token
+  * sequence for BPE training ([[Bpe.train]]). */
+case class Utf8Bytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"utf8_bytes needs a string input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.utf8Bytes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.utf8Bytes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Utf8Bytes =
+    copy(child = newChild)
+  override def prettyName: String = "utf8_bytes"
+}
+
+/** One BPE merge pass over an `array<int>` token sequence: every
+  * left-to-right non-overlapping (a, b) adjacency collapses to `newId`
+  * — the per-document step of distributed BPE training. */
+case class BpeMergePass(child: Expression, a: Int, b: Int, newId: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(IntegerType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_merge_pass needs array<int>, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.mergePassData(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      a, b, newId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Bpe.mergePassData($c, $a, $b, $newId)")
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePass =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_pass"
+}
+
 case class BpeTokenCount(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
@@ -117,6 +164,74 @@ object Bpe {
   /** Column-level wrapper. */
   def tokenCount(c: Column): Column =
     GraftBridge.column(BpeTokenCount(GraftBridge.expression(c)))
+
+  /** Static helpers for the training expressions' generated code. */
+  def utf8Bytes(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def mergePassData(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      a: Int, b: Int, newId: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    var w = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getInt(i) == a && arr.getInt(i + 1) == b) {
+        out(w) = newId; i += 2
+      } else {
+        out(w) = arr.getInt(i); i += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+
+  /** DISTRIBUTED BPE training — the corpus-scale form of the offline
+    * trainer that produced [[BpeTable]] (identical semantics: most
+    * frequent adjacent pair per round counted WITH overlaps, ties to
+    * the numerically smallest (a, b); merge rank r mints symbol
+    * 256 + r). Per round: one map-side pair count (adjacent pairs via
+    * two slices + zip_with — no shuffle of token arrays, only (a, b,
+    * count) partials) and one codegen merge pass rewriting the token
+    * column; `localCheckpoint` every few rounds truncates the
+    * 2-expressions-per-round lineage. At 100 TB the per-round cost is
+    * a full corpus scan — which is what BPE training costs anywhere;
+    * the driver holds only the argmax row per round. Returns the
+    * learned (a, b) merge list. MlSpec asserts the first rounds
+    * reproduce BpeTable.merges exactly on the fixture corpus. */
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int): Seq[(Int, Int)] = {
+    var toks = docs.select(
+      GraftBridge.column(Utf8Bytes(GraftBridge.expression(col(textCol))))
+        .as("t"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var r = 0
+    while (r < nMerges) {
+      val best = toks
+        .select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) return merges.toSeq
+      val (a, b) = (best(0).getInt(0), best(0).getInt(1))
+      merges += ((a, b))
+      toks = toks.select(
+        GraftBridge.column(BpeMergePass(
+          GraftBridge.expression(col("t")), a, b, 256 + r)).as("t"))
+      if (r % 8 == 7) toks = toks.localCheckpoint()
+      r += 1
+    }
+    merges.toSeq
+  }
 
   /** The DuckDB replay of [[BpeTable]]: the merges as chained
     * `replace(expr, chr(a)||chr(b), chr(256+rank))` calls over a

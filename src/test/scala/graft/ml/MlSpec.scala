@@ -513,6 +513,17 @@ class MlSpec extends SparkSpecBase {
       f"trained codebook lost more than one pair of recall: $recallT%.3f vs $recall%.3f")
   }
 
+  test("distributed BPE training reproduces the committed merge table") {
+    // the corpus-scale trainer run on the same fixture corpus with the
+    // same tie-break must rediscover BpeTable.merges rank for rank —
+    // training, the committed table, and the independent Python goldens
+    // all agree or something is wrong with one of them
+    val learned = graft.functions.Bpe.train(docs, "text", nMerges = 16)
+    val committed = graft.functions.BpeTable.merges.take(16).toSeq
+    assert(learned == committed,
+      s"learned $learned\ncommitted $committed")
+  }
+
   test("IVF-ADC at full probe equals plain PQ; restricted probe loses only recall") {
     val emb = Tables.embeddings(spark, sf0001)
     val qids = 0L to 7L
