@@ -212,6 +212,16 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Model-based quality filtering: sigmoid of a FROZEN linear model
+    // (TextAnalysis.QualityModel — versioned weights, the GPT-3-style
+    // LR quality filter) over the quality features, with the keep
+    // decision at 0.5. Map-side only; the oracle replays the identical
+    // left-to-right logit fold.
+    "ns_quality_lr" -> ((s, d) => {
+      TextAnalysis.classifierScore(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
     // Shannon character entropy — low-entropy filler detector.
     "ns_char_entropy" -> ((s, d) => {
       TextAnalysis.charEntropy(Tables.documents(s, d))
@@ -822,6 +832,31 @@ object MlPack extends QueryPack {
         |    ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks), 6)
         |    AS stopword_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // same feature CTE as ns_text_quality; logit folds left-to-right
+    // over the rounded features exactly as the Spark expression does
+    "ns_quality_lr" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+        |      AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS cpt,
+        |    round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct,
+        |    round(CAST(n_upper AS DOUBLE) / n_chars, 6) AS upper_r,
+        |    round(CAST(len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks), 6)
+        |      AS stop
+        |  FROM f),
+        |s AS (SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(-6.5 + 20.0*stop + 1.0*cpt
+        |      + -12.0*punct + -8.0*upper_r))), 6) AS lr_score
+        |  FROM g)
+        |SELECT doc_id, lr_score, lr_score >= 0.5 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "ns_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS labeled_lang,

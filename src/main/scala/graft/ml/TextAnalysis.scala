@@ -66,6 +66,40 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("n_re_tokens"),
       size(array_distinct(wsTokens(col("text")))).as("n_distinct_tokens"))
 
+  /** Frozen linear quality model — a shipped classifier artifact like
+    * [[graft.functions.BpeTable]]: real pipelines score documents with a
+    * trained quality classifier (the GPT-3/LLaMA-style LR-over-features
+    * filter) whose weights are versioned data, not code that retrains on
+    * every run. Training is offline and orthogonal; these weights
+    * threshold the fixture corpus ~65/35 so the decision genuinely
+    * bites. */
+  object QualityModel {
+    val Bias = -6.5
+    val WStopword = 20.0
+    val WCharsPerToken = 1.0
+    val WPunct = -12.0
+    val WUpper = -8.0
+  }
+
+  /** Model-based quality scoring: sigmoid of the frozen linear model
+    * over [[qualityFeatures]], plus the keep/drop decision at 0.5 —
+    * purely map-side (one projection over the feature projection), the
+    * classifier-filter shape every pre-training pipeline runs corpus-
+    * wide. The logit accumulates left-to-right over ROUNDED features so
+    * both engines fold identical doubles. */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    import QualityModel._
+    val z = lit(Bias) +
+      lit(WStopword) * col("stopword_ratio") +
+      lit(WCharsPerToken) * col("chars_per_token") +
+      lit(WPunct) * col("punct_ratio") +
+      lit(WUpper) * col("upper_ratio")
+    qualityFeatures(docs)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("lr_score"))
+      .withColumn("keep", col("lr_score") >= 0.5)
+  }
+
   /** Quality-score features: length, token stats, punctuation / whitespace /
     * uppercase ratios, English stopword ratio. Ratios divide exact integer
     * counts so both engines produce identical doubles. */
