@@ -343,6 +343,50 @@ object Dedup {
           .otherwise(lit(0L)).as("max_dup_span_tokens"))
   }
 
+  /** The ACTIONABLE form of [[dupNgramSpans]]: cut the duplicated spans
+    * out and return the cleaned text — what a pipeline applying
+    * substring-level dedup actually ships (drop the boilerplate spans,
+    * keep the document). A token is removed when ANY duplicated n-gram
+    * covers it; the cleaned text is the surviving tokens of the
+    * normalized (trimmed, lowercased, whitespace-split) stream rejoined
+    * with single spaces — normalization is part of the contract, as in
+    * every token-level operator here.
+    *
+    * Scale shape: same as dupNgramSpans (xxhash64 gram keys, no gram
+    * strings in the exchange); the reassembly is one per-doc
+    * collect_list over positions — bounded by document length, the same
+    * bound `text` itself already imposes. */
+  def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("ws"))
+    val grams = t.select(col("doc_id"),
+        posexplode(graft.functions.PosShingles.posShingles(col("ws"), n))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val dup = grams.withColumn("dup",
+        count(lit(1)).over(Window.partitionBy(col("gh"))) >= 2)
+      .filter(col("dup"))
+    val covered = dup.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val tok = t.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "tok")))
+    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy(col("doc_id")).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("clean_text"),
+      count(lit(1)).as("n_kept_tokens"))
+    t.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept_tokens"), lit(0L)))
+          .as("n_removed_tokens"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: majority vote per bit of each
     * token's md5-derived 64-bit hash — a native codegen Expression (one pass per row;
     * the earlier HOF formulation needed a persist barrier against

@@ -316,6 +316,14 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Actionable span dedup: duplicated 8-gram spans CUT OUT of the
+    // (normalized) text — the "remove the boilerplate, keep the doc"
+    // op, vs ns_dup_ngram_spans which only localizes them.
+    "ns_dup_span_removal" -> ((s, d) => {
+      Dedup.removeDupSpans(Tables.documents(s, d), 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing (concat-and-chunk at 512 tokens) via the scan-style
     // distributed prefix sum — no single-partition window over the corpus.
     "ns_seq_packing" -> ((s, d) => {
@@ -926,6 +934,32 @@ object MlPack extends QueryPack {
         |    THEN COALESCE(max(agg.max_dup_run), 0) + 7 ELSE 0 END AS max_dup_span_tokens
         |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // 1-based positions here vs Spark's 0-based: offsets are internal,
+    // only the reassembled text and counts are compared
+    "ns_dup_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos, list_aggr(ws[i:i+7], 'string_agg', ' ') AS gram
+        |  FROM t, unnest(range(1, len(ws) - 6)) AS u(i)),
+        |d AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) >= 2 AS dup
+        |    FROM g) WHERE dup),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS cpos
+        |  FROM d, unnest(range(0, 8)) AS v(o)),
+        |tok AS (SELECT t.doc_id, ws[i] AS tok, CAST(i AS BIGINT) AS pos
+        |  FROM t, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos
+        |  WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t)
+        |SELECT tot.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+        |  tot.n_tokens, COALESCE(agg.n_kept, 0) AS n_kept_tokens,
+        |  tot.n_tokens - COALESCE(agg.n_kept, 0) AS n_removed_tokens
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
 
     "ns_seq_packing" ->
       """WITH t AS (SELECT doc_id,
