@@ -58,10 +58,11 @@ object Bench {
     // Headline queries: the flagship agg, each dedup/similarity tier, a
     // broadcast join, a window, a streaming-shaped event agg, a scalar pack.
     val headline = Seq("q1_agg", "ns_dedup_exact", "ns_dedup_jaccard",
-      "ns_dedup_minhash", "ns_dedup_simhash", "ns_similarity_topk",
-      "ns_similarity_lsh", "ns_cosine_dup_pairs", "ns_cosine_dup_pairs_banded",
+      "ns_dedup_minhash", "ns_dedup_minhash_salted", "ns_dedup_simhash",
+      "ns_similarity_topk", "ns_similarity_lsh", "ns_similarity_pq",
+      "ns_similarity_ivfpq", "ns_cosine_dup_pairs", "ns_cosine_dup_pairs_banded",
       "ns_fuzzy_prefix_pairs", "ns_dup_ngram_spans", "ns_lm_perplexity",
-      "join_broadcast_star",
+      "ns_token_count_bpe", "join_broadcast_star",
       "w_row_number_topk", "w_topk_heap", "w_topk_global",
       "t_tumbling_window", "t_stream_static_enrich", "f13_url_pipeline")
     val head = headline.flatMap(h => results.get(h).map(h -> _))

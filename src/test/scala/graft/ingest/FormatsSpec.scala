@@ -131,6 +131,29 @@ class FormatsSpec extends SparkSpecBase {
     } finally reader.close()
   }
 
+  test("parquet codecs: zstd and snappy round-trip; zstd is tighter on text") {
+    // storage economics at 100 TB: codec choice is a write option, not a
+    // code change — both codecs must round-trip byte-identically, and on
+    // text-heavy tables zstd buys a real size reduction over the snappy
+    // default
+    def dirBytes(d: String): Long =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val docs = Tables.documents(spark, sf0001)
+    val base = Files.createTempDirectory("graft_codec").toString
+    Seq("zstd", "snappy").foreach { c =>
+      docs.coalesce(1).write.option("compression", c)
+        .mode("overwrite").parquet(s"$base/$c")
+      val back = spark.read.parquet(s"$base/$c")
+      assert(back.count() == docs.count())
+      assert(back.select($"doc_id", $"text").except(
+        docs.select($"doc_id", $"text")).isEmpty)
+    }
+    val (z, s) = (dirBytes(s"$base/zstd"), dirBytes(s"$base/snappy"))
+    info(f"zstd ${z / 1024}%d KiB vs snappy ${s / 1024}%d KiB")
+    assert(z < s, s"zstd ($z B) not smaller than snappy ($s B) on text")
+  }
+
   test("malformed JSONL rows land in the corrupt-record column, not mid-job failures") {
     val dir = Files.createTempDirectory("graft_badjson").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
