@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.subsetOf(batch), "streamed session not present in batch result")
   }
 
+  test("JSONL file source feeds the same windowed aggregation as parquet") {
+    // the streaming transforms are source-agnostic: a JSONL landing dir
+    // (the common crawl-ingest format) must produce the same closed
+    // windows as the parquet staging the other tests use
+    val dir = Files.createTempDirectory("graft_events_jsonl").toString
+    Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("append").json(dir)
+    val src = spark.readStream.schema(EventStreams.EventSchema)
+      .option("maxFilesPerTrigger", "1").json(dir)
+    val streamed = runToParquet(EventStreams.tumblingAgg(src))
+      .select($"window_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("window_start"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed.subsetOf(batch),
+      s"JSONL-sourced windows fabricated rows: ${(streamed -- batch).size}")
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed events") {
     val dupDir = Files.createTempDirectory("graft_events_dup").toString
     val e = Tables.events(spark, sf0001).limit(200).cache()
