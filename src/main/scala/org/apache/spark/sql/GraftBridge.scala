@@ -33,4 +33,10 @@ object GraftBridge {
   def taskMemoryManager(ctx: org.apache.spark.TaskContext)
       : org.apache.spark.memory.TaskMemoryManager =
     ctx.taskMemoryManager()
+
+  /** Drain the async listener bus (`private[spark]`) so metric listeners
+    * observe every task of a just-finished action — the shuffle-volume
+    * regression guards depend on it. */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
