@@ -100,13 +100,13 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
 
 object Bpe {
 
-  /** Encode a UTF-8 byte array to BPE symbol ids (merge rank r emits
-    * symbol 256+r). Shared by the expression, the spec goldens, and any
-    * caller that wants the token ids rather than the count. */
-  def encode(bytes: Array[Byte]): Array[Int] = {
+  /** One shared encoder core (byte expansion + the per-rank in-place
+    * compacting passes) behind both [[encode]] and [[countTokens]], so
+    * the expression hot path and the golden/oracle path can never
+    * diverge. Returns the symbol buffer and its live length. */
+  private def encodeCore(bytes: Array[Byte]): (Array[Int], Int) = {
     var n = bytes.length
-    if (n == 0) return Array.emptyIntArray
-    var s = new Array[Int](n)
+    val s = new Array[Int](n)
     var i = 0
     while (i < n) { s(i) = bytes(i) & 0xff; i += 1 }
     val merges = BpeTable.merges
@@ -128,6 +128,15 @@ object Bpe {
       n = w
       r += 1
     }
+    (s, n)
+  }
+
+  /** Encode a UTF-8 byte array to BPE symbol ids (merge rank r emits
+    * symbol 256+r). Shared by the expression, the spec goldens, and any
+    * caller that wants the token ids rather than the count. */
+  def encode(bytes: Array[Byte]): Array[Int] = {
+    if (bytes.isEmpty) return Array.emptyIntArray
+    val (s, n) = encodeCore(bytes)
     java.util.Arrays.copyOf(s, n)
   }
 
@@ -135,30 +144,7 @@ object Bpe {
     * copy when only the count is needed. */
   def countTokens(text: UTF8String): Int = {
     val bytes = text.getBytes
-    var n = bytes.length
-    if (n == 0) return 0
-    val s = new Array[Int](n)
-    var i = 0
-    while (i < n) { s(i) = bytes(i) & 0xff; i += 1 }
-    val merges = BpeTable.merges
-    var r = 0
-    while (r < merges.length && n > 1) {
-      val a = merges(r)._1
-      val b = merges(r)._2
-      var w = 0
-      i = 0
-      while (i < n) {
-        if (i + 1 < n && s(i) == a && s(i + 1) == b) {
-          s(w) = 256 + r; i += 2
-        } else {
-          s(w) = s(i); i += 1
-        }
-        w += 1
-      }
-      n = w
-      r += 1
-    }
-    n
+    if (bytes.isEmpty) 0 else encodeCore(bytes)._2
   }
 
   /** Column-level wrapper. */
@@ -213,7 +199,9 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var r = 0
     while (r < nMerges) {
-      val best = toks
+      // single-token and empty docs have no adjacent pairs — and slice()
+      // with length size-1 <= 0 throws, so they must not reach it
+      val best = toks.filter(size(col("t")) >= 2)
         .select(explode(zip_with(
           slice(col("t"), lit(1), size(col("t")) - 1),
           slice(col("t"), lit(2), size(col("t")) - 1),

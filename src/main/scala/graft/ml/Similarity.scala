@@ -239,43 +239,47 @@ object Similarity {
           slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("cv")))
   }
 
-  private def pqTopKWith(emb: DataFrame, queryIds: Seq[Long], k: Int,
-      m: Int, dim: Int, codebookIn: DataFrame): DataFrame = {
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
-    val dsub = dim / m
-    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
-    val subs = explode(sequence(lit(0), lit(m - 1)))
-    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // codebook: (sub, cid, cv) — ksub × m rows, broadcast everywhere
-    val codebook = broadcast(codebookIn)
-    // encode: nearest centroid per (vector, subspace); rounded distance +
-    // cid tie-break keeps the argmin engine-identical
+  /** PQ codes: nearest centroid per (vector, subspace), rounded-distance
+    * + cid tie-break so the argmin is engine-identical. ONE
+    * implementation shared by the plain and IVF-composed tiers — the
+    * MlSpec full-probe identity (ivfpq at nprobe==nlist ≡ pq) depends on
+    * the encodings never diverging. */
+  private def pqCodes(corpus: DataFrame, codebook: DataFrame, m: Int,
+      dsub: Int): DataFrame = {
     val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d"), col("cid"))
-    val codes = corpus
-      .select(col("vec_id"), subs.as("sub"), col("v"))
-      .select(col("vec_id"), col("sub"), sub(col("v"), col("sub")).as("sv"))
+    corpus
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
       .join(codebook, "sub")
-      .withColumn("d", round(l2sq(col("sv"), col("cv")), 6))
+      .withColumn("d", pqL2sq(col("sv"), col("cv")))
       .withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("sub"), col("cid"))
-    // ADC lookup table: per (query, sub, cid) partial inner product,
-    // fixed-point; |Q| × m × ksub rows, broadcast
-    val lut = broadcast(
-      all.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), subs.as("sub"), col("v"))
-        .select(col("query_id"), col("sub"), sub(col("v"), col("sub")).as("qsv"))
-        .join(codebook, "sub")
-        .select(col("query_id"), col("sub"), col("cid"),
-          round(dot(col("qsv"), col("cv")) * 1e6).cast("long").as("pfix")))
-    val scored = codes.join(lut, Seq("sub", "cid"))
+  }
+
+  /** ADC lookup table: fixed-point partial inner products per (query,
+    * sub, cid) — |Q| × m × ksub rows, meant to broadcast. Shared by
+    * both tiers for the same reason as [[pqCodes]]. */
+  private def pqAdcLut(queries: DataFrame, codebook: DataFrame, m: Int,
+      dsub: Int): DataFrame = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    queries
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("query_id"), col("sub"),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("qsv"))
+      .join(codebook, "sub")
+      .select(col("query_id"), col("sub"), col("cid"),
+        round(dot(col("qsv"), col("cv")) * 1e6).cast("long").as("pfix"))
+  }
+
+  /** Fixed-point ADC sum per (query, vec) + per-query rank/top-k. */
+  private def adcRank(codeLutJoined: DataFrame, k: Int): DataFrame = {
+    val scored = codeLutJoined
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("pfix")) / 1e6, 6).as("adc_dot"))
     val w = Window.partitionBy(col("query_id"))
@@ -283,6 +287,19 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
+  }
+
+  private def pqTopKWith(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      m: Int, dim: Int, codebookIn: DataFrame): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
+    val codebook = broadcast(codebookIn)
+    val codes = pqCodes(corpus, codebook, m, dsub)
+    val lut = broadcast(pqAdcLut(
+      all.filter(col("vec_id").isin(queryIds: _*)), codebook, m, dsub))
+    adcRank(codes.join(lut, Seq("sub", "cid")), k)
   }
 
   /** IVF-ADC approximate top-k — [[ivfTopK]]'s inverted lists combined
@@ -304,10 +321,6 @@ object Similarity {
     val dsub = dim / m
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
-    val subs = explode(sequence(lit(0), lit(m - 1)))
-    def sub(v: Column, s: Column): Column = slice(v, s * dsub + 1, lit(dsub))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     // coarse quantizer + list assignment: exactly ivfTopK's
     val centroids = broadcast(corpus.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("lid"), col("v").as("lv")))
@@ -318,19 +331,10 @@ object Similarity {
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("lid"))
-    // PQ codes: exactly pqTopK's encoding under the sample codebook
-    val codebook = pqSampleCodebook(emb, queryIds, m, ksub, dim)
-    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d"), col("cid"))
-    val codes = corpus
-      .select(col("vec_id"), subs.as("sub"), col("v"))
-      .select(col("vec_id"), col("sub"), sub(col("v"), col("sub")).as("sv"))
-      .join(codebook, "sub")
-      .withColumn("d", pqL2sq(col("sv"), col("cv")))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("cid"))
-    // query side: probed lists + ADC lookup table
+    // PQ codes + ADC table: the SHARED pqCodes/pqAdcLut helpers, so this
+    // tier cannot drift from pqTopK's encoding
+    val codebook = broadcast(pqSampleCodebook(emb, queryIds, m, ksub, dim))
+    val codes = pqCodes(corpus, codebook, m, dsub)
     val queries = all.filter(col("vec_id").isin(queryIds: _*))
     val probes = broadcast(queries.crossJoin(centroids)
       .withColumn("cos_c", round(cosine(col("v"), col("lv")), 6))
@@ -338,24 +342,12 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("lid"))))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("lid")))
-    val lut = broadcast(queries
-      .select(col("vec_id").as("query_id"), subs.as("sub"), col("v"))
-      .select(col("query_id"), col("sub"), sub(col("v"), col("sub")).as("qsv"))
-      .join(codebook, "sub")
-      .select(col("query_id"), col("sub"), col("cid"),
-        round(dot(col("qsv"), col("cv")) * 1e6).cast("long").as("pfix")))
+    val lut = broadcast(pqAdcLut(queries, codebook, m, dsub))
     // candidates: docs in probed lists; ADC sum over their codes
     val cands = lists.join(probes, "lid")
       .select(col("query_id"), col("vec_id"))
-    val scored = cands.join(codes, "vec_id")
-      .join(lut, Seq("query_id", "sub", "cid"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(round(sum(col("pfix")) / 1e6, 6).as("adc_dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dot").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
+    adcRank(cands.join(codes, "vec_id")
+      .join(lut, Seq("query_id", "sub", "cid")), k)
   }
 
   /** Embedding near-duplicate pairs: banded sign-LSH candidates verified

@@ -25,7 +25,6 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   */
 object DistinctCountStream {
 
-  case class KeyedValue(key: String, value: String)
   case class DistinctEmit(key: String, emit_seq: Long, n_distinct_est: Long)
 
   /** log2(registers). p=11 → 2 KiB/key state, rsd ≈ 2.3%. */

@@ -126,8 +126,11 @@ object NearDedupStreams {
     }
     val genPath = s"$ledgerDir/$gen"
 
-    // 1. signatures + band buckets for the batch
-    val sigs = Dedup.minhashSignatures(Dedup.shingled(batch)) // persists
+    // 1. signatures + band buckets for the batch (both helper frames
+    // persist; BOTH are released below — a leaked per-batch persist
+    // accumulates forever in a long-running stream)
+    val sh = Dedup.shingled(batch)
+    val sigs = Dedup.minhashSignatures(sh)
     try {
       val bands = Dedup.bandBuckets(sigs)
         .withColumn("pfx", format_string("%02x", pmod(col("bucket"), lit(256L))))
@@ -152,11 +155,26 @@ object NearDedupStreams {
         val oldSigs = readOrEmpty(spark, s"$genPath/sigs", SigSchema, fs)
           .filter(col("spfx").isin(candPfx: _*))
           .select(col("doc_id").as("old_id"), col("sig").as("old_sig"))
-        val ledgerRejected = cands
+        val simRejected = cands
           .join(sigs.select(col("doc_id").as("new_id"), col("sig")), "new_id")
           .join(oldSigs, "old_id")
           .filter(estJaccard(col("sig"), col("old_sig")) >= tau)
           .select(col("new_id").as("doc_id")).distinct()
+        // replay guard by IDENTITY: a doc_id already recorded as admitted
+        // must not re-admit. Signed docs self-reject at est 1.0 anyway;
+        // this is what makes SIGNLESS docs (no bands to collide on)
+        // replay-idempotent too — without it, a replayed signless doc
+        // re-admits alone and its batch-keyed partition overwrite would
+        // DROP the signed docs that partition originally held.
+        val batchIdPfx = batch
+          .select(format_string("%02x", pmod(col("doc_id"), lit(256L)))
+            .as("spfx"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val alreadyAdmitted = batch.select(col("doc_id")).join(
+          readOrEmpty(spark, s"$genPath/sigs", SigSchema, fs)
+            .filter(col("spfx").isin(batchIdPfx: _*)).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val ledgerRejected = simRejected.unionByName(alreadyAdmitted).distinct()
 
         // 3. within-batch greedy min-id admission over surviving docs
         val pairs = Dedup.lshCandidates(sigs)
@@ -164,7 +182,15 @@ object NearDedupStreams {
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
           .filter(estJaccard(col("sa"), col("sb")) >= tau)
           .select(col("doc_a"), col("doc_b"))
-        var remaining = sigs.select(col("doc_id"))
+        // remaining starts from the FULL batch, not the signed docs: a
+        // document too short to shingle (< ShingleWidth tokens) has no
+        // signatures, hence no candidates in either direction — by the
+        // admission rule it is admitted unconditionally, not silently
+        // dropped. Sub-shingle docs bypassing near-dedup is the
+        // operator's contract; their replay idempotence comes from the
+        // identity-based ledger guard above (they self-reject by doc_id,
+        // having no bands to self-reject through).
+        var remaining = batch.select(col("doc_id"))
           .join(ledgerRejected, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         var edges = pairs
@@ -201,9 +227,13 @@ object NearDedupStreams {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(outDir)
-          sigs.join(admitted, "doc_id")
+          // EVERY admitted doc gets a sigs-ledger row — the admission
+          // record the replay guard reads; signless docs carry a null
+          // sig (they can never similarity-reject anyone, by design)
+          admitted.join(sigs, Seq("doc_id"), "left")
             .withColumn("spfx",
               format_string("%02x", pmod(col("doc_id"), lit(256L))))
+            .select(col("doc_id"), col("sig"), col("spfx"))
             .write.mode("append").partitionBy("spfx")
             .parquet(s"$genPath/sigs")
           bands.join(admitted, "doc_id")
@@ -212,7 +242,7 @@ object NearDedupStreams {
             .parquet(s"$genPath/buckets")
         } finally fresh.unpersist()
       } finally bands.unpersist()
-    } finally sigs.unpersist()
+    } finally { sigs.unpersist(); sh.unpersist() }
 
     // maintenance: same generation-swap compaction as DocStreams
     val next = s"gen_c$batchId"

@@ -16,7 +16,15 @@ class NearDedupSpec extends SparkSpecBase {
   import spark.implicits._
 
   test("near-dup ingest: streamed admission == sequential greedy; replay no-op") {
-    val docs = Tables.documents(spark, sf0001)
+    // two sub-shingle-width docs (duplicates of each other): no
+    // signatures → no candidates in either direction → BOTH admitted
+    // unconditionally. That near-dedup cannot see below the shingle
+    // width is the operator's contract; silently DROPPING such docs
+    // (the pre-fix behavior) is data loss this pins against.
+    val tiny = Seq((900001L, "tiny doc", "en", "synthetic", 8L),
+        (900002L, "tiny doc", "en", "synthetic", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Tables.documents(spark, sf0001).unionByName(tiny)
     val src = Files.createTempDirectory("graft_nd_src").toString
     val ledger = Files.createTempDirectory("graft_nd_ledger").toString + "/l"
     val out = Files.createTempDirectory("graft_nd_out").toString + "/o"
@@ -51,13 +59,18 @@ class NearDedupSpec extends SparkSpecBase {
         bandMap(id).foreach(bb => inv.update(bb, id :: inv.getOrElse(bb, Nil)))
       }
     }
+    // sub-shingle docs never sign, so the rule admits them unconditionally
+    val signless = docs.select($"doc_id").as[Long].collect().toSet -- sigMap.keySet
+    assert(signless == Set(900001L, 900002L))
+    expected ++= signless
     assert(got == expected.toSet,
       s"admission diverged: missing ${(expected -- got).size}, " +
         s"extra ${(got -- expected).size} of ${expected.size}")
     // the dedup genuinely bit (planted near-dups exist at sf0.001)
     assert(got.size < docs.count())
 
-    // ledger state: one signature per admitted doc
+    // ledger state: one admission row per admitted doc (signless docs
+    // carry a null sig — pure replay markers, invisible to similarity)
     assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == got.size)
 
     // full replay of wave 0: every doc self-rejects at est 1.0 against
