@@ -277,17 +277,22 @@ object Similarity {
         round(dot(col("qsv"), col("cv")) * 1e6).cast("long").as("pfix"))
   }
 
-  /** Fixed-point ADC sum per (query, vec) + per-query rank/top-k. */
-  private def adcRank(codeLutJoined: DataFrame, k: Int): DataFrame = {
-    val scored = codeLutJoined
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(round(sum(col("pfix")) / 1e6, 6).as("adc_dot"))
+  /** Per-query rank over a scored (query_id, vec_id, adc_dot) frame —
+    * the ONE ranking tail every ADC tier ends with (tie-break contract
+    * lives here and nowhere else). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
   }
+
+  /** Fixed-point ADC sum per (query, vec) + per-query rank/top-k. */
+  private def adcRank(codeLutJoined: DataFrame, k: Int): DataFrame =
+    rankTopK(codeLutJoined
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("pfix")) / 1e6, 6).as("adc_dot")), k)
 
   private def pqTopKWith(emb: DataFrame, queryIds: Seq[Long], k: Int,
       m: Int, dim: Int, codebookIn: DataFrame): DataFrame = {
@@ -385,8 +390,12 @@ object Similarity {
   }
 
   /** (assigned corpus with residuals, trained centroids) shared by the
-    * residual scorer and the distortion probe. `assigned` is persisted;
-    * callers unpersist (or clearCache in tests). */
+    * residual scorer and the distortion probe. `assigned` is an EAGER
+    * localCheckpoint, not a persist: the returned DataFrame outlives
+    * this call, and a CacheManager entry would pin storage for the
+    * session's lifetime with no handle for the caller to release —
+    * checkpoint blocks are reclaimed by the ContextCleaner once the
+    * result is garbage, so repeated calls cannot accumulate state. */
   private def residualParts(emb: DataFrame, queryIds: Seq[Long], nlist: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -395,8 +404,7 @@ object Similarity {
     val assigned = l2CoarseAssign(corpus, centroids)
       .withColumn("r", zip_with(col("v"), col("lv"), (x, c) => x - c))
       .select(col("vec_id"), col("lid"), col("r"))
-      .persist()
-    assigned.count() // barrier: feeds the codebook AND the encoding
+      .localCheckpoint() // eager: feeds the codebook AND the encoding
     (assigned, centroids)
   }
 
@@ -453,11 +461,7 @@ object Similarity {
       .agg(sum(col("pfix")).as("res_fix"))
       .select(col("query_id"), col("vec_id"),
         round((col("coarse_fix") + col("res_fix")) / 1e6, 6).as("adc_dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dot").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
+    rankTopK(scored, k)
   }
 
   /** Reconstruction distortion of the RESIDUAL encoding: total squared
@@ -470,11 +474,9 @@ object Similarity {
     val (assigned, _) = residualParts(emb, queryIds, nlist, coarseIters)
     val codebook = residualCodebook(assigned, m, ksub, dsub)
     // distortion of residual-vs-codeword == distortion of v vs (lv + cw)
-    val d = pqDistortion(
+    pqDistortion(
       assigned.select(col("vec_id"), col("r").as("embedding")),
       Seq.empty, m, dim, codebook)
-    assigned.unpersist()
-    d
   }
 
   /** Embedding near-duplicate pairs: banded sign-LSH candidates verified

@@ -40,11 +40,14 @@ import org.apache.spark.sql.streaming.Trigger
   *     smallest survivor, so it terminates);
   *  4. admitted docs land in the corpus via batch-keyed dynamic
   *     partition overwrite (effectively-once, as in DocStreams), then
-  *     sigs, then buckets. Any crash point replays to the identical
-  *     state: data-only → identical recompute overwrites itself;
-  *     data+sigs → bucket rows regenerate (duplicate sig rows are
-  *     absorbed by the candidate `.distinct()`); all three → full
-  *     self-rejection, empty writes.
+  *     sigs (the per-doc ADMISSION RECORD, tagged with the admitting
+  *     batch id), then buckets. Any crash point replays to the
+  *     identical state: data-only → identical recompute overwrites
+  *     itself; data+sigs → the id guard marks the docs REPLAYED, the
+  *     partition rewrite includes them unchanged, and their bucket rows
+  *     are (re-)appended, healing the lost buckets write; all three →
+  *     same path, with the duplicate bucket rows being benign
+  *     (candidates are distinct, compaction dedups).
   *
   * Like every banded tier here, admission uses the LSH candidate
   * restriction: only pairs sharing a band bucket are compared (recall
@@ -56,7 +59,8 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object NearDedupStreams {
 
-  private val SigSchema = "doc_id BIGINT, sig ARRAY<BIGINT>, spfx STRING"
+  private val SigSchema =
+    "doc_id BIGINT, sig ARRAY<BIGINT>, ingest_batch BIGINT, spfx STRING"
   private val BucketSchema = "band INT, bucket BIGINT, doc_id BIGINT, pfx STRING"
 
   private def estJaccard(a: Column, b: Column): Column =
@@ -126,9 +130,12 @@ object NearDedupStreams {
     }
     val genPath = s"$ledgerDir/$gen"
 
-    // 1. signatures + band buckets for the batch (both helper frames
-    // persist; BOTH are released below — a leaked per-batch persist
-    // accumulates forever in a long-running stream)
+    // 1. signatures + band buckets for the batch (all per-batch persists
+    // are released below — a leaked one accumulates forever in a
+    // long-running stream). The batch itself is cached too: it feeds
+    // shingling, the id-guard join, the MIS seed, and the corpus write,
+    // and uncached each would re-read the streaming source files.
+    batch.persist()
     val sh = Dedup.shingled(batch)
     val sigs = Dedup.minhashSignatures(sh)
     try {
@@ -160,21 +167,37 @@ object NearDedupStreams {
           .join(oldSigs, "old_id")
           .filter(estJaccard(col("sig"), col("old_sig")) >= tau)
           .select(col("new_id").as("doc_id")).distinct()
-        // replay guard by IDENTITY: a doc_id already recorded as admitted
-        // must not re-admit. Signed docs self-reject at est 1.0 anyway;
-        // this is what makes SIGNLESS docs (no bands to collide on)
-        // replay-idempotent too — without it, a replayed signless doc
-        // re-admits alone and its batch-keyed partition overwrite would
-        // DROP the signed docs that partition originally held.
+        // ADMISSION RECORD by identity. doc_id is an immutable record id
+        // (the operator's contract: a re-crawled/rewritten document gets
+        // a NEW id) — so a batch doc whose id is already in the sigs
+        // ledger was admitted before, and splits two ways on the
+        // ledger's recorded ingest_batch:
+        //  - REPLAYED (recorded batch == this batch): this is a crash
+        //    replay. The doc must be (a) excluded from fresh admission,
+        //    (b) INCLUDED in this batch's corpus rewrite — the dynamic
+        //    overwrite replaces the whole partition, and omitting
+        //    originally-admitted docs would drop them — and (c) have its
+        //    bucket rows re-appended, healing the crash window where the
+        //    sigs append landed but the buckets write did not.
+        //  - RESENT (recorded batch != this batch): the same record
+        //    arriving again in a later batch. It lives in its original
+        //    partition already — reject it here, rewrite nothing.
+        // Both kinds still BLOCK their in-batch near-duplicates (they
+        // are admitted corpus content), via preEdges below.
         val batchIdPfx = batch
           .select(format_string("%02x", pmod(col("doc_id"), lit(256L)))
             .as("spfx"))
           .distinct().collect().map(_.getString(0)).toSeq
-        val alreadyAdmitted = batch.select(col("doc_id")).join(
+        val preAdmitted = batch.select(col("doc_id")).join(
           readOrEmpty(spark, s"$genPath/sigs", SigSchema, fs)
-            .filter(col("spfx").isin(batchIdPfx: _*)).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
-        val ledgerRejected = simRejected.unionByName(alreadyAdmitted).distinct()
+            .filter(col("spfx").isin(batchIdPfx: _*))
+            .select(col("doc_id"), col("ingest_batch")),
+          Seq("doc_id"), "inner")
+          .localCheckpoint()
+        val replayed = preAdmitted.filter(col("ingest_batch") === batchId)
+          .select(col("doc_id"))
+        val ledgerRejected = simRejected
+          .unionByName(preAdmitted.select(col("doc_id"))).distinct()
 
         // 3. within-batch greedy min-id admission over surviving docs
         val pairs = Dedup.lshCandidates(sigs)
@@ -182,16 +205,26 @@ object NearDedupStreams {
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
           .filter(estJaccard(col("sa"), col("sb")) >= tau)
           .select(col("doc_a"), col("doc_b"))
+        // already-admitted batch members block their in-batch near-dups
+        // exactly as admitted ledger content does
+        val preIds = preAdmitted.select(col("doc_id"))
+        val rejectedByPre = pairs
+          .join(preIds.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .select(col("doc_b").as("doc_id"))
+          .unionByName(pairs
+            .join(preIds.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select(col("doc_a").as("doc_id")))
+          .distinct()
         // remaining starts from the FULL batch, not the signed docs: a
         // document too short to shingle (< ShingleWidth tokens) has no
         // signatures, hence no candidates in either direction — by the
         // admission rule it is admitted unconditionally, not silently
         // dropped. Sub-shingle docs bypassing near-dedup is the
         // operator's contract; their replay idempotence comes from the
-        // identity-based ledger guard above (they self-reject by doc_id,
-        // having no bands to self-reject through).
+        // identity-based admission record above.
         var remaining = batch.select(col("doc_id"))
           .join(ledgerRejected, Seq("doc_id"), "left_anti")
+          .join(rejectedByPre, Seq("doc_id"), "left_anti")
           .localCheckpoint()
         var edges = pairs
           .join(remaining.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -220,29 +253,40 @@ object NearDedupStreams {
           done = remaining.isEmpty
         }
 
-        // 4. writes: corpus (effectively-once), then sigs, then buckets
-        val fresh = batch.join(admitted, "doc_id").persist()
+        // 4. writes: corpus (effectively-once), then sigs, then buckets.
+        // The corpus set for THIS partition = newly admitted ∪ replayed
+        // originals (the dynamic overwrite replaces the whole partition,
+        // so the replayed docs must be rewritten alongside, identically).
+        val writeSet = admitted.unionByName(replayed).localCheckpoint()
+        val fresh = batch.join(writeSet, "doc_id").persist()
         try {
           fresh.withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(outDir)
-          // EVERY admitted doc gets a sigs-ledger row — the admission
-          // record the replay guard reads; signless docs carry a null
-          // sig (they can never similarity-reject anyone, by design)
+          // EVERY newly admitted doc gets a sigs-ledger admission row
+          // (signless docs carry a null sig — they can never
+          // similarity-reject anyone, by design); replayed docs already
+          // have theirs, so appending only `admitted` keeps the record
+          // one row per admitted doc under any replay
           admitted.join(sigs, Seq("doc_id"), "left")
+            .withColumn("ingest_batch", lit(batchId))
             .withColumn("spfx",
               format_string("%02x", pmod(col("doc_id"), lit(256L))))
-            .select(col("doc_id"), col("sig"), col("spfx"))
+            .select(col("doc_id"), col("sig"), col("ingest_batch"), col("spfx"))
             .write.mode("append").partitionBy("spfx")
             .parquet(s"$genPath/sigs")
-          bands.join(admitted, "doc_id")
+          // buckets for newly admitted AND replayed docs — re-appending a
+          // replayed doc's rows heals the sigs-landed/buckets-lost crash
+          // window; duplicates are benign (candidates distinct, and
+          // compaction dedups)
+          bands.join(writeSet, "doc_id")
             .select(col("band"), col("bucket"), col("doc_id"), col("pfx"))
             .write.mode("append").partitionBy("pfx")
             .parquet(s"$genPath/buckets")
         } finally fresh.unpersist()
       } finally bands.unpersist()
-    } finally { sigs.unpersist(); sh.unpersist() }
+    } finally { sigs.unpersist(); sh.unpersist(); batch.unpersist() }
 
     // maintenance: same generation-swap compaction as DocStreams
     val next = s"gen_c$batchId"

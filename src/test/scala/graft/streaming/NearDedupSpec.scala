@@ -73,12 +73,51 @@ class NearDedupSpec extends SparkSpecBase {
     // carry a null sig — pure replay markers, invisible to similarity)
     assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == got.size)
 
-    // full replay of wave 0: every doc self-rejects at est 1.0 against
-    // its own ledger entry — corpus and ledger unchanged
+    // full replay of wave 0: admitted docs are marked REPLAYED by the
+    // admission record and rewritten identically — corpus and ledger
+    // unchanged
     NearDedupStreams.nearDedupIngestSink(spark, ledger, out, tau)(
       docs.filter($"doc_id" % 2 === 0), 0L)
     assert(spark.read.parquet(out).select($"doc_id")
       .as[Long].collect().toSet == got)
+    assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == got.size)
+
+    // crash window: sigs landed, buckets write lost. Simulate by
+    // deleting the buckets table outright, then replay BOTH batches
+    // (what a restarted stream does). The id guard must keep every
+    // originally-admitted doc in its partition (the pre-fix bug dropped
+    // them and admitted their rejected near-dups instead), and the
+    // bucket rows must be healed.
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(ledger).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = {
+      val in = fs.open(new Path(s"$ledger/CURRENT"))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    fs.delete(new Path(s"$ledger/$gen/buckets"), true)
+    NearDedupStreams.nearDedupIngestSink(spark, ledger, out, tau)(
+      docs.filter($"doc_id" % 2 === 0), 0L)
+    NearDedupStreams.nearDedupIngestSink(spark, ledger, out, tau)(
+      docs.filter($"doc_id" % 2 === 1), 1L)
+    assert(spark.read.parquet(out).select($"doc_id")
+      .as[Long].collect().toSet == got,
+      "crash-window replay changed the corpus")
+    assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == got.size)
+    assert(spark.read.schema(
+        "band INT, bucket BIGINT, doc_id BIGINT, pfx STRING")
+      .parquet(s"$ledger/$gen/buckets")
+      .select($"doc_id").distinct().count() == (got -- signless).size,
+      "bucket rows not healed for admitted docs")
+
+    // RESENT record (same doc_id, later batch): rejected by identity,
+    // nothing rewritten anywhere
+    NearDedupStreams.nearDedupIngestSink(spark, ledger, out, tau)(
+      docs.filter($"doc_id" % 2 === 0), 999L)
+    assert(spark.read.parquet(out).select($"doc_id")
+      .as[Long].collect().toSet == got,
+      "resent records changed the corpus")
     assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == got.size)
     spark.catalog.clearCache()
   }
