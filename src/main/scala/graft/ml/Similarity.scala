@@ -222,6 +222,12 @@ object Similarity {
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x), 6)
 
+  /** Sequential-fold inner product — the cross-engine determinism
+    * contract for every fixed-point ADC term; ONE definition so the
+    * LUT entries and the residual tier's coarse term cannot diverge. */
+  private def pqDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
   /** Deterministic sample codebook: (sub, cid, cv) from the `ksub`
     * lowest-id corpus vectors' subvectors. */
   def pqSampleCodebook(emb: DataFrame, queryIds: Seq[Long],
@@ -265,8 +271,6 @@ object Similarity {
     * both tiers for the same reason as [[pqCodes]]. */
   private def pqAdcLut(queries: DataFrame, codebook: DataFrame, m: Int,
       dsub: Int): DataFrame = {
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     queries
       .select(col("vec_id").as("query_id"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
@@ -274,7 +278,7 @@ object Similarity {
         slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("qsv"))
       .join(codebook, "sub")
       .select(col("query_id"), col("sub"), col("cid"),
-        round(dot(col("qsv"), col("cv")) * 1e6).cast("long").as("pfix"))
+        round(pqDot(col("qsv"), col("cv")) * 1e6).cast("long").as("pfix"))
   }
 
   /** Per-query rank over a scored (query_id, vec_id, adc_dot) frame —
@@ -338,7 +342,7 @@ object Similarity {
       .select(col("vec_id"), col("lid"))
     // PQ codes + ADC table: the SHARED pqCodes/pqAdcLut helpers, so this
     // tier cannot drift from pqTopK's encoding
-    val codebook = broadcast(pqSampleCodebook(emb, queryIds, m, ksub, dim))
+    val codebook = pqSampleCodebook(emb, queryIds, m, ksub, dim) // broadcast
     val codes = pqCodes(corpus, codebook, m, dsub)
     val queries = all.filter(col("vec_id").isin(queryIds: _*))
     val probes = broadcast(queries.crossJoin(centroids)
@@ -408,16 +412,14 @@ object Similarity {
     (assigned, centroids)
   }
 
-  /** Residual sample codebook: subvectors of the ksub lowest-id
-    * residuals. */
+  /** Residual sample codebook: [[pqSampleCodebook]] over the residual
+    * frame (the same rename trick residualPqDistortion uses for
+    * pqDistortion) — one codebook-construction contract everywhere. */
   private def residualCodebook(assigned: DataFrame, m: Int, ksub: Int,
-      dsub: Int): DataFrame =
-    broadcast(assigned.orderBy(col("vec_id")).limit(ksub)
-      .withColumn("cid", row_number().over(Window.orderBy(col("vec_id"))) - 1)
-      .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("r"))
-      .select(col("sub"), col("cid"),
-        slice(col("r"), col("sub") * dsub + 1, lit(dsub)).as("cv")))
+      dim: Int): DataFrame =
+    pqSampleCodebook(
+      assigned.select(col("vec_id"), col("r").as("embedding")),
+      Seq.empty, m, ksub, dim)
 
   /** RESIDUAL IVF-ADC — the production refinement the non-residual
     * [[ivfpqTopK]] scaladoc points at, in code: an L2-Lloyd-trained
@@ -437,13 +439,11 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val (assigned, centroids) = residualParts(emb, queryIds, nlist, coarseIters)
-    val codebook = residualCodebook(assigned, m, ksub, dsub)
+    val codebook = residualCodebook(assigned, m, ksub, dim)
     val codes = pqCodes(assigned.select(col("vec_id"), col("r").as("v")),
       codebook, m, dsub)
     val queries = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .filter(col("vec_id").isin(queryIds: _*))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     // probed lists by L2 (the trained quantizer's metric), coarse term
     // ⟨q, lv⟩ fixed-point like the LUT entries
     val probes = broadcast(queries.crossJoin(broadcast(centroids))
@@ -452,7 +452,7 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("d"), col("lid"))))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("lid"),
-        round(dot(col("v"), col("lv")) * 1e6).cast("long").as("coarse_fix")))
+        round(pqDot(col("v"), col("lv")) * 1e6).cast("long").as("coarse_fix")))
     val lut = broadcast(pqAdcLut(queries, codebook, m, dsub))
     val cands = assigned.select(col("vec_id"), col("lid")).join(probes, "lid")
     val scored = cands.join(codes, "vec_id")
@@ -472,7 +472,7 @@ object Similarity {
       m: Int, ksub: Int, dim: Int, coarseIters: Int = 5): Double = {
     val dsub = dim / m
     val (assigned, _) = residualParts(emb, queryIds, nlist, coarseIters)
-    val codebook = residualCodebook(assigned, m, ksub, dsub)
+    val codebook = residualCodebook(assigned, m, ksub, dim)
     // distortion of residual-vs-codeword == distortion of v vs (lv + cw)
     pqDistortion(
       assigned.select(col("vec_id"), col("r").as("embedding")),

@@ -32,6 +32,11 @@ import org.apache.spark.sql.types._
   *    after a crash between the two writes overwrites its own partition
   *    rather than appending duplicates; a replay after both writes
   *    anti-joins to empty and touches nothing.
+  *  - OPERATIONAL CONTRACT: the checkpoint, the ledger, and the output
+  *    corpus form ONE unit — reset or relocate them together. Deleting
+  *    only the checkpoint restarts foreachBatch ids at 0 while the
+  *    corpus still carries the old ids, and the batch-keyed partition
+  *    overwrite would collide with the earlier epoch's partitions.
   */
 object DocStreams {
 

@@ -56,6 +56,15 @@ import org.apache.spark.sql.streaming.Trigger
   * shingle sets are gone. Both facts are part of the operator's
   * contract, and the spec's sequential reference applies the identical
   * rule.
+  *
+  * OPERATIONAL CONTRACT (shared with [[DocStreams]] and any batch-keyed
+  * overwrite sink): the checkpoint, the ledger, and the output corpus
+  * form ONE unit — reset or relocate them together. Deleting only the
+  * checkpoint restarts foreachBatch ids at 0 while the ledger and
+  * corpus still carry the old ids, so batch-keyed partition overwrites
+  * and the replayed-vs-resent classification would collide with
+  * earlier epochs' partitions. Likewise doc_id is an immutable record
+  * id: a re-crawled or rewritten document must arrive under a NEW id.
   */
 object NearDedupStreams {
 
@@ -132,13 +141,17 @@ object NearDedupStreams {
 
     // 1. signatures + band buckets for the batch (all per-batch persists
     // are released below — a leaked one accumulates forever in a
-    // long-running stream). The batch itself is cached too: it feeds
-    // shingling, the id-guard join, the MIS seed, and the corpus write,
-    // and uncached each would re-read the streaming source files.
+    // long-running stream, so the eager shingle/signature builds run
+    // INSIDE the guarded region: a failure mid-build must still release
+    // whatever persisted before the throw). The batch itself is cached
+    // too: it feeds shingling, the id-guard join, the MIS seed, and the
+    // corpus write, and uncached each would re-read the source files.
     batch.persist()
-    val sh = Dedup.shingled(batch)
-    val sigs = Dedup.minhashSignatures(sh)
+    var sh: DataFrame = null
+    var sigs: DataFrame = null
     try {
+      sh = Dedup.shingled(batch)
+      sigs = Dedup.minhashSignatures(sh)
       val bands = Dedup.bandBuckets(sigs)
         .withColumn("pfx", format_string("%02x", pmod(col("bucket"), lit(256L))))
         .persist()
@@ -286,7 +299,11 @@ object NearDedupStreams {
             .parquet(s"$genPath/buckets")
         } finally fresh.unpersist()
       } finally bands.unpersist()
-    } finally { sigs.unpersist(); sh.unpersist(); batch.unpersist() }
+    } finally {
+      if (sigs != null) sigs.unpersist()
+      if (sh != null) sh.unpersist()
+      batch.unpersist()
+    }
 
     // maintenance: same generation-swap compaction as DocStreams
     val next = s"gen_c$batchId"

@@ -56,15 +56,17 @@ class ShuffleVolumeSpec extends SparkSpecBase {
   test("minhash dedup: shuffles carry signatures and ids, never text") {
     val docsBytes = Tables.documents(spark, sf0001)
       .agg(sum(length($"text"))).head.getLong(0)
-    val b = shuffleWritten {
-      graft.ml.Dedup.minhashDupPairs(Tables.documents(spark, sf0001), 0.5)
-        .count()
-    }
-    // banded sketch rows + candidate verify joins; if document text or
-    // shingle arrays ever enter an exchange this blows through the bound
-    assert(b < 8 * MiB,
-      s"minhash shuffled $b bytes (corpus text is $docsBytes) — text in an exchange?")
-    spark.catalog.clearCache()
+    try {
+      val b = shuffleWritten {
+        graft.ml.Dedup.minhashDupPairs(Tables.documents(spark, sf0001), 0.5)
+          .count()
+      }
+      // banded sketch rows + candidate verify joins; if document text or
+      // shingle arrays ever enter an exchange this blows through the bound
+      assert(b < 8 * MiB,
+        s"minhash shuffled $b bytes (corpus text is $docsBytes) — text in an exchange?")
+    } finally spark.catalog.clearCache() // even on failure: later
+    // measurements in this shared session must start cold
   }
 
   test("heap top-k: the partial caps the RECORDS that reach the exchange") {
@@ -93,15 +95,16 @@ class ShuffleVolumeSpec extends SparkSpecBase {
   }
 
   test("fuzzy pairs: distinct-string reduction bounds the signature exchange") {
-    val b = shuffleWritten {
-      val docs = Tables.documents(spark, sf0001)
-        .select($"doc_id", substring($"text", 1, 24).as("s"))
-      graft.ml.Fuzzy.fuzzyPairs(docs, "doc_id", "s", 2).count()
-    }
-    // ~500 distinct 24-char prefixes × ~301 signature longs plus the
-    // candidate/verify traffic; pre-round-5 (per-id signatures through
-    // dup groups) this was a multiple of the corpus, not a fraction
-    assert(b < 8 * MiB, s"fuzzy pairs shuffled $b bytes — reduction regressed?")
-    spark.catalog.clearCache()
+    try {
+      val b = shuffleWritten {
+        val docs = Tables.documents(spark, sf0001)
+          .select($"doc_id", substring($"text", 1, 24).as("s"))
+        graft.ml.Fuzzy.fuzzyPairs(docs, "doc_id", "s", 2).count()
+      }
+      // ~500 distinct 24-char prefixes × ~301 signature longs plus the
+      // candidate/verify traffic; pre-round-5 (per-id signatures through
+      // dup groups) this was a multiple of the corpus, not a fraction
+      assert(b < 8 * MiB, s"fuzzy pairs shuffled $b bytes — reduction regressed?")
+    } finally spark.catalog.clearCache() // fuzzyPairs persists memb + sigs
   }
 }
