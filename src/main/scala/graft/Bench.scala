@@ -15,7 +15,14 @@ object Bench {
         .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .toMap
-    } catch { case _: Throwable => Map.empty }
+    } catch {
+      case t: Throwable =>
+        // an empty vs_floor must be distinguishable from a missing floor
+        // file: without this warning a corrupt BENCH_FLOOR.json silently
+        // kills the regression signal
+        System.err.println(s"WARN Bench: floor file '$path' unreadable (${t.getClass.getSimpleName}: ${t.getMessage}); vs_floor will be empty")
+        Map.empty
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,13 +52,21 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
+    // floor loaded up front: queries with a heavy committed floor get extra
+    // reps (see below) so their min-of-N is co-tenant-burst-proof in the
+    // driver-visible artifact, not just in NOTES.md bisects.
+    val floor = loadFloor(sys.env.getOrElse("SPARK_GRAFT_FLOOR",
+      "BENCH_FLOOR.json"))
     // min-of-N per query (default 2): this box has bursty co-tenant load
     // (NOTES.md §9) and single-shot timings varied up to 5x across
-    // identical binaries.
+    // identical binaries. Queries whose committed floor exceeds 0.5s are
+    // the ones where a single unlucky rep shows up as a >2x "regression"
+    // worth seconds — give those min-of-3 minimum.
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        name -> Seq.fill(reps)(timeOnce(fn)).min
+        val r = if (floor.get(name).exists(_ > 0.5)) math.max(reps, 3) else reps
+        name -> Seq.fill(r)(timeOnce(fn)).min
       }
     def toJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -69,21 +84,24 @@ object Bench {
     val head = headline.flatMap(h => results.get(h).map(h -> _))
     // vs_floor: current/floor ratio per query against the committed
     // per-query floor — >1 is slower than the best round ever recorded.
-    val floor = loadFloor(sys.env.getOrElse("SPARK_GRAFT_FLOOR",
-      "BENCH_FLOOR.json"))
     val vsFloor = results.toSeq.sortBy(_._1).flatMap { case (q, v) =>
       floor.get(q).filter(_ > 0)
         .map(f => q -> (math.round(v / f * 100.0) / 100.0))
     }
-    // Per-query detail on its own line FIRST; the parseable summary line is
-    // printed LAST and kept compact (headline subset only), because the
-    // driver captures only the tail of stdout — round 1's single giant
-    // line had its head (the total) truncated away.
+    // Per-query detail and the FULL vs_floor map each on their own line
+    // FIRST; the parseable summary line is printed LAST and kept compact
+    // (headline + worst-10 vs_floor only, well under the driver's
+    // 2000-char tail capture), because the driver keeps only the tail of
+    // stdout — round 1's single giant line had its head (the total)
+    // truncated away, and round 5's 125-entry vs_floor map on the final
+    // line reintroduced exactly that (BENCH_r05 "parsed": null).
     println(s"""{"metric":"queries","queries":${toJson(results)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"vs_floor_full","vs_floor":${toJson(vsFloor)},"sf":"$sfDir"}""")
+    val worst10 = vsFloor.sortBy(-_._2).take(10)
     // n_queries: the total is a SUM over every registered query, so it
     // grows as coverage grows — comparisons across rounds should be
     // per-query or normalized by this count
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"vs_floor":${toJson(vsFloor)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"vs_floor_worst10":${toJson(worst10)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
