@@ -231,8 +231,17 @@ object Dedup {
     * iterations — near-dup components are clique-ish (diameter 2-3), so
     * this beats the O(log n)-round large-star/small-star alternative in
     * practice while staying a pure join/agg plan (no driver-side graph).
+    *
+    * Skew: a boilerplate hub (one doc near-dup to 10⁴+ others) makes the
+    * propagation join `edges ⋈ labels` quadratic-hot on the hub's key, so
+    * it routes through [[graft.ops.Skew.saltedEnrichJoin]] — the label
+    * table is one-row-per-node (replicated saltBuckets ways, cheap: two
+    * longs per node), each edge is salted by its OTHER endpoint, and the
+    * hub's edges spread over saltBuckets reducers. Exact parity with the
+    * unsalted join (ScaleSpec hot-hub test). saltBuckets=1 disables.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+      saltBuckets: Int = 8): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
@@ -252,7 +261,9 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbr = edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
+      val nbr = graft.ops.Skew.saltedEnrichJoin(
+          edges, "v", col("u"),
+          labels.select(col("doc_id").as("v"), col("label")), saltBuckets)
         .select(col("u").as("doc_id"), col("label"))
       labels = labels.union(nbr)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))

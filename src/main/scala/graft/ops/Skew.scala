@@ -26,6 +26,32 @@ object Skew {
       .agg(sum(col("partial_sum")).as("total"), sum(col("partial_n")).as("n"))
   }
 
+  /** Salted FACT-to-DIMENSION equi-join — the skew escape hatch for
+    * joins where the fact side has unbounded rows per key (a hot hub's
+    * edges, a boilerplate domain's documents) but the dimension side has
+    * EXACTLY ONE row per key (a label table, a per-key aggregate). A
+    * plain equi-join lands every fact row for the hot key on one
+    * reducer; here each fact row gets a deterministic salt from
+    * `saltSource` (any column that varies across the hot key's rows),
+    * the one-row-per-key dimension is replicated g ways, and the join
+    * key becomes (key, salt) — the hot key's rows spread over g
+    * reducers at the cost of a g× shuffle of the (small) dimension.
+    * Parity with the direct join is exact because each fact row matches
+    * exactly one of the g dimension replicas (ScaleSpec).
+    *
+    * Caller contract: `dim` must be unique per `key` (else rows
+    * duplicate g-fold) and share the key column name with `fact`.
+    */
+  def saltedEnrichJoin(fact: DataFrame, key: String, saltSource: Column,
+      dim: DataFrame, g: Int): DataFrame = {
+    require(g >= 1, s"salt buckets must be >= 1, got $g")
+    val fs = fact.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(g.toLong)).cast("int"))
+    val ds = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(g - 1))))
+    fs.join(ds, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Salted self-join PAIR GENERATION — the skew escape hatch for
     * LSH-band / deletion-signature candidate joins ([[graft.ml.Dedup
     * .lshCandidates]], [[graft.ml.Fuzzy.fuzzyPairs]]). A bucket with k

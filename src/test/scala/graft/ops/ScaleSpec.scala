@@ -234,6 +234,51 @@ class ScaleSpec extends SparkSpecBase {
       s"hot bucket concentrated in $hotCells partitions; salting spread nothing")
   }
 
+  test("dup-cluster propagation survives a hot hub: salted join parity + spread") {
+    // star graph: one hub near-dup to 10^4 leaves — the boilerplate-corpus
+    // shape where the propagation join edges⋈labels would serialize the
+    // hub's entire edge list onto one reducer
+    val n = 10000
+    val hub = 50000L
+    val pairs = spark.range(1, n + 1)
+      .select(lit(hub).as("doc_a"), $"id".as("doc_b"))
+    // parity: the salted path (default) computes exactly the unsalted
+    // clustering — a single component labeled by its min member (1)
+    val salted = graft.ml.Dedup.dupClusters(pairs, saltBuckets = 8)
+      .as[(Long, Long)].collect().toSet
+    val unsalted = graft.ml.Dedup.dupClusters(pairs, saltBuckets = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(salted == unsalted, s"salted clustering diverges: " +
+      s"missing ${(unsalted -- salted).size}, fabricated ${(salted -- unsalted).size}")
+    assert(salted.size == n + 1 && salted.forall(_._2 == 1L),
+      "star graph must collapse to one component labeled 1")
+    // bounded reducer rows: the hub's fact rows land in many independent
+    // (key, salt) reducer KEYS instead of one. Assert on the logical join
+    // keys (physical partitions can collide several salt cells at 32
+    // shuffle partitions; at cluster scale the partitioner spreads them,
+    // but the per-key bound is what caps a single reducer's work).
+    val g = 8
+    val edges = pairs.select($"doc_b".as("u"), $"doc_a".as("v"))
+    val labels = pairs.select($"doc_a".as("v"), lit(1L).as("label")).distinct()
+    val joined = Skew.saltedEnrichJoin(edges, "v", $"u", labels, g)
+    val perCell = joined
+      .groupBy($"v", pmod(xxhash64($"u"), lit(g.toLong)).as("cell"))
+      .agg(count(lit(1)).as("rows")).as[(Long, Long, Long)].collect()
+    assert(perCell.length >= g / 2,
+      s"hub edges concentrated in ${perCell.length} cells; salting spread nothing")
+    assert(perCell.map(_._3).max <= 2L * n / g,
+      s"one reducer key still holds ${perCell.map(_._3).max} of $n hub rows (g=$g)")
+    // plan: the join exchange must be keyed on the salt cell
+    val exchanges = withForcedShufflePlanning {
+      Skew.saltedEnrichJoin(edges, "v", $"u", labels, g)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+    }
+    assert(exchanges.exists(_.outputPartitioning.toString.contains("__salt")),
+      "no salt-keyed exchange in the enrich-join plan")
+  }
+
   test("fuzzy-join signature exchanges carry hashed longs, never variant strings") {
     val docs = Tables.documents(spark, sf0001)
       .select($"doc_id", substring($"text", 1, 24).as("s"))
