@@ -139,6 +139,18 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // RESIDUAL IVF-ADC approximate top-5 — the production refinement
+    // (FAISS IVFPQ residual form) scored against the COMMITTED quantizer
+    // (ResidualTable: L2-Lloyd centroids + residual codebook, trained
+    // offline on the sf0.001 fixture, frozen as ×1e6 fixed-point). The
+    // oracle replays assignment, residual, encode, LUT and the coarse
+    // linearity split with the same frozen values as literals.
+    "ns_similarity_ivfpq_res" -> ((s, d) => {
+      Similarity.ivfpqTopKResidualFrozen(Tables.embeddings(s, d),
+        QueryVecIds, 5, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     // verify. Banding makes candidate recall ~1-1e-11, verification makes
     // precision exact → output equals the brute-force pair set, which is
@@ -401,6 +413,71 @@ object MlPack extends QueryPack {
 
   private val jaccardPairsOracle: String =
     s"WITH $jaccardCtes\nSELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"
+
+  /** Residual IVF-ADC oracle generated FROM the committed quantizer:
+    * the frozen fixed-point tables render as fix/1e6 double literals
+    * (Double.toString is shortest-round-trip, so DuckDB parses back the
+    * exact same IEEE754 value the Spark path computes), and the CTE
+    * chain mirrors Similarity.ivfpqTopKResidualFrozen stage for stage.
+    */
+  private lazy val residualIvfpqOracle: String = {
+    def sqlList(v: Seq[Double]): String = v.mkString("[", ", ", "]")
+    val cent = ResidualTable.centroids
+      .map { case (l, v) => s"($l, ${sqlList(v)})" }.mkString(",\n|    ")
+    val cw = ResidualTable.codebook
+      .map { case ((s, c), v) => s"($s, $c, ${sqlList(v)})" }
+      .mkString(",\n|    ")
+    val np = 4
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent(lid, lv) AS (VALUES
+       |    $cent),
+       |cb(sub, cid, cv) AS (VALUES
+       |    $cw),
+       |asg AS (SELECT vec_id, v, lid, lv FROM (
+       |    SELECT e.vec_id, e.v, cent.lid, cent.lv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(e.v, cent.lv),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), cent.lid) AS rk
+       |    FROM e CROSS JOIN cent WHERE e.vec_id > 7) t WHERE rk = 1),
+       |res AS (SELECT vec_id, lid,
+       |    list_transform(list_zip(v, lv), z -> z[1] - z[2]) AS r FROM asg),
+       |subs AS (SELECT CAST(gs AS INT) AS sub FROM generate_series(0, 7) t(gs)),
+       |sv AS (SELECT vec_id, sub, list_slice(r, sub*8 + 1, sub*8 + 8) AS sv
+       |       FROM res CROSS JOIN subs),
+       |enc AS (SELECT vec_id, sub, cid FROM (
+       |    SELECT sv.vec_id, sv.sub, cb.cid,
+       |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |        ORDER BY round(list_sum(list_transform(list_zip(sv.sv, cb.cv),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), cb.cid) AS rk
+       |    FROM sv JOIN cb USING (sub)) t WHERE rk = 1),
+       |probes AS (SELECT query_id, lid, coarse_fix FROM (
+       |    SELECT e.vec_id AS query_id, cent.lid,
+       |      CAST(round(list_inner_product(e.v, cent.lv) * 1e6) AS BIGINT)
+       |        AS coarse_fix,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_sum(list_transform(list_zip(e.v, cent.lv),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), cent.lid) AS rk
+       |    FROM e CROSS JOIN cent WHERE e.vec_id <= 7) t WHERE rk <= $np),
+       |qs AS (SELECT vec_id AS query_id, sub,
+       |         list_slice(v, sub*8 + 1, sub*8 + 8) AS qsv
+       |       FROM e CROSS JOIN subs WHERE vec_id <= 7),
+       |lut AS (SELECT query_id, sub, cid,
+       |      CAST(round(list_inner_product(qsv, cv) * 1e6) AS BIGINT) AS pfix
+       |    FROM qs JOIN cb USING (sub)),
+       |cands AS (SELECT probes.query_id, asg.vec_id, probes.coarse_fix
+       |    FROM asg JOIN probes USING (lid)),
+       |scored AS (SELECT c.query_id, c.vec_id,
+       |      round((c.coarse_fix + sum(l.pfix)) / 1e6, 6) AS adc_dot
+       |    FROM cands c JOIN enc ON c.vec_id = enc.vec_id
+       |    JOIN lut l ON l.query_id = c.query_id
+       |      AND l.sub = enc.sub AND l.cid = enc.cid
+       |    GROUP BY c.query_id, c.vec_id, c.coarse_fix),
+       |ranked AS (SELECT query_id, vec_id, adc_dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dot DESC, vec_id) AS rank FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     // The minhash pipeline's exact-Jaccard verify makes its output equal
@@ -671,6 +748,14 @@ object MlPack extends QueryPack {
         |      ORDER BY adc_dot DESC, vec_id) AS rank FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Residual IVF-ADC replay: the frozen quantizer (ResidualTable) as
+    // VALUES literals — coordinates reconstructed as fix/1e6 exactly as
+    // the Spark path does, so both engines score the identical tables.
+    // Then: L2 coarse assignment (rounded-distance + lid tie-break),
+    // residual subtraction, per-subspace residual encode, fixed-point
+    // ADC LUT, and the linearity split <q, lv + cw> = coarse + residual.
+    "ns_similarity_ivfpq_res" -> residualIvfpqOracle,
 
     "ns_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS representative_id,

@@ -218,14 +218,14 @@ object Similarity {
       .agg(sum(col("d"))).head.getDouble(0)
   }
 
-  private def pqL2sq(a: Column, b: Column): Column =
+  private[ml] def pqL2sq(a: Column, b: Column): Column =
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x), 6)
 
   /** Sequential-fold inner product — the cross-engine determinism
     * contract for every fixed-point ADC term; ONE definition so the
     * LUT entries and the residual tier's coarse term cannot diverge. */
-  private def pqDot(a: Column, b: Column): Column =
+  private[ml] def pqDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Deterministic sample codebook: (sub, cid, cv) from the `ksub`
@@ -250,7 +250,7 @@ object Similarity {
     * implementation shared by the plain and IVF-composed tiers — the
     * MlSpec full-probe identity (ivfpq at nprobe==nlist ≡ pq) depends on
     * the encodings never diverging. */
-  private def pqCodes(corpus: DataFrame, codebook: DataFrame, m: Int,
+  private[ml] def pqCodes(corpus: DataFrame, codebook: DataFrame, m: Int,
       dsub: Int): DataFrame = {
     val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d"), col("cid"))
@@ -269,7 +269,7 @@ object Similarity {
   /** ADC lookup table: fixed-point partial inner products per (query,
     * sub, cid) — |Q| × m × ksub rows, meant to broadcast. Shared by
     * both tiers for the same reason as [[pqCodes]]. */
-  private def pqAdcLut(queries: DataFrame, codebook: DataFrame, m: Int,
+  private[ml] def pqAdcLut(queries: DataFrame, codebook: DataFrame, m: Int,
       dsub: Int): DataFrame = {
     queries
       .select(col("vec_id").as("query_id"),
@@ -284,7 +284,7 @@ object Similarity {
   /** Per-query rank over a scored (query_id, vec_id, adc_dot) frame —
     * the ONE ranking tail every ADC tier ends with (tie-break contract
     * lives here and nowhere else). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ml] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dot").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -367,7 +367,7 @@ object Similarity {
     * are LARGER than the vectors (measured: 743 vs 365 SSE on the
     * fixture corpus), which is why [[ivfTopK]]'s cosine sample
     * quantizer is not reused here. */
-  private def l2CoarseAssign(corpus: DataFrame,
+  private[ml] def l2CoarseAssign(corpus: DataFrame,
       centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("lid"))
     corpus.crossJoin(broadcast(centroids))
@@ -377,7 +377,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("lid"), col("lv"))
   }
 
-  private def l2CoarseCentroids(corpus: DataFrame, nlist: Int,
+  private[ml] def l2CoarseCentroids(corpus: DataFrame, nlist: Int,
       iters: Int): DataFrame = {
     val seeds = corpus.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("lid"), col("v").as("lv"))
@@ -400,7 +400,7 @@ object Similarity {
     * session's lifetime with no handle for the caller to release —
     * checkpoint blocks are reclaimed by the ContextCleaner once the
     * result is garbage, so repeated calls cannot accumulate state. */
-  private def residualParts(emb: DataFrame, queryIds: Seq[Long], nlist: Int,
+  private[ml] def residualParts(emb: DataFrame, queryIds: Seq[Long], nlist: Int,
       iters: Int): (DataFrame, DataFrame) = {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .filter(!col("vec_id").isin(queryIds: _*))
@@ -415,7 +415,7 @@ object Similarity {
   /** Residual sample codebook: [[pqSampleCodebook]] over the residual
     * frame (the same rename trick residualPqDistortion uses for
     * pqDistortion) — one codebook-construction contract everywhere. */
-  private def residualCodebook(assigned: DataFrame, m: Int, ksub: Int,
+  private[ml] def residualCodebook(assigned: DataFrame, m: Int, ksub: Int,
       dim: Int): DataFrame =
     pqSampleCodebook(
       assigned.select(col("vec_id"), col("r").as("embedding")),
@@ -447,6 +447,55 @@ object Similarity {
     // probed lists by L2 (the trained quantizer's metric), coarse term
     // ⟨q, lv⟩ fixed-point like the LUT entries
     val probes = broadcast(queries.crossJoin(broadcast(centroids))
+      .withColumn("d", pqL2sq(col("v"), col("lv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d"), col("lid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("lid"),
+        round(pqDot(col("v"), col("lv")) * 1e6).cast("long").as("coarse_fix")))
+    val lut = broadcast(pqAdcLut(queries, codebook, m, dsub))
+    val cands = assigned.select(col("vec_id"), col("lid")).join(probes, "lid")
+    val scored = cands.join(codes, "vec_id")
+      .join(lut, Seq("query_id", "sub", "cid"))
+      .groupBy(col("query_id"), col("vec_id"), col("coarse_fix"))
+      .agg(sum(col("pfix")).as("res_fix"))
+      .select(col("query_id"), col("vec_id"),
+        round((col("coarse_fix") + col("res_fix")) / 1e6, 6).as("adc_dot"))
+    rankTopK(scored, k)
+  }
+
+  /** [[ivfpqTopKResidual]] scored against the COMMITTED quantizer
+    * ([[ResidualTable]]: L2-Lloyd-trained coarse centroids + residual
+    * codebook, trained once offline on the sf0.001 fixture corpus and
+    * frozen as fixed-point data — the BpeTable precedent). Freezing
+    * removes the one nondeterminism the trained tier has (float means
+    * whose summation order Spark does not fix), so every stage —
+    * assignment, residual, encode, LUT, coarse term — replays exactly
+    * in the DuckDB oracle. This is also the production deployment
+    * shape: quantizers are trained offline on a sample and shipped as
+    * artifacts; the 100 TB corpus only ever sees the frozen tables.
+    */
+  def ivfpqTopKResidualFrozen(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = ResidualTable.m
+    val dsub = ResidualTable.dim / m
+    val centroids = broadcast(
+      ResidualTable.centroids.toDF("lid", "lv"))
+    val codebook = broadcast(
+      ResidualTable.codebook.map { case ((s, c), v) => (s, c, v) }
+        .toDF("sub", "cid", "cv"))
+    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
+    val assigned = l2CoarseAssign(corpus, centroids)
+      .withColumn("r", zip_with(col("v"), col("lv"), (x, c) => x - c))
+      .select(col("vec_id"), col("lid"), col("r"))
+      .localCheckpoint() // feeds codes AND candidate lists
+    val codes = pqCodes(assigned.select(col("vec_id"), col("r").as("v")),
+      codebook, m, dsub)
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+    val probes = broadcast(queries.crossJoin(centroids)
       .withColumn("d", pqL2sq(col("v"), col("lv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d"), col("lid"))))

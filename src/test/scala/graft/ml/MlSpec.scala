@@ -571,6 +571,31 @@ class MlSpec extends SparkSpecBase {
     spark.catalog.clearCache() // residual operators persist assignments
   }
 
+  test("residual freeze: retraining on the fixture reproduces ResidualTable") {
+    // the BpeTable trainer-parity contract for the ANN tier: the
+    // committed quantizer must be exactly what ResidualFreeze produces
+    // from its documented provenance (sf0.001, query ids 0-7 excluded),
+    // so the artifact cannot drift from the code that claims to have
+    // made it
+    val (cent, cw) = ResidualFreeze.train(spark, sf0001)
+    assert(cent.toVector == ResidualTable.centroidsFix,
+      "retrained coarse centroids diverge from the committed table")
+    assert(cw.toVector == ResidualTable.codebookFix,
+      "retrained residual codebook diverges from the committed table")
+    spark.catalog.clearCache()
+  }
+
+  test("frozen residual tier: deterministic, full shape, frozen-table scoring") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qids = 0L to 7L
+    val out = Similarity.ivfpqTopKResidualFrozen(emb, qids, 5).collect()
+    assert(out.length == qids.size * 5)
+    // byte-for-byte stable across runs — the property the DuckDB oracle
+    // depends on (no float-mean nondeterminism anywhere in the path)
+    val again = Similarity.ivfpqTopKResidualFrozen(emb, qids, 5).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("BPE: goldens from an independent min-rank encoder; expression parity") {
     import graft.functions.Bpe
     // Goldens computed by a SEPARATE Python implementation of the
