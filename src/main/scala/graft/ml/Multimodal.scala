@@ -7,15 +7,72 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / frame-sample /
   * feature-extract operators.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub (`fakeDecode*`): it derives metadata
-  * from the bytes via hashing. Everything around the stub — the binary
-  * column representation, schema, partitioning, batch shape, frame
-  * slicing, feature vectors — is real Spark plumbing and is what a
-  * production pipeline would keep while swapping the stub for a codec
-  * UDF (mapInPandas/mapInArrow on PySpark, or a JNI codec here).
+  * IMAGE decode is REAL for the pure-JVM formats (`javax.imageio`
+  * ships PNG/BMP/GIF/JPEG readers in every JRE): [[decodeImageMeta]]
+  * parses actual pixel data into width/height/channels + exact
+  * per-channel means, and MlSpec asserts the stats of a committed
+  * fixture image pixel-for-pixel. Audio/video codecs do not exist in
+  * this container, so THEIR decode step remains a clearly-marked
+  * deterministic stub (`fakeDecode*`) deriving pseudo-metadata from
+  * the payload hash. Everything around the decode boundary — the
+  * binary column representation, schema, partitioning, batch shape,
+  * frame slicing, feature vectors — is the production shape either
+  * way; a JNI/ffmpeg codec slots in exactly where the stub sits.
   */
 object Multimodal {
+
+  /** Exact decoded-image metadata: dimensions, raster band count, and
+    * per-channel pixel means over the full image (doubles of exact
+    * integer sums, so cross-run equality is byte-for-byte). */
+  case class ImageMeta(width: Int, height: Int, channels: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL image decode (pure JVM, no native deps): `javax.imageio`
+    * parses the container + pixel data; undecodable/empty payloads map
+    * to null (the asset keeps flowing with null metadata, the pipeline
+    * convention for corrupt blobs). Runs map-side per partition —
+    * exactly the shape a 100 TB decode fan-out needs (no shuffle, CPU
+    * scales with executors). */
+  val decodeImage: Array[Byte] => ImageMeta = { bytes =>
+    if (bytes == null || bytes.isEmpty) null
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageMeta(w, h, img.getRaster.getNumBands,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+        }
+      } catch { case _: java.io.IOException => null }
+  }
+
+  /** Decode metadata for image assets: (asset_id, modality, byte_len,
+    * width, height, channels, mean_r/g/b) — null metadata columns for
+    * payloads ImageIO cannot parse. */
+  def decodeImageMeta(assetsDf: DataFrame): DataFrame = {
+    val dec = udf(decodeImage)
+    assetsDf
+      .withColumn("img", dec(col("bytes")))
+      .select(col("asset_id"), col("modality"),
+        length(col("bytes")).as("byte_len"),
+        col("img.width").as("width"), col("img.height").as("height"),
+        col("img.channels").as("channels"), col("img.mean_r").as("mean_r"),
+        col("img.mean_g").as("mean_g"), col("img.mean_b").as("mean_b"))
+  }
 
   /** Synthesize an asset table from documents: bytes = UTF-8 payload,
     * modality round-robins image/audio/video. Stands in for a real

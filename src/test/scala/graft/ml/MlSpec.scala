@@ -399,6 +399,42 @@ class MlSpec extends SparkSpecBase {
     }
   }
 
+  test("image decode: real PNG/BMP pixels from committed fixtures, exact stats") {
+    // the committed 16x12 RGB gradient: pixel(x,y) = (16x, 16y, 8(x+y))
+    // mod 256 — expected stats derive from the FORMULA, independent of
+    // ImageIO, so a corrupt fixture or decoder both fail the diff
+    // (PNG and BMP are lossless, so formula == decoded pixels exactly)
+    val (w, h) = (16, 12)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (x * 16) % 256; sg += (y * 16) % 256; sb += ((x + y) * 8) % 256
+    }
+    val n = w.toLong * h
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      assert(in != null, s"missing committed fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val df = Seq(
+      (1L, "image", fixture("gradient.png")),
+      (2L, "image", fixture("gradient.bmp")),
+      (3L, "image", "not an image".getBytes("UTF-8"))
+    ).toDF("asset_id", "modality", "bytes")
+    val got = Multimodal.decodeImageMeta(df).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = got(id)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h,
+        s"asset $id decoded wrong dims")
+      assert(r.getAs[Int]("channels") == 3)
+      assert(r.getAs[Double]("mean_r") == sr.toDouble / n, s"asset $id mean_r")
+      assert(r.getAs[Double]("mean_g") == sg.toDouble / n, s"asset $id mean_g")
+      assert(r.getAs[Double]("mean_b") == sb.toDouble / n, s"asset $id mean_b")
+    }
+    // undecodable payload → null metadata, row survives
+    assert(got(3L).isNullAt(got(3L).fieldIndex("width")))
+  }
+
   test("resize: bounded length, deterministic, identity under target") {
     val assets = Multimodal.assets(docs.limit(20))
     val r1 = Multimodal.resizeAssets(assets, 32).collect()
