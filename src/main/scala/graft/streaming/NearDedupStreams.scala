@@ -65,6 +65,13 @@ import org.apache.spark.sql.streaming.Trigger
   * and the replayed-vs-resent classification would collide with
   * earlier epochs' partitions. Likewise doc_id is an immutable record
   * id: a re-crawled or rewritten document must arrive under a NEW id.
+  * The ledger must also live on a filesystem with ATOMIC RENAME
+  * (HDFS, POSIX local): the CURRENT-pointer swap relies on
+  * FileContext.rename(OVERWRITE) being all-or-nothing, which object
+  * stores like S3A do not guarantee — a crash mid-swap there can leave
+  * a missing or partial pointer. On such stores, front the pointer
+  * with a consistent metadata layer (e.g. a table-format commit log)
+  * rather than pointing this sink at the bucket directly.
   */
 object NearDedupStreams {
 

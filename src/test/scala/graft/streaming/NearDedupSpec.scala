@@ -121,4 +121,78 @@ class NearDedupSpec extends SparkSpecBase {
     assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == got.size)
     spark.catalog.clearCache()
   }
+
+  test("long run: 21 batches + crash replays, compaction bounds files and rows") {
+    // the unbounded-growth question VERDICT flagged: over a long stream
+    // with crash-healing re-appends, do bucket duplicates and small
+    // per-batch files accumulate without bound, or does the periodic
+    // generation-swap compaction actually keep the ledger tight? Drive
+    // 21 micro-batches (docs sliced by doc_id % 21) with compactEvery=5
+    // and two simulated crash replays, then pin: duplicate rows exist
+    // BEFORE a compaction (the test bites), are exactly deduped after
+    // the final one, file counts collapse to one per partition, stale
+    // generations are pruned, and the admission record stays one row
+    // per admitted doc throughout.
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sf0001)
+    val ledger = Files.createTempDirectory("graft_ndl_ledger").toString + "/l"
+    val out = Files.createTempDirectory("graft_ndl_out").toString + "/o"
+    val tau = 0.5
+    val nBatches = 21
+    val sink = NearDedupStreams.nearDedupIngestSink(
+      spark, ledger, out, tau, compactEvery = 5) _
+    val fs = new Path(ledger).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def currentGen: String = {
+      val in = fs.open(new Path(s"$ledger/CURRENT"))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    def buckets = spark.read
+      .schema("band INT, bucket BIGINT, doc_id BIGINT, pfx STRING")
+      .parquet(s"$ledger/$currentGen/buckets")
+    (0 until nBatches).foreach { i =>
+      sink(docs.filter($"doc_id" % nBatches === i), i.toLong)
+      // two crash replays mid-run: the healing re-append path that
+      // accumulates duplicate bucket rows
+      if (i == 7 || i == 13) sink(docs.filter($"doc_id" % nBatches === i), i.toLong)
+    }
+    // replays really did duplicate bucket rows (batches 15-20 appended
+    // since the last compaction at 15; the replay dups from 13 compacted
+    // away there, so re-create one dup now and measure pre-compaction)
+    sink(docs.filter($"doc_id" % nBatches === 19), 19L)
+    val (rows, distinctRows) = (buckets.count(), buckets.distinct().count())
+    assert(rows > distinctRows,
+      s"expected duplicate bucket rows before compaction ($rows vs $distinctRows)")
+    // batch 25 (25 % 5 == 0) compacts and swaps generations
+    sink(docs.filter($"doc_id" % nBatches === 4), 25L)
+    val gen = currentGen
+    assert(gen == "gen_c25", s"expected compacted generation, got $gen")
+    assert(buckets.count() == buckets.distinct().count(),
+      "compaction left duplicate bucket rows")
+    // file growth is bounded: compaction rewrites to one file per
+    // touched pfx partition (≤256), vs one-per-batch-per-partition
+    // accumulation without it
+    def parquetFiles(p: String): Int = {
+      val it = fs.listFiles(new Path(p), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val bucketPfx = buckets.select($"pfx").distinct().count()
+    assert(parquetFiles(s"$ledger/$gen/buckets") <= bucketPfx,
+      "compacted buckets hold more than one file per partition")
+    // stale generations pruned: at most the current one plus its
+    // predecessor (deleted lazily on the NEXT compaction)
+    val gens = fs.listStatus(new Path(ledger))
+      .map(_.getPath.getName).filter(_.startsWith("gen_"))
+    assert(gens.length <= 2, s"stale generations not pruned: ${gens.mkString(",")}")
+    // admission record: exactly one sigs row per corpus doc, despite
+    // 3 replayed batches and 5 compactions
+    val corpus = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(NearDedupStreams.ledgerSigs(spark, ledger).count() == corpus.size)
+    assert(NearDedupStreams.ledgerSigs(spark, ledger)
+      .select($"doc_id").distinct().count() == corpus.size)
+    spark.catalog.clearCache()
+  }
 }
