@@ -170,4 +170,48 @@ class FormatsSpec extends SparkSpecBase {
     assert(read.filter($"_corrupt_record".isNotNull).count() == 1)
     assert(read.filter($"_corrupt_record".isNull).count() == 2)
   }
+
+  test("JDBC source/sink smoke: spark.read.jdbc round-trips an embedded Derby table") {
+    // SURVEY §2.1 maps S6 to parquet scans OR spark.read.jdbc; this
+    // closes the jdbc clause with the one embedded database the Spark
+    // distribution itself ships (derby*.jar) — no external server.
+    // The shape is the production one: a dimension-sized table pulled
+    // from an RDBMS, written back via df.write.jdbc.
+    val dbDir = Files.createTempDirectory("graft_jdbc").toString
+    val url = s"jdbc:derby:$dbDir/devices;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE devices (id BIGINT NOT NULL, brand VARCHAR(32), score DOUBLE)")
+      val ins = conn.prepareStatement("INSERT INTO devices VALUES (?, ?, ?)")
+      Seq((1L, "acme", 0.5), (2L, "globex", 0.75), (3L, "initech", 0.25))
+        .foreach { case (i, b, s) =>
+          ins.setLong(1, i); ins.setString(2, b); ins.setDouble(3, s)
+          ins.executeUpdate()
+        }
+      st.close(); ins.close()
+    } finally conn.close()
+
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "devices")
+      .option("driver", driver).load()
+    assert(df.schema.fieldNames.map(_.toLowerCase).toSet == Set("id", "brand", "score"))
+    val got = df.as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "acme", 0.5), (2L, "globex", 0.75), (3L, "initech", 0.25)))
+    // predicate pushdown reaches the JDBC scan (the DataSource translates
+    // the filter to SQL; driver-visible via the pushed-filter plan field)
+    val filtered = df.filter($"id" > 1L)
+    assert(filtered.count() == 2)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "jdbc scan lost the pushed filter")
+    // and the sink direction: write a derived frame back, read it again
+    df.filter($"score" >= 0.5).write.format("jdbc")
+      .option("url", url).option("dbtable", "top_devices")
+      .option("driver", driver).mode("overwrite").save()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "top_devices")
+      .option("driver", driver).load()
+    assert(back.count() == 2)
+  }
 }
