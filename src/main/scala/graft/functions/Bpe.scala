@@ -182,43 +182,95 @@ object Bpe {
     * trainer that produced [[BpeTable]] (identical semantics: most
     * frequent adjacent pair per round counted WITH overlaps, ties to
     * the numerically smallest (a, b); merge rank r mints symbol
-    * 256 + r). Per round: one map-side pair count (adjacent pairs via
-    * two slices + zip_with — no shuffle of token arrays, only (a, b,
-    * count) partials) and one codegen merge pass rewriting the token
-    * column; `localCheckpoint` every few rounds truncates the
-    * 2-expressions-per-round lineage. At 100 TB the per-round cost is
-    * a full corpus scan — which is what BPE training costs anywhere;
-    * the driver holds only the argmax row per round. Returns the
-    * learned (a, b) merge list. MlSpec asserts the first rounds
-    * reproduce BpeTable.merges exactly on the fixture corpus. */
+    * 256 + r). Returns the learned (a, b) merge list. MlSpec asserts
+    * the learned prefix reproduces BpeTable.merges exactly on the
+    * fixture corpus.
+    *
+    * Per round: ONE corpus-scan job materializes the full pair-count
+    * table (adjacent pairs via two slices + zip_with — no shuffle of
+    * token arrays, only (a, b, count) partials; `localCheckpoint` is
+    * eager, so the follow-up top-K/maxima reads are tiny cached-block
+    * jobs), then a BATCH of merges is applied as chained lazy codegen
+    * passes. Strict one-merge-per-scan sequentiality is NOT required
+    * for rank fidelity, but unconditional batching is impossible:
+    * merge rank r+1 is defined over the corpus AFTER merge r, and the
+    * sequential argmax can be a pair merge r CREATED (corpus "abab":
+    * merge 1 = (a,b)→c, merge 2 = (c,c) — a pair with no pre-merge
+    * count at all). So the batch is the provably-safe greedy PREFIX of
+    * the sorted pair list: walking pairs in (count desc, a, b) order
+    * with no skips, accept p_j = (a_j, b_j, n_j) while
+    *  (1) its symbols are disjoint from every earlier accepted pair
+    *      (so applying them never consumes or creates each other's
+    *      occurrences — an overlap would need a shared symbol), and
+    *  (2) n_j strictly exceeds every accepted p_i's new-pair bound
+    *      M_i = max(max_x n(x, a_i), max_y n(b_i, y)): any pair a
+    *      merge creates contains its minted symbol c_i, every
+    *      occurrence "x c_i" comes from "x a_i b_i" (so its count is
+    *      ≤ n(x, a_i) ≤ M_i), and symmetrically for "c_i y" — so
+    *      nothing merge i creates can reach n_j, and strictness makes
+    *      tie-breaks moot,
+    * stopping at the first violation (skipping would leave a
+    * higher-ranked pair unapplied ahead of p_j). Under (1) the counts
+    * of accepted pairs are exactly unchanged while the batch applies,
+    * under (2) no created pair can outrank the next accepted one, and
+    * the no-skip prefix means every pair ranked above p_j has already
+    * been applied — so the batch reproduces the sequential ranks
+    * exactly, at one corpus scan per batch instead of per merge
+    * (MlSpec measures the scan reduction and asserts parity). */
   def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
-      nMerges: Int): Seq[(Int, Int)] = {
+      nMerges: Int): Seq[(Int, Int)] = trainBatched(docs, textCol, nMerges)._1
+
+  /** [[train]] + the number of corpus-scan rounds it took (< nMerges
+    * whenever any batch exceeded one merge). */
+  def trainBatched(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, maxBatch: Int = 16): (Seq[(Int, Int)], Int) = {
     var toks = docs.select(
       GraftBridge.column(Utf8Bytes(GraftBridge.expression(col(textCol))))
         .as("t"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    var r = 0
-    while (r < nMerges) {
+    var rounds = 0
+    while (merges.length < nMerges) {
       // single-token and empty docs have no adjacent pairs — and slice()
       // with length size-1 <= 0 throws, so they must not reach it
-      val best = toks.filter(size(col("t")) >= 2)
+      val counts = toks.filter(size(col("t")) >= 2)
         .select(explode(zip_with(
           slice(col("t"), lit(1), size(col("t")) - 1),
           slice(col("t"), lit(2), size(col("t")) - 1),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-        .groupBy(col("p.a"), col("p.b")).agg(count(lit(1)).as("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // eager: the round's one corpus scan
+      rounds += 1
+      val top = counts
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) return merges.toSeq
-      val (a, b) = (best(0).getInt(0), best(0).getInt(1))
-      merges += ((a, b))
-      toks = toks.select(
-        GraftBridge.column(BpeMergePass(
-          GraftBridge.expression(col("t")), a, b, 256 + r)).as("t"))
-      if (r % 8 == 7) toks = toks.localCheckpoint()
-      r += 1
+        .limit(maxBatch).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      if (top.isEmpty) return (merges.toSeq, rounds)
+      // new-pair bounds: max n(*, s) and max n(s, *) per symbol — tiny
+      // jobs over the checkpointed count table, vocab-sized results
+      val maxInto = counts.groupBy(col("b")).agg(max(col("n")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxFrom = counts.groupBy(col("a")).agg(max(col("n")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val used = scala.collection.mutable.Set.empty[Int]
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var open = true
+      top.foreach { case (a, b, n) =>
+        if (open && merges.length < nMerges &&
+            (bounds.isEmpty ||
+              (!used(a) && !used(b) && bounds.forall(n > _)))) {
+          val rank = merges.length
+          merges += ((a, b))
+          toks = toks.select(
+            GraftBridge.column(BpeMergePass(
+              GraftBridge.expression(col("t")), a, b, 256 + rank)).as("t"))
+          used += a; used += b
+          bounds += math.max(maxInto.getOrElse(a, 0L), maxFrom.getOrElse(b, 0L))
+        } else open = false
+      }
+      if (rounds % 4 == 0) toks = toks.localCheckpoint()
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** The DuckDB replay of [[BpeTable]]: the merges as chained

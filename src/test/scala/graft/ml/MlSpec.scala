@@ -553,11 +553,19 @@ class MlSpec extends SparkSpecBase {
     // the corpus-scale trainer run on the same fixture corpus with the
     // same tie-break must rediscover BpeTable.merges rank for rank —
     // training, the committed table, and the independent Python goldens
-    // all agree or something is wrong with one of them
-    val learned = graft.functions.Bpe.train(docs, "text", nMerges = 16)
-    val committed = graft.functions.BpeTable.merges.take(16).toSeq
+    // all agree or something is wrong with one of them. Full 128-merge
+    // run so the safe-batching rule is exercised deep into the merge
+    // sequence (where created symbols dominate the counts), not just on
+    // the raw-byte opening rounds.
+    val n = graft.functions.BpeTable.merges.length
+    val (learned, rounds) = graft.functions.Bpe.trainBatched(docs, "text", n)
+    val committed = graft.functions.BpeTable.merges.toSeq
     assert(learned == committed,
       s"learned $learned\ncommitted $committed")
+    // the point of conditional batching: measurably fewer corpus scans
+    // than one per merge, with zero rank drift (asserted above)
+    info(f"$n merges in $rounds corpus scans (batch avg ${n.toDouble / rounds}%.2f)")
+    assert(rounds < n, s"batching never exceeded one merge per scan ($rounds rounds)")
   }
 
   test("IVF-ADC at full probe equals plain PQ; restricted probe loses only recall") {
