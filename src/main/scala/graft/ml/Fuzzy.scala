@@ -84,26 +84,31 @@ object Fuzzy {
       maxEd: Int): DataFrame = {
     // (id, s, rid): rid = min id over the string's dup group. One shuffle
     // on s (the window); the filter to representatives reuses it.
+    // Eager localCheckpoint, NOT persist: both frames outlive this call
+    // inside the returned plan, and a CacheManager entry would pin
+    // storage for the session's lifetime with no handle for a library
+    // caller to release — checkpoint blocks are reclaimed by the
+    // ContextCleaner once the result is garbage (the residualParts
+    // contract), so repeated calls cannot accumulate state.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     val memb = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("rid", min(col("id")).over(w))
-      .persist()
-    memb.count()
+      .localCheckpoint()
     val reps = memb.filter(col("id") === col("rid"))
       .select(col("rid"), col("s"))
-    // persist: feeds the two-sided signature join and the verify lookups
-    // (same barrier rationale as Dedup.shingled / cosineDupPairsBanded).
-    // Signatures shuffle as 8-byte hashes, not variant strings — equal
-    // strings hash equal (recall intact); a cross-string collision only
-    // adds a candidate the exact verify discards. DeletionSigs is the
-    // codegen form of xxhash64 over [[deletionVariants]] (parity-tested);
-    // the interpreted HOF spelling dominated this query's runtime.
+    // checkpointed: feeds the two-sided signature join and the verify
+    // lookups (same barrier rationale as Dedup.shingled /
+    // cosineDupPairsBanded). Signatures shuffle as 8-byte hashes, not
+    // variant strings — equal strings hash equal (recall intact); a
+    // cross-string collision only adds a candidate the exact verify
+    // discards. DeletionSigs is the codegen form of xxhash64 over
+    // [[deletionVariants]] (parity-tested); the interpreted HOF
+    // spelling dominated this query's runtime.
     val sigs = reps
       .withColumn("sig",
         explode(graft.functions.DeletionSigs.sigs(col("s"), maxEd)))
       .select(col("rid"), col("sig"))
-      .persist()
-    sigs.count()
+      .localCheckpoint()
     val l = sigs.select(col("rid").as("rid_a"), col("sig"))
     val r = sigs.select(col("rid").as("rid_b"), col("sig"))
     val cands = l.join(r, "sig").filter(col("rid_a") < col("rid_b"))

@@ -28,6 +28,22 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** The `n` lowest-id corpus vectors — the deterministic seed set every
+    * sample codebook and coarse quantizer starts from. Fails fast when
+    * the corpus is smaller than the requested seed count: silently
+    * proceeding would yield a truncated codebook / cid gaps and garbage
+    * scores downstream (the corpus-size analog of the dim % m guard).
+    * The count is a cheap job — limit pushdown stops the scan at n rows.
+    */
+  private[ml] def seedVectors(corpus: DataFrame, n: Int,
+      what: String): DataFrame = {
+    val seeds = corpus.orderBy(col("vec_id")).limit(n)
+    val found = seeds.count()
+    require(found == n,
+      s"$what needs $n corpus vectors to seed from, found only $found")
+    seeds
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding the query set). Deterministic tie-break on vec_id.
     */
@@ -96,7 +112,7 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
-    val centroids = broadcast(corpus.orderBy(col("vec_id")).limit(nlist)
+    val centroids = broadcast(seedVectors(corpus, nlist, "IVF coarse quantizer")
       .select(col("vec_id").as("cid"), col("v").as("cv")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cid"))
@@ -236,7 +252,7 @@ object Similarity {
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .filter(!col("vec_id").isin(queryIds: _*))
     broadcast(
-      corpus.orderBy(col("vec_id")).limit(ksub)
+      seedVectors(corpus, ksub, "PQ sample codebook")
         .withColumn("cid",
           row_number().over(Window.orderBy(col("vec_id"))) - 1)
         .select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
@@ -331,8 +347,9 @@ object Similarity {
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
     // coarse quantizer + list assignment: exactly ivfTopK's
-    val centroids = broadcast(corpus.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("lid"), col("v").as("lv")))
+    val centroids = broadcast(
+      seedVectors(corpus, nlist, "IVF-ADC coarse quantizer")
+        .select(col("vec_id").as("lid"), col("v").as("lv")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("lid"))
     val lists = corpus.crossJoin(centroids)
@@ -379,7 +396,7 @@ object Similarity {
 
   private[ml] def l2CoarseCentroids(corpus: DataFrame, nlist: Int,
       iters: Int): DataFrame = {
-    val seeds = corpus.orderBy(col("vec_id")).limit(nlist)
+    val seeds = seedVectors(corpus, nlist, "residual L2 coarse quantizer")
       .select(col("vec_id").as("lid"), col("v").as("lv"))
     (1 to iters).foldLeft(seeds) { (c, _) =>
       val means = l2CoarseAssign(corpus, c)

@@ -88,11 +88,17 @@ object DistinctCountStream {
   }
 
   /** Maintain a per-key HLL over `valueCol` of a streaming frame and
-    * emit the running distinct estimate each micro-batch. */
+    * emit the running distinct estimate each micro-batch. NULL values
+    * are filtered before hashing — xxhash64 skips null children, so an
+    * unfiltered null would hash to the seed constant and count as one
+    * phantom distinct value, diverging from the countDistinct
+    * semantics (which ignores nulls) that the estimate is compared
+    * against. */
   def streamingDistinct(df: DataFrame, keyCol: String,
       valueCol: String): Dataset[DistinctEmit] = {
     import df.sparkSession.implicits._
-    df.select(col(keyCol).as("key"), xxhash64(col(valueCol)).as("h"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), xxhash64(col(valueCol)).as("h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .transformWithState(new HllProcessor,
