@@ -76,7 +76,8 @@ object Bench {
     val headline = Seq("q1_agg", "ns_dedup_exact", "ns_dedup_jaccard",
       "ns_dedup_minhash", "ns_dedup_minhash_salted", "ns_dedup_simhash",
       "ns_similarity_topk", "ns_similarity_lsh", "ns_similarity_pq",
-      "ns_similarity_ivfpq", "ns_cosine_dup_pairs", "ns_cosine_dup_pairs_banded",
+      "ns_similarity_ivfpq", "ns_similarity_ivfpq_res",
+      "ns_cosine_dup_pairs", "ns_cosine_dup_pairs_banded",
       "ns_fuzzy_prefix_pairs", "ns_dup_ngram_spans", "ns_lm_perplexity",
       "ns_token_count_bpe", "join_broadcast_star",
       "w_row_number_topk", "w_topk_heap", "w_topk_global",

@@ -59,3 +59,43 @@ class SpecLake(root: String) {
       .join(saved, Seq("url"), "left_anti")
   }
 }
+
+object SpecLake {
+
+  /** Physical compat WRITER for the reference's `_pN` chunked layout
+    * (app.js:333-363: MySQL's column cap forces the crawler to shard
+    * wide spec tables into 150-column part tables `name`, `name_p1`,
+    * `name_p2`, ...). SURVEY §2.1 calls that chunking an
+    * anti-optimization to DELETE under a columnar store — parquet
+    * prunes columns natively, so the lake keeps ONE wide table — but a
+    * migration needs to hand the legacy layout back to consumers that
+    * still expect it. This materializes exactly that: part directories
+    * `p0..pN` of at most `width` value columns each, every part
+    * carrying the join key, split points identical to the reference via
+    * [[graft.functions.Normalize.chunkKeys]] (the ported math). Returns
+    * the part count. */
+  def writeChunked(df: DataFrame, keyCol: String, root: String,
+      width: Int = 150): Int = {
+    val valueCols = df.columns.filter(_ != keyCol).toSeq
+    val parts = graft.functions.Normalize.chunkKeys(valueCols, width)
+    parts.zipWithIndex.foreach { case (cols, i) =>
+      df.select((keyCol +: cols).map(col(_)): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/p$i")
+    }
+    parts.length
+  }
+
+  /** The J2 reassembly (`j2_reassembly`) over the PHYSICAL layout:
+    * discover the part directories and equi-join them back on the key
+    * into the original wide frame. */
+  def readChunked(spark: SparkSession, root: String,
+      keyCol: String): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.matches("p\\d+")).sortBy(_.drop(1).toInt)
+    require(parts.nonEmpty, s"no p<N> part directories under $root")
+    parts.map(p => spark.read.parquet(s"$root/$p"))
+      .reduce((a, b) => a.join(b, Seq(keyCol)))
+  }
+}

@@ -123,4 +123,28 @@ class IngestSpec extends SparkSpecBase {
     assert(row.getAs[String]("missing_key") == null)
     assert(!wide.columns.contains("ram"))
   }
+
+  test("chunked _pN compat layout: write splits at width, read reassembles") {
+    // the reference's 150-column MySQL sharding (app.js:333-363),
+    // materialized and reassembled; width 3 over 8 value columns → 3
+    // part dirs with the key in each, reassembly == original frame
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunked").toString
+    val wideDf = spark.range(0, 20).select(
+      (col("id").as("key") +: (0 until 8).map(i =>
+        (col("id") * 10 + i).as(s"c$i"))): _*)
+    val nParts = SpecLake.writeChunked(wideDf, "key", dir, width = 3)
+    assert(nParts == 3) // ceil(8 / 3) — chunkKeys' split points
+    // each physical part holds the key + at most `width` value columns
+    (0 until nParts).foreach { i =>
+      val cols = spark.read.parquet(s"$dir/p$i").columns
+      assert(cols.head == "key" || cols.contains("key"))
+      assert(cols.length <= 4, s"p$i has ${cols.length} columns")
+    }
+    val back = SpecLake.readChunked(spark, dir, "key")
+    assert(back.columns.sorted.toSeq == wideDf.columns.sorted.toSeq)
+    val orig = wideDf.orderBy("key").collect().map(_.toSeq)
+    val round = back.select(wideDf.columns.map(col(_)): _*)
+      .orderBy("key").collect().map(_.toSeq)
+    assert(round.toSeq == orig.toSeq, "chunked round trip diverged")
+  }
 }
