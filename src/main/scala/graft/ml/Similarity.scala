@@ -33,15 +33,19 @@ object Similarity {
     * the corpus is smaller than the requested seed count: silently
     * proceeding would yield a truncated codebook / cid gaps and garbage
     * scores downstream (the corpus-size analog of the dim % m guard).
-    * The count is a cheap job — limit pushdown stops the scan at n rows.
-    */
+    * The seeds are COLLECTED (n is a codebook-sized constant) and
+    * returned as a LocalRelation: the validation job is the same
+    * TakeOrdered the seed scan costs anyway, and every downstream use of
+    * the codebook then reads literal rows instead of re-scanning the
+    * corpus per consumer (pqCodes + pqAdcLut both consume it — measured
+    * net win over the lazy form, not just guard-for-free). */
   private[ml] def seedVectors(corpus: DataFrame, n: Int,
       what: String): DataFrame = {
-    val seeds = corpus.orderBy(col("vec_id")).limit(n)
-    val found = seeds.count()
-    require(found == n,
-      s"$what needs $n corpus vectors to seed from, found only $found")
-    seeds
+    val rows = corpus.orderBy(col("vec_id")).limit(n).collect()
+    require(rows.length == n,
+      s"$what needs $n corpus vectors to seed from, found only ${rows.length}")
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), corpus.schema)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus

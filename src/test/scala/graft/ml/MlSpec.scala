@@ -178,16 +178,15 @@ class MlSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join fell back to all-pairs:\n${plan.take(600)}")
-    // and it runs over DISTINCT strings: the dup-group reduction (min id
-    // over s) is eagerly checkpointed before the signature join — the
-    // final plan reads the materialized membership/signature frames, so
-    // the join input is the checkpoint scan, not the raw table
-    assert(plan.contains("ExistingRDD"),
-      s"signature join input is not the checkpointed reduction:\n${plan.take(600)}")
+    // and it runs over DISTINCT strings: the dup-group window (min id
+    // over s) that collapses duplicates must sit below the signature join
+    assert(plan.contains("Window"),
+      s"signature join input is not distinct-string reduced:\n${plan.take(600)}")
     // the reduction really collapsed duplicates: representatives are the
     // distinct strings, so lev=0 pairs (2 dup ids of "spark streaming")
     // came from membership, not the signature join
     assert(got.count(_._3 == 0) == 1)
+    spark.catalog.clearCache() // fuzzyPairs' documented caller contract
   }
 
   test("DeletionSigs codegen expression == xxhash64 over HOF deletion variants") {
