@@ -498,15 +498,24 @@ object Similarity {
     */
   def ivfpqTopKResidualFrozen(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nprobe: Int = 4): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val spark = emb.sparkSession
-    import spark.implicits._
     val m = ResidualTable.m
     val dsub = ResidualTable.dim / m
-    val centroids = broadcast(
-      ResidualTable.centroids.toDF("lid", "lv"))
-    val codebook = broadcast(
-      ResidualTable.codebook.map { case ((s, c), v) => (s, c, v) }
-        .toDF("sub", "cid", "cv"))
+    // explicit schemas, not toDF: encoder derivation via ScalaReflection
+    // breaks in REPL classloaders (the documented sbt-console gotcha),
+    // and the frozen tables are literal rows anyway
+    val centroids = broadcast(spark.createDataFrame(
+      ResidualTable.centroids.map { case (l, v) => Row(l, v) }.asJava,
+      StructType(Seq(StructField("lid", LongType),
+        StructField("lv", ArrayType(DoubleType))))))
+    val codebook = broadcast(spark.createDataFrame(
+      ResidualTable.codebook.map { case ((s, c), v) => Row(s, c, v) }.asJava,
+      StructType(Seq(StructField("sub", IntegerType),
+        StructField("cid", IntegerType),
+        StructField("cv", ArrayType(DoubleType))))))
     val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
     val assigned = l2CoarseAssign(corpus, centroids)
