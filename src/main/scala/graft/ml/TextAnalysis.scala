@@ -123,6 +123,79 @@ object TextAnalysis {
         .as("stopword_ratio"))
   }
 
+  /** DISTRIBUTED quality-classifier TRAINING — the offline step that
+    * produces a [[QualityModel]]-shaped weight vector, completing the
+    * train-once/freeze/infer-at-scale story the BPE table and the
+    * residual quantizer follow. Full-batch logistic-regression gradient
+    * descent over the four [[qualityFeatures]] ratios: each iteration
+    * is ONE aggregation job over the persisted feature table (four
+    * gradient sums + bias gradient + log-loss, all map-side partials),
+    * and the driver holds only the 5-double weight vector — the same
+    * driver-state discipline as the BPE trainer's argmax row. At 100 TB
+    * the feature table is 5 doubles per doc (computed in one corpus
+    * pass, persisted), so iterations cost feature-table scans, not
+    * corpus scans. Labels join on doc_id; like Lloyd training, float
+    * gradient sums make this spec-tested (loss descent + label
+    * recovery) rather than oracle-scored — the SCORED row stays the
+    * frozen [[QualityModel]].
+    *
+    * Features are STANDARDIZED internally (one stats job; raw ratios
+    * span 0-0.3 while chars_per_token sits near 5, and that
+    * conditioning gap makes raw-space GD diverge at any useful rate);
+    * the returned weights are mapped back to raw feature space, so
+    * they drop into [[classifierScore]]'s formula directly.
+    *
+    * Returns ((bias, wStopword, wCharsPerToken, wPunct, wUpper),
+    * per-iteration mean log-loss). */
+  def trainQualityModel(docs: DataFrame, labels: DataFrame,
+      iters: Int = 100, stepSize: Double = 1.0)
+      : (Array[Double], Seq[Double]) = {
+    val raw = qualityFeatures(docs)
+      .select(col("doc_id"), col("stopword_ratio").as("x1"),
+        col("chars_per_token").as("x2"), col("punct_ratio").as("x3"),
+        col("upper_ratio").as("x4"))
+      .join(labels.select(col("doc_id"), col("label").cast("double").as("y")),
+        "doc_id")
+    val xs = (1 to 4).map(j => s"x$j")
+    val stats = raw.agg(
+      count(lit(1)).cast("double").as("n"),
+      xs.flatMap(x => Seq(avg(col(x)).as(s"m_$x"),
+        coalesce(stddev_pop(col(x)), lit(0.0)).as(s"s_$x"))): _*).head()
+    val n = stats.getAs[Double]("n")
+    val mu = xs.map(x => stats.getAs[Double](s"m_$x"))
+    // zero-variance feature → weight 0 via standardized x = 0
+    val sd = xs.map(x => math.max(stats.getAs[Double](s"s_$x"), 1e-12))
+    val feats = raw.select(col("y") +:
+      xs.zipWithIndex.map { case (x, j) =>
+        ((col(x) - mu(j)) / sd(j)).as(x) }: _*)
+      .persist()
+    try {
+      feats.count()
+      val w = Array(0.0, 0.0, 0.0, 0.0, 0.0) // bias, w1..w4 (standardized)
+      val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to iters).foreach { _ =>
+        val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+          lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val err = p - col("y")
+        val r = feats.agg(
+          sum(err).as("g0"), sum(err * col("x1")).as("g1"),
+          sum(err * col("x2")).as("g2"), sum(err * col("x3")).as("g3"),
+          sum(err * col("x4")).as("g4"),
+          // clamp keeps log finite when a confident p saturates to 0/1
+          sum(-(col("y") * log(greatest(p, lit(1e-12))) +
+            (lit(1.0) - col("y")) *
+              log(greatest(lit(1.0) - p, lit(1e-12))))).as("l")).head()
+        (0 to 4).foreach(j => w(j) -= stepSize * r.getDouble(j) / n)
+        losses += r.getDouble(5) / n
+      }
+      // back to raw space: w_j = w'_j / sd_j, b = b' - Σ w'_j mu_j / sd_j
+      val wRaw = (1 to 4).map(j => w(j) / sd(j - 1))
+      val bias = w(0) - (1 to 4).map(j => w(j) * mu(j - 1) / sd(j - 1)).sum
+      ((bias +: wRaw).toArray, losses.toSeq)
+    } finally feats.unpersist()
+  }
+
   /** Stopword-profile language ID: count tokens from each language's
     * stopword list; highest count wins, ties broken by fixed language
     * priority (en, de, es, fr, zh), 'und' when no stopwords hit at all.

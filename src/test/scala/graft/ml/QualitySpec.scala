@@ -109,4 +109,38 @@ class QualitySpec extends SparkSpecBase {
     assert(pruned == exact)
     assert(pruned.nonEmpty)
   }
+
+  test("LR trainer: loss descends, recovered model reproduces the teacher labels") {
+    import graft.ml.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    // teacher labels from the FROZEN model's keep decision: a separable
+    // problem on exactly the trainer's features, so gradient descent
+    // must both descend the loss and recover a decision boundary that
+    // reproduces the labels — the trainer-parity shape of the BPE /
+    // residual-quantizer provenance specs, adapted to float training
+    val labels = TextAnalysis.classifierScore(docs)
+      .select(col("doc_id"), col("keep").cast("int").as("label"))
+    val both = labels.groupBy(col("label")).count().collect()
+    assert(both.length == 2, "teacher labels are degenerate; test data drifted")
+    val (w, losses) = TextAnalysis.trainQualityModel(docs, labels,
+      iters = 100, stepSize = 1.0)
+    // full-batch GD on a convex loss: every step with this fixed rate
+    // must improve (a divergent rate would oscillate)
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b < a + 1e-12, s"loss rose: $a -> $b")
+    }
+    assert(losses.last < 0.45, s"final loss ${losses.last} barely moved")
+    // the trained boundary reclassifies the corpus like the teacher
+    val feats = TextAnalysis.qualityFeatures(docs)
+    val z = lit(w(0)) + lit(w(1)) * col("stopword_ratio") +
+      lit(w(2)) * col("chars_per_token") + lit(w(3)) * col("punct_ratio") +
+      lit(w(4)) * col("upper_ratio")
+    val agree = feats
+      .select(col("doc_id"), (z >= 0).cast("int").as("pred"))
+      .join(labels, "doc_id")
+      .filter(col("pred") === col("label")).count()
+    val total = labels.count()
+    assert(agree >= (total * 0.9).toLong,
+      s"trained model agrees on only $agree/$total teacher labels")
+  }
 }
