@@ -82,6 +82,17 @@ object SpecLake {
       df.select((keyCol +: cols).map(col(_)): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/p$i")
     }
+    // a narrower re-write must not leave higher-numbered stale parts:
+    // readChunked discovers parts by listing, and an orphaned pN would
+    // resurrect old columns AND drop keys absent from it (inner join)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(rootPath).foreach { st =>
+      val name = st.getPath.getName
+      if (name.matches("p\\d+") && name.drop(1).toInt >= parts.length)
+        fs.delete(st.getPath, true)
+    }
     parts.length
   }
 

@@ -239,6 +239,13 @@ object Dedup {
     * longs per node), each edge is salted by its OTHER endpoint, and the
     * hub's edges spread over saltBuckets reducers. Exact parity with the
     * unsalted join (ScaleSpec hot-hub test). saltBuckets=1 disables.
+    * Like the salted minhash tier, the default-on salting is priced
+    * insurance: the replicated table is two longs per node (vocab-sized
+    * next to the edge list), and the measured sf0.1 cost sits inside
+    * bench noise (ns_dedup_clusters ≤1.2x its pre-salting floor) —
+    * while the failure it prevents is one reducer owning a boilerplate
+    * hub's entire edge list. Callers that KNOW their pair graph is
+    * hub-free can pass 1.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
       saltBuckets: Int = 8): DataFrame = {

@@ -57,7 +57,12 @@ object Multimodal {
           ImageMeta(w, h, img.getRaster.getNumBands,
             sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
         }
-      } catch { case _: java.io.IOException => null }
+        // NonFatal, not just IOException: the JDK readers throw
+        // RuntimeExceptions on real-world corrupt payloads (CMMException
+        // on broken ICC profiles, ArrayIndexOutOfBounds on truncated
+        // BMP/GIF) — any of them escaping would fail the task and, after
+        // retries, the whole job, instead of the contracted null row
+      } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** Decode metadata for image assets: (asset_id, modality, byte_len,

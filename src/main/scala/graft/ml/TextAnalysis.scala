@@ -162,6 +162,10 @@ object TextAnalysis {
       xs.flatMap(x => Seq(avg(col(x)).as(s"m_$x"),
         coalesce(stddev_pop(col(x)), lit(0.0)).as(s"s_$x"))): _*).head()
     val n = stats.getAs[Double]("n")
+    // fail fast: n=0 would cascade NaN through every weight via 0/0
+    // (null avgs unbox to 0.0, so nothing downstream would throw)
+    require(n > 0,
+      "trainQualityModel: docs⋈labels is empty — no doc_id overlap")
     val mu = xs.map(x => stats.getAs[Double](s"m_$x"))
     // zero-variance feature → weight 0 via standardized x = 0
     val sd = xs.map(x => math.max(stats.getAs[Double](s"s_$x"), 1e-12))

@@ -203,8 +203,12 @@ class FormatsSpec extends SparkSpecBase {
     // the filter to SQL; driver-visible via the pushed-filter plan field)
     val filtered = df.filter($"id" > 1L)
     assert(filtered.count() == 2)
-    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters"),
-      "jdbc scan lost the pushed filter")
+    // assert the CONCRETE pushed filter, not just the field name — every
+    // JDBC scan prints "PushedFilters: [...]" even when empty, so a
+    // contains("PushedFilters") check passes vacuously
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters") && fplan.contains("GreaterThan"),
+      s"jdbc scan lost the pushed id > 1 filter:\n${fplan.take(600)}")
     // and the sink direction: write a derived frame back, read it again
     df.filter($"score" >= 0.5).write.format("jdbc")
       .option("url", url).option("dbtable", "top_devices")

@@ -146,5 +146,16 @@ class IngestSpec extends SparkSpecBase {
     val round = back.select(wideDf.columns.map(col(_)): _*)
       .orderBy("key").collect().map(_.toSeq)
     assert(round.toSeq == orig.toSeq, "chunked round trip diverged")
+    // a NARROWER re-write to the same root must prune the stale p2 —
+    // an orphaned part would resurrect old columns and inner-join-drop
+    // keys absent from it
+    val narrowDf = spark.range(0, 10).select(
+      (col("id").as("key") +: (0 until 4).map(i =>
+        (col("id") * 100 + i).as(s"d$i"))): _*)
+    assert(SpecLake.writeChunked(narrowDf, "key", dir, width = 3) == 2)
+    val back2 = SpecLake.readChunked(spark, dir, "key")
+    assert(back2.columns.sorted.toSeq == narrowDf.columns.sorted.toSeq,
+      s"stale part columns leaked: ${back2.columns.mkString(",")}")
+    assert(back2.count() == 10)
   }
 }
