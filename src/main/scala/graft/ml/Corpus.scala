@@ -84,6 +84,32 @@ object Corpus {
     * 1-row denominator: the per-source score is rounded BEFORE the
     * denominator sum so both engines sum identical doubles.
     */
+  /** Deterministic TRAINING-ORDER shuffle + dataloader sharding — the
+    * last hop of every pre-training pipeline: a reproducible global
+    * permutation of the corpus, materialized as (shard, position) so N
+    * dataloader workers each read one shard sequentially. The
+    * permutation key is an md5-prefix hash of (doc_id, seed) — the
+    * repo's cross-engine hash convention (ns_split_assign) — so the
+    * "shuffle" is a deterministic function, replayable for resume and
+    * auditable per seed. Scale shape: shard assignment is map-side;
+    * the only sort is per-shard (row_number windows over nShards
+    * independent partitions, never a global single-partition sort),
+    * which is exactly how a 100 TB corpus gets ordered in practice —
+    * global order across shards is meaningless to per-worker
+    * sequential readers. */
+  def trainOrder(docs: DataFrame, seed: Long, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val key = conv(substring(
+        md5(concat_ws(":", col("doc_id"), lit(seed))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).as("position"), col("shuffle_key"))
+  }
+
   def sourceMixture(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
     val per = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

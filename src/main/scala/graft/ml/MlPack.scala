@@ -250,6 +250,15 @@ object MlPack extends QueryPack {
     // md5-derived uniform falls under the rate — reproducible across
     // runs/partitionings (unlike df.sample), purely map-side, and the
     // standard way a 100 TB corpus is thinned without a shuffle.
+    // Deterministic training-order shuffle + dataloader sharding: a
+    // reproducible md5(doc_id:seed) permutation materialized as
+    // (shard, position) for per-worker sequential reads. Per-shard
+    // windows only — no global sort.
+    "ns_train_order" -> ((s, d) => {
+      Corpus.trainOrder(Tables.documents(s, d), seed = 42, nShards = 8)
+        .orderBy(col("shard"), col("position"))
+    }),
+
     "ns_sample_hash_rate" -> ((s, d) => {
       Tables.documents(s, d)
         .filter((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
@@ -807,6 +816,20 @@ object MlPack extends QueryPack {
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Same md5-prefix hash convention as ns_split_assign; per-shard
+    // row_number replays the per-worker ordering exactly.
+    "ns_train_order" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+        |      ::UINTEGER AS BIGINT) AS shuffle_key
+        |  FROM documents),
+        |s AS (SELECT doc_id, shuffle_key,
+        |    CAST(shuffle_key % 8 AS INT) AS shard FROM k)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id) AS INT) AS position, shuffle_key
+        |FROM s ORDER BY shard, position""".stripMargin,
 
     "ns_sample_hash_rate" ->
       """SELECT doc_id, source, lang FROM documents
