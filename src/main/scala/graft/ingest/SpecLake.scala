@@ -88,7 +88,9 @@ object SpecLake {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.listStatus(rootPath).foreach { st =>
+    // a key-only frame writes zero parts and never creates the root —
+    // listStatus on the absent path would throw
+    if (fs.exists(rootPath)) fs.listStatus(rootPath).foreach { st =>
       val name = st.getPath.getName
       if (name.matches("p\\d+") && name.drop(1).toInt >= parts.length)
         fs.delete(st.getPath, true)

@@ -10,6 +10,16 @@ import graft.functions.WordShingles
   */
 object Corpus {
 
+  /** THE cross-engine hash convention: first 8 hex chars of md5 as a
+    * non-negative long (DuckDB replay:
+    * `('0x' || substr(md5(x), 1, 8))::UINTEGER`). Every deterministic
+    * sampling/splitting/sharding operator and its oracle derive from
+    * this one definition — widening the prefix or changing the base in
+    * one copy would silently desynchronize the rest, so there are no
+    * other copies. */
+  private[ml] def md5Key(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Eval-set contamination: for each training doc, the distinct n-grams it
     * shares with any held-out eval doc and how many eval docs it collides
     * with — the standard pre-training decontamination check (eval n-grams
@@ -77,13 +87,6 @@ object Corpus {
         (col("start") % budget).as("seq_offset"))
   }
 
-  /** Training-mixture weights per source: token counts and the
-    * temperature-scaled sampling weight `tokens^alpha / Σ tokens^alpha`
-    * (alpha<1 upsamples small sources — the standard multilingual/
-    * multi-source mixing rule). One groupBy on source plus a broadcast
-    * 1-row denominator: the per-source score is rounded BEFORE the
-    * denominator sum so both engines sum identical doubles.
-    */
   /** Deterministic TRAINING-ORDER shuffle + dataloader sharding — the
     * last hop of every pre-training pipeline: a reproducible global
     * permutation of the corpus, materialized as (shard, position) so N
@@ -99,9 +102,7 @@ object Corpus {
     * sequential readers. */
   def trainOrder(docs: DataFrame, seed: Long, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val key = conv(substring(
-        md5(concat_ws(":", col("doc_id"), lit(seed))), 1, 8), 16, 10)
-      .cast("long")
+    val key = md5Key(concat_ws(":", col("doc_id"), lit(seed)))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col("doc_id"))
     docs.select(col("doc_id"), key.as("shuffle_key"))
@@ -110,6 +111,14 @@ object Corpus {
         row_number().over(w).as("position"), col("shuffle_key"))
   }
 
+
+  /** Training-mixture weights per source: token counts and the
+    * temperature-scaled sampling weight `tokens^alpha / Σ tokens^alpha`
+    * (alpha<1 upsamples small sources — the standard multilingual/
+    * multi-source mixing rule). One groupBy on source plus a broadcast
+    * 1-row denominator: the per-source score is rounded BEFORE the
+    * denominator sum so both engines sum identical doubles.
+    */
   def sourceMixture(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
     val per = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -207,8 +216,7 @@ object Corpus {
     val docBucket = docs.select(col("doc_id"), isTarget.as("is_tgt"),
         explode(split(trim(col("text")), "\\s+")).as("t"))
       .select(col("doc_id"), col("is_tgt"),
-        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
-          % nBuckets).as("b"))
+        (md5Key(col("t")) % nBuckets).as("b"))
       .groupBy(col("doc_id"), col("is_tgt"), col("b"))
       .agg(count(lit(1)).as("cnt"))
     val stats = docBucket.groupBy(col("b"))

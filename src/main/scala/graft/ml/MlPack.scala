@@ -261,8 +261,8 @@ object MlPack extends QueryPack {
 
     "ns_sample_hash_rate" -> ((s, d) => {
       Tables.documents(s, d)
-        .filter((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-          16, 10).cast("long") % 1000000L) < 100000L)
+        .filter((Corpus.md5Key(col("doc_id").cast("string")) % 1000000L) <
+          100000L)
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
     }),
@@ -272,8 +272,8 @@ object MlPack extends QueryPack {
     // a pure function of doc_id, so re-runs, backfills, and engines all
     // agree, and no shuffle happens (map-side projection only).
     "ns_split_assign" -> ((s, d) => {
-      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-        16, 10).cast("long") % 100L).as("bucket")
+      val bucket = (Corpus.md5Key(col("doc_id").cast("string")) % 100L)
+        .as("bucket")
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"), bucket)
         .withColumn("split",

@@ -420,8 +420,13 @@ class MlSpec extends SparkSpecBase {
       try in.readAllBytes() finally in.close()
     }
     // 4L: a payload that makes the JDK reader THROW (valid PNG signature
-    // + garbage body) rather than return null — the corrupt-blob class
-    // decodeImage must absorb as a null row, not a task failure
+    // + garbage body → IIOException) rather than return null — pins that
+    // decodeImage absorbs reader throws as a null row, not a task
+    // failure. (The catch is NonFatal, wider than this payload
+    // exercises: JDK readers surface RuntimeExceptions — CMMException,
+    // AIOOBE — only on JDK-version-dependent payloads, so the breadth
+    // is contract-by-comment at the catch site, probed here at the
+    // portable IIOException level.)
     val truncated = fixture("gradient.png").take(20) ++
       Array.fill[Byte](40)(0x7F)
     val df = Seq(
