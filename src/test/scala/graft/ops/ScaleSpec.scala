@@ -279,6 +279,27 @@ class ScaleSpec extends SparkSpecBase {
       "no salt-keyed exchange in the enrich-join plan")
   }
 
+  test("train-order shuffle never single-partitions: per-shard windows only") {
+    // the 100 TB property of ns_train_order: the permutation is
+    // materialized with per-shard windows — a global ORDER BY (or an
+    // unpartitioned window) would drag the corpus into one partition
+    val docs = Tables.documents(spark, sf0001)
+    val q = graft.ml.Corpus.trainOrder(docs, seed = 42, nShards = 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"train order plan single-partitions:\n${plan.take(800)}")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"window is not shard-partitioned:\n${plan.take(800)}")
+    // and the permutation is a bijection: every doc exactly once, with
+    // per-shard positions forming 1..count(shard)
+    val rows = q.select($"doc_id", $"shard", $"position")
+      .as[(Long, Int, Int)].collect()
+    assert(rows.map(_._1).distinct.length == docs.count())
+    rows.groupBy(_._2).values.foreach { shard =>
+      assert(shard.map(_._3).sorted.toSeq == (1 to shard.length))
+    }
+  }
+
   test("fuzzy-join signature exchanges carry hashed longs, never variant strings") {
     val docs = Tables.documents(spark, sf0001)
       .select($"doc_id", substring($"text", 1, 24).as("s"))
