@@ -24,6 +24,24 @@ object Dedup {
   val NumHashes = 128
   val NumBands = 64 // 2 rows per band: P(miss | j=0.5) = (1-0.25)^64 ≈ 1e-8
 
+  /** Default stop-shingle document-frequency cap for the SCORED capped
+    * candidate generator ([[jaccardPairsCapped]]) — the knob that makes
+    * the exact-Jaccard tier 100-TB-safe. A shingle shared by k docs
+    * contributes C(k,2) candidate rows to the inverted-index self-join;
+    * capping df at c bounds that at C(c,2) per shingle REGARDLESS of
+    * corpus size, which is the property the uncapped form lacks (a
+    * boilerplate shingle's contribution grows quadratically with the
+    * corpus). 64 → ≤2016 candidate rows per shingle.
+    *
+    * Recall: a pair at jaccard ≥ t shares ≥ t/(1+t) of its shingle
+    * union (≥1/3 at the scored t=0.5 — dozens of shingles for real
+    * documents), and a miss requires EVERY shared shingle to be
+    * corpus-common (df > 64). Shingle df is Zipf-tailed with its mass
+    * at df ≤ 2, so near-dup pairs virtually always share a rare
+    * shingle; MlSpec pins exact parity with [[jaccardPairs]] on the
+    * fixture corpus and the driver oracle re-proves it at sf0.01. */
+  val ScoredDfCap = 64
+
   /** Exact duplicate groups by content hash. */
   def exactDupGroups(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
@@ -69,19 +87,31 @@ object Dedup {
     * array_intersect. This bounds the join at the cost of (provably
     * rare) misses for pairs whose every shared shingle is corpus-common.
     */
-  def jaccardPairsCapped(docs: DataFrame, threshold: Double,
-      maxShingleDf: Int): DataFrame = {
-    val sh = shingled(docs)
-    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+  /** Candidate (doc_a, doc_b) pairs from the df-CAPPED inverted index:
+    * only shingles with 2 <= df <= maxShingleDf generate candidates, so a
+    * corpus-common (boilerplate) shingle contributes NOTHING to the
+    * self-join instead of C(df,2) rows — the property ScaleSpec pins with
+    * a planted boilerplate shingle. The df count is a window over the
+    * shingle partition, so the candidate self-join reuses the same
+    * g-keyed exchange instead of adding a groupBy+join round trip; df=1
+    * shingles (the Zipf-tail majority) are dropped before the join too,
+    * which the uncapped form cannot do. */
+  def cappedCandidates(sh: DataFrame, maxShingleDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val rareInv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+      .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
-      .select(col("g"))
-    val rareInv = inv.join(rare, "g")
-    val cands = rareInv.select(col("doc_id").as("doc_a"), col("g"))
+      .select(col("doc_id"), col("g"))
+    rareInv.select(col("doc_id").as("doc_a"), col("g"))
       .join(rareInv.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    cands
+  }
+
+  def jaccardPairsCapped(docs: DataFrame, threshold: Double,
+      maxShingleDf: Int): DataFrame = {
+    val sh = shingled(docs)
+    cappedCandidates(sh, maxShingleDf)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))

@@ -23,9 +23,16 @@ object MlPack extends QueryPack {
         .orderBy(col("content_hash"))
     }),
 
-    // Exact n-gram Jaccard near-dup pairs (inverted shingle index).
+    // Exact n-gram Jaccard near-dup pairs via the CAPPED inverted shingle
+    // index (stop-shingle df cap, Dedup.ScoredDfCap): candidate volume per
+    // shingle is bounded at C(cap,2) regardless of corpus size — the
+    // 100-TB-safe form is the scored default, not a parity-tested spare.
+    // Output equals the exact pair set (near-dups share rare shingles;
+    // verification is exact array_intersect Jaccard), so the brute-force
+    // oracle applies unchanged; ScaleSpec pins corpus-common shingles out
+    // of the candidate exchange.
     "ns_dedup_jaccard" -> ((s, d) => {
-      Dedup.jaccardPairs(Tables.documents(s, d), 0.5)
+      Dedup.jaccardPairsCapped(Tables.documents(s, d), 0.5, Dedup.ScoredDfCap)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -51,8 +58,12 @@ object MlPack extends QueryPack {
     // Duplicate clusters: connected components over the near-dup pair
     // graph (min-doc_id label per component) — the "pick one canonical
     // doc per duplicate set" step a dedup pipeline actually ships.
+    // Pair input comes from the capped generator (same scale rationale
+    // and same output as ns_dedup_jaccard).
     "ns_dedup_clusters" -> ((s, d) => {
-      Dedup.dupClusters(Dedup.jaccardPairs(Tables.documents(s, d), 0.5))
+      Dedup.dupClusters(
+          Dedup.jaccardPairsCapped(Tables.documents(s, d), 0.5,
+            Dedup.ScoredDfCap))
         .orderBy(col("doc_id"))
     }),
 
@@ -60,7 +71,8 @@ object MlPack extends QueryPack {
     "ns_dedup_keep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.keepCanonical(docs,
-          Dedup.dupClusters(Dedup.jaccardPairs(docs, 0.5)))
+          Dedup.dupClusters(
+            Dedup.jaccardPairsCapped(docs, 0.5, Dedup.ScoredDfCap)))
         .orderBy(col("doc_id"))
     }),
 
@@ -68,7 +80,9 @@ object MlPack extends QueryPack {
     // max n_chars (ties to lowest doc_id).
     "ns_dedup_best" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Dedup.keepBest(docs, Dedup.dupClusters(Dedup.jaccardPairs(docs, 0.5)))
+      Dedup.keepBest(docs,
+          Dedup.dupClusters(
+            Dedup.jaccardPairsCapped(docs, 0.5, Dedup.ScoredDfCap)))
         .orderBy(col("cluster_id"))
     }),
 

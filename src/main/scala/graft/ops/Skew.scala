@@ -17,8 +17,19 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
       saltBuckets: Int): DataFrame = {
+    // Salt from ROW CONTENT (like saltedEnrichJoin), never from
+    // monotonically_increasing_id(): mid ids are assigned per-partition
+    // at execution time, so a task retry or an AQE re-coalesce re-salts
+    // the same rows differently — the partial aggregate would no longer
+    // replay to the same partitions, defeating deterministic re-execution
+    // (speculative tasks, stage retries) and making plans
+    // non-reproducible. A content hash is stable across retries; rows
+    // with identical (k, v) share a salt cell, which skews the spread
+    // only when a hot key's VALUES are near-constant — and a
+    // constant-value hot key is exactly the case where the partial
+    // aggregate collapses to one row per cell anyway.
     val salted = df.select(key.as("k"), value.as("v"),
-      (monotonically_increasing_id() % saltBuckets).as("salt"))
+      pmod(xxhash64(key, value), lit(saltBuckets.toLong)).as("salt"))
     salted
       .groupBy(col("k"), col("salt"))
       .agg(sum(col("v")).as("partial_sum"), count(lit(1)).as("partial_n"))

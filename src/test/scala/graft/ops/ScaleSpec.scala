@@ -300,6 +300,41 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("capped jaccard: a corpus-common shingle generates zero candidates") {
+    // the 100 TB property of the SCORED jaccard path (ns_dedup_jaccard and
+    // its cluster/keep/best downstreams): a boilerplate shingle shared by
+    // k docs must contribute NOTHING to the candidate self-join — uncapped
+    // it contributes C(k,2) rows, the quadratic blowup that kills
+    // boilerplate-heavy corpora at scale.
+    // Fixture: 60 docs, each 5 unique filler tokens + the same 5-token
+    // trailing run -> exactly ONE corpus-common shingle (df = 63 with the
+    // twins below, far over the cap) and otherwise unique shingles; 3
+    // planted twin pairs are verbatim copies, sharing rare (df = 2)
+    // shingles.
+    val cap = 10
+    val base = (1 to 60).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e end of boilerplate run common"))
+    val twins = Seq(1, 2, 3).map(i => (100L + i, base(i - 1)._2))
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val sh = graft.ml.Dedup.shingled(docs)
+    val cands = graft.ml.Dedup.cappedCandidates(sh, cap)
+      .as[(Long, Long)].collect().toSet
+    // the common shingle is OUT of the candidate exchange: the ~C(63,2) =
+    // 1953 all-pairs candidates it would contribute are absent; only the
+    // twins' rare shared shingles generate candidates
+    assert(cands == Set((1L, 101L), (2L, 102L), (3L, 103L)),
+      s"candidate set not rare-shingle-bounded: ${cands.size} pairs")
+    // end-to-end parity: the capped output still equals the exact pair
+    // set (twin pairs at jaccard 1.0; non-twin pairs share only the
+    // common shingle, jaccard 1/11 — under threshold either way)
+    val capped = graft.ml.Dedup.jaccardPairsCapped(docs, 0.5, cap)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val exact = graft.ml.Dedup.jaccardPairs(docs, 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == exact && capped == cands)
+    spark.catalog.clearCache() // shingled() persists
+  }
+
   test("fuzzy-join signature exchanges carry hashed longs, never variant strings") {
     val docs = Tables.documents(spark, sf0001)
       .select($"doc_id", substring($"text", 1, 24).as("s"))
