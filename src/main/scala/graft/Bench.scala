@@ -65,8 +65,22 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val r = if (floor.get(name).exists(_ > 0.5)) math.max(reps, 3) else reps
-        name -> Seq.fill(r)(timeOnce(fn)).min
+        val f = floor.get(name)
+        val r = if (f.exists(_ > 0.5)) math.max(reps, 3) else reps
+        var times = Seq.fill(r)(timeOnce(fn))
+        // ADAPTIVE reps: if the min still exceeds 1.5x the committed
+        // floor, it is either a real regression or a co-tenant burst that
+        // outlasted the fixed reps (r6's worst-10 was dominated by
+        // sub-0.2s-floor trivials at 3-6x — pure burst noise). Up to 3
+        // extra reps decide which: a burst clears and the min converges
+        // to the clean value; a regression stays visible at every rep.
+        // Extra wall is bounded (3 reps, only on flagged queries).
+        var extra = 0
+        while (extra < 3 && f.exists(fl => times.min / fl > 1.5)) {
+          times = times :+ timeOnce(fn)
+          extra += 1
+        }
+        name -> times.min
       }
     def toJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -98,7 +112,15 @@ object Bench {
     // line reintroduced exactly that (BENCH_r05 "parsed": null).
     println(s"""{"metric":"queries","queries":${toJson(results)},"sf":"$sfDir"}""")
     println(s"""{"metric":"vs_floor_full","vs_floor":${toJson(vsFloor)},"sf":"$sfDir"}""")
-    val worst10 = vsFloor.sortBy(-_._2).take(10)
+    // worst-10 is the regression SIGNAL, so it lists only entries whose
+    // absolute delta to floor is >= 0.5s: a 5x ratio on a 0.1s floor is
+    // half a second of co-tenant scheduling noise, not a regression, and
+    // letting such trivials crowd the list hid the real entries in r6.
+    // The full ratio map (previous line) still carries every query.
+    val worst10 = vsFloor
+      .filter { case (q, _) =>
+        floor.get(q).exists(f => results(q) - f >= 0.5) }
+      .sortBy(-_._2).take(10)
     // n_queries: the total is a SUM over every registered query, so it
     // grows as coverage grows — comparisons across rounds should be
     // per-query or normalized by this count

@@ -84,7 +84,7 @@ object Fuzzy {
       maxEd: Int): DataFrame = {
     // (id, s, rid): rid = min id over the string's dup group. One shuffle
     // on s (the window); the filter to representatives reuses it.
-    // CACHE-LIFETIME CONTRACT: memb and sigs stay persisted for the
+    // CACHE-LIFETIME CONTRACT: memb stays persisted for the
     // lifetime of the returned (lazy) plan — a long-lived session
     // calling this repeatedly should `spark.catalog.clearCache()` after
     // materializing each result, exactly as the streaming sinks document
@@ -99,22 +99,36 @@ object Fuzzy {
     memb.count()
     val reps = memb.filter(col("id") === col("rid"))
       .select(col("rid"), col("s"))
-    // persist: feeds the two-sided signature join and the verify lookups
-    // (same barrier rationale as Dedup.shingled / cosineDupPairsBanded).
-    // Signatures shuffle as 8-byte hashes, not variant strings — equal
-    // strings hash equal (recall intact); a cross-string collision only
-    // adds a candidate the exact verify discards. DeletionSigs is the
-    // codegen form of xxhash64 over [[deletionVariants]] (parity-tested);
-    // the interpreted HOF spelling dominated this query's runtime.
+    // NOT persisted: the signature table has exactly one consumer (the
+    // candidate groupBy below), so a persist+count barrier would add a
+    // full extra materialization pass of the largest intermediate for
+    // nothing. (The earlier two-sided self-join spelling needed the
+    // barrier; the single-shuffle group expansion removed the second
+    // reader.) Signatures shuffle as 8-byte hashes, not variant strings
+    // — equal strings hash equal (recall intact); a cross-string
+    // collision only adds a candidate the exact verify discards.
+    // DeletionSigs is the codegen form of xxhash64 over
+    // [[deletionVariants]] (parity-tested); the interpreted HOF spelling
+    // dominated this query's runtime.
     val sigs = reps
       .withColumn("sig",
         explode(graft.functions.DeletionSigs.sigs(col("s"), maxEd)))
       .select(col("rid"), col("sig"))
-      .persist()
-    sigs.count()
-    val l = sigs.select(col("rid").as("rid_a"), col("sig"))
-    val r = sigs.select(col("rid").as("rid_b"), col("sig"))
-    val cands = l.join(r, "sig").filter(col("rid_a") < col("rid_b"))
+    // Candidate pairs via ONE shuffle of the signature table: group by
+    // sig, drop singleton groups (the Zipf-shaped majority — a signature
+    // held by one representative cannot generate a pair), and expand
+    // pairs within each group. The previous self-join spelling shuffled
+    // the 2.8M-row table twice; this exchanges it once and the pair
+    // expansion runs over the tiny shared-sig slice. Group sizes are
+    // bounded by distinct near-neighbors per signature (small by
+    // construction after the distinct-string reduction); a corpus with a
+    // pathological hot signature routes through
+    // [[graft.ops.Skew.saltedSelfJoinPairs]] instead, as documented.
+    val grp = sigs.groupBy(col("sig")).agg(collect_list(col("rid")).as("rids"))
+      .filter(size(col("rids")) >= 2)
+    val cands = grp.select(explode(col("rids")).as("rid_a"), col("rids"))
+      .select(col("rid_a"), explode(col("rids")).as("rid_b"))
+      .filter(col("rid_a") < col("rid_b"))
       .select(col("rid_a"), col("rid_b")).distinct()
     // verify on distinct strings (edit_dist >= 1 here by construction)
     val strPairs = cands
