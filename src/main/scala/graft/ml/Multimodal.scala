@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / frame-sample /
   * feature-extract operators.
   *
-  * IMAGE decode is REAL for the pure-JVM formats (`javax.imageio`
-  * ships PNG/BMP/GIF/JPEG readers in every JRE): [[decodeImageMeta]]
-  * parses actual pixel data into width/height/channels + exact
-  * per-channel means, and MlSpec asserts the stats of a committed
-  * fixture image pixel-for-pixel. Audio/video codecs do not exist in
-  * this container, so THEIR decode step remains a clearly-marked
-  * deterministic stub (`fakeDecode*`) deriving pseudo-metadata from
-  * the payload hash. Everything around the decode boundary — the
-  * binary column representation, schema, partitioning, batch shape,
-  * frame slicing, feature vectors — is the production shape either
-  * way; a JNI/ffmpeg codec slots in exactly where the stub sits.
+  * IMAGE and AUDIO decode are REAL for the pure-JVM formats:
+  * `javax.imageio` ships PNG/BMP/GIF/JPEG readers in every JRE
+  * ([[decodeImageMeta]]: width/height/channels + exact per-channel
+  * means) and `javax.sound.sampled` ships WAV/AIFF/AU readers
+  * ([[decodeAudioMeta]]: rate/channels/depth/frames + exact PCM
+  * amplitude stats); MlSpec asserts both against committed fixtures
+  * whose expected stats derive from the generating formula,
+  * independent of the JDK decoders. VIDEO codecs do not exist in this
+  * container (no ffmpeg, no JDK decoder), so video decode remains a
+  * clearly-marked deterministic stub ([[fakeDecodeMeta]]) deriving
+  * pseudo-metadata from the payload hash. Everything around the decode
+  * boundary — the binary column representation, schema, partitioning,
+  * batch shape, frame slicing, feature vectors — is the production
+  * shape either way; a JNI/ffmpeg codec slots in exactly where the
+  * stub sits.
   */
 object Multimodal {
 
@@ -79,6 +83,107 @@ object Multimodal {
         col("img.mean_g").as("mean_g"), col("img.mean_b").as("mean_b"))
   }
 
+  /** Exact decoded-audio metadata: container format parameters plus PCM
+    * sample statistics (peak and mean absolute amplitude over every
+    * sample of every channel — doubles of exact integer sums, so
+    * cross-run equality is byte-for-byte, same contract as
+    * [[ImageMeta]]). */
+  case class AudioMeta(sample_rate: Int, channels: Int, bits_per_sample: Int,
+      n_frames: Long, duration_sec: Double, peak_amp: Int, mean_abs: Double)
+
+  /** REAL audio decode (pure JVM, no native deps): `javax.sound.sampled`
+    * ships WAV/AIFF/AU readers in every JRE — the same trick that made
+    * image decode real via javax.imageio. Parses the container header
+    * (sample rate, channels, bit depth, frame count) AND the PCM frame
+    * data (peak + mean |amplitude|, honoring the format's endianness and
+    * 8-bit-unsigned convention). Undecodable payloads and non-PCM or
+    * >16-bit encodings map to null — the asset keeps flowing with null
+    * metadata, the corrupt-blob convention shared with [[decodeImage]].
+    * Runs map-side per partition; a compressed-codec (MP3/AAC) SPI would
+    * slot in through the same AudioSystem call. */
+  val decodeAudio: Array[Byte] => AudioMeta = { bytes =>
+    if (bytes == null || bytes.isEmpty) null
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val bits = fmt.getSampleSizeInBits
+          val nFrames = in.getFrameLength
+          if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+              nFrames < 0 || fmt.getChannels < 1) null
+          else {
+            val data = in.readAllBytes()
+            // a payload truncated mid-frame-data parses a healthy header
+            // but delivers fewer bytes than the header promises — that is
+            // a corrupt blob (null), not a shorter recording: partial
+            // stats would silently differ between the truncation points
+            // of the same logical asset
+            if (data.length < nFrames * fmt.getFrameSize) null
+            else decodePcmStats(fmt, bits, nFrames, data)
+          }
+        } finally in.close()
+        // NonFatal for the same reason as decodeImage: corrupt payloads
+        // surface as UnsupportedAudioFileException, EOF, or reader
+        // RuntimeExceptions — all must become the contracted null row
+      } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodePcmStats(fmt: javax.sound.sampled.AudioFormat,
+      bits: Int, nFrames: Long, data: Array[Byte]): AudioMeta = {
+    val unsigned = fmt.getEncoding ==
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+    val bytesPerSample = bits / 8
+    val nSamples = data.length / bytesPerSample
+    val big = fmt.isBigEndian
+    var sumAbs = 0L
+    var peak = 0
+    var i = 0
+    while (i < nSamples) {
+      val off = i * bytesPerSample
+      // WAV convention: 8-bit is unsigned (0..255, midpoint 128);
+      // 16-bit is signed. AIFF is signed big-endian at both depths.
+      val v =
+        if (bits == 8) {
+          if (unsigned) (data(off) & 0xFF) - 128 else data(off).toInt
+        } else {
+          val (b0, b1) = if (big) (data(off), data(off + 1))
+                         else (data(off + 1), data(off))
+          (b0 << 8) | (b1 & 0xFF) // b0 carries the sign
+        }
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    AudioMeta(fmt.getSampleRate.toInt, fmt.getChannels, bits,
+      nFrames, nFrames.toDouble / fmt.getSampleRate,
+      peak, if (nSamples == 0) 0.0 else sumAbs.toDouble / nSamples)
+  }
+
+  /** Decode metadata for audio assets: (asset_id, modality, byte_len,
+    * sample_rate, channels, bits_per_sample, n_frames, duration_sec,
+    * peak_amp, mean_abs) — null metadata columns for payloads
+    * javax.sound.sampled cannot parse. */
+  def decodeAudioMeta(assetsDf: DataFrame): DataFrame = {
+    val dec = udf(decodeAudio)
+    assetsDf
+      .withColumn("au", dec(col("bytes")))
+      .select(col("asset_id"), col("modality"),
+        length(col("bytes")).as("byte_len"),
+        col("au.sample_rate").as("sample_rate"),
+        col("au.channels").as("channels"),
+        col("au.bits_per_sample").as("bits_per_sample"),
+        col("au.n_frames").as("n_frames"),
+        col("au.duration_sec").as("duration_sec"),
+        col("au.peak_amp").as("peak_amp"),
+        col("au.mean_abs").as("mean_abs"))
+  }
+
   /** Synthesize an asset table from documents: bytes = UTF-8 payload,
     * modality round-robins image/audio/video. Stands in for a real
     * `binaryFile` / blob-store read. */
@@ -90,8 +195,13 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       col("text").cast("binary").as("bytes"))
 
-  /** STUB decode: deterministic pseudo-metadata from the payload hash.
-    * Real implementation would decode the container header here. */
+  /** STUB decode — VIDEO ONLY as of the audio decoder landing: image
+    * goes through [[decodeImageMeta]] (javax.imageio) and audio through
+    * [[decodeAudioMeta]] (javax.sound.sampled); video container parsing
+    * has no JDK decoder and ffmpeg is absent from this environment, so
+    * its decode step stays a deterministic pseudo-metadata stub derived
+    * from the payload hash. A real implementation would parse the
+    * container header exactly where this sits. */
   def fakeDecodeMeta(assetsDf: DataFrame): DataFrame =
     assetsDf
       .withColumn("byte_len", length(col("bytes")))

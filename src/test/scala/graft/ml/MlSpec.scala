@@ -452,6 +452,51 @@ class MlSpec extends SparkSpecBase {
     assert(got(4L).isNullAt(got(4L).fieldIndex("width")))
   }
 
+  test("audio decode: real WAV/AIFF PCM from committed fixtures, exact stats") {
+    // the committed ramp fixtures: sample s(i) = ((i * 2731) % 20001) -
+    // 10000 over 1600 frames at 8000 Hz — expected stats derive from the
+    // FORMULA, independent of javax.sound.sampled, so a corrupt fixture
+    // or decoder both fail the diff (PCM is lossless). ramp.wav is mono
+    // 16-bit little-endian; ramp.aiff is stereo 16-bit big-endian with
+    // ch1 = -ch0, so |amplitude| stats match the mono formula exactly
+    // while exercising the other endianness and a multi-channel layout.
+    val n = 1600
+    def s(i: Int): Int = ((i * 2731) % 20001) - 10000
+    val absVals = (0 until n).map(i => math.abs(s(i)))
+    val peak = absVals.max
+    val meanAbs = absVals.map(_.toLong).sum.toDouble / n
+    def fixture(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      assert(in != null, s"missing committed fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    // 4L: healthy RIFF header, frame data cut mid-way — the decoder must
+    // return the contracted null row, never silently-partial stats
+    val truncated = fixture("ramp.wav").take(60)
+    val df = Seq(
+      (1L, "audio", fixture("ramp.wav")),
+      (2L, "audio", fixture("ramp.aiff")),
+      (3L, "audio", "not audio at all".getBytes("UTF-8")),
+      (4L, "audio", truncated)
+    ).toDF("asset_id", "modality", "bytes")
+    val got = Multimodal.decodeAudioMeta(df).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    Seq(1L -> 1, 2L -> 2).foreach { case (id, channels) =>
+      val r = got(id)
+      assert(r.getAs[Int]("sample_rate") == 8000, s"asset $id rate")
+      assert(r.getAs[Int]("channels") == channels, s"asset $id channels")
+      assert(r.getAs[Int]("bits_per_sample") == 16)
+      assert(r.getAs[Long]("n_frames") == n, s"asset $id frames")
+      assert(r.getAs[Double]("duration_sec") == n / 8000.0)
+      assert(r.getAs[Int]("peak_amp") == peak, s"asset $id peak")
+      assert(r.getAs[Double]("mean_abs") == meanAbs, s"asset $id mean_abs")
+    }
+    // undecodable payloads → null metadata, rows survive: the
+    // reader-rejects shape (3) and the truncated-frame-data shape (4)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("sample_rate")))
+    assert(got(4L).isNullAt(got(4L).fieldIndex("sample_rate")))
+  }
+
   test("resize: bounded length, deterministic, identity under target") {
     val assets = Multimodal.assets(docs.limit(20))
     val r1 = Multimodal.resizeAssets(assets, 32).collect()
