@@ -1,0 +1,161 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal snapshot-versioned table: a commit log + read-at-version over
+  * the same immutable-generation machinery the ledgered sinks use — the
+  * lightweight form of what a transactional table format (Delta/Iceberg)
+  * provides, without importing one.
+  *
+  * Layout:
+  * {{{
+  *   root/
+  *     _commits/v00000001.json   // {"version":1,"dirs":["gen-ab12cd34"]}
+  *     _commits/v00000002.json   // {"version":2,"dirs":["gen-ab12cd34","gen-99ff0011"]}
+  *     gen-ab12cd34/  ...parquet...
+  *     gen-99ff0011/  ...parquet...
+  * }}}
+  *
+  * Invariants that make this safe:
+  *  - Generation directories are IMMUTABLE once a commit references them
+  *    and are written BEFORE their commit file: an in-flight write is
+  *    invisible (its gen dir exists but no commit lists it), so readers
+  *    are isolated from writers for free.
+  *  - A commit file is the ATOMIC publication point: written to a
+  *    unique temp name, then renamed WITHOUT overwrite. Losing a race
+  *    for version N surfaces as FileAlreadyExistsException and the
+  *    writer retries at N+1 — optimistic concurrency, never a torn or
+  *    clobbered commit. Like the ledger CURRENT-pointer swap
+  *    ([[graft.streaming.NearDedupStreams]]), this requires a
+  *    filesystem with atomic rename (HDFS, POSIX local); on object
+  *    stores (S3A) front the commit log with a consistent metadata
+  *    layer instead of pointing it at the bucket.
+  *  - A reader materializes its file listing when the DataFrame is
+  *    created, and generations are never mutated — so a frame read at
+  *    version N keeps returning version N even after later commits
+  *    (snapshot isolation) until [[vacuum]] drops generations older
+  *    than the retention horizon.
+  *
+  * Append commits reference the previous snapshot's directories plus the
+  * new generation — O(1) data movement per append, like a table format's
+  * manifest reuse; overwrite commits reference only the new generation.
+  * Schemas may evolve across appends (mergeSchema read, as SpecLake).
+  */
+class SnapshotLake(root: String) {
+
+  private val commitsDir = s"$root/_commits"
+
+  private def hadoopFs(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All committed versions, ascending (empty for a fresh root). */
+  def versions(spark: SparkSession): Seq[Long] = {
+    val fs = hadoopFs(spark)
+    val dir = new org.apache.hadoop.fs.Path(commitsDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{8}\\.json"))
+      .map(_.drop(1).dropRight(5).toLong).sorted
+  }
+
+  def latestVersion(spark: SparkSession): Option[Long] =
+    versions(spark).lastOption
+
+  /** Generation directories of a committed version (names relative to
+    * root, in commit order). */
+  def dirsAt(spark: SparkSession, version: Long): Seq[String] = {
+    val fs = hadoopFs(spark)
+    val p = new org.apache.hadoop.fs.Path(f"$commitsDir/v$version%08d.json")
+    require(fs.exists(p), s"no commit for version $version under $root")
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    // commit JSON is written by this class only; a regex parse keeps the
+    // manifest dependency-free (same trade as Bench.loadFloor)
+    "\"(gen-[0-9a-f]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+  }
+
+  /** TIME TRAVEL: the table exactly as committed at `version`. */
+  def readAt(spark: SparkSession, version: Long): DataFrame = {
+    val dirs = dirsAt(spark, version)
+    require(dirs.nonEmpty, s"version $version lists no data directories")
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$root/$d"): _*)
+  }
+
+  /** The latest committed snapshot. */
+  def read(spark: SparkSession): DataFrame = {
+    val v = latestVersion(spark).getOrElse(
+      sys.error(s"no committed version under $root"))
+    readAt(spark, v)
+  }
+
+  /** Land `df` as a new commit; returns the published version.
+    * `overwrite = true` replaces the table; `false` appends to the
+    * current snapshot. Safe under concurrent committers (optimistic
+    * retry on the commit-file rename). */
+  def commit(df: DataFrame, overwrite: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val fs = hadoopFs(spark)
+    // data first, under a writer-unique UNCOMMITTED generation — readers
+    // cannot see it until the commit file below publishes it
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    df.write.parquet(s"$root/$gen")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
+    var published = -1L
+    while (published < 0) {
+      val base = latestVersion(spark)
+      val next = base.getOrElse(0L) + 1
+      val dirs =
+        if (overwrite || base.isEmpty) Seq(gen)
+        else dirsAt(spark, base.get) :+ gen
+      val json = dirs.map("\"" + _ + "\"")
+        .mkString(s"""{"version":$next,"dirs":[""", ",", "]}")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$commitsDir/.tmp-$gen-$next")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      try {
+        // NO overwrite: losing the race throws and we retry against the
+        // (re-read) new latest — an append retry re-bases on the winner's
+        // snapshot, exactly the optimistic-concurrency contract
+        fc.rename(tmp, new org.apache.hadoop.fs.Path(
+          f"$commitsDir/v$next%08d.json"))
+        published = next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+      }
+    }
+    published
+  }
+
+  /** Drop generation directories not referenced by the newest
+    * `retainLast` commits, then drop the older commit files — bounded
+    * time travel, like a table format's VACUUM/expire-snapshots.
+    * Readers of vacuumed versions fail fast on their next listing. */
+  def vacuum(spark: SparkSession, retainLast: Int): Unit = {
+    require(retainLast >= 1, "must retain at least the latest snapshot")
+    val fs = hadoopFs(spark)
+    val all = versions(spark)
+    val (drop, keep) = all.splitAt(math.max(0, all.size - retainLast))
+    if (drop.nonEmpty) {
+      val live = keep.flatMap(v => dirsAt(spark, v)).toSet
+      // delete only generations the DROPPED commits reference and no kept
+      // commit does — never sweep unreferenced gen dirs wholesale: an
+      // unreferenced dir may be a concurrent committer's in-flight
+      // generation that simply has not published its commit file yet
+      val dead = drop.flatMap(v => dirsAt(spark, v)).toSet -- live
+      dead.foreach(d => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$root/$d"), true))
+      drop.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(f"$commitsDir/v$v%08d.json"), false))
+    }
+  }
+}

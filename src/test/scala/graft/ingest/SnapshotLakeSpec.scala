@@ -1,0 +1,103 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import java.nio.file.Files
+
+/** SnapshotLake: commit-log versioning, snapshot isolation, time
+  * travel, optimistic concurrency, and vacuum retention. */
+class SnapshotLakeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshLake(): (SnapshotLake, String) = {
+    val root = Files.createTempDirectory("graft_snap").toString
+    (new SnapshotLake(root), root)
+  }
+
+  test("commit/read round trip, append manifests, time travel") {
+    val (lake, _) = freshLake()
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b = Seq((3L, "c")).toDF("id", "v")
+    assert(lake.commit(a) == 1L)
+    assert(lake.commit(b, overwrite = false) == 2L)
+    assert(lake.versions(spark) == Seq(1L, 2L))
+    // latest = union of the append chain
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // TIME TRAVEL: version 1 is exactly the first commit
+    assert(lake.readAt(spark, 1L).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // append reuses the previous generation (O(1) data movement): v2's
+    // manifest lists v1's directory plus one new one
+    assert(lake.dirsAt(spark, 2L).size == 2)
+    assert(lake.dirsAt(spark, 2L).head == lake.dirsAt(spark, 1L).head)
+  }
+
+  test("readers are isolated from in-flight writes and later commits") {
+    val (lake, root) = freshLake()
+    lake.commit(Seq((1L, "a")).toDF("id", "v"))
+    // a reader bound BEFORE any new write activity
+    val reader = lake.read(spark)
+    // IN-FLIGHT write: a generation directory lands with NO commit file
+    // (exactly the writer crash window / not-yet-published state) — the
+    // table must not see it
+    Seq((99L, "ghost")).toDF("id", "v")
+      .write.parquet(s"$root/gen-deadbeef0000")
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a")), "uncommitted generation leaked into a read")
+    // a second committed version appears...
+    lake.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)
+    assert(lake.read(spark).count() == 2)
+    // ...but the pre-existing reader still returns ITS snapshot
+    // (generations are immutable; the plan pinned version 1's files)
+    assert(reader.as[(Long, String)].collect().toSet == Set((1L, "a")),
+      "snapshot isolation broken: old reader saw a later commit")
+  }
+
+  test("losing the commit race retries and re-bases on the winner") {
+    val (lake, root) = freshLake()
+    lake.commit(Seq((1L, "a")).toDF("id", "v"))
+    // simulate a RACING WINNER: another writer published version 2
+    // (manifest = same dirs as v1 — a no-op commit) before our append's
+    // rename lands
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1dirs = lake.dirsAt(spark, 1L)
+    val winner = s"""{"version":2,"dirs":[${v1dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_commits/v00000002.json"), false)
+    try out.write(winner.getBytes("UTF-8")) finally out.close()
+    // our append must publish as version 3, rebased on the winner's
+    // snapshot — not clobber v2, not lose the append
+    val v = lake.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)
+    assert(v == 3L, s"expected rebased version 3, got $v")
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("vacuum drops only generations owned by expired commits") {
+    val (lake, root) = freshLake()
+    lake.commit(Seq((1L, "a")).toDF("id", "v"))
+    lake.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((3L, "c")).toDF("id", "v"), overwrite = true)
+    // an in-flight (uncommitted) generation must survive any vacuum
+    Seq((99L, "ghost")).toDF("id", "v")
+      .write.parquet(s"$root/gen-feedface0000")
+    val keepDir = lake.dirsAt(spark, 3L).head
+    lake.vacuum(spark, retainLast = 1)
+    assert(lake.versions(spark) == Seq(3L))
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((3L, "c")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$d"))
+    assert(exists(keepDir), "live generation vacuumed")
+    assert(exists("gen-feedface0000"), "in-flight generation vacuumed")
+    // expired versions' generations are gone
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).count(_.startsWith("gen-")) == 2)
+    // and time travel to an expired version fails fast
+    intercept[IllegalArgumentException] { lake.readAt(spark, 1L) }
+  }
+}
