@@ -83,7 +83,7 @@ object NearDedupStreams {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / graft.ml.Dedup.NumHashes
 
-  private def readPtr(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def readPtr(fs: org.apache.hadoop.fs.FileSystem,
       ledgerDir: String): Option[String] = {
     val ptr = new org.apache.hadoop.fs.Path(s"$ledgerDir/CURRENT")
     if (!fs.exists(ptr)) None
@@ -95,7 +95,14 @@ object NearDedupStreams {
     }
   }
 
-  private def swapPtr(spark: SparkSession,
+  /** Publish `gen` as the current generation: write CURRENT.tmp, then
+    * FileContext.rename(OVERWRITE) onto CURRENT. The rename is the
+    * atomicity point (all-or-nothing on HDFS/POSIX — the class-doc
+    * contract; S3A callers front this with a metadata layer such as
+    * [[graft.ingest.SnapshotLake]]'s commit log on a rename-atomic
+    * store). NearDedupSpec pins the observable half: the pointer flips
+    * whole and no tmp residue survives a swap. */
+  private[streaming] def swapPtr(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, ledgerDir: String,
       gen: String): Unit = {
     import org.apache.hadoop.fs.Path

@@ -69,6 +69,34 @@ class DistinctCountSpec extends SparkSpecBase {
     }
   }
 
+  test("NULL values are ignored, matching countDistinct semantics") {
+    // the documented contract at streamingDistinct: nulls are filtered
+    // before hashing — an unfiltered null would hash to the seed
+    // constant and count as one phantom distinct value. 5 distinct
+    // non-null tokens + nulls must estimate exactly 5 (linear counting
+    // is exact at this cardinality), not 6.
+    val srcDir = Files.createTempDirectory("graft_hll_null").toString
+    Seq(("k", Option("a")), ("k", Option("b")), ("k", Option("c")),
+        ("k", Option("d")), ("k", Option("e")), ("k", None), ("k", None))
+      .toDF("lang", "tok").coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream
+      .schema("lang STRING, tok STRING").parquet(srcDir)
+    val out = Files.createTempDirectory("graft_hll_null_out").toString
+    val ckpt = Files.createTempDirectory("graft_hll_null_ckpt").toString
+    val q = streamingDistinct(src, "lang", "tok").writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[DistinctEmit], id: Long) =>
+        EventStreams.idempotentParquetSink(out)(df.toDF(), id))
+      .start()
+    q.awaitTermination()
+    val est = spark.read.parquet(s"$out/batch_id=*")
+      .orderBy($"emit_seq".desc).select($"n_distinct_est")
+      .as[Long].head()
+    assert(est == 5L, s"null leaked into the sketch: estimate $est != 5")
+  }
+
   test("HLL unit: register estimate tracks known cardinalities") {
     // feed n distinct hashed longs directly; estimate must stay in band
     Seq(100, 2000, 50000).foreach { n =>

@@ -15,6 +15,27 @@ import java.nio.file.Files
 class NearDedupSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("CURRENT-pointer swap: pointer flips whole, no tmp residue") {
+    // the rename-atomicity contract from the class scaladoc, pinned at
+    // its observable surface: every swap leaves CURRENT holding exactly
+    // the new generation name and removes CURRENT.tmp (the rename
+    // consumed it — a lingering tmp would mean a copy+delete fallback,
+    // which is NOT all-or-nothing). The unobservable half (no torn
+    // pointer mid-rename) is the documented HDFS/POSIX requirement; on
+    // S3A the contract says to front this with a metadata layer.
+    import org.apache.hadoop.fs.Path
+    val ledger = Files.createTempDirectory("graft_ptr").toString
+    val fs = new Path(ledger).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(NearDedupStreams.readPtr(fs, ledger).isEmpty)
+    NearDedupStreams.swapPtr(spark, fs, ledger, "gen-1")
+    assert(NearDedupStreams.readPtr(fs, ledger).contains("gen-1"))
+    NearDedupStreams.swapPtr(spark, fs, ledger, "gen-2")
+    assert(NearDedupStreams.readPtr(fs, ledger).contains("gen-2"))
+    assert(!fs.exists(new Path(s"$ledger/CURRENT.tmp")),
+      "swap left CURRENT.tmp behind — rename was not the publish step")
+  }
+
   test("near-dup ingest: streamed admission == sequential greedy; replay no-op") {
     // two sub-shingle-width docs (duplicates of each other): no
     // signatures → no candidates in either direction → BOTH admitted
