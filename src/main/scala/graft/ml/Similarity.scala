@@ -346,10 +346,40 @@ object Similarity {
   def ivfpqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       dim: Int = 64): DataFrame = {
+    val index = ivfpqIndex(emb, queryIds, nlist, m, ksub, dim)
+    val queries = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id").isin(queryIds: _*))
+    ivfpqProbe(index, queries, k, nprobe)
+  }
+
+  /** The query-independent half of [[ivfpqTopK]], reified: coarse
+    * centroids, the PQ codebook, and the corpus's PQ codes keyed by
+    * their inverted list (`lid`). Build once, probe many times — the
+    * batch query composes it with one probe set; the streaming tier
+    * ([[graft.streaming.AnnStreams]]) probes it per micro-batch.
+    * `centroids` and `codebook` are collected LocalRelations (codebook
+    * constants), so a probe plans no corpus scan for them; `codes` is
+    * the one corpus-sized table. */
+  final case class IvfPqIndex(centroids: DataFrame, codebook: DataFrame,
+      codes: DataFrame, m: Int, dim: Int)
+
+  /** Build the frozen [[IvfPqIndex]] for `emb` minus `excludeIds` —
+    * exactly [[ivfpqTopK]]'s list assignment + encoding (the shared
+    * pqCodes helper, so the index cannot drift from pqTopK's encoding).
+    * `eager = true` localCheckpoints the codes pre-partitioned by `lid`:
+    * encoding runs ONCE and every later probe joins the materialized
+    * codes on the list key without re-scanning the float vectors — the
+    * contract a long-running stream needs (at 100 TB: build the index in
+    * a batch job, keep codes partitioned by lid; arrivals only ever
+    * broadcast-join into it). The lazy default keeps the one-shot batch
+    * query free of checkpoint I/O. */
+  def ivfpqIndex(emb: DataFrame, excludeIds: Seq[Long], nlist: Int = 16,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      eager: Boolean = false): IvfPqIndex = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val all = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(!col("vec_id").isin(excludeIds: _*))
     // coarse quantizer + list assignment: exactly ivfTopK's
     val centroids = broadcast(
       seedVectors(corpus, nlist, "IVF-ADC coarse quantizer")
@@ -361,22 +391,35 @@ object Similarity {
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("lid"))
-    // PQ codes + ADC table: the SHARED pqCodes/pqAdcLut helpers, so this
-    // tier cannot drift from pqTopK's encoding
-    val codebook = pqSampleCodebook(emb, queryIds, m, ksub, dim) // broadcast
-    val codes = pqCodes(corpus, codebook, m, dsub)
-    val queries = all.filter(col("vec_id").isin(queryIds: _*))
-    val probes = broadcast(queries.crossJoin(centroids)
+    val codebook = pqSampleCodebook(emb, excludeIds, m, ksub, dim) // broadcast
+    val codesByList = lists
+      .join(pqCodes(corpus, codebook, m, dsub), "vec_id")
+      .select(col("lid"), col("vec_id"), col("sub"), col("cid"))
+    val codes =
+      if (eager) codesByList.repartition(col("lid")).localCheckpoint()
+      else codesByList
+    IvfPqIndex(centroids, codebook, codes, m, dim)
+  }
+
+  /** Probe a frozen [[IvfPqIndex]] with a query frame
+    * `(vec_id, v: array<double>)`: each query ADC-scores only its
+    * `nprobe` nearest lists' codes. The query side (probes + LUT) is
+    * broadcast — |Q| × nprobe and |Q| × m × ksub rows — so the only
+    * shuffle is the per-(query, vec) ADC sum; the corpus-sized codes
+    * table is scanned, never re-encoded. Output contract is
+    * [[rankTopK]]'s: (query_id, rank, vec_id, adc_dot). */
+  def ivfpqProbe(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val dsub = index.dim / index.m
+    val probes = broadcast(queries.crossJoin(index.centroids)
       .withColumn("cos_c", round(cosine(col("v"), col("lv")), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("lid"))))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("lid")))
-    val lut = broadcast(pqAdcLut(queries, codebook, m, dsub))
-    // candidates: docs in probed lists; ADC sum over their codes
-    val cands = lists.join(probes, "lid")
-      .select(col("query_id"), col("vec_id"))
-    adcRank(cands.join(codes, "vec_id")
+    val lut = broadcast(pqAdcLut(queries, index.codebook, index.m, dsub))
+    // candidates: codes in probed lists; ADC sum over their codes
+    adcRank(index.codes.join(probes, "lid")
       .join(lut, Seq("query_id", "sub", "cid")), k)
   }
 

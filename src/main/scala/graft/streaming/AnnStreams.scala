@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ml.Similarity
+import graft.ml.Similarity.IvfPqIndex
+
+/** Streaming ANN enrichment — the online half of the IVF-PQ tier: every
+  * arriving embedding is a QUERY against a frozen [[IvfPqIndex]], and
+  * each micro-batch emits the arrival's top-k nearest corpus vectors by
+  * ADC score. This is the shape a continuously-ingesting training-data
+  * pipeline runs similarity in: the corpus index is trained and encoded
+  * offline (one batch job), then a stream of new documents is enriched
+  * with "what does this arrival resemble?" — near-dup flagging against a
+  * reference corpus, retrieval-context attachment, or contamination
+  * tagging against an eval set, all without ever rebuilding the index on
+  * the hot path.
+  *
+  * Composition, not new machinery: the per-batch transform IS
+  * [[Similarity.ivfpqProbe]] — the same probe half the scored
+  * `ns_similarity_ivfpq` query runs — applied inside `foreachBatch`, so
+  * streamed results are bit-identical to the batch tier on the same
+  * arrivals (AnnStreamsSpec pins this batch-parity). Per micro-batch the
+  * query side (centroid probes + ADC LUT) is broadcast — a few hundred
+  * rows per arrival — and the corpus-sized code table is joined on the
+  * inverted-list key; with an `eager` index the codes are materialized
+  * pre-partitioned by `lid`, so a batch's cost is proportional to the
+  * probed lists, not the corpus.
+  *
+  * Delivery is effectively-once via the batch-id-keyed overwrite sink
+  * ([[EventStreams.idempotentParquetSink]]): a replayed micro-batch
+  * re-probes the SAME frozen index (nothing about the index depends on
+  * what streamed through it) and overwrites its own partition with
+  * identical rows.
+  */
+object AnnStreams {
+
+  /** Per-batch enrichment: probe `batch` (vec_id, embedding, ...) against
+    * the frozen index. Pure — safe under micro-batch replay. */
+  def annEnrichBatch(index: IvfPqIndex, k: Int, nprobe: Int)(
+      batch: DataFrame): DataFrame =
+    Similarity.ivfpqProbe(index,
+      batch.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      k, nprobe)
+
+  /** foreachBatch sink: enrich, then land in `out/batch_id=N` via the
+    * idempotent overwrite sink. */
+  def annEnrichSink(index: IvfPqIndex, k: Int, nprobe: Int, out: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    EventStreams.idempotentParquetSink(out)(
+      annEnrichBatch(index, k, nprobe)(batch), batchId)
+
+  /** Drain `srcDir` (parquet arrivals, one micro-batch per file) through
+    * the enrichment sink with Trigger.AvailableNow. */
+  def runOnce(spark: SparkSession, srcDir: String, index: IvfPqIndex,
+      k: Int, nprobe: Int, outDir: String, checkpoint: String): Unit = {
+    val src = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = src.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(annEnrichSink(index, k, nprobe, outDir) _)
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpecBase, Tables}
+import graft.ml.Similarity
+import java.nio.file.Files
+
+/** Streaming ANN enrichment vs the batch IVF-PQ tier: arrivals probed
+  * per micro-batch against a frozen index must produce exactly the rows
+  * `ivfpqTopK` (the scored `ns_similarity_ivfpq` path) produces for the
+  * same query set — batch-parity is the operator's contract, since the
+  * stream IS the batch probe applied per micro-batch.
+  */
+class AnnStreamsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val qids: Seq[Long] = 0L to 7L // ns_similarity_ivfpq's query set
+
+  test("streamed enrichment == batch ivfpqTopK on the same arrivals; replay no-op") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val index = Similarity.ivfpqIndex(emb, qids, eager = true)
+
+    // arrivals: the batch tier's query vectors, in two waves
+    val src = Files.createTempDirectory("graft_ann_src").toString
+    val out = Files.createTempDirectory("graft_ann_out").toString + "/o"
+    val ckpt = Files.createTempDirectory("graft_ann_ckpt").toString
+    val arrivals = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id", $"embedding")
+    arrivals.filter($"vec_id" < 4).coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // strictly increasing mtimes → deterministic batch order
+    arrivals.filter($"vec_id" >= 4).coalesce(1).write.mode("append").parquet(src)
+
+    AnnStreams.runOnce(spark, src, index, k = 5, nprobe = 4, out, ckpt)
+
+    // genuinely incremental: each wave landed in its own batch partition
+    val batches = spark.read.parquet(s"$out/batch_id=*")
+      .withColumn("batch_id",
+        regexp_extract(input_file_name(), "batch_id=(\\d+)", 1).cast("long"))
+    assert(batches.select($"batch_id").distinct().count() >= 2,
+      "arrivals collapsed into one micro-batch — no streaming happened")
+
+    // batch-parity: streamed union == ivfpqTopK rows, exactly
+    val streamed = batches
+      .select($"query_id", $"rank", $"vec_id", $"adc_dot")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val batch = Similarity.ivfpqTopK(emb, qids, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"streamed enrichment diverged from batch tier: " +
+        s"missing ${(batch -- streamed).size}, extra ${(streamed -- batch).size}")
+
+    // replay of wave 0: the frozen index is arrival-independent, so the
+    // re-probed batch overwrites its own partition with identical rows
+    AnnStreams.annEnrichSink(index, 5, 4, out)(
+      emb.filter($"vec_id" < 4).select($"vec_id", $"embedding"), 0L)
+    val replayed = spark.read.parquet(s"$out/batch_id=*")
+      .select($"query_id", $"rank", $"vec_id", $"adc_dot")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(replayed == batch, "replay changed the enriched output")
+  }
+}
