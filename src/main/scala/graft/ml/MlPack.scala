@@ -165,6 +165,17 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ADC-retrieve + exact-rerank (FAISS refine stage): IVF-PQ retrieves
+    // 20 candidates in the compressed domain, only those 20 raw vectors
+    // are fetched and re-scored with the exact cosine, final top-5 ranks
+    // on the exact score. Every stage is deterministic, so the whole
+    // two-phase stack replays in DuckDB.
+    "ns_similarity_ivfpq_rerank" -> ((s, d) => {
+      Similarity.ivfpqTopKReranked(Tables.embeddings(s, d), QueryVecIds, 5,
+        rerankK = 20, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     // verify. Banding makes candidate recall ~1-1e-11, verification makes
     // precision exact → output equals the brute-force pair set, which is
@@ -443,6 +454,59 @@ object MlPack extends QueryPack {
     * exact same IEEE754 value the Spark path computes), and the CTE
     * chain mirrors Similarity.ivfpqTopKResidualFrozen stage for stage.
     */
+  /** Shared ADC CTE chain for the IVF-PQ oracles — the IVF coarse
+    * lists/probes composed with the PQ codebook/encode/LUT CTEs, probed
+    * ADC scoring, and the per-query `ranked` CTE. Callers append either
+    * the plain top-5 select (`ns_similarity_ivfpq`) or the exact-cosine
+    * rerank continuation (`ns_similarity_ivfpq_rerank`). */
+  private val ivfpqAdcCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS lid, v AS lv FROM e WHERE vec_id > 7
+      |       ORDER BY vec_id LIMIT 16),
+      |lists AS (SELECT vec_id, lid FROM (
+      |    SELECT e.vec_id, c0.lid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c0.lv), 6) DESC, c0.lid)
+      |        AS rk
+      |    FROM e CROSS JOIN c0 WHERE e.vec_id > 7) t WHERE rk = 1),
+      |probes AS (SELECT query_id, lid FROM (
+      |    SELECT e.vec_id AS query_id, c0.lid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY round(list_cosine_similarity(e.v, c0.lv), 6) DESC, c0.lid)
+      |        AS rk
+      |    FROM e CROSS JOIN c0 WHERE e.vec_id <= 7) t WHERE rk <= 4),
+      |subs AS (SELECT CAST(gs AS INT) AS sub FROM generate_series(0, 7) t(gs)),
+      |seed AS (SELECT vec_id, v FROM e WHERE vec_id > 7 ORDER BY vec_id LIMIT 16),
+      |sr AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      |       FROM seed),
+      |cb AS (SELECT sub, cid, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
+      |       FROM sr CROSS JOIN subs),
+      |sv AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS sv
+      |       FROM e CROSS JOIN subs WHERE vec_id > 7),
+      |enc AS (SELECT vec_id, sub, cid FROM (
+      |    SELECT sv.vec_id, sv.sub, cb.cid,
+      |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+      |        ORDER BY round(list_sum(list_transform(list_zip(sv.sv, cb.cv),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), cb.cid) AS rk
+      |    FROM sv JOIN cb USING (sub)) t WHERE rk = 1),
+      |qs AS (SELECT vec_id AS query_id, sub,
+      |         list_slice(v, sub*8 + 1, sub*8 + 8) AS qsv
+      |       FROM e CROSS JOIN subs WHERE vec_id <= 7),
+      |lut AS (SELECT query_id, sub, cid,
+      |      CAST(round(list_inner_product(qsv, cv) * 1e6) AS BIGINT) AS pfix
+      |    FROM qs JOIN cb USING (sub)),
+      |cands AS (SELECT probes.query_id, lists.vec_id
+      |    FROM lists JOIN probes USING (lid)),
+      |scored AS (SELECT c.query_id, c.vec_id,
+      |      round(sum(l.pfix) / 1e6, 6) AS adc_dot
+      |    FROM cands c JOIN enc ON c.vec_id = enc.vec_id
+      |    JOIN lut l ON l.query_id = c.query_id
+      |      AND l.sub = enc.sub AND l.cid = enc.cid
+      |    GROUP BY c.query_id, c.vec_id),
+      |ranked AS (SELECT query_id, vec_id, adc_dot,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc_dot DESC, vec_id) AS rank FROM scored)""".stripMargin
+
   private lazy val residualIvfpqOracle: String = {
     def sqlList(v: Seq[Double]): String = v.mkString("[", ", ", "]")
     val cent = ResidualTable.centroids
@@ -722,55 +786,25 @@ object MlPack extends QueryPack {
 
     // The IVF oracle's coarse/probe CTEs composed with the PQ oracle's
     // codebook/encode/LUT CTEs; scoring joins the probed lists.
-    "ns_similarity_ivfpq" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c0 AS (SELECT vec_id AS lid, v AS lv FROM e WHERE vec_id > 7
-        |       ORDER BY vec_id LIMIT 16),
-        |lists AS (SELECT vec_id, lid FROM (
-        |    SELECT e.vec_id, c0.lid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(e.v, c0.lv), 6) DESC, c0.lid)
-        |        AS rk
-        |    FROM e CROSS JOIN c0 WHERE e.vec_id > 7) t WHERE rk = 1),
-        |probes AS (SELECT query_id, lid FROM (
-        |    SELECT e.vec_id AS query_id, c0.lid,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY round(list_cosine_similarity(e.v, c0.lv), 6) DESC, c0.lid)
-        |        AS rk
-        |    FROM e CROSS JOIN c0 WHERE e.vec_id <= 7) t WHERE rk <= 4),
-        |subs AS (SELECT CAST(gs AS INT) AS sub FROM generate_series(0, 7) t(gs)),
-        |seed AS (SELECT vec_id, v FROM e WHERE vec_id > 7 ORDER BY vec_id LIMIT 16),
-        |sr AS (SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-        |       FROM seed),
-        |cb AS (SELECT sub, cid, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
-        |       FROM sr CROSS JOIN subs),
-        |sv AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS sv
-        |       FROM e CROSS JOIN subs WHERE vec_id > 7),
-        |enc AS (SELECT vec_id, sub, cid FROM (
-        |    SELECT sv.vec_id, sv.sub, cb.cid,
-        |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-        |        ORDER BY round(list_sum(list_transform(list_zip(sv.sv, cb.cv),
-        |          z -> (z[1] - z[2]) * (z[1] - z[2]))), 6), cb.cid) AS rk
-        |    FROM sv JOIN cb USING (sub)) t WHERE rk = 1),
-        |qs AS (SELECT vec_id AS query_id, sub,
-        |         list_slice(v, sub*8 + 1, sub*8 + 8) AS qsv
-        |       FROM e CROSS JOIN subs WHERE vec_id <= 7),
-        |lut AS (SELECT query_id, sub, cid,
-        |      CAST(round(list_inner_product(qsv, cv) * 1e6) AS BIGINT) AS pfix
-        |    FROM qs JOIN cb USING (sub)),
-        |cands AS (SELECT probes.query_id, lists.vec_id
-        |    FROM lists JOIN probes USING (lid)),
-        |scored AS (SELECT c.query_id, c.vec_id,
-        |      round(sum(l.pfix) / 1e6, 6) AS adc_dot
-        |    FROM cands c JOIN enc ON c.vec_id = enc.vec_id
-        |    JOIN lut l ON l.query_id = c.query_id
-        |      AND l.sub = enc.sub AND l.cid = enc.cid
-        |    GROUP BY c.query_id, c.vec_id),
-        |ranked AS (SELECT query_id, vec_id, adc_dot,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adc_dot DESC, vec_id) AS rank FROM scored)
+    "ns_similarity_ivfpq" -> (ivfpqAdcCtes +
+      """
         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // The same ADC chain truncated at rank <= 20, then the exact-cosine
+    // rerank: fetch only the candidates' raw vectors, re-score, re-rank.
+    "ns_similarity_ivfpq_rerank" -> (ivfpqAdcCtes +
+      """,
+        |cand AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 20),
+        |ex AS (SELECT c.query_id, c.vec_id,
+        |      round(list_cosine_similarity(q.v, t.v), 6) AS cos_sim
+        |    FROM cand c JOIN e t ON t.vec_id = c.vec_id
+        |    JOIN e q ON q.vec_id = c.query_id),
+        |rr AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank FROM ex)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+        |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
     // Residual IVF-ADC replay: the frozen quantizer (ResidualTable) as
     // VALUES literals — coordinates reconstructed as fix/1e6 exactly as

@@ -423,6 +423,38 @@ object Similarity {
       .join(lut, Seq("query_id", "sub", "cid")), k)
   }
 
+  /** ADC-retrieve + EXACT-rerank — the refinement stage production ANN
+    * stacks end with (FAISS's `IndexRefineFlat`): [[ivfpqTopK]] retrieves
+    * `rerankK` candidates in the compressed domain, then ONLY those
+    * candidates' raw vectors are fetched and re-scored with the exact
+    * cosine, and the final top-`k` is ranked on the exact score. ADC
+    * quantization error now only matters when it reorders a true
+    * neighbor across the rerankK boundary, so recall approaches the
+    * IVF probe recall at rerankK while the reported scores are exact —
+    * the property downstream thresholds (dedup τ, contamination cutoffs)
+    * need. At 100 TB the economics hold: the scan stays 4-byte codes;
+    * the float fetch is |Q| × rerankK point lookups (a vec_id equi-join
+    * against the corpus, prunable by any vec_id layout), never a scan.
+    * Output: (query_id, rank, vec_id, cos_sim) — exact scores. */
+  def ivfpqTopKReranked(emb: DataFrame, queryIds: Seq[Long], k: Int,
+      rerankK: Int = 20, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    val cands = ivfpqTopK(emb, queryIds, rerankK, nlist, nprobe, m, ksub, dim)
+      .select(col("query_id"), col("vec_id"))
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = broadcast(corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val scored = cands.join(corpus, "vec_id").join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
   /** L2 Lloyd coarse quantizer for the residual tier: seeds from the
     * nlist lowest-id vectors, `iters` assignment/mean rounds, empty
     * clusters keep their previous centroid. Residual encoding
