@@ -76,7 +76,9 @@ object Bench {
         // to the clean value; a regression stays visible at every rep.
         // Extra wall is bounded (3 reps, only on flagged queries).
         var extra = 0
-        while (extra < 3 && f.exists(fl => times.min / fl > 1.5)) {
+        // fl > 0 guards a zero/corrupt floor entry from reading as an
+        // infinite ratio and always burning the maximum extra reps
+        while (extra < 3 && f.exists(fl => fl > 0 && times.min / fl > 1.5)) {
           times = times :+ timeOnce(fn)
           extra += 1
         }

@@ -22,14 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    invisible (its gen dir exists but no commit lists it), so readers
   *    are isolated from writers for free.
   *  - A commit file is the ATOMIC publication point: written to a
-  *    unique temp name, then renamed WITHOUT overwrite. Losing a race
-  *    for version N surfaces as FileAlreadyExistsException and the
+  *    unique temp name, then atomically claimed WITHOUT overwrite —
+  *    rename on HDFS (NameNode-atomic), hard link on the local
+  *    filesystem (where Hadoop's no-overwrite rename is a non-atomic
+  *    exists-check + rename(2); see [[claimVersionFile]]). Losing a
+  *    race for version N surfaces as FileAlreadyExistsException and the
   *    writer retries at N+1 — optimistic concurrency, never a torn or
-  *    clobbered commit. Like the ledger CURRENT-pointer swap
-  *    ([[graft.streaming.NearDedupStreams]]), this requires a
-  *    filesystem with atomic rename (HDFS, POSIX local); on object
-  *    stores (S3A) front the commit log with a consistent metadata
-  *    layer instead of pointing it at the bucket.
+  *    clobbered commit. On object stores (S3A) front the commit log
+  *    with a consistent metadata layer instead of pointing it at the
+  *    bucket.
   *  - A reader materializes its file listing when the DataFrame is
   *    created, and generations are never mutated — so a frame read at
   *    version N keeps returning version N even after later commits
@@ -119,14 +120,12 @@ class SnapshotLake(root: String) {
       val out = fs.create(tmp, true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        tmp.toUri, spark.sparkContext.hadoopConfiguration)
       try {
         // NO overwrite: losing the race throws and we retry against the
         // (re-read) new latest — an append retry re-bases on the winner's
         // snapshot, exactly the optimistic-concurrency contract
-        fc.rename(tmp, new org.apache.hadoop.fs.Path(
-          f"$commitsDir/v$next%08d.json"))
+        claimVersionFile(spark, fs, tmp,
+          new org.apache.hadoop.fs.Path(f"$commitsDir/v$next%08d.json"))
         published = next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -134,6 +133,37 @@ class SnapshotLake(root: String) {
       }
     }
     published
+  }
+
+  /** Atomically claim `dst` with `tmp`'s content, throwing Hadoop's
+    * FileAlreadyExistsException when another committer won the version.
+    *
+    * On HDFS, rename-without-overwrite is the primitive: the NameNode
+    * checks-and-renames under one namespace lock. On the LOCAL
+    * filesystem that same FileContext.rename is a client-side
+    * exists-check followed by POSIX rename(2) — which REPLACES an
+    * existing destination — so two racing committers could both
+    * "win" and one commit would be silently clobbered (TOCTOU). The
+    * POSIX primitive that atomically fails on an existing destination
+    * is link(2), so local roots claim via Files.createLink instead. */
+  private def claimVersionFile(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.getScheme == "file") {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(dst.toString)
+      }
+      fs.delete(tmp, false)
+    } else {
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst)
+    }
   }
 
   /** Drop generation directories not referenced by the newest
@@ -152,10 +182,16 @@ class SnapshotLake(root: String) {
       // unreferenced dir may be a concurrent committer's in-flight
       // generation that simply has not published its commit file yet
       val dead = drop.flatMap(v => dirsAt(spark, v)).toSet -- live
-      dead.foreach(d => fs.delete(
-        new org.apache.hadoop.fs.Path(s"$root/$d"), true))
+      // commit files BEFORE data: a crash between the two loops then
+      // leaves only orphaned (unreferenced, never-swept) gen dirs — the
+      // class's documented harmless state. The reverse order would leave
+      // listed commits whose data is gone, so readAt(v) passes its
+      // commit-exists require and then fails at evaluation (or silently
+      // reads a partial snapshot if some of v's dirs survived).
       drop.foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(f"$commitsDir/v$v%08d.json"), false))
+      dead.foreach(d => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$root/$d"), true))
     }
   }
 }

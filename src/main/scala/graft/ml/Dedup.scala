@@ -91,17 +91,24 @@ object Dedup {
     * only shingles with 2 <= df <= maxShingleDf generate candidates, so a
     * corpus-common (boilerplate) shingle contributes NOTHING to the
     * self-join instead of C(df,2) rows — the property ScaleSpec pins with
-    * a planted boilerplate shingle. The df count is a window over the
-    * shingle partition, so the candidate self-join reuses the same
-    * g-keyed exchange instead of adding a groupBy+join round trip; df=1
-    * shingles (the Zipf-tail majority) are dropped before the join too,
-    * which the uncapped form cannot do. */
+    * a planted boilerplate shingle.
+    *
+    * df is a groupBy aggregate, NOT a window over the shingle partition:
+    * partial (map-side) aggregation collapses a hot shingle to one row
+    * per map partition, so no reducer ever materializes a corpus-common
+    * shingle's occurrence list — a `count().over(partitionBy(g))` window
+    * would sort AND buffer each hot group wholesale in a single task,
+    * which is exactly the hot-key failure this cap exists to remove.
+    * Hot shingles are then ABSENT from the filtered df table, so their
+    * occurrence rows stream through the semi-join probe and drop without
+    * buffering (and AQE can split a skewed probe partition freely);
+    * df=1 shingles (the Zipf-tail majority) drop the same way. */
   def cappedCandidates(sh: DataFrame, maxShingleDf: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    val rareInv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
-      .withColumn("df", count(lit(1)).over(w))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
-      .select(col("doc_id"), col("g"))
+      .select(col("g"))
+    val rareInv = inv.join(rare, "g")
     rareInv.select(col("doc_id").as("doc_a"), col("g"))
       .join(rareInv.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))

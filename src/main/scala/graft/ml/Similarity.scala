@@ -368,11 +368,16 @@ object Similarity {
     * pqCodes helper, so the index cannot drift from pqTopK's encoding).
     * `eager = true` localCheckpoints the codes pre-partitioned by `lid`:
     * encoding runs ONCE and every later probe joins the materialized
-    * codes on the list key without re-scanning the float vectors — the
-    * contract a long-running stream needs (at 100 TB: build the index in
-    * a batch job, keep codes partitioned by lid; arrivals only ever
-    * broadcast-join into it). The lazy default keeps the one-shot batch
-    * query free of checkpoint I/O. */
+    * codes on the list key without re-scanning the float vectors.
+    * localCheckpoint blocks live on executors, so eager mode fits a
+    * single process and bounded restarts (tests, local streams) — an
+    * executor loss on a real cluster discards blocks whose truncated
+    * lineage cannot recompute, killing every later probe. A production
+    * long-running stream should instead WRITE the codes table once
+    * (parquet partitioned by `lid`, e.g. under a
+    * [[graft.ingest.SnapshotLake]]) and build the index over the read
+    * frame — same plan, durable storage. The lazy default keeps the
+    * one-shot batch query free of checkpoint I/O. */
   def ivfpqIndex(emb: DataFrame, excludeIds: Seq[Long], nlist: Int = 16,
       m: Int = 8, ksub: Int = 16, dim: Int = 64,
       eager: Boolean = false): IvfPqIndex = {
@@ -440,12 +445,17 @@ object Similarity {
       rerankK: Int = 20, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
       ksub: Int = 16, dim: Int = 64): DataFrame = {
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
-    val cands = ivfpqTopK(emb, queryIds, rerankK, nlist, nprobe, m, ksub, dim)
-      .select(col("query_id"), col("vec_id"))
+    // |Q| × rerankK rows — broadcast, so the float fetch really is a
+    // map-side probe of the corpus scan, not a corpus-wide shuffle on
+    // vec_id (without the hint Catalyst has no size info for the
+    // window-filtered candidate frame and plans a sort-merge join)
+    val cands = broadcast(
+      ivfpqTopK(emb, queryIds, rerankK, nlist, nprobe, m, ksub, dim)
+        .select(col("query_id"), col("vec_id")))
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val queries = broadcast(corpus.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv")))
-    val scored = cands.join(corpus, "vec_id").join(queries, "query_id")
+    val scored = corpus.join(cands, "vec_id").join(queries, "query_id")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))

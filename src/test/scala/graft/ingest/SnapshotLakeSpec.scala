@@ -75,6 +75,43 @@ class SnapshotLakeSpec extends SparkSpecBase {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("claim collision exercises the retry branch; winner never clobbered") {
+    // the previous test's winner lands BEFORE commit() reads the latest
+    // version, so the first claim targets v3 and succeeds — the
+    // FileAlreadyExistsException branch (delete tmp, re-base, re-claim)
+    // never runs there. Force it deterministically: a lake whose FIRST
+    // latestVersion read is stale (pre-winner) must collide with the
+    // winner's v2, take the retry branch, and publish a re-based v3.
+    val (lake0, root) = freshLake()
+    lake0.commit(Seq((1L, "a")).toDF("id", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1dirs = lake0.dirsAt(spark, 1L)
+    val winner = s"""{"version":2,"dirs":[${v1dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_commits/v00000002.json"), false)
+    try out.write(winner.getBytes("UTF-8")) finally out.close()
+    val stale = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val lake = new SnapshotLake(root) {
+      override def latestVersion(s: org.apache.spark.sql.SparkSession) =
+        if (stale.getAndSet(false)) Some(1L) else super.latestVersion(s)
+    }
+    val v = lake.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = false)
+    assert(!stale.get, "commit never consulted latestVersion")
+    assert(v == 3L, s"expected collision then re-based version 3, got $v")
+    // the winner's v2 content survived the collision byte-for-byte —
+    // the local claim is link(2), which atomically FAILS on an existing
+    // destination instead of replacing it like rename(2) would
+    assert(lake.dirsAt(spark, 2L) == v1dirs, "winner's commit clobbered")
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the losing claim's tmp file was cleaned up by the retry branch
+    val residue = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_commits"))
+      .map(_.getPath.getName).filter(_.startsWith(".tmp"))
+    assert(residue.isEmpty, s"retry left tmp residue: ${residue.mkString(",")}")
+  }
+
   test("vacuum drops only generations owned by expired commits") {
     val (lake, root) = freshLake()
     lake.commit(Seq((1L, "a")).toDF("id", "v"))
