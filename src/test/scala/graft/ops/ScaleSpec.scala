@@ -332,6 +332,18 @@ class ScaleSpec extends SparkSpecBase {
     val exact = graft.ml.Dedup.jaccardPairs(docs, 0.5)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(capped == exact && capped == cands)
+    // plan shape: df must come from a hash aggregate (map-side partial
+    // collapses a hot shingle to one row per partition), NEVER a window
+    // over the shingle partition — WindowExec would sort and buffer each
+    // hot group wholesale in a single task, the exact failure the cap
+    // removes (review-pass finding, round 7)
+    val plan = graft.ml.Dedup.cappedCandidates(sh, cap)
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"cappedCandidates plans a group-buffering window:\n${plan.toString.take(600)}")
     spark.catalog.clearCache() // shingled() persists
   }
 
