@@ -445,17 +445,28 @@ object Similarity {
       rerankK: Int = 20, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
       ksub: Int = 16, dim: Int = 64): DataFrame = {
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
-    // |Q| × rerankK rows — broadcast, so the float fetch really is a
-    // map-side probe of the corpus scan, not a corpus-wide shuffle on
-    // vec_id (without the hint Catalyst has no size info for the
-    // window-filtered candidate frame and plans a sort-merge join)
-    val cands = broadcast(
-      ivfpqTopK(emb, queryIds, rerankK, nlist, nprobe, m, ksub, dim)
-        .select(col("query_id"), col("vec_id")))
+    val cands = ivfpqTopK(emb, queryIds, rerankK, nlist, nprobe, m, ksub, dim)
+      .select(col("query_id"), col("vec_id"))
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val queries = broadcast(corpus.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv")))
-    val scored = corpus.join(cands, "vec_id").join(queries, "query_id")
+    val queries = corpus.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    exactRerank(cands, corpus, queries, k)
+  }
+
+  /** Exact-cosine rerank of a (query_id, vec_id) candidate frame: fetch
+    * only the candidates' raw vectors from `corpus` (vec_id, v), score
+    * against the query vectors (query_id, qv), rank top-k per query.
+    * The candidate frame is |Q| × rerankK rows and is BROADCAST — so the
+    * float fetch really is a map-side probe of the corpus scan, not a
+    * corpus-wide shuffle on vec_id (without the hint Catalyst has no
+    * size info for the window-filtered frame and plans a sort-merge
+    * join). ONE implementation shared by the batch two-phase stack
+    * ([[ivfpqTopKReranked]]) and the streaming refine
+    * ([[graft.streaming.AnnStreams]]), so the two cannot drift. */
+  private[graft] def exactRerank(cands: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(cands), "vec_id")
+      .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))

@@ -52,10 +52,50 @@ object AnnStreams {
     EventStreams.idempotentParquetSink(out)(
       annEnrichBatch(index, k, nprobe)(batch), batchId)
 
+  /** Per-batch enrichment WITH the refine stage: ADC retrieves `rerankK`
+    * candidates from the frozen index, then only those candidates' raw
+    * vectors are fetched from `corpusVectors` (the durable
+    * (vec_id, embedding) table the index was built from — e.g. the
+    * SnapshotLake snapshot) and re-scored with the exact cosine; the
+    * emitted top-k carries TRUE similarities, the property downstream
+    * dedup/contamination thresholds need. The rerank is
+    * [[Similarity.exactRerank]], the same implementation the batch
+    * `ns_similarity_ivfpq_rerank` query ends with. */
+  def annEnrichRerankedBatch(index: IvfPqIndex, corpusVectors: DataFrame,
+      k: Int, rerankK: Int, nprobe: Int)(batch: DataFrame): DataFrame = {
+    val queries =
+      batch.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cands = Similarity.ivfpqProbe(index, queries, rerankK, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    Similarity.exactRerank(cands,
+      corpusVectors.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")),
+      queries.select(col("vec_id").as("query_id"), col("v").as("qv")), k)
+  }
+
+  /** foreachBatch sink for the reranked enrichment. */
+  def annEnrichRerankedSink(index: IvfPqIndex, corpusVectors: DataFrame,
+      k: Int, rerankK: Int, nprobe: Int, out: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    EventStreams.idempotentParquetSink(out)(
+      annEnrichRerankedBatch(index, corpusVectors, k, rerankK, nprobe)(batch),
+      batchId)
+
   /** Drain `srcDir` (parquet arrivals, one micro-batch per file) through
     * the enrichment sink with Trigger.AvailableNow. */
   def runOnce(spark: SparkSession, srcDir: String, index: IvfPqIndex,
-      k: Int, nprobe: Int, outDir: String, checkpoint: String): Unit = {
+      k: Int, nprobe: Int, outDir: String, checkpoint: String): Unit =
+    drain(spark, srcDir, checkpoint, annEnrichSink(index, k, nprobe, outDir))
+
+  /** [[runOnce]] with the refine stage ([[annEnrichRerankedSink]]). */
+  def runOnceReranked(spark: SparkSession, srcDir: String,
+      index: IvfPqIndex, corpusVectors: DataFrame, k: Int, rerankK: Int,
+      nprobe: Int, outDir: String, checkpoint: String): Unit =
+    drain(spark, srcDir, checkpoint,
+      annEnrichRerankedSink(index, corpusVectors, k, rerankK, nprobe, outDir))
+
+  private def drain(spark: SparkSession, srcDir: String, checkpoint: String,
+      sink: (DataFrame, Long) => Unit): Unit = {
     val src = spark.readStream
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("maxFilesPerTrigger", 1)
@@ -63,7 +103,7 @@ object AnnStreams {
     val q = src.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch(annEnrichSink(index, k, nprobe, outDir) _)
+      .foreachBatch(sink)
       .start()
     q.awaitTermination()
   }

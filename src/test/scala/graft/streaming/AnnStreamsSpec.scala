@@ -58,4 +58,29 @@ class AnnStreamsSpec extends SparkSpecBase {
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(replayed == batch, "replay changed the enriched output")
   }
+
+  test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val index = Similarity.ivfpqIndex(emb, qids, eager = true)
+    val src = Files.createTempDirectory("graft_annr_src").toString
+    val out = Files.createTempDirectory("graft_annr_out").toString + "/o"
+    val ckpt = Files.createTempDirectory("graft_annr_ckpt").toString
+    val arrivals = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id", $"embedding")
+    arrivals.filter($"vec_id" < 4).coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    arrivals.filter($"vec_id" >= 4).coalesce(1).write.mode("append").parquet(src)
+
+    AnnStreams.runOnceReranked(spark, src, index, corpusVectors = emb,
+      k = 5, rerankK = 20, nprobe = 4, out, ckpt)
+
+    val streamed = spark.read.parquet(s"$out/batch_id=*")
+      .select($"query_id", $"rank", $"vec_id", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val batch = Similarity.ivfpqTopKReranked(emb, qids, 5, rerankK = 20)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"streamed refine diverged from batch tier: " +
+        s"missing ${(batch -- streamed).size}, extra ${(streamed -- batch).size}")
+  }
 }
