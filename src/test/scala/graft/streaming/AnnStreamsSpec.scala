@@ -59,6 +59,27 @@ class AnnStreamsSpec extends SparkSpecBase {
     assert(replayed == batch, "replay changed the enriched output")
   }
 
+  test("durable index: codes written to storage probe identically on re-read") {
+    // the production contract the eager-index scaladoc states: a
+    // long-running stream should persist the codes table once
+    // (partitioned by the inverted-list key) and probe the re-read
+    // frame — same results, durable storage instead of executor-local
+    // checkpoint blocks
+    val emb = Tables.embeddings(spark, sf0001)
+    val index = Similarity.ivfpqIndex(emb, qids)
+    val dir = Files.createTempDirectory("graft_ann_codes").toString + "/codes"
+    index.codes.write.partitionBy("lid").parquet(dir)
+    val reloaded = index.copy(codes = spark.read.parquet(dir)
+      .select($"lid".cast("long"), $"vec_id", $"sub", $"cid"))
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val live = Similarity.ivfpqProbe(index, queries, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val durable = Similarity.ivfpqProbe(reloaded, queries, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(live == durable, "durable codes diverged from live index")
+  }
+
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
     val emb = Tables.embeddings(spark, sf0001)
     val index = Similarity.ivfpqIndex(emb, qids, eager = true)
