@@ -389,22 +389,44 @@ object Similarity {
     val centroids = broadcast(
       seedVectors(corpus, nlist, "IVF-ADC coarse quantizer")
         .select(col("vec_id").as("lid"), col("v").as("lv")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("lid"))
-    val lists = corpus.crossJoin(centroids)
-      .withColumn("cos_c", round(cosine(col("v"), col("lv")), 6))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("lid"))
     val codebook = pqSampleCodebook(emb, excludeIds, m, ksub, dim) // broadcast
-    val codesByList = lists
-      .join(pqCodes(corpus, codebook, m, dsub), "vec_id")
-      .select(col("lid"), col("vec_id"), col("sub"), col("cid"))
+    val codesByList = encodeVectors(centroids, codebook, m, dsub)(corpus)
     val codes =
       if (eager) codesByList.repartition(col("lid")).localCheckpoint()
       else codesByList
     IvfPqIndex(centroids, codebook, codes, m, dim)
   }
+
+  /** (lid, vec_id, sub, cid) rows for `vecs` (vec_id, v) under a frozen
+    * quantizer — ONE implementation shared by the index build and
+    * [[ivfpqEncode]], so grown rows cannot encode differently from
+    * built ones. */
+  private def encodeVectors(centroids: DataFrame, codebook: DataFrame,
+      m: Int, dsub: Int)(vecs: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("lid"))
+    val lists = vecs.crossJoin(centroids)
+      .withColumn("cos_c", round(cosine(col("v"), col("lv")), 6))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("lid"))
+    lists.join(pqCodes(vecs, codebook, m, dsub), "vec_id")
+      .select(col("lid"), col("vec_id"), col("sub"), col("cid"))
+  }
+
+  /** Encode NEW vectors under a frozen index's quantizer — FAISS add()
+    * semantics: the coarse centroids and PQ codebook never move, so
+    * growing the index is APPENDING these (lid, vec_id, sub, cid) rows
+    * to the code table; nothing existing is touched, no retraining, and
+    * a replayed append writes byte-identical rows (benign duplicates a
+    * reader collapses on (vec_id, sub)). The quantization drift that
+    * accumulates as the corpus distribution moves is the documented
+    * trade; production periodically re-trains offline and swaps the
+    * whole index — a new [[ivfpqIndex]] build — exactly like any other
+    * frozen-artifact refresh ([[graft.ml.ResidualFreeze]], BpeTable). */
+  def ivfpqEncode(index: IvfPqIndex, vectors: DataFrame): DataFrame =
+    encodeVectors(index.centroids, index.codebook, index.m,
+      index.dim / index.m)(vectors)
 
   /** Probe a frozen [[IvfPqIndex]] with a query frame
     * `(vec_id, v: array<double>)`: each query ADC-scores only its

@@ -81,6 +81,33 @@ object AnnStreams {
       annEnrichRerankedBatch(index, corpusVectors, k, rerankK, nprobe)(batch),
       batchId)
 
+  /** GROWING-index ingest sink — the online half of FAISS add(): each
+    * micro-batch's arrivals are encoded under the frozen quantizer
+    * ([[Similarity.ivfpqEncode]] — the same implementation the build
+    * uses) and the code rows are appended as one
+    * [[graft.ingest.SnapshotLake]] commit, so later probes that read
+    * the lake see them. The quantizer never moves; growth is
+    * append-only rows, and a REPLAYED batch appends byte-identical
+    * rows — benign duplicates [[grownCodes]] collapses on
+    * (vec_id, sub). Commit-per-batch also means the lake's versions
+    * ARE the ingest history: time travel reads the index as of any
+    * batch. */
+  def indexAppendSink(index: IvfPqIndex, lake: graft.ingest.SnapshotLake)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val codes = Similarity.ivfpqEncode(index,
+      batch.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+    if (!codes.isEmpty) lake.commit(codes, overwrite = false)
+  }
+
+  /** The grown code table: the lake's latest snapshot with replayed
+    * appends collapsed — (vec_id, sub) is the code key, and duplicates
+    * are byte-identical by the frozen-quantizer determinism, so any
+    * surviving row is THE row. Compose with the base index via
+    * `index.copy(codes = index.codes.unionByName(grownCodes(...)))`. */
+  def grownCodes(spark: SparkSession, lake: graft.ingest.SnapshotLake): DataFrame =
+    lake.read(spark).dropDuplicates("vec_id", "sub")
+
   /** Drain `srcDir` (parquet arrivals, one micro-batch per file) through
     * the enrichment sink with Trigger.AvailableNow. */
   def runOnce(spark: SparkSession, srcDir: String, index: IvfPqIndex,
@@ -93,6 +120,11 @@ object AnnStreams {
       nprobe: Int, outDir: String, checkpoint: String): Unit =
     drain(spark, srcDir, checkpoint,
       annEnrichRerankedSink(index, corpusVectors, k, rerankK, nprobe, outDir))
+
+  /** [[runOnce]] for the growing-index ingest ([[indexAppendSink]]). */
+  def runOnceGrow(spark: SparkSession, srcDir: String, index: IvfPqIndex,
+      lake: graft.ingest.SnapshotLake, checkpoint: String): Unit =
+    drain(spark, srcDir, checkpoint, indexAppendSink(index, lake))
 
   private def drain(spark: SparkSession, srcDir: String, checkpoint: String,
       sink: (DataFrame, Long) => Unit): Unit = {

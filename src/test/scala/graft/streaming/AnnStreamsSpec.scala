@@ -80,6 +80,60 @@ class AnnStreamsSpec extends SparkSpecBase {
     assert(live == durable, "durable codes diverged from live index")
   }
 
+  test("growing index: streamed appends == batch encode; twin retrieved; replay benign") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // arrivals: two fresh vectors, one of them a verbatim TWIN of query 0
+    val q0 = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].head()
+    val other = q0.map(x => -x)
+    val arrivals = Seq((900001L, q0), (900002L, other))
+      .toDF("vec_id", "embedding")
+    // quantizer frozen over the base corpus (arrival ids excluded by
+    // construction: they are not in emb)
+    val index = Similarity.ivfpqIndex(emb, qids, eager = true)
+    val lake = new graft.ingest.SnapshotLake(
+      Files.createTempDirectory("graft_ann_grow").toString + "/lake")
+    val src = Files.createTempDirectory("graft_ann_grow_src").toString
+    val ckpt = Files.createTempDirectory("graft_ann_grow_ckpt").toString
+    arrivals.filter($"vec_id" === 900001L).coalesce(1)
+      .write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    arrivals.filter($"vec_id" === 900002L).coalesce(1)
+      .write.mode("append").parquet(src)
+
+    AnnStreams.runOnceGrow(spark, src, index, lake, ckpt)
+
+    // streamed growth == batch encode of the same arrivals, exactly
+    val streamedCodes = AnnStreams.grownCodes(spark, lake)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val batchCodes = Similarity.ivfpqEncode(index,
+        arrivals.select($"vec_id", $"embedding".cast("array<double>").as("v")))
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(streamedCodes == batchCodes, "grown codes diverged from batch encode")
+    // the lake's commit history IS the ingest history: one version per batch
+    assert(lake.versions(spark) == Seq(1L, 2L))
+
+    // probing the GROWN index finds the twin: identical vector → its ADC
+    // dot is query 0's maximal reconstruction dot
+    val grown = index.copy(codes =
+      index.codes.unionByName(AnnStreams.grownCodes(spark, lake)))
+    val queries = emb.filter($"vec_id" === 0L)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val top = Similarity.ivfpqProbe(grown, queries, 5)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    assert(top.contains(900001L),
+      s"planted twin not retrieved from the grown index: ${top.mkString(",")}")
+
+    // replay of batch 0 appends byte-identical rows: a new lake version
+    // appears but the collapsed code table is unchanged
+    AnnStreams.indexAppendSink(index, lake)(
+      arrivals.filter($"vec_id" === 900001L), 0L)
+    assert(lake.versions(spark).size == 3)
+    assert(AnnStreams.grownCodes(spark, lake)
+      .as[(Long, Long, Int, Int)].collect().toSet == batchCodes,
+      "replayed append changed the collapsed code table")
+  }
+
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
     val emb = Tables.embeddings(spark, sf0001)
     val index = Similarity.ivfpqIndex(emb, qids, eager = true)
