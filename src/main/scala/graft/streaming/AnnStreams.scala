@@ -63,6 +63,9 @@ object AnnStreams {
     * `ns_similarity_ivfpq_rerank` query ends with. */
   def annEnrichRerankedBatch(index: IvfPqIndex, corpusVectors: DataFrame,
       k: Int, rerankK: Int, nprobe: Int)(batch: DataFrame): DataFrame = {
+    // same guard as the batch twin (ivfpqTopKReranked): fewer candidates
+    // than k would silently truncate every query's neighbor list
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
     val queries =
       batch.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val cands = Similarity.ivfpqProbe(index, queries, rerankK, nprobe)
@@ -87,26 +90,67 @@ object AnnStreams {
     * uses) and the code rows are appended as one
     * [[graft.ingest.SnapshotLake]] commit, so later probes that read
     * the lake see them. The quantizer never moves; growth is
-    * append-only rows, and a REPLAYED batch appends byte-identical
-    * rows — benign duplicates [[grownCodes]] collapses on
-    * (vec_id, sub). Commit-per-batch also means the lake's versions
-    * ARE the ingest history: time travel reads the index as of any
-    * batch. */
-  def indexAppendSink(index: IvfPqIndex, lake: graft.ingest.SnapshotLake)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val codes = Similarity.ivfpqEncode(index,
-      batch.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v")))
-    if (!codes.isEmpty) lake.commit(codes, overwrite = false)
+    * append-only rows. A REPLAYED batch is detected by its batch-id
+    * marker and skipped whole; the one crash window (commit landed,
+    * marker lost) re-appends byte-identical rows that [[grownCodes]]
+    * collapses on (vec_id, sub). Commit-per-batch means the lake's
+    * versions ARE the ingest history: time travel reads the index as
+    * of any batch. */
+  def indexAppendSink(index: IvfPqIndex, lake: graft.ingest.SnapshotLake,
+      markerDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    // batch-id marker = replay detection, like every batch-keyed sink
+    // here: without it a failure-restart replay would append a duplicate
+    // generation and the lake's version history would drift off the
+    // batch history. The crash window between commit and marker leaves
+    // AT MOST one duplicated batch, which [[grownCodes]]'s collapse
+    // absorbs; marker and checkpoint form one reset-together unit with
+    // the lake (the DocStreams operational contract).
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(markerDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$markerDir/batch-$batchId")
+    if (fs.exists(marker)) return
+    // guard on the RAW batch (cheap scan): encodeVectors emits rows for
+    // every input vector, so codes is empty iff batch is — probing
+    // codes.isEmpty instead would run the whole encode pipeline once
+    // for the probe and again for the commit's write
+    if (!batch.isEmpty) {
+      lake.commit(Similarity.ivfpqEncode(index,
+        batch.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))),
+        overwrite = false)
+    }
+    fs.mkdirs(new Path(markerDir))
+    fs.create(marker, true).close()
   }
 
   /** The grown code table: the lake's latest snapshot with replayed
-    * appends collapsed — (vec_id, sub) is the code key, and duplicates
-    * are byte-identical by the frozen-quantizer determinism, so any
-    * surviving row is THE row. Compose with the base index via
-    * `index.copy(codes = index.codes.unionByName(grownCodes(...)))`. */
+    * appends collapsed on the (vec_id, sub) code key. Empty (not an
+    * error) while the lake has no commits yet, so composing before the
+    * first arrival just yields the base index. ID CONTRACT (the
+    * DocStreams rule): vec_id is an immutable record id, disjoint from
+    * the base corpus — a vector re-arriving under an OLD id with a
+    * changed embedding would leave two different rows per (vec_id, sub)
+    * and an arbitrary-per-sub collapse could mix subspaces of the old
+    * and new embedding; re-ingest under a new id instead. */
   def grownCodes(spark: SparkSession, lake: graft.ingest.SnapshotLake): DataFrame =
-    lake.read(spark).dropDuplicates("vec_id", "sub")
+    lake.latestVersion(spark) match {
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "lid BIGINT, vec_id BIGINT, sub INT, cid INT"))
+      case Some(_) => lake.read(spark).dropDuplicates("vec_id", "sub")
+    }
+
+  /** The base index plus everything streamed into the lake — the frame
+    * a probe service holds. The collapse runs over the UNION, so even a
+    * base-corpus vec_id illegally re-ingested (see [[grownCodes]]'s id
+    * contract) cannot double its ADC sum in [[Similarity.ivfpqProbe]]'s
+    * per-(query, vec) aggregate. */
+  def grownIndex(spark: SparkSession, lake: graft.ingest.SnapshotLake,
+      index: IvfPqIndex): IvfPqIndex =
+    index.copy(codes = index.codes.unionByName(grownCodes(spark, lake))
+      .dropDuplicates("vec_id", "sub"))
 
   /** Drain `srcDir` (parquet arrivals, one micro-batch per file) through
     * the enrichment sink with Trigger.AvailableNow. */
@@ -123,8 +167,9 @@ object AnnStreams {
 
   /** [[runOnce]] for the growing-index ingest ([[indexAppendSink]]). */
   def runOnceGrow(spark: SparkSession, srcDir: String, index: IvfPqIndex,
-      lake: graft.ingest.SnapshotLake, checkpoint: String): Unit =
-    drain(spark, srcDir, checkpoint, indexAppendSink(index, lake))
+      lake: graft.ingest.SnapshotLake, markerDir: String,
+      checkpoint: String): Unit =
+    drain(spark, srcDir, checkpoint, indexAppendSink(index, lake, markerDir))
 
   private def drain(spark: SparkSession, srcDir: String, checkpoint: String,
       sink: (DataFrame, Long) => Unit): Unit = {

@@ -336,14 +336,17 @@ class ScaleSpec extends SparkSpecBase {
     // collapses a hot shingle to one row per partition), NEVER a window
     // over the shingle partition — WindowExec would sort and buffer each
     // hot group wholesale in a single task, the exact failure the cap
-    // removes (review-pass finding, round 7)
-    val plan = graft.ml.Dedup.cappedCandidates(sh, cap)
-      .queryExecution.executedPlan
-    val windows = plan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    // removes (review-pass finding, round 7). Collected with AQE OFF:
+    // under AQE executedPlan is an AdaptiveSparkPlanExec LEAF, so a bare
+    // collect sees nothing and the assertion would be vacuous.
+    val windows = withForcedShufflePlanning {
+      graft.ml.Dedup.cappedCandidates(sh, cap)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
     }
     assert(windows.isEmpty,
-      s"cappedCandidates plans a group-buffering window:\n${plan.toString.take(600)}")
+      s"cappedCandidates plans a group-buffering window: ${windows.mkString("; ").take(600)}")
     spark.catalog.clearCache() // shingled() persists
   }
 

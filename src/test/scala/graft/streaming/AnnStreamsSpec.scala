@@ -95,13 +95,16 @@ class AnnStreamsSpec extends SparkSpecBase {
       Files.createTempDirectory("graft_ann_grow").toString + "/lake")
     val src = Files.createTempDirectory("graft_ann_grow_src").toString
     val ckpt = Files.createTempDirectory("graft_ann_grow_ckpt").toString
+    val markers = Files.createTempDirectory("graft_ann_grow_mk").toString
+    // zero-growth composition is the base index, not an error
+    assert(AnnStreams.grownCodes(spark, lake).isEmpty)
     arrivals.filter($"vec_id" === 900001L).coalesce(1)
       .write.mode("append").parquet(src)
     Thread.sleep(1100)
     arrivals.filter($"vec_id" === 900002L).coalesce(1)
       .write.mode("append").parquet(src)
 
-    AnnStreams.runOnceGrow(spark, src, index, lake, ckpt)
+    AnnStreams.runOnceGrow(spark, src, index, lake, markers, ckpt)
 
     // streamed growth == batch encode of the same arrivals, exactly
     val streamedCodes = AnnStreams.grownCodes(spark, lake)
@@ -115,8 +118,7 @@ class AnnStreamsSpec extends SparkSpecBase {
 
     // probing the GROWN index finds the twin: identical vector → its ADC
     // dot is query 0's maximal reconstruction dot
-    val grown = index.copy(codes =
-      index.codes.unionByName(AnnStreams.grownCodes(spark, lake)))
+    val grown = AnnStreams.grownIndex(spark, lake, index)
     val queries = emb.filter($"vec_id" === 0L)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val top = Similarity.ivfpqProbe(grown, queries, 5)
@@ -124,14 +126,24 @@ class AnnStreamsSpec extends SparkSpecBase {
     assert(top.contains(900001L),
       s"planted twin not retrieved from the grown index: ${top.mkString(",")}")
 
-    // replay of batch 0 appends byte-identical rows: a new lake version
-    // appears but the collapsed code table is unchanged
-    AnnStreams.indexAppendSink(index, lake)(
+    // checkpoint-replay of batch 0: the marker detects it and the sink
+    // skips whole — version history stays the batch history
+    AnnStreams.indexAppendSink(index, lake, markers)(
+      arrivals.filter($"vec_id" === 900001L), 0L)
+    assert(lake.versions(spark) == Seq(1L, 2L),
+      "marker did not suppress a replayed batch's duplicate commit")
+
+    // crash window (commit landed, marker lost): the re-append writes
+    // byte-identical rows and the collapsed code table is unchanged
+    val fs = new org.apache.hadoop.fs.Path(markers)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$markers/batch-0"), false)
+    AnnStreams.indexAppendSink(index, lake, markers)(
       arrivals.filter($"vec_id" === 900001L), 0L)
     assert(lake.versions(spark).size == 3)
     assert(AnnStreams.grownCodes(spark, lake)
       .as[(Long, Long, Int, Int)].collect().toSet == batchCodes,
-      "replayed append changed the collapsed code table")
+      "crash-window re-append changed the collapsed code table")
   }
 
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
