@@ -69,6 +69,33 @@ class ShuffleVolumeSpec extends SparkSpecBase {
     // measurements in this shared session must start cold
   }
 
+  test("ivfpq probe: exchanges carry codes and fixed-point dots, never floats") {
+    // the ADC tier's scale claim: after encoding, the raw 64-double
+    // vectors exist only on the broadcast query side (probes + LUT) —
+    // the sole exchange is the per-(query, vec) fixed-point ADC sum over
+    // 4-byte code joins. The corpus floats at sf0.001 are ~500 KiB; if
+    // they ever entered an exchange (a lost broadcast hint, a rerank
+    // shuffle on vec_id) the bound blows through.
+    val emb = Tables.embeddings(spark, sf0001)
+    val index = graft.ml.Similarity.ivfpqIndex(emb, 0L to 7L)
+    val queries = emb.filter($"vec_id".isin(0L to 7L: _*))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val bProbe = shuffleWritten {
+      graft.ml.Similarity.ivfpqProbe(index, queries, 5).count()
+    }
+    assert(bProbe < 1 * MiB,
+      s"ivfpq probe shuffled $bProbe bytes — floats in an exchange?")
+    // the refine stage adds a broadcast candidate fetch on top; the
+    // corpus scan must still never shuffle its vectors
+    val bRerank = shuffleWritten {
+      graft.ml.Similarity.ivfpqTopKReranked(emb, 0L to 7L, 5, rerankK = 20)
+        .count()
+    }
+    assert(bRerank < 2 * MiB,
+      s"reranked probe shuffled $bRerank bytes — candidate fetch stopped broadcasting?")
+    spark.catalog.clearCache()
+  }
+
   test("heap top-k: the partial caps the RECORDS that reach the exchange") {
     // identical projection both sides, no output sort on either — the
     // ONLY difference is the partial heap in front of the key exchange.
