@@ -165,6 +165,24 @@ object AnnStreams {
     drain(spark, srcDir, checkpoint,
       annEnrichRerankedSink(index, corpusVectors, k, rerankK, nprobe, outDir))
 
+  /** Compact the growth lake: rewrite the collapsed code table as ONE
+    * generation (an overwrite commit), then vacuum everything older.
+    * An append-only lake needs this periodically — every append commit
+    * references all previous generations, so retention alone never
+    * frees a file and a year-long stream would accumulate one tiny
+    * parquet dir per batch (the same unbounded-small-files failure the
+    * near-dedup ledger compacts away). Readers are safe throughout:
+    * the overwrite commit publishes atomically, in-flight readers hold
+    * their snapshot's immutable generations until vacuum, and a
+    * replayed batch marker is untouched so ingest resumes cleanly.
+    * Returns the compacted version. */
+  def compactGrown(spark: SparkSession,
+      lake: graft.ingest.SnapshotLake): Long = {
+    val v = lake.commit(grownCodes(spark, lake), overwrite = true)
+    lake.vacuum(spark, retainLast = 1)
+    v
+  }
+
   /** [[runOnce]] for the growing-index ingest ([[indexAppendSink]]). */
   def runOnceGrow(spark: SparkSession, srcDir: String, index: IvfPqIndex,
       lake: graft.ingest.SnapshotLake, markerDir: String,

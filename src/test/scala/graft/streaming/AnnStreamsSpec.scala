@@ -144,6 +144,20 @@ class AnnStreamsSpec extends SparkSpecBase {
     assert(AnnStreams.grownCodes(spark, lake)
       .as[(Long, Long, Int, Int)].collect().toSet == batchCodes,
       "crash-window re-append changed the collapsed code table")
+
+    // compaction: one generation survives, the collapsed table and the
+    // grown probe are unchanged, and further appends keep working
+    val cv = AnnStreams.compactGrown(spark, lake)
+    assert(lake.versions(spark) == Seq(cv), "compaction left old versions")
+    assert(AnnStreams.grownCodes(spark, lake)
+      .as[(Long, Long, Int, Int)].collect().toSet == batchCodes,
+      "compaction changed the collapsed code table")
+    val lakeRoot = lake.dirsAt(spark, cv)
+    assert(lakeRoot.size == 1, s"compaction left ${lakeRoot.size} generations")
+    val topAfter = Similarity.ivfpqProbe(
+        AnnStreams.grownIndex(spark, lake, index), queries, 5)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    assert(topAfter.sameElements(top), "probe changed across compaction")
   }
 
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
