@@ -22,6 +22,24 @@ object LayoutPack extends QueryPack {
         .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
           max(col("z")).as("max_z"))
         .orderBy(col("z_bucket"))
+    }),
+
+    // SnapshotLake time travel THROUGH the registered Spark source: commit
+    // the even-doc_id half as v1, append the rest as v2, then read
+    // versionAsOf=1 — the answer is v1's half alone, proving the commit
+    // log (not the file listing) defines what a version contains. Each
+    // invocation builds a fresh single-use lake root under java.io.tmpdir.
+    "l_snaplake_timetravel" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_snapq").toString
+      val docs = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.format("snaplake").mode("overwrite").save(root)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .write.format("snaplake").mode("append").save(root)
+      s.read.format("snaplake").option("versionAsOf", "1").load(root)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -32,6 +50,11 @@ object LayoutPack extends QueryPack {
          |SELECT z >> 10 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
          |  min(z) AS min_z, max(z) AS max_z
          |FROM zt GROUP BY 1 ORDER BY z_bucket""".stripMargin
-    }
+    },
+
+    // Version 1 of the lake is exactly the even-doc_id half of documents.
+    "l_snaplake_timetravel" ->
+      """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.ingest.SnapshotLake
+
+/** [[SnapshotLake]] as a first-class Spark data source:
+  *
+  * {{{
+  *   df.write.format("snaplake").mode("overwrite").save(root)   // commit v1
+  *   df2.write.format("snaplake").mode("append").save(root)     // commit v2
+  *   spark.read.format("snaplake").load(root)                   // latest
+  *   spark.read.format("snaplake")
+  *     .option("versionAsOf", "1").load(root)                   // time travel
+  * }}}
+  *
+  * The read path resolves the commit log to the exact generation
+  * directories of the requested version and then delegates to Spark's own
+  * parquet relation over that file list — the table-format read shape
+  * (manifest → file list → native scan): predicate pushdown, column
+  * pruning, and vectorized decoding all come from the parquet scan
+  * itself, and the resolved relation materializes its listing at creation
+  * time, so a DataFrame keeps returning its version even after later
+  * commits (the same snapshot-isolation contract as
+  * [[SnapshotLake.readAt]]).
+  *
+  * The write path maps SaveMode onto commit semantics: Overwrite and
+  * Append are overwrite/append commits (optimistic-concurrency retry
+  * included), ErrorIfExists refuses a non-empty table, Ignore is a no-op
+  * on one. Each save() is one atomic commit — a reader either sees the
+  * whole commit or none of it.
+  */
+class SnapLakeSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "snaplake"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "snaplake requires a table root: .load(root) / .save(root)"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val lake = new SnapshotLake(root)
+    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(
+      lake.latestVersion(spark).getOrElse(throw new IllegalArgumentException(
+        s"no committed version under $root")))
+    val dirs = lake.dirsAt(spark, version).map(d => s"$root/$d")
+    // Delegate to Spark's parquet relation over exactly this version's
+    // files: pushdown/pruning/vectorization are the scan's own, and the
+    // relation pins its file listing now (snapshot isolation).
+    // mergeSchema because append commits may evolve the schema (SpecLake
+    // contract); the merged schema is the union across the version's
+    // generations only — later commits cannot widen an old snapshot.
+    org.apache.spark.sql.execution.datasources.DataSource(
+      spark,
+      className = "parquet",
+      paths = dirs,
+      options = Map("mergeSchema" -> "true")).resolveRelation()
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val lake = new SnapshotLake(root)
+    val exists = lake.latestVersion(spark).isDefined
+    mode match {
+      case SaveMode.Overwrite => lake.commit(data, overwrite = true)
+      case SaveMode.Append => lake.commit(data, overwrite = false)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new org.apache.spark.sql.AnalysisException(
+          "PATH_ALREADY_EXISTS", Map("outputPath" -> root), None)
+        else lake.commit(data, overwrite = true)
+      case SaveMode.Ignore =>
+        if (!exists) lake.commit(data, overwrite = true)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** Streaming: the commit log tailed as a changelog — see
+    * [[SnapLakeStreamSource]]. The schema is fixed at stream start: the
+    * user's, or the latest committed snapshot's (so starting a stream on
+    * a never-committed root needs an explicit schema). */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val lake = new SnapshotLake(root)
+    val resolved = schema.getOrElse {
+      val v = lake.latestVersion(spark).getOrElse(
+        throw new IllegalArgumentException(
+          s"streaming from an empty lake needs .schema(...): $root"))
+      lake.readAt(spark, v).schema
+    }
+    (shortName(), resolved)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new SnapLakeStreamSource(sqlContext.sparkSession, rootOf(parameters),
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      parameters.get("startingVersion").map(_.toLong))
+}

@@ -1,0 +1,108 @@
+package graft.ingest
+
+import org.apache.spark.sql.SaveMode
+import graft.SparkSpecBase
+import java.nio.file.Files
+
+/** [[graft.sources.SnapLakeStreamSource]]: the commit log as a
+  * Structured Streaming changelog — initial-snapshot replay, appends
+  * arriving as deltas, checkpoint restart resuming at the recorded
+  * version, startingVersion skipping history, and no-op commits
+  * producing empty batches.
+  */
+class SnapLakeStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snapstream").toString
+
+  private def commit(root: String, mode: SaveMode, rows: (Long, String)*): Unit =
+    rows.toDF("id", "v").write.format("snaplake").mode(mode).save(root)
+
+  test("appends arrive as deltas; checkpoint restart resumes, not replays") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_snapstream_ckpt").toString
+    // parquet sink: the memory sink refuses checkpoint RECOVERY, and the
+    // restart leg below is the point of this test
+    val out = Files.createTempDirectory("graft_snapstream_out").toString
+    commit(root, SaveMode.Overwrite, (1L, "a"), (2L, "b"))
+    val stream = spark.readStream.format("snaplake").load(root)
+    assert(stream.isStreaming)
+    def emitted(): Set[(Long, String)] =
+      spark.read.parquet(out).as[(Long, String)].collect().toSet
+    val q = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // a fresh stream first replays the current snapshot...
+      assert(emitted() == Set((1L, "a"), (2L, "b")))
+      // ...then follows new commits with ONLY their delta
+      commit(root, SaveMode.Append, (3L, "c"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 3,
+        "append delta re-emitted or lost rows")
+    } finally q.stop()
+    // a commit landing while the stream is down is picked up on restart
+    // from the checkpointed version — nothing before it is replayed
+    commit(root, SaveMode.Append, (4L, "d"))
+    val q2 = spark.readStream.format("snaplake").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      q2.processAllAvailable()
+      assert(emitted() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")) &&
+        spark.read.parquet(out).count() == 4,
+        "restart did not resume at the checkpointed version")
+    } finally q2.stop()
+  }
+
+  test("startingVersion skips history; no-op commits yield empty batches") {
+    val root = freshRoot()
+    commit(root, SaveMode.Overwrite, (1L, "a"))
+    commit(root, SaveMode.Append, (2L, "b"))
+    val q = spark.readStream.format("snaplake")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName("snapstream_c").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snapstream_c").as[(Long, String)].collect().toSet ==
+        Set((2L, "b")), "startingVersion did not skip version 1")
+      // a manifest-only commit (a lost-race rebase republishing the same
+      // directories) must advance the offset with an EMPTY batch
+      val lake = new SnapshotLake(root)
+      val dirs = lake.dirsAt(spark, 2L)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/_commits/v00000003.json"), false)
+      try out.write(
+        s"""{"version":3,"dirs":[${dirs.map("\"" + _ + "\"").mkString(",")}]}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      q.processAllAvailable()
+      assert(spark.table("snapstream_c").count() == 1,
+        "no-op commit emitted rows")
+      // and the stream keeps going afterwards
+      commit(root, SaveMode.Append, (3L, "c"))
+      q.processAllAvailable()
+      assert(spark.table("snapstream_c").count() == 2)
+    } finally q.stop()
+  }
+
+  test("overwrite commits emit the rewritten content (ignore-changes)") {
+    val root = freshRoot()
+    commit(root, SaveMode.Overwrite, (1L, "a"), (2L, "b"))
+    val q = spark.readStream.format("snaplake").load(root)
+      .writeStream.format("memory").queryName("snapstream_d").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snapstream_d").count() == 2)
+      // an overwrite introduces one new generation; its full content
+      // arrives as a batch — emitted rows are never retracted
+      commit(root, SaveMode.Overwrite, (9L, "z"))
+      q.processAllAvailable()
+      assert(spark.table("snapstream_d").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (9L, "z")))
+    } finally q.stop()
+  }
+}
