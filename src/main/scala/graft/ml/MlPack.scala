@@ -404,7 +404,9 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal binary-column metadata (decode step stubbed; plumbing real).
+    // Multimodal binary-column metadata (SQL-expressible surface; the
+    // real decoders — javax.imageio, javax.sound.sampled, the ISO-BMFF
+    // box parse — are spec-covered, DuckDB being unable to decode them).
     "ns_multimodal_meta" -> ((s, d) => {
       Multimodal.assets(Tables.documents(s, d))
         .select(col("asset_id"), col("modality"),

@@ -7,21 +7,24 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / frame-sample /
   * feature-extract operators.
   *
-  * IMAGE and AUDIO decode are REAL for the pure-JVM formats:
+  * ALL THREE modalities decode REAL metadata with pure-JVM parsers:
   * `javax.imageio` ships PNG/BMP/GIF/JPEG readers in every JRE
   * ([[decodeImageMeta]]: width/height/channels + exact per-channel
-  * means) and `javax.sound.sampled` ships WAV/AIFF/AU readers
+  * means), `javax.sound.sampled` ships WAV/AIFF/AU readers
   * ([[decodeAudioMeta]]: rate/channels/depth/frames + exact PCM
-  * amplitude stats); MlSpec asserts both against committed fixtures
-  * whose expected stats derive from the generating formula,
-  * independent of the JDK decoders. VIDEO codecs do not exist in this
-  * container (no ffmpeg, no JDK decoder), so video decode remains a
-  * clearly-marked deterministic stub ([[fakeDecodeMeta]]) deriving
-  * pseudo-metadata from the payload hash. Everything around the decode
-  * boundary — the binary column representation, schema, partitioning,
-  * batch shape, frame slicing, feature vectors — is the production
-  * shape either way; a JNI/ffmpeg codec slots in exactly where the
-  * stub sits.
+  * amplitude stats), and [[decodeVideoMeta]] parses the ISO-BMFF
+  * (MP4/QuickTime) box tree directly — brand, movie
+  * timescale/duration, track dimensions, per-handler track counts —
+  * since the container structure needs no codec at all. MlSpec asserts
+  * each against fixtures whose expected values derive from the
+  * generating formula or hand-assembled box layout, independent of the
+  * parsers. The one step that genuinely needs an external codec
+  * (ffmpeg/JNI) is video FRAME decode — pixels out of avc1/hev1 sample
+  * data — which is absent from this container and slots in downstream
+  * of the container metadata, where [[frameSample]]/[[fakeDecodeMeta]]
+  * stand in. Everything around the decode boundary — the binary column
+  * representation, schema, partitioning, batch shape, frame slicing,
+  * feature vectors — is the production shape either way.
   */
 object Multimodal {
 
@@ -184,6 +187,143 @@ object Multimodal {
         col("au.mean_abs").as("mean_abs"))
   }
 
+  /** Exact video CONTAINER metadata: brand, movie timescale/duration,
+    * presentation dimensions of the first video track, and per-handler
+    * track counts — everything the ISO-BMFF (MP4/QuickTime `moov` tree)
+    * structure carries without touching a codec. */
+  case class VideoMeta(major_brand: String, timescale: Int,
+      duration_units: Long, duration_sec: Double,
+      width: Double, height: Double,
+      n_tracks: Int, n_video_tracks: Int, n_audio_tracks: Int)
+
+  /** REAL video container decode (pure JVM, no native deps): a direct
+    * ISO 14496-12 box parse — MP4 and QuickTime files are a tree of
+    * `[size][type][payload]` boxes, and the movie header (`moov/mvhd`),
+    * track headers (`trak/tkhd`), and handler declarations
+    * (`trak/mdia/hdlr`) fully describe duration, dimensions, and track
+    * layout without any codec. This closes the container level of video
+    * decode the way javax.imageio/javax.sound.sampled closed image and
+    * audio; FRAME decode (pixels out of avc1/hev1 sample data) is the
+    * one step that genuinely needs an external codec (ffmpeg/JNI),
+    * which slots in downstream of this metadata exactly where
+    * [[frameSample]] stands in. Corrupt payloads — truncated boxes, a
+    * box overrunning its parent, no `moov/mvhd`, a zero timescale — map
+    * to null, the shared corrupt-blob contract. */
+  val decodeVideo: Array[Byte] => VideoMeta = { bytes =>
+    if (bytes == null || bytes.length < 16) null
+    else
+      try decodeIsoBmff(bytes)
+      catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def be32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+      ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], p: Int): Long =
+    (be32(b, p) << 32) | be32(b, p + 4)
+
+  private def fourcc(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** The direct children of byte range [start, end): (type, contentStart,
+    * contentEnd) per box. Malformed structure (header past the range, a
+    * box shorter than its own header or overrunning the range) throws —
+    * truncation must surface as the null row, never as partial metadata
+    * (same contract as [[decodeAudio]]'s frame-length check). */
+  private def boxChildren(b: Array[Byte], start: Int, end: Int)
+      : List[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(String, Int, Int)]
+    var p = start
+    while (p < end) {
+      if (p + 8 > end) throw new IllegalArgumentException("truncated box header")
+      val s32 = be32(b, p)
+      val typ = fourcc(b, p + 4)
+      var hdr = 8
+      val size: Long =
+        if (s32 == 1L) { // 64-bit largesize form
+          if (p + 16 > end) throw new IllegalArgumentException("truncated largesize")
+          hdr = 16
+          be64(b, p + 8)
+        } else if (s32 == 0L) (end - p).toLong // box extends to end of range
+        else s32
+      if (size < hdr || p + size > end)
+        throw new IllegalArgumentException(s"box $typ overruns container")
+      out += ((typ, p + hdr, (p + size).toInt))
+      p = (p + size).toInt
+    }
+    out.toList
+  }
+
+  private def decodeIsoBmff(b: Array[Byte]): VideoMeta = {
+    val top = boxChildren(b, 0, b.length)
+    val brand = top.collectFirst { case ("ftyp", s, e) if e - s >= 4 =>
+      fourcc(b, s) }.orNull
+    val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+    if (moov.isEmpty) return null // not an ISO-BMFF movie
+    val kids = boxChildren(b, moov.get._1, moov.get._2)
+    // mvhd: version(1) flags(3), then v0 = 4+4 byte times, 4-byte
+    // timescale/duration; v1 = 8+8 byte times, 4-byte timescale, 8-byte
+    // duration (ISO 14496-12 §8.2.2)
+    val mvhd = kids.collectFirst { case ("mvhd", s, e) if e - s >= 20 =>
+      val v = b(s) & 0xFF
+      if (v == 1) {
+        if (e - s < 32) throw new IllegalArgumentException("truncated mvhd v1")
+        (be32(b, s + 20), be64(b, s + 24))
+      } else (be32(b, s + 12), be32(b, s + 16))
+    }
+    if (mvhd.isEmpty || mvhd.get._1 <= 0) return null
+    val (timescale, duration) = mvhd.get
+    var (nTracks, nVideo, nAudio) = (0, 0, 0)
+    var (width, height) = (0.0, 0.0)
+    kids.foreach {
+      case ("trak", ts, te) =>
+        nTracks += 1
+        val tk = boxChildren(b, ts, te)
+        // handler type lives at mdia/hdlr content offset 8 (§8.4.3)
+        val handler = tk.collectFirst { case ("mdia", ms, me) =>
+          boxChildren(b, ms, me).collectFirst {
+            case ("hdlr", hs, he) if he - hs >= 12 => fourcc(b, hs + 8) }
+        }.flatten.getOrElse("")
+        if (handler == "vide") nVideo += 1
+        if (handler == "soun") nAudio += 1
+        // tkhd: fixed-width field block then 16.16 fixed-point
+        // presentation width/height at content offset 76/80 (v0) or
+        // 88/92 (v1) (§8.3.2)
+        if (handler == "vide" && width == 0.0) tk.collectFirst {
+          case ("tkhd", hs, he) if he - hs >= 4 =>
+            val off = if ((b(hs) & 0xFF) == 1) hs + 88 else hs + 76
+            if (he - off >= 8) {
+              width = be32(b, off) / 65536.0
+              height = be32(b, off + 4) / 65536.0
+            }
+        }
+      case _ => ()
+    }
+    VideoMeta(brand, timescale.toInt, duration,
+      duration.toDouble / timescale, width, height, nTracks, nVideo, nAudio)
+  }
+
+  /** Decode metadata for video assets: (asset_id, modality, byte_len,
+    * major_brand, timescale, duration_units, duration_sec, width,
+    * height, n_tracks, n_video_tracks, n_audio_tracks) — null metadata
+    * columns for payloads that are not well-formed ISO-BMFF movies. */
+  def decodeVideoMeta(assetsDf: DataFrame): DataFrame = {
+    val dec = udf(decodeVideo)
+    assetsDf
+      .withColumn("vid", dec(col("bytes")))
+      .select(col("asset_id"), col("modality"),
+        length(col("bytes")).as("byte_len"),
+        col("vid.major_brand").as("major_brand"),
+        col("vid.timescale").as("timescale"),
+        col("vid.duration_units").as("duration_units"),
+        col("vid.duration_sec").as("duration_sec"),
+        col("vid.width").as("width"), col("vid.height").as("height"),
+        col("vid.n_tracks").as("n_tracks"),
+        col("vid.n_video_tracks").as("n_video_tracks"),
+        col("vid.n_audio_tracks").as("n_audio_tracks"))
+  }
+
   /** Synthesize an asset table from documents: bytes = UTF-8 payload,
     * modality round-robins image/audio/video. Stands in for a real
     * `binaryFile` / blob-store read. */
@@ -195,13 +335,16 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       col("text").cast("binary").as("bytes"))
 
-  /** STUB decode — VIDEO ONLY as of the audio decoder landing: image
-    * goes through [[decodeImageMeta]] (javax.imageio) and audio through
-    * [[decodeAudioMeta]] (javax.sound.sampled); video container parsing
-    * has no JDK decoder and ffmpeg is absent from this environment, so
-    * its decode step stays a deterministic pseudo-metadata stub derived
-    * from the payload hash. A real implementation would parse the
-    * container header exactly where this sits. */
+  /** STUB decode — the SAMPLE-DATA level only, as of the container
+    * parser landing: image metadata is real ([[decodeImageMeta]],
+    * javax.imageio), audio is real ([[decodeAudioMeta]],
+    * javax.sound.sampled), video container metadata is real
+    * ([[decodeVideoMeta]], direct ISO-BMFF parse). What remains
+    * codec-bound — and absent from this environment — is decoding
+    * compressed SAMPLE data (video frames, MP3/AAC audio) into pixels
+    * or PCM; this deterministic pseudo-metadata generator (payload-hash
+    * derived) keeps that plumbing shape testable end-to-end, and an
+    * ffmpeg/JNI decode slots in exactly where it sits. */
   def fakeDecodeMeta(assetsDf: DataFrame): DataFrame =
     assetsDf
       .withColumn("byte_len", length(col("bytes")))

@@ -497,6 +497,90 @@ class MlSpec extends SparkSpecBase {
     assert(got(4L).isNullAt(got(4L).fieldIndex("sample_rate")))
   }
 
+  test("video decode: real ISO-BMFF container parse, hand-assembled fixtures") {
+    // fixtures are assembled HERE from the ISO 14496-12 box layout —
+    // an independent encoder in miniature, so expected values derive
+    // from the spec'd byte positions, never from the parser under test
+    import java.nio.ByteBuffer
+    def u16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
+    def u32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def u64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+    def fx(d: Double) = u32((d * 65536).toLong) // 16.16 fixed point
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val content = parts.flatten.toArray
+      u32(8L + content.length) ++ cc(typ) ++ content
+    }
+    // same box in the 64-bit largesize form (size32=1, 8-byte size)
+    def bigBox(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val content = parts.flatten.toArray
+      u32(1L) ++ cc(typ) ++ u64(16L + content.length) ++ content
+    }
+    val matrix = Array.fill(36)(0.toByte)
+    def hdlr(handler: String) =
+      box("hdlr", u32(0), u32(0), cc(handler), Array.fill(12)(0.toByte))
+    // v0 headers: mvhd timescale@12/duration@16, tkhd width@76/height@80
+    def mvhdV0(timescale: Long, duration: Long) =
+      box("mvhd", u32(0), u32(0), u32(0), u32(timescale), u32(duration),
+        u32(0x00010000L), u16(0x0100), Array.fill(10)(0.toByte), matrix,
+        Array.fill(24)(0.toByte), u32(2))
+    def tkhdV0(w: Double, h: Double) =
+      box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0), u32(0),
+        u64(0), u16(0), u16(0), u16(0), u16(0), matrix, fx(w), fx(h))
+    // v1 headers: 64-bit times/duration shift the field block
+    def mvhdV1(timescale: Long, duration: Long) =
+      box("mvhd", Array[Byte](1, 0, 0, 0), u64(0), u64(0), u32(timescale),
+        u64(duration), u32(0x00010000L), u16(0x0100),
+        Array.fill(10)(0.toByte), matrix, Array.fill(24)(0.toByte), u32(2))
+    def tkhdV1(w: Double, h: Double) =
+      box("tkhd", Array[Byte](1, 0, 0, 7), u64(0), u64(0), u32(1), u32(0),
+        u64(0), u64(0), u16(0), u16(0), u16(0), u16(0), matrix, fx(w), fx(h))
+    val ftyp = box("ftyp", cc("isom"), u32(0), cc("mp42"))
+    // 7.5 s movie, one 640x360 video track + one audio track; moov in
+    // the largesize form to exercise that header path
+    val good = ftyp ++ bigBox("moov",
+      mvhdV0(1000, 7500),
+      box("trak", tkhdV0(640, 360), box("mdia", hdlr("vide"))),
+      box("trak", tkhdV0(0, 0), box("mdia", hdlr("soun")))) ++
+      box("mdat", cc("fake"))
+    // the v1 (64-bit) header variant, QuickTime brand, video-only
+    val goodV1 = box("ftyp", cc("qt  "), u32(0), cc("qt  ")) ++ box("moov",
+      mvhdV1(90000, 450000),
+      box("trak", tkhdV1(1920, 1080), box("mdia", hdlr("vide"))))
+    val df = Seq(
+      (1L, "video", good),
+      (2L, "video", goodV1),
+      (3L, "video", "not a movie at all".getBytes("UTF-8")),
+      (4L, "video", good.dropRight(10)),         // truncated box tree
+      (5L, "video", ftyp ++ box("moov", box("trak", tkhdV0(1, 1)))) // no mvhd
+    ).toDF("asset_id", "modality", "bytes")
+    val got = Multimodal.decodeVideoMeta(df).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[String]("major_brand") == "isom")
+    assert(r1.getAs[Int]("timescale") == 1000)
+    assert(r1.getAs[Long]("duration_units") == 7500L)
+    assert(r1.getAs[Double]("duration_sec") == 7.5)
+    assert(r1.getAs[Double]("width") == 640.0 &&
+      r1.getAs[Double]("height") == 360.0)
+    assert(r1.getAs[Int]("n_tracks") == 2 &&
+      r1.getAs[Int]("n_video_tracks") == 1 &&
+      r1.getAs[Int]("n_audio_tracks") == 1)
+    val r2 = got(2L)
+    assert(r2.getAs[String]("major_brand") == "qt  ")
+    assert(r2.getAs[Int]("timescale") == 90000)
+    assert(r2.getAs[Double]("duration_sec") == 5.0)
+    assert(r2.getAs[Double]("width") == 1920.0 &&
+      r2.getAs[Double]("height") == 1080.0)
+    assert(r2.getAs[Int]("n_tracks") == 1 &&
+      r2.getAs[Int]("n_audio_tracks") == 0)
+    // corrupt shapes → null rows that keep flowing: not-a-movie (3),
+    // truncated box tree (4), moov without mvhd (5)
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(got(id).isNullAt(got(id).fieldIndex("timescale")),
+        s"asset $id should have null metadata") }
+  }
+
   test("resize: bounded length, deterministic, identity under target") {
     val assets = Multimodal.assets(docs.limit(20))
     val r1 = Multimodal.resizeAssets(assets, 32).collect()
