@@ -135,6 +135,37 @@ class SnapshotLake(root: String) {
     published
   }
 
+  /** Commit `df` only as the TABLE-CREATING version 1; returns None if
+    * any version already exists (including one published by a racing
+    * creator — the loser of the atomic v1 claim cleans up its generation
+    * and reports the table as pre-existing instead of retrying). This is
+    * the atomic primitive behind SaveMode.ErrorIfExists/Ignore: a bare
+    * exists-check before [[commit]] would be check-then-act, letting a
+    * racing save silently overwrite a just-created table. */
+  def commitInitial(df: DataFrame): Option[Long] = {
+    val spark = df.sparkSession
+    val fs = hadoopFs(spark)
+    if (latestVersion(spark).isDefined) return None // cheap pre-check only
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    df.write.parquet(s"$root/$gen")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
+    val json = s"""{"version":1,"dirs":["$gen"]}"""
+    val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-1")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      claimVersionFile(spark, fs, tmp,
+        new org.apache.hadoop.fs.Path(f"$commitsDir/v${1L}%08d.json"))
+      Some(1L)
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
+        None
+    }
+  }
+
   /** Atomically claim `dst` with `tmp`'s content, throwing Hadoop's
     * FileAlreadyExistsException when another committer won the version.
     *

@@ -191,7 +191,7 @@ object Multimodal {
     * presentation dimensions of the first video track, and per-handler
     * track counts — everything the ISO-BMFF (MP4/QuickTime `moov` tree)
     * structure carries without touching a codec. */
-  case class VideoMeta(major_brand: String, timescale: Int,
+  case class VideoMeta(major_brand: String, timescale: Long,
       duration_units: Long, duration_sec: Double,
       width: Double, height: Double,
       n_tracks: Int, n_video_tracks: Int, n_audio_tracks: Int)
@@ -276,6 +276,7 @@ object Multimodal {
     val (timescale, duration) = mvhd.get
     var (nTracks, nVideo, nAudio) = (0, 0, 0)
     var (width, height) = (0.0, 0.0)
+    var haveDims = false // explicit flag: 0x0 is a legal first-track size
     kids.foreach {
       case ("trak", ts, te) =>
         nTracks += 1
@@ -289,18 +290,22 @@ object Multimodal {
         if (handler == "soun") nAudio += 1
         // tkhd: fixed-width field block then 16.16 fixed-point
         // presentation width/height at content offset 76/80 (v0) or
-        // 88/92 (v1) (§8.3.2)
-        if (handler == "vide" && width == 0.0) tk.collectFirst {
-          case ("tkhd", hs, he) if he - hs >= 4 =>
+        // 88/92 (v1) (§8.3.2); a vide tkhd too short for those fields is
+        // a truncation and must null the row, never yield partial
+        // metadata (another track's dims posing as the first's)
+        if (handler == "vide" && !haveDims) tk.collectFirst {
+          case ("tkhd", hs, he) =>
+            if (he - hs < 4) throw new IllegalArgumentException("truncated tkhd")
             val off = if ((b(hs) & 0xFF) == 1) hs + 88 else hs + 76
-            if (he - off >= 8) {
-              width = be32(b, off) / 65536.0
-              height = be32(b, off + 4) / 65536.0
-            }
+            if (he - off < 8)
+              throw new IllegalArgumentException("tkhd too short for dimensions")
+            width = be32(b, off) / 65536.0
+            height = be32(b, off + 4) / 65536.0
+            haveDims = true
         }
       case _ => ()
     }
-    VideoMeta(brand, timescale.toInt, duration,
+    VideoMeta(brand, timescale, duration,
       duration.toDouble / timescale, width, height, nTracks, nVideo, nAudio)
   }
 

@@ -25,20 +25,27 @@ object LayoutPack extends QueryPack {
     }),
 
     // SnapshotLake time travel THROUGH the registered Spark source: commit
-    // the even-doc_id half as v1, append the rest as v2, then read
-    // versionAsOf=1 — the answer is v1's half alone, proving the commit
-    // log (not the file listing) defines what a version contains. Each
-    // invocation builds a fresh single-use lake root under java.io.tmpdir.
+    // the even-doc_id half, append the rest, then read the overwrite's
+    // version — the answer is that version's half alone, proving the
+    // commit log (not the file listing) defines what a version contains.
+    // The root is DETERMINISTIC per scale factor and re-used across
+    // invocations (bench reps, Verify, explain dumps), with a
+    // retainLast=2 vacuum bounding growth to this invocation's two
+    // commits — a fresh temp dir per call would leak a full table copy
+    // per rep.
     "l_snaplake_timetravel" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_snapq").toString
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapq_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
       val docs = graft.Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
       docs.filter(col("doc_id") % 2 === 0)
         .write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      val v = lake.latestVersion(s).get // this invocation's overwrite
       docs.filter(col("doc_id") % 2 =!= 0)
         .write.format("snaplake").mode("append").save(root)
-      s.read.format("snaplake").option("versionAsOf", "1").load(root)
+      lake.vacuum(s, retainLast = 2) // keeps exactly v and v+1
+      s.read.format("snaplake").option("versionAsOf", v.toString).load(root)
         .orderBy(col("doc_id"))
     })
   )

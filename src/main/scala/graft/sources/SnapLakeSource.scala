@@ -67,21 +67,29 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val lake = new SnapshotLake(root)
-    val exists = lake.latestVersion(spark).isDefined
     mode match {
       case SaveMode.Overwrite => lake.commit(data, overwrite = true)
       case SaveMode.Append => lake.commit(data, overwrite = false)
+      // ErrorIfExists/Ignore ride the ATOMIC table-create commit — an
+      // exists-check followed by commit would be check-then-act, and a
+      // racing save could clobber the winner's just-created table
       case SaveMode.ErrorIfExists =>
-        if (exists) throw new org.apache.spark.sql.AnalysisException(
-          "PATH_ALREADY_EXISTS", Map("outputPath" -> root), None)
-        else lake.commit(data, overwrite = true)
-      case SaveMode.Ignore =>
-        if (!exists) lake.commit(data, overwrite = true)
+        if (lake.commitInitial(data).isEmpty)
+          throw new org.apache.spark.sql.AnalysisException(
+            "PATH_ALREADY_EXISTS", Map("outputPath" -> root), None)
+      case SaveMode.Ignore => lake.commitInitial(data)
     }
-    createRelation(sqlContext, parameters)
+    // DataFrameWriter.save discards the relation; resolving the freshly
+    // committed version here would re-list and schema-merge the whole
+    // table per write (O(table) metadata I/O for nothing), so return a
+    // schema-only stub instead
+    val sqlc = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = sqlc
+      override def schema: org.apache.spark.sql.types.StructType = data.schema
+    }
   }
 
   /** Streaming: the commit log tailed as a changelog — see

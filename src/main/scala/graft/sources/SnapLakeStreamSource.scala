@@ -56,9 +56,7 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(ver).getOrElse(baseVersion)
-    val known: Set[String] =
-      if (startV <= 0) Set.empty else lake.dirsAt(spark, startV).toSet
-    val dirs = lake.dirsAt(spark, ver(end)).filterNot(known)
+    val dirs = deltaDirs(startV, ver(end), checkpointed = start.isDefined)
     if (dirs.isEmpty) {
       // a no-op commit (e.g. a lost-race rebase) adds no directories
       GraftBridge.ofRows(spark,
@@ -73,6 +71,47 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
         userSpecifiedSchema = Some(schema)).resolveRelation(checkFilesExist = false)
       GraftBridge.ofRows(spark, LogicalRelation(rel, isStreaming = true))
     }
+  }
+
+  /** New directories of versions (startV, endV], walked VERSION BY
+    * VERSION — diffing only the endpoint manifests would silently drop a
+    * generation that was appended and then overwritten away inside one
+    * batch window (committed rows whose delivery would depend on trigger
+    * cadence). The cumulative seen-set also keeps a generation dropped by
+    * an overwrite and re-referenced later from re-emitting: its rows went
+    * out once, and emitted rows are never retracted.
+    *
+    * Vacuumed manifests: a missing START manifest on a CHECKPOINT restart
+    * is fatal (resuming without the base would re-emit the whole snapshot
+    * as duplicates — fail like any table-format stream whose checkpoint
+    * predates retention); a missing base for a fresh `startingVersion`
+    * stream degrades to snapshot-at-that-version (the oldest retained
+    * version is a legitimate starting point). Missing manifests INSIDE
+    * the range are skipped — vacuum drops contiguous prefixes, and any
+    * still-live generation they introduced surfaces through the next
+    * retained manifest's diff against the seen-set. */
+  private def deltaDirs(startV: Long, endV: Long,
+      checkpointed: Boolean): List[String] = {
+    val committed = lake.versions(spark).toSet // one listing per batch
+    def manifestAt(v: Long): Option[Seq[String]] =
+      if (committed.contains(v)) Some(lake.dirsAt(spark, v)) else None
+    val seen = scala.collection.mutable.Set.empty[String]
+    if (startV > 0) manifestAt(startV) match {
+      case Some(ds) => seen ++= ds
+      case None if checkpointed => throw new IllegalStateException(
+        s"checkpointed version $startV of $root has been vacuumed; " +
+          "cannot resume without re-emitting — start a fresh stream")
+      case None => () // startingVersion at the retention edge
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var v = startV + 1
+    while (v <= endV) {
+      manifestAt(v).foreach(_.foreach { d =>
+        if (!seen.contains(d)) { seen += d; out += d }
+      })
+      v += 1
+    }
+    out.toList
   }
 
   override def commit(end: Offset): Unit = ()

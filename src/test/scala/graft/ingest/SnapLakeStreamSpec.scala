@@ -89,6 +89,26 @@ class SnapLakeStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a generation appended then overwritten away inside one batch window still emits") {
+    val root = freshRoot()
+    // v1 append {a}, v2 append {b}, v3 overwrite {c} — ALL before the
+    // stream's first batch, so the batch window spans (0, 3]. An
+    // endpoint-manifest diff would emit only v3's content and silently
+    // drop b (committed rows whose delivery would depend on trigger
+    // cadence); the per-version walk must emit every version's delta.
+    commit(root, SaveMode.Overwrite, (1L, "a"))
+    commit(root, SaveMode.Append, (2L, "b"))
+    commit(root, SaveMode.Overwrite, (9L, "c"))
+    val q = spark.readStream.format("snaplake").load(root)
+      .writeStream.format("memory").queryName("snapstream_e").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snapstream_e").as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (9L, "c")),
+        "intra-window append was dropped by the batch delta")
+    } finally q.stop()
+  }
+
   test("overwrite commits emit the rewritten content (ignore-changes)") {
     val root = freshRoot()
     commit(root, SaveMode.Overwrite, (1L, "a"), (2L, "b"))

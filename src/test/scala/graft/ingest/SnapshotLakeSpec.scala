@@ -112,6 +112,31 @@ class SnapshotLakeSpec extends SparkSpecBase {
     assert(residue.isEmpty, s"retry left tmp residue: ${residue.mkString(",")}")
   }
 
+  test("commitInitial: atomic create — loser cleans up, winner's table intact") {
+    val (lake0, root) = freshLake()
+    // fresh root: commitInitial creates version 1
+    assert(lake0.commitInitial(Seq((1L, "a")).toDF("id", "v")) == Some(1L))
+    // existing table: reports pre-existing without touching it
+    assert(lake0.commitInitial(Seq((9L, "z")).toDF("id", "v")).isEmpty)
+    // RACE: a lake whose pre-check read is stale (still believes the
+    // root is empty) must lose the atomic v1 claim, sweep its own
+    // generation, and leave the winner untouched — an exists-check
+    // followed by plain commit would instead rebase and clobber
+    val stale = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val racer = new SnapshotLake(root) {
+      override def latestVersion(s: org.apache.spark.sql.SparkSession) =
+        if (stale.getAndSet(false)) None else super.latestVersion(s)
+    }
+    assert(racer.commitInitial(Seq((8L, "y")).toDF("id", "v")).isEmpty)
+    assert(lake0.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a")), "racing create clobbered the winner")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("gen-"))
+    assert(gens.length == 1, s"loser left generation residue: ${gens.mkString(",")}")
+  }
+
   test("vacuum drops only generations owned by expired commits") {
     val (lake, root) = freshLake()
     lake.commit(Seq((1L, "a")).toDF("id", "v"))

@@ -552,13 +552,18 @@ class MlSpec extends SparkSpecBase {
       (2L, "video", goodV1),
       (3L, "video", "not a movie at all".getBytes("UTF-8")),
       (4L, "video", good.dropRight(10)),         // truncated box tree
-      (5L, "video", ftyp ++ box("moov", box("trak", tkhdV0(1, 1)))) // no mvhd
+      (5L, "video", ftyp ++ box("moov", box("trak", tkhdV0(1, 1)))), // no mvhd
+      // a vide track whose tkhd is too short to hold width/height must
+      // null the whole row — partial metadata (another track's dims
+      // posing as the first video track's) is worse than none
+      (6L, "video", ftyp ++ box("moov", mvhdV0(1000, 1000),
+        box("trak", box("tkhd", u32(0), u32(0)), box("mdia", hdlr("vide")))))
     ).toDF("asset_id", "modality", "bytes")
     val got = Multimodal.decodeVideoMeta(df).collect()
       .map(r => r.getAs[Long]("asset_id") -> r).toMap
     val r1 = got(1L)
     assert(r1.getAs[String]("major_brand") == "isom")
-    assert(r1.getAs[Int]("timescale") == 1000)
+    assert(r1.getAs[Long]("timescale") == 1000L)
     assert(r1.getAs[Long]("duration_units") == 7500L)
     assert(r1.getAs[Double]("duration_sec") == 7.5)
     assert(r1.getAs[Double]("width") == 640.0 &&
@@ -568,15 +573,15 @@ class MlSpec extends SparkSpecBase {
       r1.getAs[Int]("n_audio_tracks") == 1)
     val r2 = got(2L)
     assert(r2.getAs[String]("major_brand") == "qt  ")
-    assert(r2.getAs[Int]("timescale") == 90000)
+    assert(r2.getAs[Long]("timescale") == 90000L)
     assert(r2.getAs[Double]("duration_sec") == 5.0)
     assert(r2.getAs[Double]("width") == 1920.0 &&
       r2.getAs[Double]("height") == 1080.0)
     assert(r2.getAs[Int]("n_tracks") == 1 &&
       r2.getAs[Int]("n_audio_tracks") == 0)
     // corrupt shapes → null rows that keep flowing: not-a-movie (3),
-    // truncated box tree (4), moov without mvhd (5)
-    Seq(3L, 4L, 5L).foreach { id =>
+    // truncated box tree (4), moov without mvhd (5), short vide tkhd (6)
+    Seq(3L, 4L, 5L, 6L).foreach { id =>
       assert(got(id).isNullAt(got(id).fieldIndex("timescale")),
         s"asset $id should have null metadata") }
   }
