@@ -197,6 +197,27 @@ class SnapshotLake(root: String) {
     }
   }
 
+  /** Row-level changes between two committed versions: what v2 inserted
+    * (rows in v2 not in v1) and deleted (the reverse), with EXCEPT ALL
+    * multiplicity — an update surfaces as its delete+insert pair, and a
+    * row duplicated twice in v2 but once in v1 diffs as one insert.
+    *
+    * This is the AUDIT form of change data (compare any two retained
+    * versions, at the cost of shuffling both snapshots on all columns);
+    * the INCREMENTAL form — following appends as they commit, reading
+    * only each commit's delta — is the streaming source
+    * ([[graft.sources.SnapLakeStreamSource]]). At 100 TB you tail the
+    * stream for the changefeed and reach for diff to reconcile or
+    * repair, same division of labor as a table format's CDF vs a
+    * snapshot compare. */
+  def diff(spark: SparkSession, v1: Long, v2: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val a = readAt(spark, v1)
+    val b = readAt(spark, v2)
+    b.exceptAll(a).withColumn("op", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
+  }
+
   /** Drop generation directories not referenced by the newest
     * `retainLast` commits, then drop the older commit files — bounded
     * time travel, like a table format's VACUUM/expire-snapshots.

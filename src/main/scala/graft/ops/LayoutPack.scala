@@ -47,6 +47,27 @@ object LayoutPack extends QueryPack {
       lake.vacuum(s, retainLast = 2) // keeps exactly v and v+1
       s.read.format("snaplake").option("versionAsOf", v.toString).load(root)
         .orderBy(col("doc_id"))
+    }),
+
+    // Version-diff changefeed: overwrite-commit a mutated copy (every
+    // fifth doc's text_len bumped — a simulated update), then diff the
+    // two versions — updates surface as delete+insert pairs, untouched
+    // rows cancel under EXCEPT ALL. Deterministic reused root + vacuum,
+    // same lifecycle discipline as l_snaplake_timetravel.
+    "l_snaplake_diff" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapd_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val base = graft.Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+      base.write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      val v = lake.latestVersion(s).get
+      base.withColumn("text_len",
+          col("text_len") + when(col("doc_id") % 5 === 0, 1).otherwise(0))
+        .write.format("snaplake").mode("overwrite").save(root)
+      lake.vacuum(s, retainLast = 2)
+      lake.diff(s, v, v + 1)
+        .orderBy(col("op"), col("doc_id"), col("text_len"))
     })
   )
 
@@ -62,6 +83,22 @@ object LayoutPack extends QueryPack {
     // Version 1 of the lake is exactly the even-doc_id half of documents.
     "l_snaplake_timetravel" ->
       """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
-        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+
+    // The diff of base vs mutated-copy versions: every fifth doc's
+    // delete+insert pair, EXCEPT ALL multiplicity.
+    "l_snaplake_diff" ->
+      """WITH v1 AS (SELECT doc_id, CAST(length(text) AS INT) AS text_len
+        |             FROM documents),
+        |v2 AS (SELECT doc_id, CAST(length(text) AS INT) +
+        |         CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS text_len
+        |       FROM documents),
+        |ins AS (SELECT doc_id, text_len FROM v2
+        |        EXCEPT ALL SELECT doc_id, text_len FROM v1),
+        |del AS (SELECT doc_id, text_len FROM v1
+        |        EXCEPT ALL SELECT doc_id, text_len FROM v2)
+        |SELECT doc_id, text_len, 'insert' AS op FROM ins
+        |UNION ALL SELECT doc_id, text_len, 'delete' AS op FROM del
+        |ORDER BY op, doc_id, text_len""".stripMargin
   )
 }

@@ -112,6 +112,21 @@ class SnapshotLakeSpec extends SparkSpecBase {
     assert(residue.isEmpty, s"retry left tmp residue: ${residue.mkString(",")}")
   }
 
+  test("diff: inserts, deletes, updates as pairs, EXCEPT ALL multiplicity") {
+    val (lake, _) = freshLake()
+    lake.commit(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "dup"), (4L, "dup"))
+      .toDF("id", "v"))
+    // v2: 1 unchanged, 2 updated, 3 deleted, 5 inserted, one dup copy dropped
+    lake.commit(Seq((1L, "a"), (2L, "B"), (5L, "e"), (4L, "dup"))
+      .toDF("id", "v"), overwrite = true)
+    val got = lake.diff(spark, 1L, 2L)
+      .as[(Long, String, String)].collect()
+      .groupBy(_._3).view.mapValues(_.map(r => (r._1, r._2)).toSeq.sorted).toMap
+    assert(got("insert") == Seq((2L, "B"), (5L, "e")))
+    // the update's old row, the delete, and ONE of the two dup copies
+    assert(got("delete") == Seq((2L, "b"), (3L, "c"), (4L, "dup")))
+  }
+
   test("commitInitial: atomic create — loser cleans up, winner's table intact") {
     val (lake0, root) = freshLake()
     // fresh root: commitInitial creates version 1
