@@ -8,15 +8,28 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects outright. Read the raw int64 nanos
-    * (`nanosAsLong`) and integer-divide to microseconds — `div`, not `/`:
-    * double division at 1.7e18 loses sub-microsecond precision. This
-    * truncation matches what DuckDB/pyarrow do when narrowing ns → us.
+  /** `events.parquet` has shipped in two physical encodings across data
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized parquet
+    * reader rejects outright, so it must be read as raw int64 nanos
+    * (`nanosAsLong`) and integer-divided to microseconds (`div`, not `/`:
+    * double division at 1.7e18 loses sub-microsecond precision; the
+    * truncation matches DuckDB/pyarrow narrowing ns → us) — and native
+    * timestamp[us], which Spark 4 surfaces as TIMESTAMP_NTZ. Dispatch on
+    * the type actually read so both generations land on the same
+    * session-TZ TimestampType column (sessions here pin UTC, so the
+    * NTZ cast is wall-clock preserving and value-identical to the old
+    * nanos path).
     */
   def eventsTs(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = apply(s, d, "region")
