@@ -1,0 +1,237 @@
+package graft.ingest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+/** Per-file column statistics for one immutable [[SnapshotLake]]
+  * generation, harvested from the parquet FOOTERS the write just produced
+  * (min/max/null-count already live there per row group — collection is
+  * pure metadata I/O, no data re-scan) and published as `_stats.json`
+  * inside the generation directory BEFORE the commit file references it,
+  * so stats share the generation's immutability contract.
+  *
+  * This is the manifest half of table-format data skipping
+  * (Delta `stats`, Iceberg manifest `lower_bounds`/`upper_bounds`): a
+  * reader resolves commit → files, then drops every file whose value
+  * envelope cannot satisfy the query's pushed data filters
+  * ([[graft.sources.StatsFileIndex]]) without opening it. At 100 TB this
+  * is the difference between a filtered read touching the 3 files a
+  * predicate's range intersects and touching all 30k — parquet row-group
+  * pruning only helps AFTER a task has been scheduled per file; manifest
+  * skipping keeps the tasks from existing.
+  *
+  * Only top-level columns of footer-stat-friendly physical types are
+  * recorded (int32/int64/float/double/boolean/UTF8 binary, plus DATE and
+  * TIMESTAMP which parquet encodes as int32 days / int64 micros — stored
+  * here as those raw primitives, which is also how Catalyst literals
+  * carry them, so the pruning comparison needs no calendar logic).
+  * Anything else — nested, decimal, raw binary — is simply absent, and
+  * absent means "unknown, never prune", so stats are always a safe
+  * subset. A generation written by an older writer has no `_stats.json`
+  * at all and its files are likewise never pruned.
+  */
+object GenStats {
+
+  /** One column's envelope within one file. `min`/`max` are None when the
+    * file has no non-null value for the column (then `nulls == rows`) or
+    * when the footer carried no usable stats. Values are Long, Double,
+    * String, or Boolean depending on `tag` ("l"/"d"/"s"/"b"). */
+  final case class ColStats(tag: String, min: Option[Any], max: Option[Any],
+      nulls: Option[Long])
+
+  /** One data file: row count plus per-column envelopes. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  val StatsFileName = "_stats.json"
+
+  /** Harvest stats for every `*.parquet` under `genPath` and write
+    * `_stats.json` there. Footer reads are driver-side metadata I/O
+    * (a few KB per file); a commit's generation has O(shuffle
+    * partitions) files, so this is bounded by the writing job's own
+    * parallelism, not the data volume. Never throws on stats problems:
+    * a file whose footer defeats harvesting is recorded with no columns
+    * (readable, never pruned). */
+  def write(conf: Configuration, genPath: String): Unit = {
+    val dir = new Path(genPath)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val perFile = files.map { st =>
+      st.getPath.getName -> harvestFile(conf, st.getPath)
+    }
+    val json = render(perFile)
+    val tmp = new Path(dir, s".$StatsFileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // plain rename: the generation is unpublished (no commit references
+    // it yet), so there is no reader to race and no concurrent writer —
+    // the directory is writer-unique by construction
+    fs.rename(tmp, new Path(dir, StatsFileName))
+  }
+
+  /** Stats for one generation, keyed by bare file name; None when the
+    * generation predates stats collection. */
+  def load(conf: Configuration, genPath: String): Option[Map[String, FileStats]] = {
+    val p = new Path(genPath, StatsFileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    Some(parse(txt))
+  }
+
+  // ---------------------------------------------------------------- footer
+
+  private def harvestFile(conf: Configuration, file: Path): FileStats =
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // per-column chunks across all row groups; only top-level leaves
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.size() == 1)
+          .groupBy(_.getPath.toDotString)
+        val cols = chunks.flatMap { case (name, ccs) =>
+          mergeChunks(ccs).map(name -> _)
+        }
+        FileStats(rows, cols)
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => FileStats(-1L, Map.empty)
+    }
+
+  /** Merge one column's row-group chunks into a file envelope, or None
+    * when the type is unsupported or any chunk lacks stats (a partial
+    * envelope could prune rows the statless chunk contains). */
+  private def mergeChunks(
+      ccs: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+      : Option[ColStats] = {
+    val prim = ccs.head.getPrimitiveType
+    val tag = typeTag(prim).getOrElse(return None)
+    val stats = ccs.map(_.getStatistics)
+    if (stats.exists(s => s == null || !s.isNumNullsSet)) return None
+    val nulls = stats.map(_.getNumNulls).sum
+    val valued = stats.filter(_.hasNonNullValue)
+    if (valued.isEmpty) return Some(ColStats(tag, None, None, Some(nulls)))
+    val mins = valued.map(s => statValue(tag, s.genericGetMin.asInstanceOf[AnyRef]))
+    val maxs = valued.map(s => statValue(tag, s.genericGetMax.asInstanceOf[AnyRef]))
+    if (mins.contains(None) || maxs.contains(None)) return None
+    val ord = ordering(tag)
+    Some(ColStats(tag, Some(mins.flatten.min(ord)), Some(maxs.flatten.max(ord)),
+      Some(nulls)))
+  }
+
+  /** Storage tag for a parquet primitive, or None when pruning over it is
+    * unsupported. DATE (int32 days) and TIMESTAMP (int64 micros) keep
+    * their raw primitive — matching Catalyst's internal literal form. */
+  private def typeTag(prim: org.apache.parquet.schema.PrimitiveType)
+      : Option[String] = {
+    val logical = prim.getLogicalTypeAnnotation
+    prim.getPrimitiveTypeName match {
+      case _ if logical != null &&
+          logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+        None
+      case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => Some("l")
+      case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("d")
+      case PrimitiveTypeName.BOOLEAN => Some("b")
+      case PrimitiveTypeName.BINARY
+          if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some("s")
+      case _ => None
+    }
+  }
+
+  private def statValue(tag: String, v: AnyRef): Option[Any] = (tag, v) match {
+    case ("l", i: java.lang.Integer) => Some(i.longValue())
+    case ("l", l: java.lang.Long) => Some(l.longValue())
+    case ("d", f: java.lang.Float) => Some(f.doubleValue())
+    case ("d", d: java.lang.Double) => Some(d.doubleValue())
+    case ("b", b: java.lang.Boolean) => Some(b.booleanValue())
+    case ("s", b: org.apache.parquet.io.api.Binary) => Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  /** Ordering used both to merge chunk envelopes and by the pruning
+    * evaluator. Strings compare by UTF-8 bytes (UTF8String), matching
+    * parquet's unsigned-lexicographic UTF8 stat ordering — Java
+    * String.compareTo would disagree above the BMP. */
+  def ordering(tag: String): Ordering[Any] = tag match {
+    case "l" => Ordering.by[Any, Long](_.asInstanceOf[Long])
+    case "d" => Ordering.by[Any, Double](_.asInstanceOf[Double])
+    case "b" => Ordering.by[Any, Boolean](_.asInstanceOf[Boolean])
+    case "s" => (a: Any, b: Any) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.asInstanceOf[String]))
+  }
+
+  // ------------------------------------------------------------------ json
+
+  private def mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  private def render(perFile: Seq[(String, FileStats)]): String = {
+    val root = mapper.createObjectNode()
+    val filesNode = root.putObject("files")
+    perFile.foreach { case (name, fsStats) =>
+      val f = filesNode.putObject(name)
+      f.put("rows", fsStats.rows)
+      val colsNode = f.putObject("cols")
+      fsStats.cols.toSeq.sortBy(_._1).foreach { case (col, cs) =>
+        val c = colsNode.putObject(col)
+        c.put("t", cs.tag)
+        cs.nulls.foreach(n => c.put("nulls", n))
+        def putVal(field: String, v: Any): Unit = v match {
+          case l: Long => c.put(field, l)
+          case d: Double => c.put(field, d)
+          case b: Boolean => c.put(field, b)
+          case s: String => c.put(field, s)
+          case _ =>
+        }
+        cs.min.foreach(putVal("min", _))
+        cs.max.foreach(putVal("max", _))
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  private def parse(txt: String): Map[String, FileStats] = {
+    val root = mapper.readTree(txt)
+    val files = root.path("files")
+    files.properties().asScala.map { e =>
+      val name = e.getKey
+      val node = e.getValue
+      val cols = node.path("cols").properties().asScala.map { ce =>
+        val cn = ce.getValue
+        val tag = cn.path("t").asText()
+        def readVal(field: String): Option[Any] = {
+          val v = cn.get(field)
+          if (v == null || v.isNull) None
+          else tag match {
+            case "l" => Some(v.asLong())
+            case "d" => Some(v.asDouble())
+            case "b" => Some(v.asBoolean())
+            case "s" => Some(v.asText())
+            case _ => None
+          }
+        }
+        val nulls = Option(cn.get("nulls")).filterNot(_.isNull).map(_.asLong())
+        ce.getKey -> ColStats(tag, readVal("min"), readVal("max"), nulls)
+      }.toMap
+      name -> FileStats(node.path("rows").asLong(-1L), cols)
+    }.toMap
+  }
+}

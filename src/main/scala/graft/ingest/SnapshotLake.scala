@@ -105,6 +105,9 @@ class SnapshotLake(root: String) {
     // cannot see it until the commit file below publishes it
     val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.parquet(s"$root/$gen")
+    // footer-harvested file stats land inside the still-unpublished
+    // generation, so they are immutable alongside the data they describe
+    GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
     var published = -1L
     while (published < 0) {
@@ -148,6 +151,7 @@ class SnapshotLake(root: String) {
     if (latestVersion(spark).isDefined) return None // cheap pre-check only
     val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.parquet(s"$root/$gen")
+    GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
     val json = s"""{"version":1,"dirs":["$gen"]}"""
     val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-1")

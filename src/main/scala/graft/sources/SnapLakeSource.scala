@@ -58,11 +58,28 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
     // mergeSchema because append commits may evolve the schema (SpecLake
     // contract); the merged schema is the union across the version's
     // generations only — later commits cannot widen an old snapshot.
-    org.apache.spark.sql.execution.datasources.DataSource(
+    val resolved = org.apache.spark.sql.execution.datasources.DataSource(
       spark,
       className = "parquet",
       paths = dirs,
       options = Map("mergeSchema" -> "true")).resolveRelation()
+    resolved match {
+      case fsRel: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        // manifest-stats file skipping: swap the relation's FileIndex for
+        // a wrapper that prunes files against each generation's
+        // _stats.json under the scan's pushed data filters. Generations
+        // without stats contribute nothing to the map and their files
+        // are never pruned.
+        val stats = lake.dirsAt(spark, version).flatMap { gen =>
+          graft.ingest.GenStats
+            .load(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
+            .getOrElse(Map.empty)
+            .map { case (file, st) => s"$gen/$file" -> st }
+        }.toMap
+        if (stats.isEmpty) fsRel
+        else fsRel.copy(location = new StatsFileIndex(fsRel.location, stats))(spark)
+      case other => other
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

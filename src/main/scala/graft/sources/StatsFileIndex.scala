@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ingest.GenStats.{ColStats, FileStats}
+
+/** Manifest-stats file skipping for the snaplake read path: wraps the
+  * resolved parquet relation's own [[FileIndex]] (which did the listing
+  * and schema work) and, inside `listFiles`, drops every file whose
+  * [[graft.ingest.GenStats]] envelope proves the pushed data filters
+  * cannot match any of its rows.
+  *
+  * This is the point where a table format earns its keep at 100 TB:
+  * `FileSourceStrategy` hands the scan's data filters to the index
+  * BEFORE tasks are planned, so a predicate that intersects 3 of 30k
+  * files schedules 3 tasks — parquet row-group stats only prune after
+  * every file already cost a task and a footer read. Pruning here is
+  * strictly conservative: a file with no stats (older writer, exotic
+  * type, statless footer) is always kept, so the index can never change
+  * a query's answer, only its cost — asserted by the parity tests in
+  * SnapLakeSkipSpec.
+  *
+  * Stats are keyed by `gen-dir/file-name`, unique within a table because
+  * generation names are UUID-derived.
+  */
+class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats])
+    extends FileIndex {
+
+  override def rootPaths: Seq[Path] = inner.rootPaths
+  override def inputFiles: Array[String] = inner.inputFiles
+  override def refresh(): Unit = inner.refresh()
+  override def sizeInBytes: Long = inner.sizeInBytes
+  override def partitionSchema: StructType = inner.partitionSchema
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = inner.listFiles(partitionFilters, dataFilters)
+    if (dataFilters.isEmpty || statsByFile.isEmpty) base
+    else base.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        statsByFile.get(StatsFileIndex.keyOf(f.getPath)) match {
+          case Some(st) => dataFilters.forall(StatsPruning.mayMatch(_, st))
+          case None => true // statless file: never prune
+        }
+      })
+    }
+  }
+}
+
+object StatsFileIndex {
+  /** `gen-xxxx/part-....parquet` — the stats map key for a data file. */
+  def keyOf(p: Path): String = s"${p.getParent.getName}/${p.getName}"
+}
+
+/** Decides, from one file's column envelopes, whether a pushed filter
+  * could match any row of the file. Returning `true` ("may match") is
+  * always safe; `false` must be a proof. Unknown expression shapes,
+  * unknown columns, and type-tag mismatches all answer `true`.
+  *
+  * Values compare in Catalyst's internal literal space, which is also
+  * the space [[graft.ingest.GenStats]] stores: integral family as Long
+  * (DATE days included), float family as Double, strings as UTF-8-byte
+  * ordered text (TIMESTAMP micros are Long too). No calendar or charset
+  * conversion happens at prune time.
+  */
+object StatsPruning {
+
+  def mayMatch(e: Expression, fs: FileStats): Boolean = e match {
+    case And(l, r) => mayMatch(l, fs) && mayMatch(r, fs)
+    case Or(l, r) => mayMatch(l, fs) || mayMatch(r, fs)
+
+    case EqualTo(a: AttributeReference, Literal(v, _)) => cmp(fs, a.name, v, "eq")
+    case EqualTo(Literal(v, _), a: AttributeReference) => cmp(fs, a.name, v, "eq")
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+      if (v == null) mayHaveNull(fs, a.name) else cmp(fs, a.name, v, "eq")
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+      if (v == null) mayHaveNull(fs, a.name) else cmp(fs, a.name, v, "eq")
+
+    case LessThan(a: AttributeReference, Literal(v, _)) => cmp(fs, a.name, v, "lt")
+    case LessThan(Literal(v, _), a: AttributeReference) => cmp(fs, a.name, v, "gt")
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(fs, a.name, v, "le")
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(fs, a.name, v, "ge")
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmp(fs, a.name, v, "gt")
+    case GreaterThan(Literal(v, _), a: AttributeReference) => cmp(fs, a.name, v, "lt")
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(fs, a.name, v, "ge")
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(fs, a.name, v, "le")
+
+    case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, _) => cmp(fs, a.name, v, "eq") }
+    case InSet(a: AttributeReference, hset) =>
+      hset.exists(v => cmp(fs, a.name, v, "eq"))
+
+    case StartsWith(a: AttributeReference, Literal(v, _)) if v != null =>
+      startsWithMayMatch(fs, a.name, v.toString)
+
+    case IsNull(a: AttributeReference) => mayHaveNull(fs, a.name)
+    case IsNotNull(a: AttributeReference) => mayHaveNonNull(fs, a.name)
+    case Not(IsNull(a: AttributeReference)) => mayHaveNonNull(fs, a.name)
+    case Not(IsNotNull(a: AttributeReference)) => mayHaveNull(fs, a.name)
+
+    case _ => true
+  }
+
+  /** Could `col <op> v` hold for some row of the file? */
+  private def cmp(fs: FileStats, col: String, v: Any, op: String): Boolean = {
+    val cs = fs.cols.getOrElse(col, return true)
+    val lit = norm(v).getOrElse(return true)
+    if (!tagMatches(cs.tag, lit)) return true
+    (cs.min, cs.max) match {
+      case (Some(mn), Some(mx)) =>
+        val ord = graft.ingest.GenStats.ordering(cs.tag)
+        op match {
+          case "eq" => ord.lteq(mn, lit) && ord.gteq(mx, lit)
+          case "lt" => ord.lt(mn, lit)
+          case "le" => ord.lteq(mn, lit)
+          case "gt" => ord.gt(mx, lit)
+          case "ge" => ord.gteq(mx, lit)
+          case _ => true
+        }
+      // envelope present but empty: every value in the file is NULL, and
+      // NULL satisfies no comparison
+      case _ => cs.nulls.isEmpty
+    }
+  }
+
+  /** Prefix predicate via envelope truncation: a value starting with
+    * `prefix` exists in [min, max] iff min.take(n) <= prefix <=
+    * max.take(n) lexicographically. Char-truncation only coincides with
+    * the byte ordering when everything involved is ASCII; otherwise
+    * answer "may match". */
+  private def startsWithMayMatch(fs: FileStats, col: String, prefix: String): Boolean = {
+    val cs = fs.cols.getOrElse(col, return true)
+    if (cs.tag != "s") return true
+    (cs.min, cs.max) match {
+      case (Some(mn: String), Some(mx: String)) =>
+        val ascii = (s: String) => s.forall(_ < 128)
+        if (!ascii(prefix) || !ascii(mn) || !ascii(mx)) return true
+        val n = prefix.length
+        mn.take(n) <= prefix && prefix <= mx.take(n)
+      case _ => cs.nulls.isEmpty
+    }
+  }
+
+  private def mayHaveNull(fs: FileStats, col: String): Boolean =
+    fs.cols.get(col).flatMap(_.nulls) match {
+      case Some(n) => n > 0
+      case None => true
+    }
+
+  private def mayHaveNonNull(fs: FileStats, col: String): Boolean =
+    fs.cols.get(col) match {
+      case Some(cs) =>
+        (cs.nulls, fs.rows) match {
+          case (Some(n), r) if r >= 0 => n < r
+          case _ => true
+        }
+      case None => true
+    }
+
+  /** Catalyst internal literal → the stats value space. */
+  private def norm(v: Any): Option[Any] = v match {
+    case null => None
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case b: Boolean => Some(b)
+    case u: UTF8String => Some(u.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  private def tagMatches(tag: String, lit: Any): Boolean = (tag, lit) match {
+    case ("l", _: Long) => true
+    case ("d", _: Double) => true
+    case ("s", _: String) => true
+    case ("b", _: Boolean) => true
+    case _ => false
+  }
+}

@@ -1,0 +1,182 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.SparkSpecBase
+import graft.ingest.GenStats.{ColStats, FileStats}
+import graft.sources.StatsPruning
+
+/** Manifest-stats data skipping on the snaplake source: footer-harvested
+  * per-file envelopes ([[GenStats]]), conservative pruning
+  * ([[graft.sources.StatsPruning]]), and the end-to-end contract that
+  * skipping changes a scan's file count but never its answer.
+  */
+class SnapLakeSkipSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snapskip").toString
+
+  /** Execute and return (rows, files-read) from the scan's own metric —
+    * collect() so the inspected plan instance is the one that ran
+    * (count() would plan and execute a separate tree). */
+  private def runCounting(df: DataFrame): (Long, Long) = {
+    val n = df.collect().length.toLong
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    (n, scan.metrics("numFiles").value)
+  }
+
+  test("commit harvests per-file envelopes from the parquet footers") {
+    val root = freshRoot()
+    val df = Seq(
+      (1L, 1.5, "apple", true),
+      (4L, -2.0, "pear", false),
+      (9L, 0.25, "fig", true)
+    ).toDF("id", "score", "name", "flag").coalesce(1)
+    new SnapshotLake(root).commit(df, overwrite = true)
+    val lake = new SnapshotLake(root)
+    val gen = lake.dirsAt(spark, 1L).head
+    val stats = GenStats.load(
+      spark.sparkContext.hadoopConfiguration, s"$root/$gen").get
+    assert(stats.size == 1)
+    val fs = stats.values.head
+    assert(fs.rows == 3)
+    assert(fs.cols("id") == ColStats("l", Some(1L), Some(9L), Some(0L)))
+    assert(fs.cols("score") == ColStats("d", Some(-2.0), Some(1.5), Some(0L)))
+    assert(fs.cols("name") == ColStats("s", Some("apple"), Some("pear"), Some(0L)))
+    assert(fs.cols("flag") == ColStats("b", Some(false), Some(true), Some(0L)))
+  }
+
+  test("range predicate schedules only the files its envelope intersects") {
+    val root = freshRoot()
+    // 8 files with disjoint id ranges — the layout a range-partitioned
+    // 100 TB table would have
+    spark.range(0, 8000).select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(8, col("id"))
+      .write.format("snaplake").mode(SaveMode.Overwrite).save(root)
+    val all = runCounting(spark.read.format("snaplake").load(root))
+    assert(all == ((8000L, 8L)), s"expected 8 files, got $all")
+    // a range inside one file's envelope → exactly 1 file read
+    val narrow = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id") >= 100 && col("id") < 200))
+    assert(narrow._1 == 100L)
+    assert(narrow._2 == 1L, s"narrow range read ${narrow._2} files, want 1")
+    // an equality miss outside every envelope → zero files, zero tasks
+    val miss = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id") === 1000000L))
+    assert(miss == ((0L, 0L)), s"miss should scan nothing, got $miss")
+    // IN list spanning two envelopes → 2 files
+    val in2 = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id").isin(10L, 7990L)))
+    assert(in2._1 == 2L && in2._2 == 2L, s"IN should scan 2 files, got $in2")
+  }
+
+  test("skipping never changes an answer: parity across filter shapes") {
+    val root = freshRoot()
+    val base = spark.range(0, 2000).select(
+      col("id"),
+      when(col("id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("doc-"), lpad(col("id").cast("string"), 5, "0")))
+        .as("name"),
+      (col("id").cast("double") / 7.0).as("score"))
+    base.repartitionByRange(5, col("id"))
+      .write.format("snaplake").mode(SaveMode.Overwrite).save(root)
+    val lakeDf = spark.read.format("snaplake").load(root)
+    val filters = Seq(
+      col("id") < 50,
+      col("id") >= 1990,
+      col("id") === 777 || col("id") === 1,
+      col("name").isNull,
+      col("name").isNotNull && col("score") > 250.0,
+      col("name").startsWith("doc-000"),
+      col("name") > "doc-01900")
+    filters.foreach { f =>
+      val got = lakeDf.filter(f).orderBy(col("id")).collect().toSeq
+      val want = base.filter(f).orderBy(col("id")).collect().toSeq
+      assert(got == want, s"parity broke under filter $f")
+    }
+  }
+
+  test("null envelopes: IsNotNull skips an all-null file, IsNull a full one") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // gen 1: v entirely null; gen 2: v fully populated
+    lake.commit(Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "v").coalesce(1), overwrite = true)
+    lake.commit(Seq((3L, Some("x")), (4L, Some("y")))
+      .toDF("id", "v").coalesce(1))
+    val notNull = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("v").isNotNull))
+    assert(notNull == ((2L, 1L)), s"IsNotNull should skip the null file: $notNull")
+    val isNull = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("v").isNull))
+    assert(isNull == ((2L, 1L)), s"IsNull should skip the populated file: $isNull")
+    // a value predicate can also skip the all-null file
+    val eq = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("v") === "x"))
+    assert(eq == ((1L, 1L)), s"equality should skip the all-null file: $eq")
+  }
+
+  test("a generation without _stats.json is read whole, never pruned") {
+    val root = freshRoot()
+    spark.range(0, 100).toDF("id").repartitionByRange(2, col("id"))
+      .write.format("snaplake").mode(SaveMode.Overwrite).save(root)
+    spark.range(100, 200).toDF("id").repartitionByRange(2, col("id"))
+      .write.format("snaplake").mode(SaveMode.Append).save(root)
+    val lake = new SnapshotLake(root)
+    // simulate an older writer: drop gen 1's stats file
+    val gen1 = lake.dirsAt(spark, 1L).head
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/$gen1/${GenStats.StatsFileName}"), false))
+    // filter matches nothing anywhere: gen 2's 2 files prune on stats,
+    // gen 1's 2 files must survive (no stats — no proof)
+    val r = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id") === 5000L))
+    assert(r == ((0L, 2L)), s"statless gen must be kept: $r")
+    // and answers stay right
+    assert(spark.read.format("snaplake").load(root)
+      .filter(col("id") < 150).count() == 150)
+  }
+
+  test("pruning evaluator: proofs prune, unknowns keep") {
+    val f = FileStats(100L, Map(
+      "n" -> ColStats("l", Some(10L), Some(20L), Some(0L)),
+      "s" -> ColStats("s", Some("bb"), Some("dd"), Some(5L)),
+      "allnull" -> ColStats("l", None, None, Some(100L))))
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val n = AttributeReference("n", LongType)()
+    val s = AttributeReference("s", StringType)()
+    val an = AttributeReference("allnull", LongType)()
+    val zz = AttributeReference("zz", LongType)()
+    def may(e: Expression) = StatsPruning.mayMatch(e, f)
+    assert(!may(EqualTo(n, Literal(9L))) && may(EqualTo(n, Literal(10L))))
+    assert(!may(LessThan(n, Literal(10L))) && may(LessThan(n, Literal(11L))))
+    assert(!may(GreaterThan(n, Literal(20L))) && may(GreaterThanOrEqual(n, Literal(20L))))
+    // reversed operands
+    assert(!may(GreaterThan(Literal(10L), n)))
+    // And prunes if either side proves; Or needs both
+    assert(!may(And(EqualTo(n, Literal(15L)), EqualTo(n, Literal(99L)))))
+    assert(may(Or(EqualTo(n, Literal(15L)), EqualTo(n, Literal(99L)))))
+    assert(!may(Or(EqualTo(n, Literal(98L)), EqualTo(n, Literal(99L)))))
+    // strings: range + prefix truncation
+    assert(!may(EqualTo(s, Literal("aa"))) && may(EqualTo(s, Literal("cc"))))
+    assert(may(StartsWith(s, Literal("b"))) && !may(StartsWith(s, Literal("e"))))
+    assert(may(StartsWith(s, Literal("dd"))) && !may(StartsWith(s, Literal("aa"))))
+    // null facts
+    assert(may(IsNull(s)) && !may(IsNull(n)))
+    assert(!may(IsNotNull(an)) && !may(EqualTo(an, Literal(1L))))
+    // unknown column / unknown shape / type mismatch → keep
+    assert(may(EqualTo(zz, Literal(1L))))
+    assert(may(EqualTo(n, Literal(15.0))))
+    assert(may(EqualTo(Abs(n), Literal(15L))))
+  }
+}
