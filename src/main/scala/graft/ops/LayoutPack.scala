@@ -49,6 +49,30 @@ object LayoutPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Manifest-stats data skipping end-to-end: range-partition orders
+    // into 8 snaplake files with disjoint o_orderkey envelopes, then
+    // aggregate under a key-range predicate — the stats-pruned FileIndex
+    // schedules only the 1-2 files the range intersects (asserted
+    // plan-level in SnapLakeSkipSpec; the oracle here pins that pruning
+    // never changes the answer). Deterministic reused root + vacuum, same
+    // lifecycle discipline as l_snaplake_timetravel.
+    "l_snaplake_skipping" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapsk_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.format("snaplake").mode("overwrite").save(root)
+      new graft.ingest.SnapshotLake(root).vacuum(s, retainLast = 1)
+      s.read.format("snaplake").load(root)
+        .filter(col("o_orderkey") < 300)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          QueryPack.moneyRound(sum(QueryPack.decMoney(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Version-diff changefeed: overwrite-commit a mutated copy (every
     // fifth doc's text_len bumped — a simulated update), then diff the
     // two versions — updates surface as delete+insert pairs, untouched
@@ -84,6 +108,15 @@ object LayoutPack extends QueryPack {
     "l_snaplake_timetravel" ->
       """SELECT doc_id, lang, CAST(length(text) AS INT) AS text_len
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+
+    // The filtered aggregate is plain SQL to the oracle — file layout
+    // and pruning are invisible to it, which is the point.
+    "l_snaplake_skipping" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey < 300
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // The diff of base vs mutated-copy versions: every fifth doc's
     // delete+insert pair, EXCEPT ALL multiplicity.
