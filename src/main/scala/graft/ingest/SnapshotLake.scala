@@ -201,6 +201,189 @@ class SnapshotLake(root: String) {
     }
   }
 
+  /** Test seam: invoked after a mutation (merge/delete) has written its
+    * rewrite generation but before it claims the commit — the window a
+    * concurrent commit would race into. No-op in production. */
+  protected def onBeforePublish(): Unit = ()
+
+  /** Copy-on-write UPSERT: target rows whose key equals a source row's
+    * key are replaced by that source row; source rows matching nothing
+    * insert. The rewrite is scoped by the manifest stats: a generation
+    * none of whose files' key envelopes intersect the source's key
+    * envelope provably contains no match and CARRIES FORWARD into the
+    * new commit untouched — on a 100 TB table where upserts land in the
+    * recent key range, the rewrite touches the tail generations and the
+    * commit re-references the rest, which is exactly a table format's
+    * file-level MERGE scoping one level up. Generations without stats
+    * (older writers) rewrite conservatively.
+    *
+    * Contract: source keys should be unique (a duplicated source key
+    * inserts duplicates, same as repeated appends); null source keys
+    * never match a target row and insert as-is. Publication is
+    * optimistic WITHOUT rebase: a commit racing in between the snapshot
+    * read and the claim makes the rewrite stale, so the merge aborts
+    * with ConcurrentModificationException (cleaning up its generation)
+    * instead of silently dropping the winner's rows — rerun to rebase.
+    */
+  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = source.sparkSession
+    import org.apache.spark.sql.functions.{col, min, max}
+    val base = latestVersion(spark).getOrElse(
+      sys.error(s"merge into a never-committed lake: $root"))
+    val dirs = dirsAt(spark, base)
+    // source key envelope: one tiny agg job, 2·|keys| scalars
+    val aggs = keyCols.flatMap(k => Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+    val env = source.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val srcEnv: Map[String, (Any, Any)] = keyCols.flatMap { k =>
+      (normScalar(env.getAs[Any](s"mn_$k")), normScalar(env.getAs[Any](s"mx_$k"))) match {
+        case (Some(mn), Some(mx)) => Some(k -> (mn, mx))
+        case _ => None // non-primitive key type or all-null: no envelope
+      }
+    }.toMap
+    val (affected, untouched) = dirs.partition(genMayContainKeys(spark, _, keyCols, srcEnv))
+    val keep =
+      if (affected.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(affected.map(d => s"$root/$d"): _*)
+        .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
+    val rewritten = keep match {
+      case Some(k) => k.unionByName(source, allowMissingColumns = true)
+      case None => source
+    }
+    publishRewrite(spark, base, untouched, rewritten)
+  }
+
+  /** Copy-on-write DELETE of rows matching `predicate`, scoped the same
+    * way as [[merge]]: a generation none of whose files' envelopes can
+    * satisfy the predicate ([[graft.sources.StatsPruning]] — the same
+    * evaluator the read path prunes with) carries forward untouched;
+    * the rest rewrite keeping only non-matching rows. Returns the new
+    * version, or the current one unchanged when stats prove nothing
+    * matches anywhere (a free no-op). Same optimistic-abort publication
+    * contract as merge. */
+  def delete(spark: SparkSession, predicate: org.apache.spark.sql.Column): Long = {
+    val base = latestVersion(spark).getOrElse(
+      sys.error(s"delete from a never-committed lake: $root"))
+    val dirs = dirsAt(spark, base)
+    // resolve the predicate against the snapshot's schema so the stats
+    // evaluator sees bound AttributeReferences — from the OPTIMIZED plan,
+    // where implicit casts on literals have been constant-folded (the
+    // analyzed plan's Cast(lit) wrappers would read as "unknown shape"
+    // and defeat scoping). A predicate the optimizer eliminates entirely
+    // (folds to true/false) leaves no Filter node; fall back to
+    // rewriting everything, which is correct just not scoped.
+    val snapshot = readAt(spark, base)
+    val cond = snapshot.filter(predicate).queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.headOption
+    val conf = spark.sparkContext.hadoopConfiguration
+    val affected = dirs.filter { gen =>
+      cond match {
+        case None => true
+        case Some(c) => GenStats.load(conf, s"$root/$gen") match {
+          case Some(stats) =>
+            stats.isEmpty || stats.values.exists(fileSt =>
+              graft.sources.StatsPruning.mayMatch(c, fileSt))
+          case None => true // statless: rewrite conservatively
+        }
+      }
+    }
+    if (affected.isEmpty) return base
+    val untouched = dirs.filterNot(affected.contains)
+    // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
+    // the row — so the keep-filter is NOT(coalesce(p, false)), not !p
+    val rewritten = spark.read.option("mergeSchema", "true")
+      .parquet(affected.map(d => s"$root/$d"): _*)
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
+    publishRewrite(spark, base, untouched, rewritten)
+  }
+
+  /** Could generation `gen` hold a row whose every key column falls in
+    * the source envelope? Missing stats at any level answer yes. */
+  private def genMayContainKeys(spark: SparkSession, gen: String,
+      keyCols: Seq[String], srcEnv: Map[String, (Any, Any)]): Boolean = {
+    if (srcEnv.isEmpty) return true
+    GenStats.load(spark.sparkContext.hadoopConfiguration, s"$root/$gen") match {
+      case None => true
+      case Some(stats) if stats.isEmpty => true
+      case Some(stats) => stats.values.exists { fileSt =>
+        keyCols.forall { k =>
+          srcEnv.get(k) match {
+            case None => true
+            case Some((mn, mx)) => fileSt.cols.get(k) match {
+              case Some(cs) => (cs.min, cs.max) match {
+                case (Some(a), Some(b)) if sameKind(a, mn) =>
+                  val ord = GenStats.ordering(cs.tag)
+                  ord.lteq(a, mx) && ord.gteq(b, mn)
+                // a file whose key column is entirely NULL can never
+                // equality-match a (non-null) source envelope value
+                case (None, None) => false
+                case _ => true
+              }
+              case None => true
+            }
+          }
+        }
+      }
+    }
+  }
+
+  private def sameKind(a: Any, b: Any): Boolean = (a, b) match {
+    case (_: Long, _: Long) | (_: Double, _: Double) |
+         (_: String, _: String) | (_: Boolean, _: Boolean) => true
+    case _ => false
+  }
+
+  /** External row value → the stats value space (None: unsupported). */
+  private def normScalar(v: Any): Option[Any] = v match {
+    case null => None
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case b: Boolean => Some(b)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** Write `rewritten` as a new generation and claim version base+1
+    * referencing `untouched ++ newGen`. Loses a race → abort (cleanup,
+    * ConcurrentModificationException) rather than rebase: the rewrite
+    * was computed against `base` and is stale under any later commit. */
+  private def publishRewrite(spark: SparkSession, base: Long,
+      untouched: Seq[String], rewritten: DataFrame): Long = {
+    val fs = hadoopFs(spark)
+    val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+    rewritten.write.parquet(s"$root/$gen")
+    GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
+    onBeforePublish()
+    val next = base + 1
+    val dirs = untouched :+ gen
+    val json = dirs.map("\"" + _ + "\"")
+      .mkString(s"""{"version":$next,"dirs":[""", ",", "]}")
+    val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-$next")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      claimVersionFile(spark, fs, tmp,
+        new org.apache.hadoop.fs.Path(f"$commitsDir/v$next%08d.json"))
+      next
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"lake $root advanced past version $base during the rewrite; " +
+            "rerun the merge/delete to rebase on the new snapshot")
+    }
+  }
+
   /** Row-level changes between two committed versions: what v2 inserted
     * (rows in v2 not in v1) and deleted (the reverse), with EXCEPT ALL
     * multiplicity — an update surfaces as its delete+insert pair, and a

@@ -73,6 +73,47 @@ object LayoutPack extends QueryPack {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Copy-on-write MERGE through the lake API: upsert every third doc
+    // (text_len bumped by 1000) and insert shifted-key copies of the
+    // first ten — updates replace by key, inserts append, everything
+    // else carries. The scoping machinery (untouched generations
+    // re-referenced, not rewritten) is asserted in SnapLakeMergeSpec;
+    // the oracle pins the upsert ANSWER. Deterministic reused root +
+    // vacuum, same lifecycle as the other snaplake queries.
+    "l_snaplake_merge" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapm_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val base = graft.Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+      base.write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      val src = base.filter(col("doc_id") % 3 === 0)
+        .withColumn("text_len", col("text_len") + 1000)
+        .unionByName(base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text_len")))
+      lake.merge(src, Seq("doc_id"))
+      lake.vacuum(s, retainLast = 2)
+      s.read.format("snaplake").load(root).orderBy(col("doc_id"))
+    }),
+
+    // Copy-on-write DELETE with a stats-scopable range predicate: drop
+    // the low-key docs, summarize the survivors. NULL-keeps semantics
+    // and generation scoping are SnapLakeMergeSpec's; the oracle pins
+    // the post-delete table.
+    "l_snaplake_delete" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapdel_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      lake.delete(s, col("doc_id") < 100)
+      lake.vacuum(s, retainLast = 2)
+      s.read.format("snaplake").load(root)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    }),
+
     // Version-diff changefeed: overwrite-commit a mutated copy (every
     // fifth doc's text_len bumped — a simulated update), then diff the
     // two versions — updates surface as delete+insert pairs, untouched
@@ -117,6 +158,25 @@ object LayoutPack extends QueryPack {
         |    AS sum_price
         |FROM orders WHERE o_orderkey < 300
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The merged table: every third doc's text_len bumped, shifted-key
+    // copies of the first ten appended.
+    "l_snaplake_merge" ->
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS INT) AS text_len
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text_len + 1000 ELSE text_len END
+        |    AS text_len
+        |FROM b
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, text_len FROM b WHERE doc_id < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    // Survivors of the range delete.
+    "l_snaplake_delete" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
+        |FROM documents WHERE doc_id >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The diff of base vs mutated-copy versions: every fifth doc's
     // delete+insert pair, EXCEPT ALL multiplicity.
