@@ -98,7 +98,33 @@ class SnapshotLake(root: String) {
     * `overwrite = true` replaces the table; `false` appends to the
     * current snapshot. Safe under concurrent committers (optimistic
     * retry on the commit-file rename). */
-  def commit(df: DataFrame, overwrite: Boolean = false): Long = {
+  def commit(df: DataFrame, overwrite: Boolean = false): Long =
+    commitTagged(df, overwrite, None)
+
+  /** Newest streaming batch id recorded in the commit log, scanning
+    * newest→oldest past any untagged (batch-API) commits in between —
+    * the replay watermark for [[graft.sources.SnapLakeSink]]. The scan
+    * normally stops at the first or second commit: a stream writer's
+    * marker is always near the log tail. */
+  def lastStreamBatchId(spark: SparkSession): Option[Long] = {
+    val fs = hadoopFs(spark)
+    versions(spark).reverseIterator.map { v =>
+      val p = new org.apache.hadoop.fs.Path(f"$commitsDir/v$v%08d.json")
+      val in = fs.open(p)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      """"batchId":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }.collectFirst { case Some(b) => b }
+  }
+
+  /** [[commit]] plus an optional streaming batch-id marker persisted in
+    * the commit JSON — the exactly-once handshake for the streaming
+    * sink (a replayed micro-batch is detected by
+    * [[lastStreamBatchId]] >= its id and skipped whole). */
+  private[graft] def commitTagged(df: DataFrame, overwrite: Boolean,
+      batchId: Option[Long]): Long = {
     val spark = df.sparkSession
     val fs = hadoopFs(spark)
     // data first, under a writer-unique UNCOMMITTED generation — readers
@@ -116,8 +142,9 @@ class SnapshotLake(root: String) {
       val dirs =
         if (overwrite || base.isEmpty) Seq(gen)
         else dirsAt(spark, base.get) :+ gen
+      val tag = batchId.map(b => s""""batchId":$b,""").getOrElse("")
       val json = dirs.map("\"" + _ + "\"")
-        .mkString(s"""{"version":$next,"dirs":[""", ",", "]}")
+        .mkString(s"""{"version":$next,$tag"dirs":[""", ",", "]}")
       val tmp = new org.apache.hadoop.fs.Path(
         s"$commitsDir/.tmp-$gen-$next")
       val out = fs.create(tmp, true)

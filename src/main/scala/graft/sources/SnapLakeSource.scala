@@ -1,9 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider, StreamSourceProvider}
+  DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ingest.SnapshotLake
@@ -35,7 +36,7 @@ import graft.ingest.SnapshotLake
   * whole commit or none of it.
   */
 class SnapLakeSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "snaplake"
 
@@ -134,4 +135,60 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
     new SnapLakeStreamSource(sqlContext.sparkSession, rootOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       parameters.get("startingVersion").map(_.toLong))
+
+  /** Streaming SINK: `df.writeStream.format("snaplake").start(root)`.
+    * Append mode lands each micro-batch as an append commit; Complete
+    * mode (aggregation streams) as an overwrite commit — the commit log
+    * then holds the aggregate's history, one version per trigger. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "snaplake sink does not support partitionBy; cluster via compaction instead")
+    val overwrite =
+      if (outputMode == OutputMode.Append()) false
+      else if (outputMode == OutputMode.Complete()) true
+      else throw new IllegalArgumentException(
+        s"snaplake sink supports Append and Complete output modes, got $outputMode")
+    new SnapLakeSink(sqlContext.sparkSession, rootOf(parameters), overwrite)
+  }
+}
+
+/** Micro-batches as lake commits, exactly-once.
+  *
+  * The batch id rides inside the commit JSON, so data and replay marker
+  * publish in ONE atomic claim: a crash between "data visible" and
+  * "marker durable" cannot exist, which is the gap the marker-directory
+  * sinks ([[graft.streaming.AnnStreams.indexAppendSink]]) have to paper
+  * over with idempotent re-appends. A restarted query replays its last
+  * batch; [[graft.ingest.SnapshotLake.lastStreamBatchId]] >= id detects
+  * it and the sink skips whole. Single stream writer per table (Spark's
+  * checkpoint contract already requires this); concurrent BATCH
+  * committers are fine — the append commit's optimistic retry re-bases
+  * on them.
+  *
+  * Empty micro-batches still commit (a generation with no files): the
+  * batch-id watermark must advance or a replay after an idle window
+  * would be undetectable. The stream source reads such commits as empty
+  * deltas by design.
+  */
+private[sources] class SnapLakeSink(spark: SparkSession, root: String,
+    overwrite: Boolean) extends Sink {
+
+  private val lake = new graft.ingest.SnapshotLake(root)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (lake.lastStreamBatchId(spark).exists(_ >= batchId)) return // replay
+    // Sink.addBatch hands a DataFrame over the batch's INCREMENTAL plan;
+    // re-wrap its InternalRows as a plain batch frame (one execution —
+    // re-running the incremental plan could double-apply stateful ops)
+    val schema = data.schema
+    val rows = data.queryExecution.toRdd.mapPartitions { it =>
+      val deser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        schema).resolveAndBind().createDeserializer()
+      it.map(r => deser(r))
+    }
+    lake.commitTagged(spark.createDataFrame(rows, schema), overwrite,
+      Some(batchId))
+  }
 }

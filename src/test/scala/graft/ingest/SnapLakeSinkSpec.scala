@@ -1,0 +1,136 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpecBase
+import graft.sources.SnapLakeSource
+
+/** [[graft.sources.SnapLakeSink]]: `writeStream.format("snaplake")` —
+  * one commit per micro-batch with the batch id inside the commit JSON
+  * (atomic data+marker), replay detection through the commit log,
+  * Complete-mode overwrite commits, and a lake tailed as a stream while
+  * a stream writes it (the bronze→silver composition).
+  */
+class SnapLakeSinkSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val srcSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("append stream: one commit per batch, batch id in the log") {
+    val src = tmp("graft_sink_src")
+    val root = tmp("graft_sink_lake") + "/lake"
+    val ckpt = tmp("graft_sink_ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    val q = spark.readStream.schema(srcSchema).parquet(src)
+      .writeStream.format("snaplake")
+      .option("checkpointLocation", ckpt).start(root)
+    val lake = new SnapshotLake(root)
+    try {
+      q.processAllAvailable()
+      assert(lake.versions(spark) == Seq(1L))
+      Seq((3L, "c")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(lake.versions(spark) == Seq(1L, 2L),
+        "second micro-batch should append commit v2")
+    } finally q.stop()
+    assert(spark.read.format("snaplake").load(root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(lake.lastStreamBatchId(spark).contains(1L),
+      "batch-id watermark not recorded in the commit log")
+    // time travel into the stream's history: v1 is exactly batch 0
+    assert(lake.readAt(spark, 1L).count() == 2)
+  }
+
+  test("a replayed batch id is skipped whole; newer ids commit") {
+    val root = tmp("graft_sink_replay") + "/lake"
+    val lake = new SnapshotLake(root)
+    val sink = new SnapLakeSource().createSink(spark.sqlContext,
+      Map("path" -> root), Nil, OutputMode.Append())
+    sink.addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+    sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    assert(lake.versions(spark) == Seq(1L, 2L))
+    // checkpoint replay after a crash re-offers the last batch
+    sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    assert(lake.versions(spark) == Seq(1L, 2L),
+      "replayed batch committed a duplicate")
+    assert(spark.read.format("snaplake").load(root).count() == 2)
+    // an interleaved BATCH-API commit must not mask the stream watermark
+    lake.commit(Seq((9L, "z")).toDF("id", "v"))
+    sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    assert(lake.versions(spark) == Seq(1L, 2L, 3L),
+      "watermark scan stopped at the untagged commit")
+    sink.addBatch(2L, Seq((3L, "c")).toDF("id", "v"))
+    assert(spark.read.format("snaplake").load(root).count() == 4)
+  }
+
+  test("Complete mode: each trigger overwrite-commits the aggregate") {
+    val src = tmp("graft_sink_agg_src")
+    val root = tmp("graft_sink_agg_lake") + "/lake"
+    val ckpt = tmp("graft_sink_agg_ckpt")
+    Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    val q = spark.readStream.schema(srcSchema).parquet(src)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      .writeStream.format("snaplake").outputMode("complete")
+      .option("checkpointLocation", ckpt).start(root)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.format("snaplake").load(root)
+        .as[(String, Long)].collect().toSet == Set(("x", 2L), ("y", 1L)))
+      Seq((4L, "y"), (5L, "y")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      // overwrite commit: the LATEST version is the whole current
+      // aggregate, and the previous aggregate is still time-travelable
+      assert(spark.read.format("snaplake").load(root)
+        .as[(String, Long)].collect().toSet == Set(("x", 2L), ("y", 3L)))
+      val lake = new SnapshotLake(root)
+      assert(lake.readAt(spark, lake.latestVersion(spark).get - 1)
+        .as[(String, Long)].collect().toSet == Set(("x", 2L), ("y", 1L)))
+    } finally q.stop()
+  }
+
+  test("bronze→silver: a stream-written lake tailed by the stream source") {
+    val src = tmp("graft_chain_src")
+    val bronze = tmp("graft_chain_bronze") + "/lake"
+    val silver = tmp("graft_chain_out")
+    val ckptIn = tmp("graft_chain_ckpt_in")
+    val ckptOut = tmp("graft_chain_ckpt_out")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    val ingest = spark.readStream.schema(srcSchema).parquet(src)
+      .writeStream.format("snaplake")
+      .option("checkpointLocation", ckptIn).start(bronze)
+    try {
+      ingest.processAllAvailable()
+      // the downstream leg tails the bronze COMMIT LOG
+      val refine = spark.readStream.format("snaplake").load(bronze)
+        .withColumn("v", upper(col("v")))
+        .writeStream.format("parquet")
+        .option("path", silver).option("checkpointLocation", ckptOut).start()
+      try {
+        refine.processAllAvailable()
+        assert(spark.read.parquet(silver).as[(Long, String)].collect().toSet ==
+          Set((1L, "A"), (2L, "B")))
+        // new arrivals flow through both legs
+        Seq((3L, "c")).toDF("id", "v").coalesce(1)
+          .write.mode("append").parquet(src)
+        ingest.processAllAvailable()
+        refine.processAllAvailable()
+        assert(spark.read.parquet(silver).count() == 3,
+          "append did not propagate through the chained lake")
+      } finally refine.stop()
+    } finally ingest.stop()
+  }
+}
