@@ -377,6 +377,46 @@ class SnapshotLake(root: String) {
     case _ => None
   }
 
+  /** OPTIMIZE: rewrite the whole current snapshot as ONE clustered
+    * generation — range-partitioned and sorted on `sortCols` into
+    * `numFiles` files — and commit it. Clustering is what turns the
+    * manifest stats from bookkeeping into skipping: after appends land
+    * rows in arrival order, every file's envelope spans the whole key
+    * domain and nothing prunes; after optimize, envelopes are disjoint
+    * and a range predicate schedules only its slice. Also the
+    * small-file compaction pass for a stream-written table (one commit
+    * per micro-batch accumulates O(batches) generations; optimize
+    * collapses them and a following [[vacuum]] reclaims the space).
+    *
+    * The table content is unchanged — but a commit racing into the
+    * publish window would be erased by the full rewrite, so optimize
+    * carries the same abort contract as [[merge]]. */
+  def optimize(spark: SparkSession, numFiles: Int,
+      sortCols: Seq[org.apache.spark.sql.Column]): Long = {
+    val base = latestVersion(spark).getOrElse(
+      sys.error(s"optimize of a never-committed lake: $root"))
+    val snap = readAt(spark, base)
+    val clustered =
+      if (sortCols.isEmpty) snap.repartition(numFiles)
+      else snap.repartitionByRange(numFiles, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    publishRewrite(spark, base, Seq.empty, clustered)
+  }
+
+  /** [[optimize]] on the z-order curve of two numeric keys
+    * ([[graft.ops.Layout.zOrderCluster]]): every rewritten file gets a
+    * tight envelope on BOTH keys, so single-column predicates on either
+    * prune — the OPTIMIZE ZORDER maintenance pass. */
+  def optimizeZOrder(spark: SparkSession,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      numFiles: Int, bitsPerKey: Int = 21): Long = {
+    val base = latestVersion(spark).getOrElse(
+      sys.error(s"optimize of a never-committed lake: $root"))
+    publishRewrite(spark, base, Seq.empty,
+      graft.ops.Layout.zOrderCluster(readAt(spark, base), a, b,
+        numFiles, bitsPerKey))
+  }
+
   /** Write `rewritten` as a new generation and claim version base+1
     * referencing `untouched ++ newGen`. Loses a race → abort (cleanup,
     * ConcurrentModificationException) rather than rebase: the rewrite

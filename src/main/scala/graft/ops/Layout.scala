@@ -24,7 +24,16 @@ object Layout {
     * how production ZORDER implementations make the curve fair.
     */
   def writeZOrdered(df: DataFrame, a: Column, b: Column, path: String,
-      numFiles: Int, bitsPerKey: Int = 21): Unit = {
+      numFiles: Int, bitsPerKey: Int = 21): Unit =
+    zOrderCluster(df, a, b, numFiles, bitsPerKey)
+      .write.mode("overwrite").parquet(path)
+
+  /** The clustering transform behind [[writeZOrdered]], reusable by any
+    * writer (e.g. [[graft.ingest.SnapshotLake.optimizeZOrder]]): range-
+    * partition by z-value and sort within partitions, so each output
+    * file carries a tight envelope on BOTH keys. */
+  def zOrderCluster(df: DataFrame, a: Column, b: Column,
+      numFiles: Int, bitsPerKey: Int = 21): DataFrame = {
     val bounds = df.agg(min(a).cast("double").as("amin"),
       max(a).cast("double").as("amax"),
       min(b).cast("double").as("bmin"), max(b).cast("double").as("bmax"))
@@ -41,7 +50,6 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Compact a directory of (typically many small) parquet files into

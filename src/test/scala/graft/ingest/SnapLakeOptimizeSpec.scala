@@ -1,0 +1,98 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.SparkSpecBase
+
+/** [[SnapshotLake.optimize]] / [[SnapshotLake.optimizeZOrder]]: the
+  * maintenance pass that makes manifest stats actually skip — content
+  * parity, generation collapse, envelope tightening measured through the
+  * scan's own file counts, and the optimistic-abort contract.
+  */
+class SnapLakeOptimizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snapopt").toString
+
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get.metrics("numFiles").value
+  }
+
+  test("optimize collapses arrival-ordered generations into prunable files") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // 4 appends, each spanning the WHOLE key domain (id % 4 == k) — the
+    // shape streaming ingest produces: every file's envelope covers
+    // everything, stats prune nothing
+    (0 until 4).foreach { k =>
+      lake.commit(spark.range(0, 2000).toDF("id")
+        .filter(col("id") % 4 === k).coalesce(2), overwrite = k == 0)
+    }
+    val narrow = () => filesRead(spark.read.format("snaplake").load(root)
+      .filter(col("id") >= 100 && col("id") < 200))
+    // every generation holds matching rows, so each contributes a file
+    // (coalesce(2) halves are contiguous — the id<200 half of each gen)
+    assert(narrow() == 4L, "pre-optimize every generation should match the range")
+    val v = lake.optimize(spark, 8, Seq(col("id")))
+    assert(v == 5L)
+    // same predicate now touches only the clustered slice
+    val after = narrow()
+    assert(after == 1L, s"post-optimize range read $after files, want 1")
+    // content parity and a time-travelable pre-optimize snapshot
+    assert(spark.read.format("snaplake").load(root).count() == 2000)
+    assert(lake.readAt(spark, 4L).count() == 2000)
+    assert(lake.dirsAt(spark, v).size == 1, "optimize should emit one generation")
+    // vacuum completes the maintenance story: old generations reclaimed
+    lake.vacuum(spark, retainLast = 1)
+    assert(lake.versions(spark) == Seq(5L))
+    assert(spark.read.format("snaplake").load(root).count() == 2000)
+  }
+
+  test("optimizeZOrder tightens envelopes on both keys at once") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // 100×100 grid in row-major arrival order: x-envelopes are tight
+    // already, y-envelopes span everything
+    lake.commit(spark.range(0, 10000)
+      .select((col("id") / 100).cast("long").as("x"), (col("id") % 100).as("y")),
+      overwrite = true)
+    lake.optimizeZOrder(spark, col("x"), col("y"), 16)
+    val total = filesRead(spark.read.format("snaplake").load(root))
+    assert(total == 16L)
+    val xs = filesRead(spark.read.format("snaplake").load(root)
+      .filter(col("x") >= 10 && col("x") < 20))
+    val ys = filesRead(spark.read.format("snaplake").load(root)
+      .filter(col("y") >= 10 && col("y") < 20))
+    assert(xs <= 8L, s"x-range should prune most of 16 files, read $xs")
+    assert(ys <= 8L, s"y-range should prune most of 16 files, read $ys")
+    // answers unchanged
+    assert(spark.read.format("snaplake").load(root)
+      .filter(col("x") >= 10 && col("x") < 20).count() == 1000)
+    assert(spark.read.format("snaplake").load(root)
+      .filter(col("y") >= 10 && col("y") < 20).count() == 1000)
+  }
+
+  test("a commit racing into optimize's publish window aborts it") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    val racy = new SnapshotLake(root) {
+      override protected def onBeforePublish(): Unit =
+        new SnapshotLake(root).commit(Seq((2L, "b")).toDF("id", "v"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      racy.optimize(spark, 1, Seq(col("id")))
+    }
+    // the racing append survived; optimize left nothing published
+    assert(lake.read(spark).count() == 2)
+    assert(lake.versions(spark) == Seq(1L, 2L))
+  }
+}
