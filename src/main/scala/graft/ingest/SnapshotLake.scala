@@ -42,6 +42,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * manifest reuse; overwrite commits reference only the new generation.
   * Schemas may evolve across appends (mergeSchema read, as SpecLake).
   */
+object SnapshotLake {
+  /** Changefeed meta columns and the per-generation CDF directory name
+    * (`_`-prefixed: invisible to the generation's data reads). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CdfDirName = "_cdf"
+}
+
 class SnapshotLake(root: String) {
 
   private val commitsDir = s"$root/_commits"
@@ -269,16 +277,28 @@ class SnapshotLake(root: String) {
       }
     }.toMap
     val (affected, untouched) = dirs.partition(genMayContainKeys(spark, _, keyCols, srcEnv))
-    val keep =
-      if (affected.isEmpty) None
+    import org.apache.spark.sql.functions.lit
+    val affectedDf = if (affected.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(d => s"$root/$d"): _*)
-        .join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
+        .parquet(affected.map(d => s"$root/$d"): _*))
+    val keep = affectedDf.map(
+      _.join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
     val rewritten = keep match {
       case Some(k) => k.unionByName(source, allowMissingColumns = true)
       case None => source
     }
-    publishRewrite(spark, base, untouched, rewritten)
+    // row-level changefeed, materialized while we still know exactly what
+    // changed: pre-images of replaced target rows as deletes, every source
+    // row as an insert (an update is its delete+insert pair)
+    val deletes = affectedDf.map(
+      _.join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+        .withColumn(SnapshotLake.ChangeTypeCol, lit("delete")))
+    val inserts = source.withColumn(SnapshotLake.ChangeTypeCol, lit("insert"))
+    val changes = deletes match {
+      case Some(d) => d.unionByName(inserts, allowMissingColumns = true)
+      case None => inserts
+    }
+    publishRewrite(spark, base, untouched, rewritten, Some(changes))
   }
 
   /** Copy-on-write DELETE of rows matching `predicate`, scoped the same
@@ -320,11 +340,14 @@ class SnapshotLake(root: String) {
     val untouched = dirs.filterNot(affected.contains)
     // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
     // the row — so the keep-filter is NOT(coalesce(p, false)), not !p
-    val rewritten = spark.read.option("mergeSchema", "true")
+    val affectedDf = spark.read.option("mergeSchema", "true")
       .parquet(affected.map(d => s"$root/$d"): _*)
-      .filter(!org.apache.spark.sql.functions.coalesce(predicate,
-        org.apache.spark.sql.functions.lit(false)))
-    publishRewrite(spark, base, untouched, rewritten)
+    val hit = org.apache.spark.sql.functions.coalesce(predicate,
+      org.apache.spark.sql.functions.lit(false))
+    val changes = affectedDf.filter(hit).withColumn(
+      SnapshotLake.ChangeTypeCol, org.apache.spark.sql.functions.lit("delete"))
+    publishRewrite(spark, base, untouched, affectedDf.filter(!hit),
+      Some(changes))
   }
 
   /** Could generation `gen` hold a row whose every key column falls in
@@ -400,7 +423,10 @@ class SnapshotLake(root: String) {
       if (sortCols.isEmpty) snap.repartition(numFiles)
       else snap.repartitionByRange(numFiles, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-    publishRewrite(spark, base, Seq.empty, clustered)
+    // optimize changes the layout, not the table: materialize an EMPTY
+    // changefeed so CDF readers see "no rows changed", not the
+    // file-level restatement the manifest delta would imply
+    publishRewrite(spark, base, Seq.empty, clustered, Some(emptyChanges(snap)))
   }
 
   /** [[optimize]] on the z-order curve of two numeric keys
@@ -412,20 +438,31 @@ class SnapshotLake(root: String) {
       numFiles: Int, bitsPerKey: Int = 21): Long = {
     val base = latestVersion(spark).getOrElse(
       sys.error(s"optimize of a never-committed lake: $root"))
+    val snap = readAt(spark, base)
     publishRewrite(spark, base, Seq.empty,
-      graft.ops.Layout.zOrderCluster(readAt(spark, base), a, b,
-        numFiles, bitsPerKey))
+      graft.ops.Layout.zOrderCluster(snap, a, b, numFiles, bitsPerKey),
+      Some(emptyChanges(snap)))
   }
+
+  private def emptyChanges(snap: DataFrame): DataFrame =
+    snap.limit(0).withColumn(SnapshotLake.ChangeTypeCol,
+      org.apache.spark.sql.functions.lit("insert"))
 
   /** Write `rewritten` as a new generation and claim version base+1
     * referencing `untouched ++ newGen`. Loses a race → abort (cleanup,
     * ConcurrentModificationException) rather than rebase: the rewrite
     * was computed against `base` and is stale under any later commit. */
   private def publishRewrite(spark: SparkSession, base: Long,
-      untouched: Seq[String], rewritten: DataFrame): Long = {
+      untouched: Seq[String], rewritten: DataFrame,
+      changes: Option[DataFrame] = None): Long = {
     val fs = hadoopFs(spark)
     val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     rewritten.write.parquet(s"$root/$gen")
+    // the changefeed rides INSIDE the writer-unique generation (a
+    // `_`-prefixed subdir, invisible to data reads), so it publishes
+    // atomically with the commit that references the generation and is
+    // cleaned up with it on abort — no separate claim to race
+    changes.foreach(_.write.parquet(s"$root/$gen/${SnapshotLake.CdfDirName}"))
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
     onBeforePublish()
@@ -470,6 +507,71 @@ class SnapshotLake(root: String) {
     val b = readAt(spark, v2)
     b.exceptAll(a).withColumn("op", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
+  }
+
+  /** Row-level CHANGEFEED for versions (fromV, toV]: every change row
+    * tagged `_change_type` (insert/delete; an update is its pair) and
+    * `_commit_version`. Three cost tiers, cheapest wins per version:
+    *
+    *  - APPEND commits emit their new generations' rows as inserts —
+    *    pure manifest arithmetic, no extra storage, no diffing.
+    *  - MERGE/DELETE rewrites read the row-level changes the mutation
+    *    MATERIALIZED while it still knew them (`_cdf/` inside the
+    *    rewrite generation — atomic with the commit, sized by the rows
+    *    actually changed, never by the table). OPTIMIZE materializes an
+    *    empty feed: layout changed, content did not.
+    *  - Blind OVERWRITE commits have no change knowledge to materialize;
+    *    they surface as the file-level restatement the manifest implies
+    *    (all previous rows delete, all new rows insert) — the honest
+    *    semantics of a table rewritten wholesale.
+    *
+    * Contrast [[diff]]: that SHUFFLES both snapshots to reconstruct
+    * changes after the fact (audit tool); the changefeed only ever reads
+    * change-sized data (pipeline tool). Vacuumed manifests inside the
+    * range fail fast, like any table-format CDF read past retention. */
+  def changesBetween(spark: SparkSession, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV < toV, s"need fromV < toV, got ($fromV, $toV]")
+    val fs = hadoopFs(spark)
+    val baseSchema = readAt(spark, toV).schema
+    val withChange = org.apache.spark.sql.types.StructType(
+      baseSchema.fields :+ org.apache.spark.sql.types.StructField(
+        SnapshotLake.ChangeTypeCol, org.apache.spark.sql.types.StringType))
+    def ordered(df: DataFrame, v: Long): DataFrame =
+      df.select(baseSchema.fieldNames.map(col).toSeq :+
+        col(SnapshotLake.ChangeTypeCol): _*)
+        .withColumn(SnapshotLake.CommitVersionCol, lit(v))
+    val frames = ((fromV + 1) to toV).flatMap { v =>
+      // version 0 is the empty pre-table; later manifests throw once
+      // vacuumed — the fail-fast retention contract
+      val prev = if (v == 1) Set.empty[String] else dirsAt(spark, v - 1).toSet
+      val cur = dirsAt(spark, v)
+      val newDirs = cur.filterNot(prev)
+      val dropped = (prev -- cur.toSet).toSeq.sorted
+      val materialized = newDirs match {
+        case Seq(g) if fs.exists(new org.apache.hadoop.fs.Path(
+            s"$root/$g/${SnapshotLake.CdfDirName}")) =>
+          Some(spark.read.schema(withChange)
+            .parquet(s"$root/$g/${SnapshotLake.CdfDirName}"))
+        case _ => None
+      }
+      materialized match {
+        case Some(c) => Seq(ordered(c, v))
+        case None =>
+          val ins = if (newDirs.isEmpty) None else Some(
+            spark.read.schema(baseSchema)
+              .parquet(newDirs.map(d => s"$root/$d"): _*)
+              .withColumn(SnapshotLake.ChangeTypeCol, lit("insert")))
+          val del = if (dropped.isEmpty) None else Some(
+            spark.read.schema(baseSchema)
+              .parquet(dropped.map(d => s"$root/$d"): _*)
+              .withColumn(SnapshotLake.ChangeTypeCol, lit("delete")))
+          (ins.toSeq ++ del.toSeq).map(ordered(_, v))
+      }
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      ordered(readAt(spark, toV).limit(0)
+        .withColumn(SnapshotLake.ChangeTypeCol, lit("")), toV).limit(0))
   }
 
   /** Drop generation directories not referenced by the newest

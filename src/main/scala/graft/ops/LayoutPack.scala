@@ -114,6 +114,33 @@ object LayoutPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Row-level CHANGEFEED of a merge: the mutation materialized its
+    // exact changes (_cdf inside the rewrite generation, atomic with
+    // the commit), so the feed is pre-image deletes + source inserts —
+    // unchanged rows never appear, and the read costs change-sized I/O,
+    // not table-sized diffing (contrast l_snaplake_diff, the audit
+    // form). _commit_version is dropped from the output because the
+    // reused root's version counter grows across invocations.
+    "l_snaplake_cdf" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapcdf_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val base = graft.Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+      base.write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      val v = lake.latestVersion(s).get
+      val src = base.filter(col("doc_id") % 4 === 0)
+        .withColumn("text_len", col("text_len") + 7)
+        .unionByName(base.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text_len")))
+      lake.merge(src, Seq("doc_id"))
+      lake.vacuum(s, retainLast = 2)
+      lake.changesBetween(s, v, v + 1)
+        .select(col("doc_id"), col("text_len"),
+          col(graft.ingest.SnapshotLake.ChangeTypeCol).as("change_type"))
+        .orderBy(col("change_type"), col("doc_id"))
+    }),
+
     // Version-diff changefeed: overwrite-commit a mutated copy (every
     // fifth doc's text_len bumped — a simulated update), then diff the
     // two versions — updates surface as delete+insert pairs, untouched
@@ -177,6 +204,21 @@ object LayoutPack extends QueryPack {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
         |FROM documents WHERE doc_id >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The merge's exact change rows: pre-image deletes of every fourth
+    // doc, its updated insert, plus the shifted-key pure inserts.
+    "l_snaplake_cdf" ->
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS INT) AS text_len
+        |           FROM documents)
+        |SELECT doc_id, text_len, 'delete' AS change_type
+        |FROM b WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, text_len + 7 AS text_len, 'insert' AS change_type
+        |FROM b WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, text_len, 'insert' AS change_type
+        |FROM b WHERE doc_id < 5
+        |ORDER BY change_type, doc_id""".stripMargin,
 
     // The diff of base vs mutated-copy versions: every fifth doc's
     // delete+insert pair, EXCEPT ALL multiplicity.

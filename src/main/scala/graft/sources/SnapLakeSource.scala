@@ -110,10 +110,16 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
     }
   }
 
+  private def changeFeedRequested(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   /** Streaming: the commit log tailed as a changelog — see
     * [[SnapLakeStreamSource]]. The schema is fixed at stream start: the
     * user's, or the latest committed snapshot's (so starting a stream on
-    * a never-committed root needs an explicit schema). */
+    * a never-committed root needs an explicit schema). With
+    * `readChangeFeed=true` the stream carries row-level changes instead
+    * of raw appends, and the schema grows the `_change_type` /
+    * `_commit_version` meta columns. */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
@@ -126,7 +132,16 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
           s"streaming from an empty lake needs .schema(...): $root"))
       lake.readAt(spark, v).schema
     }
-    (shortName(), resolved)
+    val full =
+      if (!changeFeedRequested(parameters)) resolved
+      else StructType(resolved.fields
+        .filterNot(f => f.name == SnapshotLake.ChangeTypeCol ||
+          f.name == SnapshotLake.CommitVersionCol) :+
+        org.apache.spark.sql.types.StructField(SnapshotLake.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField(SnapshotLake.CommitVersionCol,
+          org.apache.spark.sql.types.LongType))
+    (shortName(), full)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -134,7 +149,8 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): Source =
     new SnapLakeStreamSource(sqlContext.sparkSession, rootOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      parameters.get("startingVersion").map(_.toLong))
+      parameters.get("startingVersion").map(_.toLong),
+      changeFeed = changeFeedRequested(parameters))
 
   /** Streaming SINK: `df.writeStream.format("snaplake").start(root)`.
     * Append mode lands each micro-batch as an append commit; Complete

@@ -37,10 +37,19 @@ import graft.ingest.SnapshotLake
   * a long-running reader of an evolving table must behave.
   */
 class SnapLakeStreamSource(spark: SparkSession, root: String,
-    override val schema: StructType, startingVersion: Option[Long])
+    override val schema: StructType, startingVersion: Option[Long],
+    changeFeed: Boolean = false)
     extends Source {
 
   private val lake = new SnapshotLake(root)
+
+  /** The table's own columns — in changefeed mode `schema` additionally
+    * carries the two meta columns, which no parquet file has. */
+  private val tableSchema: StructType =
+    if (!changeFeed) schema
+    else StructType(schema.fields.filterNot(f =>
+      f.name == SnapshotLake.ChangeTypeCol ||
+        f.name == SnapshotLake.CommitVersionCol))
 
   /** Offset value = last version already emitted; versions at or below
     * the base are history the stream starts after. `startingVersion` is
@@ -56,21 +65,77 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val startV = start.map(ver).getOrElse(baseVersion)
+    if (changeFeed) return changeBatch(startV, ver(end))
     val dirs = deltaDirs(startV, ver(end), checkpointed = start.isDefined)
-    if (dirs.isEmpty) {
-      // a no-op commit (e.g. a lost-race rebase) adds no directories
-      GraftBridge.ofRows(spark,
-        LocalRelation(DataTypeUtils.toAttributes(schema), Nil, isStreaming = true))
-    } else {
-      // the delegated parquet relation again, pinned to the stream schema
-      // so evolved appends project instead of widening mid-stream
-      val rel = org.apache.spark.sql.execution.datasources.DataSource(
-        spark,
-        className = "parquet",
-        paths = dirs.map(d => s"$root/$d"),
-        userSpecifiedSchema = Some(schema)).resolveRelation(checkFilesExist = false)
-      GraftBridge.ofRows(spark, LogicalRelation(rel, isStreaming = true))
+    if (dirs.isEmpty) emptyStreamDf(schema)
+    else streamingParquet(dirs.map(d => s"$root/$d"), tableSchema)
+  }
+
+  private def emptyStreamDf(s: StructType): DataFrame =
+    GraftBridge.ofRows(spark,
+      LocalRelation(DataTypeUtils.toAttributes(s), Nil, isStreaming = true))
+
+  /** The delegated parquet relation, pinned to an explicit schema so
+    * evolved appends project instead of widening mid-stream, flagged
+    * streaming for the incremental planner. */
+  private def streamingParquet(paths: Seq[String], s: StructType): DataFrame = {
+    val rel = org.apache.spark.sql.execution.datasources.DataSource(
+      spark,
+      className = "parquet",
+      paths = paths,
+      userSpecifiedSchema = Some(s)).resolveRelation(checkFilesExist = false)
+    GraftBridge.ofRows(spark, LogicalRelation(rel, isStreaming = true))
+  }
+
+  /** CHANGEFEED batch for versions (startV, endV]: the same three cost
+    * tiers as [[SnapshotLake.changesBetween]] — appends emit their new
+    * generations as inserts (manifest arithmetic), rewrites read the
+    * row-level `_cdf/` their mutation materialized, blind overwrites
+    * restate file-level — each row tagged with change type and commit
+    * version. Any manifest the walk needs that vacuum has dropped is
+    * fatal: a changefeed cannot skip history without lying. */
+  private def changeBatch(startV: Long, endV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = lake.versions(spark).toSet
+    def manifestAt(v: Long): Seq[String] =
+      if (v == 0) Seq.empty
+      else if (committed.contains(v)) lake.dirsAt(spark, v)
+      else throw new IllegalStateException(
+        s"changefeed needs version $v of $root but it has been vacuumed")
+    val withChange = StructType(tableSchema.fields :+
+      org.apache.spark.sql.types.StructField(SnapshotLake.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType))
+    def ordered(df: DataFrame, v: Long): DataFrame =
+      df.select(tableSchema.fieldNames.map(col).toSeq :+
+        col(SnapshotLake.ChangeTypeCol): _*)
+        .withColumn(SnapshotLake.CommitVersionCol, lit(v))
+    val frames = ((startV + 1) to endV).flatMap { v =>
+      val prev = manifestAt(v - 1).toSet
+      val cur = manifestAt(v)
+      val newDirs = cur.filterNot(prev)
+      val dropped = (prev -- cur.toSet).toSeq.sorted
+      val materialized = newDirs match {
+        case Seq(g) if fs.exists(new org.apache.hadoop.fs.Path(
+            s"$root/$g/${SnapshotLake.CdfDirName}")) =>
+          Some(streamingParquet(
+            Seq(s"$root/$g/${SnapshotLake.CdfDirName}"), withChange))
+        case _ => None
+      }
+      materialized match {
+        case Some(c) => Seq(ordered(c, v))
+        case None =>
+          val ins = if (newDirs.isEmpty) None else Some(
+            streamingParquet(newDirs.map(d => s"$root/$d"), tableSchema)
+              .withColumn(SnapshotLake.ChangeTypeCol, lit("insert")))
+          val del = if (dropped.isEmpty) None else Some(
+            streamingParquet(dropped.map(d => s"$root/$d"), tableSchema)
+              .withColumn(SnapshotLake.ChangeTypeCol, lit("delete")))
+          (ins.toSeq ++ del.toSeq).map(ordered(_, v))
+      }
     }
+    frames.reduceOption(_.unionByName(_)).getOrElse(emptyStreamDf(schema))
   }
 
   /** New directories of versions (startV, endV], walked VERSION BY

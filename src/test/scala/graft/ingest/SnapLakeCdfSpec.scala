@@ -1,0 +1,102 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+import graft.ingest.SnapshotLake.{ChangeTypeCol, CommitVersionCol}
+
+/** Row-level changefeed on [[SnapshotLake]]: the three cost tiers
+  * (append = manifest arithmetic, merge/delete = materialized `_cdf`,
+  * blind overwrite = file-level restatement), optimize's empty feed,
+  * retention failure, and the streaming `readChangeFeed` source.
+  */
+class SnapLakeCdfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snapcdf").toString
+
+  private def changes(lake: SnapshotLake, v1: Long, v2: Long): Set[(Long, String, String, Long)] =
+    lake.changesBetween(spark, v1, v2)
+      .as[(Long, String, String, Long)].collect().toSet
+
+  test("append/merge/delete/optimize each feed their own change tier") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true) // v1
+    lake.commit(Seq((3L, "c")).toDF("id", "v")) // v2 append
+    lake.merge(Seq((2L, "B!"), (9L, "i")).toDF("id", "v"), Seq("id")) // v3
+    lake.delete(spark, col("id") === 1L) // v4
+    lake.optimize(spark, 1, Seq(col("id"))) // v5
+    // v1: initial snapshot arrives as inserts
+    assert(changes(lake, 0L, 1L) ==
+      Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+    // v2: append tier — just the new generation's rows
+    assert(changes(lake, 1L, 2L) == Set((3L, "c", "insert", 2L)))
+    // v3: merge tier — pre-image delete + source inserts, nothing else
+    // (id=1 and id=3 did not change and must NOT appear)
+    assert(changes(lake, 2L, 3L) == Set(
+      (2L, "b", "delete", 3L), (2L, "B!", "insert", 3L),
+      (9L, "i", "insert", 3L)))
+    // v4: delete tier — the removed row's pre-image only
+    assert(changes(lake, 3L, 4L) == Set((1L, "a", "delete", 4L)))
+    // v5: optimize rewrote every file but changed no row
+    assert(changes(lake, 4L, 5L) == Set.empty)
+    // windows compose
+    assert(changes(lake, 2L, 5L) == changes(lake, 2L, 3L) ++ changes(lake, 3L, 4L))
+  }
+
+  test("a blind overwrite restates: delete-all + insert-all") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((2L, "b")).toDF("id", "v"), overwrite = true)
+    assert(changes(lake, 1L, 2L) ==
+      Set((1L, "a", "delete", 2L), (2L, "b", "insert", 2L)))
+  }
+
+  test("changefeed past retention fails fast") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((2L, "b")).toDF("id", "v"))
+    lake.commit(Seq((3L, "c")).toDF("id", "v"))
+    lake.vacuum(spark, retainLast = 1)
+    intercept[IllegalArgumentException] {
+      changes(lake, 1L, 3L)
+    }
+  }
+
+  test("streaming readChangeFeed: mutations arrive as tagged rows") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    val q = spark.readStream.format("snaplake")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName("snapcdf").start()
+    def table(): Set[(Long, String, String, Long)] =
+      spark.table("snapcdf").as[(Long, String, String, Long)].collect().toSet
+    try {
+      q.processAllAvailable()
+      // snapshot replay, tagged as version-1 inserts
+      assert(table() == Set((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+      // a merge lands as its delete+insert pairs, not a restatement
+      lake.merge(Seq((2L, "B!")).toDF("id", "v"), Seq("id"))
+      q.processAllAvailable()
+      assert(table() == Set(
+        (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+        (2L, "b", "delete", 2L), (2L, "B!", "insert", 2L)))
+      // optimize commits a version but feeds nothing
+      lake.optimize(spark, 1, Seq(col("id")))
+      q.processAllAvailable()
+      assert(table().size == 4, "optimize leaked rows into the changefeed")
+      // an append flows through as inserts
+      lake.commit(Seq((5L, "e")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(table().contains((5L, "e", "insert", 4L)))
+      assert(table().size == 5)
+    } finally q.stop()
+  }
+}
