@@ -444,6 +444,43 @@ class SnapshotLake(root: String) {
       Some(emptyChanges(snap)))
   }
 
+  /** INCREMENTAL compaction: collapse only generations smaller than
+    * `maxBytes` into one sorted generation, carrying larger ones
+    * forward by reference. This is the steady-state maintenance loop
+    * for a stream-written table — each micro-batch commit adds one
+    * small generation, and periodic compactSmall folds the accumulated
+    * tail WITHOUT rewriting the big compacted body the way a full
+    * [[optimize]] would (on a 100 TB table, rewriting everything per
+    * maintenance pass is the difference between minutes and a day).
+    * Returns the current version unchanged when fewer than two small
+    * generations exist. Same abort-on-race and empty-changefeed
+    * contract as optimize. */
+  def compactSmall(spark: SparkSession, maxBytes: Long,
+      sortCols: Seq[org.apache.spark.sql.Column]): Long = {
+    val base = latestVersion(spark).getOrElse(
+      sys.error(s"compact of a never-committed lake: $root"))
+    val fs = hadoopFs(spark)
+    val dirs = dirsAt(spark, base)
+    val (small, big) = dirs.partition { d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$root/$d"))
+        .getLength < maxBytes
+    }
+    if (small.size < 2) return base
+    val tailBytes = small.map(d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$root/$d"))
+        .getLength).sum
+    // target file count keeps outputs at ~maxBytes so a later pass sees
+    // them as "big" and stops re-rewriting the same rows
+    val numFiles = math.max(1L, (tailBytes + maxBytes - 1) / maxBytes).toInt
+    val tail = spark.read.option("mergeSchema", "true")
+      .parquet(small.map(d => s"$root/$d"): _*)
+    val clustered =
+      if (sortCols.isEmpty) tail.coalesce(numFiles)
+      else tail.repartitionByRange(numFiles, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    publishRewrite(spark, base, big, clustered, Some(emptyChanges(tail)))
+  }
+
   private def emptyChanges(snap: DataFrame): DataFrame =
     snap.limit(0).withColumn(SnapshotLake.ChangeTypeCol,
       org.apache.spark.sql.functions.lit("insert"))

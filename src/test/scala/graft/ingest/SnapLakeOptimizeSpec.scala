@@ -80,6 +80,32 @@ class SnapLakeOptimizeSpec extends SparkSpecBase {
       .filter(col("y") >= 10 && col("y") < 20).count() == 1000)
   }
 
+  test("compactSmall folds the small tail, carries the big body") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // one "big" base generation plus five tiny streaming-style appends
+    lake.commit(spark.range(0, 50000).toDF("id"), overwrite = true)
+    (0 until 5).foreach { k =>
+      lake.commit(spark.range(50000 + k * 10, 50010 + k * 10).toDF("id")
+        .coalesce(1))
+    }
+    val before = lake.dirsAt(spark, 6L)
+    val bigGen = lake.dirsAt(spark, 1L).head
+    val v = lake.compactSmall(spark, maxBytes = 64 * 1024, Seq(col("id")))
+    assert(v == 7L)
+    val after = lake.dirsAt(spark, v)
+    assert(after.contains(bigGen), "the big generation must carry by reference")
+    assert(after.size == 2, s"tail should fold into one generation: $after")
+    assert(spark.read.format("snaplake").load(root).count() == 50050)
+    // idempotent steady state: one small gen left → nothing to do
+    assert(lake.compactSmall(spark, maxBytes = 64 * 1024, Seq(col("id"))) == v)
+    // the fold is layout-only: the changefeed for it is empty
+    assert(lake.changesBetween(spark, 6L, 7L).count() == 0)
+    // pre-compaction versions stay time-travelable until vacuumed
+    assert(lake.readAt(spark, 6L).count() == 50050)
+    assert(before.size == 6)
+  }
+
   test("a commit racing into optimize's publish window aborts it") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
