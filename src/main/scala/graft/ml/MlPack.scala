@@ -237,6 +237,21 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The OTHER subword family: unigram-LM (SentencePiece-style)
+    // Viterbi token counts under the committed UnigramTable, as a
+    // codegen expression. The oracle replays the frozen tokenizer
+    // per WORD (the corpus's closed 31-word vocabulary makes each
+    // word's piece count a constant, derived from the same frozen
+    // table at oracle-build time — an unseen word would inner-join
+    // away and hash-mismatch, so drift is detected, not absorbed).
+    "ns_token_count_unigram" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Unigram.tokenCount(col("text"))
+            .as("n_unigram_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL token accounting: byte-level BPE under the committed
     // BpeTable merge table, as a codegen expression. The oracle replays
     // the identical 128 merges as chained replace() calls (see
@@ -945,6 +960,32 @@ object MlPack extends QueryPack {
         |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS INT)
         |    AS n_distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The frozen unigram tokenizer replayed per word: the corpus's
+    // closed word vocabulary (identical across SFs by the generator's
+    // construction) maps each word to its Viterbi piece count, derived
+    // at oracle-build time from the SAME committed UnigramTable the
+    // Spark expression encodes with. An out-of-vocabulary word would
+    // fail the inner join and shift the sum — a detected mismatch, not
+    // a silent one; empty docs come back as 0 through the left join.
+    "ns_token_count_unigram" -> {
+      val vals = Seq("a", "agg", "batch", "big", "column", "customer",
+        "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+        "line", "merge", "order", "part", "query", "row", "scan", "slow",
+        "small", "sort", "spark", "stream", "table", "the", "value",
+        "vector", "window")
+        .map(w => s"('$w', ${graft.functions.Unigram.encode(w).length})")
+        .mkString(", ")
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(string_split_regex(text, '\\s+')) AS tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, CAST(sum(m.n) AS INT) AS n
+         |  FROM w JOIN (VALUES $vals) AS m(tok, n) ON w.tok = m.tok
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(c.n, 0) AS n_unigram_tokens
+         |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // The committed BpeTable merge list replayed literally: merge rank r
     // is one replace(s, chr(a)||chr(b), chr(256+r)) — left-to-right
