@@ -52,19 +52,23 @@ object GenStats {
 
   /** Harvest stats for every `*.parquet` under `genPath` and write
     * `_stats.json` there. Footer reads are driver-side metadata I/O
-    * (a few KB per file); a commit's generation has O(shuffle
-    * partitions) files, so this is bounded by the writing job's own
-    * parallelism, not the data volume. Never throws on stats problems:
-    * a file whose footer defeats harvesting is recorded with no columns
-    * (readable, never pruned). */
+    * (a few KB per file), issued CONCURRENTLY (16-way, the same shape
+    * as a table format's planning thread pool) so a many-file commit's
+    * harvest is bounded by footer latency, not file count × latency.
+    * Never throws on stats problems: a file whose footer defeats
+    * harvesting is recorded with no columns (readable, never pruned). */
   def write(conf: Configuration, genPath: String): Unit = {
     val dir = new Path(genPath)
     val fs = dir.getFileSystem(conf)
     val files = fs.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val perFile = files.map { st =>
-      st.getPath.getName -> harvestFile(conf, st.getPath)
-    }
+    val pool = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(16))
+    val par = new scala.collection.parallel.immutable.ParVector(files.toVector)
+    par.tasksupport = pool
+    val perFile =
+      try par.map(st => st.getPath.getName -> harvestFile(conf, st.getPath)).toVector
+      finally pool.environment.shutdown()
     val json = render(perFile)
     val tmp = new Path(dir, s".$StatsFileName.tmp")
     val out = fs.create(tmp, true)

@@ -77,8 +77,11 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
             .getOrElse(Map.empty)
             .map { case (file, st) => s"$gen/$file" -> st }
         }.toMap
-        if (stats.isEmpty) fsRel
-        else fsRel.copy(location = new StatsFileIndex(fsRel.location, stats))(spark)
+        // wrap even with no stats: the wrapper's rootPaths carry the
+        // commit log, which is what blocks single-path INSERT INTO from
+        // corrupting a committed generation (see StatsFileIndex)
+        fsRel.copy(location = new StatsFileIndex(fsRel.location, stats,
+          Some(new org.apache.hadoop.fs.Path(s"$root/_commits"))))(spark)
       case other => other
     }
   }

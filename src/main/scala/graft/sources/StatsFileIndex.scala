@@ -28,10 +28,20 @@ import graft.ingest.GenStats.{ColStats, FileStats}
   * Stats are keyed by `gen-dir/file-name`, unique within a table because
   * generation names are UUID-derived.
   */
-class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats])
+class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats],
+    commitLogPath: Option[Path] = None)
     extends FileIndex {
 
-  override def rootPaths: Seq[Path] = inner.rootPaths
+  /** The generation directories PLUS the commit log: the table is
+    * genuinely multi-location, and advertising that is also the guard
+    * against `INSERT INTO` — Spark's file-relation insert command
+    * requires a single root path and refuses, instead of silently
+    * dropping parquet files into a committed generation directory
+    * (which would mutate every version referencing it and break
+    * snapshot isolation and time travel). Writes go through
+    * `format("snaplake").mode("append")`, i.e. the commit log. */
+  override def rootPaths: Seq[Path] =
+    inner.rootPaths ++ commitLogPath.toSeq
   override def inputFiles: Array[String] = inner.inputFiles
   override def refresh(): Unit = inner.refresh()
   override def sizeInBytes: Long = inner.sizeInBytes

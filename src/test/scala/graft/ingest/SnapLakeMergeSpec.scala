@@ -120,6 +120,19 @@ class SnapLakeMergeSpec extends SparkSpecBase {
       Set((1L, "A"), (7L, "g")))
   }
 
+  test("merge with an evolved source schema widens the table") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    // source carries a new column; untouched target rows read it null
+    lake.merge(Seq((2L, "B", "fresh"), (3L, "c", "fresh"))
+      .toDF("id", "v", "tag"), Seq("id"))
+    val got = lake.read(spark).select("id", "v", "tag")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "B", Some("fresh")),
+      (3L, "c", Some("fresh"))))
+  }
+
   test("merge through the source: format-written lake accepts upserts") {
     val root = freshRoot()
     spark.range(0, 50).select(col("id"), lit("base").as("tag"))

@@ -72,6 +72,28 @@ class SnapLakeSourceSpec extends SparkSpecBase {
     assert(q.count() == 100)
   }
 
+  test("SQL DDL works for reads; INSERT INTO is refused, lake intact") {
+    val root = freshRoot()
+    Seq((1L, "a")).toDF("id", "v")
+      .write.format("snaplake").mode(SaveMode.Overwrite).save(root)
+    spark.sql(s"CREATE TABLE snap_sql_t USING snaplake OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT v FROM snap_sql_t WHERE id = 1")
+        .as[String].collect().toSeq == Seq("a"))
+      // INSERT INTO would bypass the commit log and drop parquet files
+      // straight into a committed generation — mutating every version
+      // that references it. The index advertises the table's real
+      // multi-location layout, so Spark's single-path insert refuses.
+      intercept[Exception] {
+        spark.sql("INSERT INTO snap_sql_t VALUES (2, 'b')")
+      }
+      val lake = new SnapshotLake(root)
+      assert(lake.versions(spark) == Seq(1L))
+      assert(lake.readAt(spark, 1L).count() == 1,
+        "INSERT INTO leaked rows into a committed generation")
+    } finally spark.sql("DROP TABLE snap_sql_t")
+  }
+
   test("reading an empty root or unknown version fails fast") {
     val root = freshRoot()
     intercept[IllegalArgumentException] {
