@@ -63,6 +63,7 @@ object GraftExtensions {
     "deletion_sigs" -> (c =>
       DeletionSigs(c(0), intArg(c(1), "deletion_sigs", "maxEd"))),
     "bpe_token_count" -> (c => BpeTokenCount(c.head)),
+    "unigram_token_count" -> (c => UnigramTokenCount(c.head)),
     "utf8_bytes" -> (c => Utf8Bytes(c.head)),
     "bpe_merge_pass" -> (c => BpeMergePass(c(0),
       intArg(c(1), "bpe_merge_pass", "a"), intArg(c(2), "bpe_merge_pass", "b"),

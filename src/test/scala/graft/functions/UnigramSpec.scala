@@ -114,5 +114,10 @@ class UnigramSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [unigram_token_count"),
       s"projection fell out of whole-stage codegen (no * stage):\n$plan")
+    // callable from SQL after extension registration
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT unigram_token_count('the table scan') AS n").head().getInt(0)
+    assert(viaSql == Unigram.encode("the table scan").length)
   }
 }
