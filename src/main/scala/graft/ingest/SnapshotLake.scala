@@ -87,6 +87,20 @@ class SnapshotLake(root: String) {
     "\"(gen-[0-9a-f]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
   }
 
+  /** Latest version whose commit file was published at or before
+    * `tsMillis` — timestamp-based time travel. The commit file's
+    * modification time IS the publication instant (it is written once,
+    * atomically, and never touched again), so no extra bookkeeping is
+    * needed; like any table format's timestampAsOf, granularity is the
+    * store's mtime resolution. */
+  def versionAt(spark: SparkSession, tsMillis: Long): Option[Long] = {
+    val fs = hadoopFs(spark)
+    versions(spark).reverseIterator.find { v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        f"$commitsDir/v$v%08d.json")).getModificationTime <= tsMillis
+    }
+  }
+
   /** TIME TRAVEL: the table exactly as committed at `version`. */
   def readAt(spark: SparkSession, version: Long): DataFrame = {
     val dirs = dirsAt(spark, version)
@@ -139,6 +153,7 @@ class SnapshotLake(root: String) {
     // cannot see it until the commit file below publishes it
     val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.parquet(s"$root/$gen")
+    validateGen(spark, gen)
     // footer-harvested file stats land inside the still-unpublished
     // generation, so they are immutable alongside the data they describe
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
@@ -186,6 +201,7 @@ class SnapshotLake(root: String) {
     if (latestVersion(spark).isDefined) return None // cheap pre-check only
     val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     df.write.parquet(s"$root/$gen")
+    validateGen(spark, gen)
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
     val json = s"""{"version":1,"dirs":["$gen"]}"""
@@ -240,6 +256,84 @@ class SnapshotLake(root: String) {
     * rewrite generation but before it claims the commit — the window a
     * concurrent commit would race into. No-op in production. */
   protected def onBeforePublish(): Unit = ()
+
+  // ------------------------------------------------ CHECK constraints
+
+  private def constraintsPath = new org.apache.hadoop.fs.Path(
+    s"$root/_constraints.json")
+
+  /** Write-time CHECK constraints: named SQL boolean expressions every
+    * committed row must satisfy (standard CHECK semantics — a row where
+    * the expression is NULL passes). Administrative, not versioned:
+    * they gate writes from the moment they are set. */
+  def constraints(spark: SparkSession): Map[String, String] = {
+    val fs = hadoopFs(spark)
+    if (!fs.exists(constraintsPath)) return Map.empty
+    val in = fs.open(constraintsPath)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    import scala.jdk.CollectionConverters._
+    m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  def addConstraint(spark: SparkSession, name: String, sqlExpr: String): Unit =
+    writeConstraints(spark, constraints(spark) + (name -> sqlExpr))
+
+  def dropConstraint(spark: SparkSession, name: String): Unit =
+    writeConstraints(spark, constraints(spark) - name)
+
+  private def writeConstraints(spark: SparkSession,
+      cs: Map[String, String]): Unit = {
+    val fs = hadoopFs(spark)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    cs.toSeq.sortBy(_._1).foreach { case (n, e) => node.put(n, e) }
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/._constraints.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsString(node)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(constraintsPath, false)
+    fs.rename(tmp, constraintsPath)
+  }
+
+  /** Validate a freshly-written, still-unpublished generation against
+    * the table's constraints by READING IT BACK (column-pruned to the
+    * constraint columns): validating on disk rather than on the input
+    * plan means the input executes exactly once (a streaming sink's
+    * re-wrapped batch must not re-run its incremental plan) and what is
+    * checked is literally what a reader would see. On violation the
+    * generation is deleted and the commit never happens — constraint
+    * enforcement and atomicity compose. */
+  private def validateGen(spark: SparkSession, gen: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val cs = constraints(spark)
+    if (cs.isEmpty) return
+    val names = cs.keys.toSeq.sorted
+    // a fileless generation (empty batch/delete-all) has nothing to
+    // check — and schema inference over it would fail
+    val hasFiles = hadoopFs(spark)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$root/$gen"))
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (!hasFiles) return
+    val gdf = spark.read.parquet(s"$root/$gen")
+    // one aggregate pass counts violations of every constraint at once;
+    // CHECK passes NULL, so a violation is coalesce(expr, true) = false
+    val aggs = names.map(n => sum(when(
+      not(coalesce(expr(cs(n)), lit(true))), 1L).otherwise(0L)).as(n))
+    val row = gdf.agg(aggs.head, aggs.tail: _*).head()
+    val broken = names.map(n => n -> row.getAs[Long](n)).filter(_._2 > 0)
+    if (broken.nonEmpty) {
+      hadoopFs(spark).delete(new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
+      throw new IllegalStateException(
+        broken.map { case (n, c) =>
+          s"CHECK constraint '$n' (${cs(n)}) violated by $c row(s)"
+        }.mkString("; ") + s" — commit to $root aborted")
+    }
+  }
 
   /** Copy-on-write UPSERT: target rows whose key equals a source row's
     * key are replaced by that source row; source rows matching nothing
@@ -495,6 +589,7 @@ class SnapshotLake(root: String) {
     val fs = hadoopFs(spark)
     val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     rewritten.write.parquet(s"$root/$gen")
+    validateGen(spark, gen) // a merge source can violate like any ingest
     // the changefeed rides INSIDE the writer-unique generation (a
     // `_`-prefixed subdir, invisible to data reads), so it publishes
     // atomically with the commit that references the generation and is

@@ -49,9 +49,23 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val root = rootOf(parameters)
     val lake = new SnapshotLake(root)
-    val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(
-      lake.latestVersion(spark).getOrElse(throw new IllegalArgumentException(
-        s"no committed version under $root")))
+    require(!(parameters.contains("versionAsOf") &&
+      parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        // interpreted in the SESSION time zone, like Spark timestamps
+        val zone = java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)
+        val millis = java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+          .atZone(zone).toInstant.toEpochMilli
+        lake.versionAt(spark, millis).getOrElse(
+          throw new IllegalArgumentException(
+            s"no commit at or before $ts under $root"))
+      })
+      .getOrElse(lake.latestVersion(spark).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version under $root")))
     val dirs = lake.dirsAt(spark, version).map(d => s"$root/$d")
     // Delegate to Spark's parquet relation over exactly this version's
     // files: pushdown/pruning/vectorization are the scan's own, and the

@@ -1,0 +1,95 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpecBase
+
+/** Write-time CHECK constraints on [[SnapshotLake]] and timestamp time
+  * travel: violating commits abort atomically (no version, no orphan
+  * generation), NULL passes (SQL CHECK), merges are gated like
+  * ingests, and `timestampAsOf` resolves the version published at that
+  * instant.
+  */
+class SnapLakeConstraintSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snapcons").toString
+
+  test("a violating commit aborts whole: no version, no orphan data") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.addConstraint(spark, "score_range", "score >= 0 AND score <= 100")
+    lake.addConstraint(spark, "id_present", "id IS NOT NULL")
+    assert(lake.constraints(spark).keySet == Set("score_range", "id_present"))
+    val bad = Seq((1L, 50), (2L, 101)).toDF("id", "score")
+    val e = intercept[IllegalStateException] { lake.commit(bad, overwrite = true) }
+    assert(e.getMessage.contains("score_range") &&
+      e.getMessage.contains("1 row(s)"), e.getMessage)
+    assert(lake.versions(spark).isEmpty, "violating commit published")
+    // the half-written generation was cleaned up, not orphaned
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("gen-")), "orphan generation left")
+    // a clean commit passes
+    lake.commit(Seq((1L, 50), (2L, 99)).toDF("id", "score"), overwrite = true)
+    assert(lake.read(spark).count() == 2)
+  }
+
+  test("CHECK passes NULL; drop re-admits; merge is gated too") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.addConstraint(spark, "positive", "v > 0")
+    // NULL v evaluates the CHECK to NULL → passes, standard SQL
+    lake.commit(Seq((1L, Some(5)), (2L, None)).toDF("id", "v"),
+      overwrite = true)
+    assert(lake.read(spark).count() == 2)
+    // a merge whose source violates aborts and leaves the table alone
+    intercept[IllegalStateException] {
+      lake.merge(Seq((3L, Some(-1))).toDF("id", "v"), Seq("id"))
+    }
+    assert(lake.latestVersion(spark).contains(1L))
+    assert(lake.read(spark).count() == 2)
+    // dropping the constraint re-admits the same rows
+    lake.dropConstraint(spark, "positive")
+    lake.merge(Seq((3L, Some(-1))).toDF("id", "v"), Seq("id"))
+    assert(lake.read(spark).count() == 3)
+  }
+
+  test("timestampAsOf resolves the version live at that instant") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((2L, "b")).toDF("id", "v"))
+    // pin distinct publication instants via the commit files' mtimes
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = 1700000000000L
+    val t2 = 1700000600000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/_commits/v00000001.json"),
+      t1, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root/_commits/v00000002.json"),
+      t2, -1)
+    assert(lake.versionAt(spark, t1 - 1).isEmpty)
+    assert(lake.versionAt(spark, t1).contains(1L))
+    assert(lake.versionAt(spark, t2 - 1).contains(1L))
+    assert(lake.versionAt(spark, t2 + 1).contains(2L))
+    // through the source option (session-TZ parse; UTC here — t1 is
+    // exactly 2023-11-14T22:13:20Z)
+    val asOf = spark.read.format("snaplake")
+      .option("timestampAsOf", "2023-11-14 22:13:20").load(root)
+    assert(asOf.count() == 1)
+    intercept[IllegalArgumentException] {
+      spark.read.format("snaplake").option("timestampAsOf", "2001-01-01 00:00:00")
+        .load(root)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("snaplake").option("versionAsOf", "1")
+        .option("timestampAsOf", "2023-11-14 22:13:20").load(root)
+    }
+  }
+}
