@@ -120,6 +120,41 @@ class SnapLakeMergeSpec extends SparkSpecBase {
       Set((1L, "A"), (7L, "g")))
   }
 
+  test("merge I/O is bounded by the affected tail, not the table") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // a BIG body generation and a small tail with a disjoint key range
+    lake.commit(spark.range(0, 300000).toDF("id")
+      .withColumn("payload", concat(lit("x"), col("id"))), overwrite = true)
+    lake.commit(spark.range(1000000, 1000100).toDF("id")
+      .withColumn("payload", lit("tail")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigGen = lake.dirsAt(spark, 1L).head
+    val bigBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$root/$bigGen")).getLength
+    // measure task INPUT during a merge that touches only the tail
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      lake.merge(Seq((1000050L, "upd")).toDF("id", "payload"), Seq("id"))
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the body generation (multi-MB) must never be scanned: the merge's
+    // reads are the tail generation + the one-row source + its own
+    // validation/stats read-back of the small rewrite
+    assert(bytesRead.get() < bigBytes / 4,
+      s"merge read ${bytesRead.get()} bytes vs body $bigBytes — " +
+        "stats scoping stopped excluding the untouched generation")
+    assert(lake.read(spark).count() == 300100)
+  }
+
   test("merge with an evolved source schema widens the table") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
