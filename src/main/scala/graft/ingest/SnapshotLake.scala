@@ -715,6 +715,32 @@ class SnapshotLake(root: String) {
     val fs = hadoopFs(spark)
     val all = versions(spark)
     val (drop, keep) = all.splitAt(math.max(0, all.size - retainLast))
+    vacuumSplit(spark, fs, drop, keep)
+  }
+
+  /** [[vacuum]] by AGE: drop versions whose commit published before
+    * `cutoffMillis` (the commit file's mtime — same clock
+    * [[versionAt]] travels by, so "vacuum older than X" and
+    * "timestampAsOf X" stay consistent). The newest version always
+    * survives regardless of age: a table never vacuums itself empty. */
+  def vacuumOlderThan(spark: SparkSession, cutoffMillis: Long): Unit = {
+    val fs = hadoopFs(spark)
+    val all = versions(spark)
+    if (all.isEmpty) return
+    val old = all.dropRight(1).filter { v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        f"$commitsDir/v$v%08d.json")).getModificationTime < cutoffMillis
+    }
+    // age-expired versions must form a prefix: a young commit below an
+    // old one would leave a manifest hole readers can't distinguish
+    // from corruption, so stop at the first survivor
+    val drop = all.takeWhile(old.contains)
+    vacuumSplit(spark, fs, drop, all.drop(drop.size))
+  }
+
+  private def vacuumSplit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      drop: Seq[Long], keep: Seq[Long]): Unit = {
     if (drop.nonEmpty) {
       val live = keep.flatMap(v => dirsAt(spark, v)).toSet
       // delete only generations the DROPPED commits reference and no kept

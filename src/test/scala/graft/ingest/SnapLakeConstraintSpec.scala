@@ -60,6 +60,30 @@ class SnapLakeConstraintSpec extends SparkSpecBase {
     assert(lake.read(spark).count() == 3)
   }
 
+  test("vacuumOlderThan drops an aged prefix, never the head or a hole") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((2L, "b")).toDF("id", "v"))
+    lake.commit(Seq((3L, "c")).toDF("id", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def age(v: Int, t: Long): Unit = fs.setTimes(
+      new org.apache.hadoop.fs.Path(f"$root/_commits/v$v%08d.json"), t, -1)
+    // v1 old, v2 YOUNG, v3 old: the expired set is {v1, v3} but only the
+    // contiguous prefix {v1} may go — dropping v3 under a younger v2
+    // would leave a hole, and v3 is also the head
+    age(1, 1000L); age(2, 2000000L); age(3, 3000L)
+    lake.vacuumOlderThan(spark, cutoffMillis = 1000000L)
+    assert(lake.versions(spark) == Seq(2L, 3L))
+    assert(lake.read(spark).count() == 3, "survivor data lost")
+    // head survives even when everything is ancient
+    age(2, 1000L); age(3, 1001L)
+    lake.vacuumOlderThan(spark, cutoffMillis = Long.MaxValue)
+    assert(lake.versions(spark) == Seq(3L))
+    assert(lake.read(spark).count() == 3)
+  }
+
   test("timestampAsOf resolves the version live at that instant") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
