@@ -74,3 +74,41 @@ object ZOrder2 {
     terms.mkString("(", " | ", ")")
   }
 }
+
+/** N-key Morton interleave: bit i of key j lands at result bit i·n + j,
+  * so ZOrderN over two keys is bit-identical to [[ZOrder2]] (spec-pinned).
+  *
+  * Deliberately NOT a custom Expression: the interleave is a pure
+  * shift/mask/or tree, so it composes from Spark's own codegen'd
+  * bitwise functions — n·bits terms OR-reduced — and the optimizer sees
+  * ordinary arithmetic it can constant-fold and push around. The custom-
+  * Expression route ([[ZOrder2]]) predates this and is kept for the
+  * 2-key fast path and its SQL registration; for arbitrary n the
+  * composition is the Spark-first answer. n·bitsPerKey must stay ≤ 63.
+  */
+object ZOrderN {
+
+  def zorder(cols: Seq[Column], bitsPerKey: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
+    val n = cols.size
+    require(n >= 2, "zorderN needs at least two keys")
+    require(n * bitsPerKey <= 63, s"$n keys × $bitsPerKey bits exceeds a long")
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bitsPerKey
+    } yield shiftleft(
+      shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The identical interleave as SQL for the oracle (same
+    * parenthesization discipline as [[ZOrder2.sqlExpr]]). */
+  def sqlExpr(cols: Seq[String], bitsPerKey: Int): String = {
+    val n = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bitsPerKey
+    } yield s"((($c >> $i) & 1) << ${i * n + j})"
+    terms.mkString("(", " | ", ")")
+  }
+}

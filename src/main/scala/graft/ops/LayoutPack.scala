@@ -24,6 +24,22 @@ object LayoutPack extends QueryPack {
         .orderBy(col("z_bucket"))
     }),
 
+    // Three-key Morton clustering key — ZOrderN composed purely from
+    // Spark's own codegen bitwise functions (no custom expression
+    // needed at arbitrary arity); same per-z-range envelope summary as
+    // l_zorder_key. 18 bits/key (54 result bits) covers l_orderkey's
+    // ~150k max at sf0.1 with headroom.
+    "l_zorder_key3" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(graft.functions.ZOrderN.zorder(
+          Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")), 18)
+          .as("z"))
+        .groupBy(shiftright(col("z"), 12).as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
+          max(col("z")).as("max_z"))
+        .orderBy(col("z_bucket"))
+    }),
+
     // SnapshotLake time travel THROUGH the registered Spark source: commit
     // the even-doc_id half, append the rest, then read the overwrite's
     // version — the answer is that version's half alone, proving the
@@ -168,6 +184,15 @@ object LayoutPack extends QueryPack {
       val z = ZOrder2.sqlExpr("l_partkey", "l_suppkey", 21)
       s"""WITH zt AS (SELECT $z AS z FROM lineitem)
          |SELECT z >> 10 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(z) AS min_z, max(z) AS max_z
+         |FROM zt GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
+
+    "l_zorder_key3" -> {
+      val z = graft.functions.ZOrderN.sqlExpr(
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), 18)
+      s"""WITH zt AS (SELECT $z AS z FROM lineitem)
+         |SELECT z >> 12 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
          |  min(z) AS min_z, max(z) AS max_z
          |FROM zt GROUP BY 1 ORDER BY z_bucket""".stripMargin
     },

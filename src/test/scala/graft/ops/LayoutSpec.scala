@@ -27,6 +27,30 @@ class LayoutSpec extends SparkSpecBase {
     assert(ZOrder2.compute(5, 9, 21) < ZOrder2.compute(5, 10, 21))
   }
 
+  test("zorderN at n=2 is bit-identical to zorder2; n=3 interleaves by stride") {
+    val pairs = Seq((0L, 0L), (12345L, 67890L), (54321L, 98765L),
+      ((1L << 21) - 1, (1L << 21) - 1))
+    val viaN = pairs.toDF("a", "b")
+      .select(graft.functions.ZOrderN.zorder(Seq(col("a"), col("b")), 21).as("z"))
+      .as[Long].collect().toSeq
+    val via2 = pairs.toDF("a", "b")
+      .select(ZOrder2.zorder(col("a"), col("b"), 21).as("z"))
+      .as[Long].collect().toSeq
+    assert(viaN == via2, "two-key ZOrderN diverged from ZOrder2")
+    // n=3: bit i of key j lands at 3i+j
+    def naive3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (3 * i)) |
+          (((b >> i) & 1L) << (3 * i + 1)) | (((c >> i) & 1L) << (3 * i + 2))
+      }
+    val triples = Seq((1L, 2L, 4L), (123L, 456L, 789L), (0L, 0L, 1L))
+    val got3 = triples.toDF("a", "b", "c")
+      .select(graft.functions.ZOrderN.zorder(
+        Seq(col("a"), col("b"), col("c")), 18).as("z"))
+      .as[Long].collect().toSeq
+    assert(got3 == triples.map { case (a, b, c) => naive3(a, b, c, 18) })
+  }
+
   test("writeZOrdered preserves data and tightens per-file envelopes on BOTH keys") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
