@@ -83,19 +83,10 @@ object Unigram {
 
   // -------------------------------------------------- frozen-table encode
 
-  private lazy val frozenVocab: java.util.HashMap[String, java.lang.Double] = {
-    val m = new java.util.HashMap[String, java.lang.Double](
-      UnigramTable.pieces.length * 2)
-    UnigramTable.pieces.foreach { case (p, lp) => m.put(p, lp) }
-    m
-  }
   private lazy val frozenMaxLen: Int =
     UnigramTable.pieces.iterator.map(_._1.length).max
 
-  private lazy val frozenScala: collection.Map[String, Double] = {
-    import scala.jdk.CollectionConverters._
-    frozenVocab.asScala.map { case (k, v) => k -> v.doubleValue() }
-  }
+  private lazy val frozenScala: Map[String, Double] = UnigramTable.pieces.toMap
 
   /** Token count of `text` under the COMMITTED [[UnigramTable]] — the
     * static entry point the codegen expression calls. */

@@ -125,10 +125,18 @@ class SnapshotLake(root: String) {
 
   /** Newest streaming batch id recorded in the commit log, scanning
     * newest→oldest past any untagged (batch-API) commits in between —
-    * the replay watermark for [[graft.sources.SnapLakeSink]]. The scan
-    * normally stops at the first or second commit: a stream writer's
-    * marker is always near the log tail. */
-  def lastStreamBatchId(spark: SparkSession): Option[Long] = {
+    * the replay watermark for [[graft.sources.SnapLakeSink]].
+    *
+    * `queryId` scopes the watermark to ONE streaming query (the stable
+    * checkpoint identity): a NEW query writing the same table starts
+    * its batch ids at 0 again, and comparing against another query's
+    * watermark would silently swallow its first batches — the reason
+    * table formats key stream transactions on (appId, version), not the
+    * bare batch id. Passing None matches any marker (monitoring use).
+    * The scan normally stops within a few commits: a live stream
+    * writer's marker is always near the log tail. */
+  def lastStreamBatchId(spark: SparkSession,
+      queryId: Option[String] = None): Option[Long] = {
     val fs = hadoopFs(spark)
     versions(spark).reverseIterator.map { v =>
       val p = new org.apache.hadoop.fs.Path(f"$commitsDir/v$v%08d.json")
@@ -137,16 +145,19 @@ class SnapshotLake(root: String) {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      """"batchId":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      val idOk = queryId.forall(q => txt.contains(s""""queryId":"$q""""))
+      if (!idOk) None
+      else """"batchId":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
     }.collectFirst { case Some(b) => b }
   }
 
-  /** [[commit]] plus an optional streaming batch-id marker persisted in
-    * the commit JSON — the exactly-once handshake for the streaming
-    * sink (a replayed micro-batch is detected by
-    * [[lastStreamBatchId]] >= its id and skipped whole). */
+  /** [[commit]] plus an optional streaming (queryId, batchId) marker
+    * persisted in the commit JSON — the exactly-once handshake for the
+    * streaming sink (a replayed micro-batch is detected by
+    * [[lastStreamBatchId]] >= its id UNDER THE SAME QUERY ID and
+    * skipped whole). */
   private[graft] def commitTagged(df: DataFrame, overwrite: Boolean,
-      batchId: Option[Long]): Long = {
+      batchId: Option[Long], queryId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val fs = hadoopFs(spark)
     // data first, under a writer-unique UNCOMMITTED generation — readers
@@ -165,7 +176,8 @@ class SnapshotLake(root: String) {
       val dirs =
         if (overwrite || base.isEmpty) Seq(gen)
         else dirsAt(spark, base.get) :+ gen
-      val tag = batchId.map(b => s""""batchId":$b,""").getOrElse("")
+      val tag = batchId.map(b => s""""batchId":$b,""").getOrElse("") +
+        queryId.map(q => s""""queryId":"$q",""").getOrElse("")
       val json = dirs.map("\"" + _ + "\"")
         .mkString(s"""{"version":$next,$tag"dirs":[""", ",", "]}")
       val tmp = new org.apache.hadoop.fs.Path(
@@ -312,26 +324,47 @@ class SnapshotLake(root: String) {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
     val cs = constraints(spark)
     if (cs.isEmpty) return
-    val names = cs.keys.toSeq.sorted
     // a fileless generation (empty batch/delete-all) has nothing to
     // check — and schema inference over it would fail
     val hasFiles = hadoopFs(spark)
       .listStatus(new org.apache.hadoop.fs.Path(s"$root/$gen"))
       .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (!hasFiles) return
-    val gdf = spark.read.parquet(s"$root/$gen")
-    // one aggregate pass counts violations of every constraint at once;
-    // CHECK passes NULL, so a violation is coalesce(expr, true) = false
-    val aggs = names.map(n => sum(when(
-      not(coalesce(expr(cs(n)), lit(true))), 1L).otherwise(0L)).as(n))
-    val row = gdf.agg(aggs.head, aggs.tail: _*).head()
-    val broken = names.map(n => n -> row.getAs[Long](n)).filter(_._2 > 0)
-    if (broken.nonEmpty) {
-      hadoopFs(spark).delete(new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
-      throw new IllegalStateException(
-        broken.map { case (n, c) =>
-          s"CHECK constraint '$n' (${cs(n)}) violated by $c row(s)"
-        }.mkString("; ") + s" — commit to $root aborted")
+    // ANY failure from here on (violation, malformed constraint, parse
+    // or analysis error) must clean up the unpublished generation —
+    // nothing sweeps orphans later
+    try {
+      val gdf = spark.read.parquet(s"$root/$gen")
+      // a constraint referencing a column this generation doesn't carry
+      // is vacuously satisfied: schema evolution reads the column as
+      // NULL everywhere, and CHECK passes NULL — evaluating it would
+      // instead fail analysis. Resolution is by parsed attribute names
+      // (top-level columns only, which is all constraints deal in).
+      val cols = gdf.columns.map(_.toLowerCase).toSet
+      val names = cs.keys.toSeq.sorted.filter { n =>
+        spark.sessionState.sqlParser.parseExpression(cs(n)).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase
+        }.forall(cols.contains)
+      }
+      if (names.isEmpty) return
+      // one aggregate pass counts violations of every constraint at
+      // once; CHECK passes NULL: a violation is coalesce(expr, true) =
+      // false
+      val aggs = names.map(n => sum(when(
+        not(coalesce(expr(cs(n)), lit(true))), 1L).otherwise(0L)).as(n))
+      val row = gdf.agg(aggs.head, aggs.tail: _*).head()
+      val broken = names.map(n => n -> row.getAs[Long](n)).filter(_._2 > 0)
+      if (broken.nonEmpty)
+        throw new IllegalStateException(
+          broken.map { case (n, c) =>
+            s"CHECK constraint '$n' (${cs(n)}) violated by $c row(s)"
+          }.mkString("; ") + s" — commit to $root aborted")
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        hadoopFs(spark).delete(
+          new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
+        throw t
     }
   }
 
@@ -361,38 +394,45 @@ class SnapshotLake(root: String) {
     val base = latestVersion(spark).getOrElse(
       sys.error(s"merge into a never-committed lake: $root"))
     val dirs = dirsAt(spark, base)
-    // source key envelope: one tiny agg job, 2·|keys| scalars
-    val aggs = keyCols.flatMap(k => Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
-    val env = source.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val srcEnv: Map[String, (Any, Any)] = keyCols.flatMap { k =>
-      (normScalar(env.getAs[Any](s"mn_$k")), normScalar(env.getAs[Any](s"mx_$k"))) match {
-        case (Some(mn), Some(mx)) => Some(k -> (mn, mx))
-        case _ => None // non-primitive key type or all-null: no envelope
+    // the source plan is consumed by the envelope agg, both key joins,
+    // the rewrite, and the changefeed — cache it so an expensive or
+    // non-deterministic source executes ONCE and the committed table
+    // cannot disagree with its own materialized changes
+    val src = source.persist()
+    try {
+      // source key envelope: one tiny agg job, 2·|keys| scalars
+      val aggs = keyCols.flatMap(k => Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+      val env = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val srcEnv: Map[String, (Any, Any)] = keyCols.flatMap { k =>
+        (normScalar(env.getAs[Any](s"mn_$k")), normScalar(env.getAs[Any](s"mx_$k"))) match {
+          case (Some(mn), Some(mx)) => Some(k -> (mn, mx))
+          case _ => None // non-primitive key type or all-null: no envelope
+        }
+      }.toMap
+      val (affected, untouched) = dirs.partition(genMayContainKeys(spark, _, keyCols, srcEnv))
+      import org.apache.spark.sql.functions.lit
+      val affectedDf = if (affected.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(affected.map(d => s"$root/$d"): _*))
+      val srcKeys = src.select(keyCols.map(col): _*).distinct()
+      val keep = affectedDf.map(_.join(srcKeys, keyCols, "left_anti"))
+      val rewritten = keep match {
+        case Some(k) => k.unionByName(src, allowMissingColumns = true)
+        case None => src
       }
-    }.toMap
-    val (affected, untouched) = dirs.partition(genMayContainKeys(spark, _, keyCols, srcEnv))
-    import org.apache.spark.sql.functions.lit
-    val affectedDf = if (affected.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(affected.map(d => s"$root/$d"): _*))
-    val keep = affectedDf.map(
-      _.join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti"))
-    val rewritten = keep match {
-      case Some(k) => k.unionByName(source, allowMissingColumns = true)
-      case None => source
-    }
-    // row-level changefeed, materialized while we still know exactly what
-    // changed: pre-images of replaced target rows as deletes, every source
-    // row as an insert (an update is its delete+insert pair)
-    val deletes = affectedDf.map(
-      _.join(source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-        .withColumn(SnapshotLake.ChangeTypeCol, lit("delete")))
-    val inserts = source.withColumn(SnapshotLake.ChangeTypeCol, lit("insert"))
-    val changes = deletes match {
-      case Some(d) => d.unionByName(inserts, allowMissingColumns = true)
-      case None => inserts
-    }
-    publishRewrite(spark, base, untouched, rewritten, Some(changes))
+      // row-level changefeed, materialized while we still know exactly
+      // what changed: pre-images of replaced target rows as deletes,
+      // every source row as an insert (an update is its pair)
+      val deletes = affectedDf.map(
+        _.join(srcKeys, keyCols, "left_semi")
+          .withColumn(SnapshotLake.ChangeTypeCol, lit("delete")))
+      val inserts = src.withColumn(SnapshotLake.ChangeTypeCol, lit("insert"))
+      val changes = deletes match {
+        case Some(d) => d.unionByName(inserts, allowMissingColumns = true)
+        case None => inserts
+      }
+      publishRewrite(spark, base, untouched, rewritten, Some(changes))
+    } finally src.unpersist()
   }
 
   /** Copy-on-write DELETE of rows matching `predicate`, scoped the same
@@ -461,9 +501,13 @@ class SnapshotLake(root: String) {
                 case (Some(a), Some(b)) if sameKind(a, mn) =>
                   val ord = GenStats.ordering(cs.tag)
                   ord.lteq(a, mx) && ord.gteq(b, mn)
-                // a file whose key column is entirely NULL can never
-                // equality-match a (non-null) source envelope value
-                case (None, None) => false
+                // absent min/max only proves non-match when the column
+                // is provably all-NULL (nulls == rows): parquet omits
+                // min/max for NaN-containing and oversized values while
+                // still writing counts, and those files may hold real
+                // matching keys
+                case (None, None) =>
+                  !cs.nulls.exists(n => fileSt.rows >= 0 && n == fileSt.rows)
                 case _ => true
               }
               case None => true
@@ -555,14 +599,13 @@ class SnapshotLake(root: String) {
       sys.error(s"compact of a never-committed lake: $root"))
     val fs = hadoopFs(spark)
     val dirs = dirsAt(spark, base)
-    val (small, big) = dirs.partition { d =>
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$root/$d"))
-        .getLength < maxBytes
-    }
+    // one recursive listing per generation, reused for both the
+    // partition and the tail total (getContentSummary walks the dir)
+    val sizes = dirs.map(d => d -> fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$root/$d")).getLength).toMap
+    val (small, big) = dirs.partition(d => sizes(d) < maxBytes)
     if (small.size < 2) return base
-    val tailBytes = small.map(d =>
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"$root/$d"))
-        .getLength).sum
+    val tailBytes = small.map(sizes).sum
     // target file count keeps outputs at ~maxBytes so a later pass sees
     // them as "big" and stops re-rewriting the same rows
     val numFiles = math.max(1L, (tailBytes + maxBytes - 1) / maxBytes).toInt

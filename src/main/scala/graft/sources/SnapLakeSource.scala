@@ -211,7 +211,16 @@ private[sources] class SnapLakeSink(spark: SparkSession, root: String,
   private val lake = new graft.ingest.SnapshotLake(root)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    if (lake.lastStreamBatchId(spark).exists(_ >= batchId)) return // replay
+    // the stable streaming-query id (checkpoint identity), set as a
+    // local property on the stream's driver thread — scoping the
+    // replay watermark to THIS query so a fresh query (new checkpoint,
+    // batch ids restarting at 0) is not mistaken for a replay of the
+    // previous writer. Absent (direct addBatch calls), fall back to
+    // the unscoped watermark.
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      "sql.streaming.queryId"))
+    if (lake.lastStreamBatchId(spark, queryId).exists(_ >= batchId))
+      return // replay of this query's own batch
     // Sink.addBatch hands a DataFrame over the batch's INCREMENTAL plan;
     // re-wrap its InternalRows as a plain batch frame (one execution —
     // re-running the incremental plan could double-apply stateful ops)
@@ -222,6 +231,6 @@ private[sources] class SnapLakeSink(spark: SparkSession, root: String,
       it.map(r => deser(r))
     }
     lake.commitTagged(spark.createDataFrame(rows, schema), overwrite,
-      Some(batchId))
+      Some(batchId), queryId)
   }
 }

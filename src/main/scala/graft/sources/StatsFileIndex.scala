@@ -132,11 +132,18 @@ object StatsPruning {
           case "ge" => ord.gteq(mx, lit)
           case _ => true
         }
-      // envelope present but empty: every value in the file is NULL, and
-      // NULL satisfies no comparison
-      case _ => cs.nulls.isEmpty
+      // min/max absent is NOT by itself an all-NULL proof: parquet
+      // omits them (while still writing null_count) for float/double
+      // chunks containing NaN and for binary values over the stats size
+      // cap. Only nulls == rows proves no value can satisfy a
+      // comparison; anything else keeps the file.
+      case _ => !allNull(fs, cs)
     }
   }
+
+  /** Proven: every row's value for this column is NULL. */
+  private def allNull(fs: FileStats, cs: graft.ingest.GenStats.ColStats): Boolean =
+    cs.nulls.exists(n => fs.rows >= 0 && n == fs.rows)
 
   /** Prefix predicate via envelope truncation: a value starting with
     * `prefix` exists in [min, max] iff min.take(n) <= prefix <=
@@ -152,7 +159,7 @@ object StatsPruning {
         if (!ascii(prefix) || !ascii(mn) || !ascii(mx)) return true
         val n = prefix.length
         mn.take(n) <= prefix && prefix <= mx.take(n)
-      case _ => cs.nulls.isEmpty
+      case _ => !allNull(fs, cs) // absent min/max ≠ all-NULL (see cmp)
     }
   }
 

@@ -60,6 +60,37 @@ class SnapLakeConstraintSpec extends SparkSpecBase {
     assert(lake.read(spark).count() == 3)
   }
 
+  test("a constraint on a column the generation lacks passes vacuously") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.addConstraint(spark, "score_range", "score >= 0")
+    // schema evolution: this append simply has no score column — every
+    // row's score reads NULL, and CHECK passes NULL, so the commit must
+    // succeed rather than fail analysis
+    lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    assert(lake.read(spark).count() == 1)
+    // a later generation WITH the column is still gated
+    intercept[IllegalStateException] {
+      lake.commit(Seq((2L, -5)).toDF("id", "score"))
+    }
+    assert(lake.latestVersion(spark).contains(1L))
+  }
+
+  test("a malformed constraint aborts the commit without orphaning data") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, 1)).toDF("id", "score"), overwrite = true)
+    lake.addConstraint(spark, "broken", "score ~~nonsense~~")
+    intercept[Exception] { lake.commit(Seq((2L, 2)).toDF("id", "score")) }
+    assert(lake.latestVersion(spark).contains(1L))
+    // the failed commit's generation was cleaned up
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("gen-"))
+    assert(gens.length == 1, s"orphan generation left behind: ${gens.toSeq}")
+  }
+
   test("vacuumOlderThan drops an aged prefix, never the head or a hole") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)

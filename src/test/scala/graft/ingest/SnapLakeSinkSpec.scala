@@ -74,6 +74,38 @@ class SnapLakeSinkSpec extends SparkSpecBase {
     assert(spark.read.format("snaplake").load(root).count() == 4)
   }
 
+  test("replay watermark is per query: a new query's batch 0 commits") {
+    val root = tmp("graft_sink_qid") + "/lake"
+    val lake = new SnapshotLake(root)
+    val sink = new SnapLakeSource().createSink(spark.sqlContext,
+      Map("path" -> root), Nil, OutputMode.Append())
+    val key = "sql.streaming.queryId"
+    def asQuery[A](qid: String)(body: => A): A = {
+      spark.sparkContext.setLocalProperty(key, qid)
+      try body finally spark.sparkContext.setLocalProperty(key, null)
+    }
+    asQuery("query-A") {
+      sink.addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+      sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+      // A's own replay is still suppressed
+      sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(lake.versions(spark) == Seq(1L, 2L))
+    // a NEW query (fresh checkpoint) restarts batch ids at 0 — its
+    // batches must commit, not be mistaken for replays of query A
+    asQuery("query-B") {
+      sink.addBatch(0L, Seq((3L, "c")).toDF("id", "v"))
+    }
+    assert(lake.versions(spark) == Seq(1L, 2L, 3L),
+      "a new query's first batch was swallowed by the old watermark")
+    assert(spark.read.format("snaplake").load(root).count() == 3)
+    // and B's replay of its own batch is suppressed
+    asQuery("query-B") {
+      sink.addBatch(0L, Seq((3L, "c")).toDF("id", "v"))
+    }
+    assert(lake.versions(spark) == Seq(1L, 2L, 3L))
+  }
+
   test("Complete mode: each trigger overwrite-commits the aggregate") {
     val src = tmp("graft_sink_agg_src")
     val root = tmp("graft_sink_agg_lake") + "/lake"

@@ -146,6 +146,36 @@ class SnapLakeSkipSpec extends SparkSpecBase {
       .filter(col("id") < 150).count() == 150)
   }
 
+  test("NaN-bearing doubles lose their parquet min/max but are never pruned") {
+    // parquet-mr omits min/max (keeping null_count) for float/double
+    // chunks containing NaN — absent envelope must read as UNKNOWN, not
+    // as an all-NULL proof, or real rows vanish from filtered reads
+    val root = freshRoot()
+    Seq((1L, 1.5), (2L, Double.NaN), (3L, -0.5)).toDF("id", "score")
+      .coalesce(1)
+      .write.format("snaplake").mode(SaveMode.Overwrite).save(root)
+    val lake = new SnapshotLake(root)
+    val gen = lake.dirsAt(spark, 1L).head
+    val cs = GenStats.load(spark.sparkContext.hadoopConfiguration,
+      s"$root/$gen").get.values.head.cols.get("score")
+    // precondition of the regression: the envelope really is absent
+    assert(cs.forall(c => c.min.isEmpty && c.max.isEmpty),
+      s"expected NaN to suppress the parquet envelope, got $cs")
+    // NaN sorts above every double in Spark, so score > 1.0 keeps both
+    // the 1.5 row and the NaN row — the point is the FILE count: 1, not 0
+    val got = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("score") > 1.0))
+    assert(got == ((2L, 1L)), s"NaN-statless file was pruned: $got")
+    // and the merge scoping arm of the same inference: an upsert keyed
+    // on the statless double column must still replace its target row
+    lake.merge(Seq((1.5, "hit")).toDF("score", "tag")
+      .select(col("score"), col("tag")), Seq("score"))
+    val rows = spark.read.format("snaplake").load(root)
+      .filter(col("score") === 1.5).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("tag") == "hit",
+      "merge scoped away the NaN-statless generation")
+  }
+
   test("pruning evaluator: proofs prune, unknowns keep") {
     val f = FileStats(100L, Map(
       "n" -> ColStats("l", Some(10L), Some(20L), Some(0L)),
