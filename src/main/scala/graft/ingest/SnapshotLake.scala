@@ -716,37 +716,55 @@ class SnapshotLake(root: String) {
       df.select(baseSchema.fieldNames.map(col).toSeq :+
         col(SnapshotLake.ChangeTypeCol): _*)
         .withColumn(SnapshotLake.CommitVersionCol, lit(v))
-    val frames = ((fromV + 1) to toV).flatMap { v =>
-      // version 0 is the empty pre-table; later manifests throw once
-      // vacuumed — the fail-fast retention contract
-      val prev = if (v == 1) Set.empty[String] else dirsAt(spark, v - 1).toSet
-      val cur = dirsAt(spark, v)
+    val frames = walkChanges(spark, fromV, toV,
+      manifestAt = v => dirsAt(spark, v), // throws once vacuumed: fail fast
+      readRows = paths => spark.read.schema(baseSchema).parquet(paths: _*),
+      readCdfRows = p => spark.read.schema(withChange).parquet(p))
+      .map { case (v, df) => ordered(df, v) }
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      ordered(readAt(spark, toV).limit(0)
+        .withColumn(SnapshotLake.ChangeTypeCol, lit("")), toV).limit(0))
+  }
+
+  /** The changefeed's per-version walk, shared by the batch reader
+    * ([[changesBetween]]) and the streaming source's `readChangeFeed`
+    * mode so the tier logic cannot drift between them. For each version
+    * in (fromV, toV] it classifies the manifest delta — materialized
+    * `_cdf/` (rewrites), new directories as inserts, dropped directories
+    * as deletes — and delegates frame construction (batch vs streaming
+    * relations) and missing-manifest policy to the caller. Returned
+    * frames carry [[SnapshotLake.ChangeTypeCol]]; version tagging and
+    * projection stay caller-side. */
+  private[graft] def walkChanges(spark: SparkSession, fromV: Long, toV: Long,
+      manifestAt: Long => Seq[String],
+      readRows: Seq[String] => DataFrame,
+      readCdfRows: String => DataFrame): Seq[(Long, DataFrame)] = {
+    import org.apache.spark.sql.functions.lit
+    val fs = hadoopFs(spark)
+    ((fromV + 1) to toV).flatMap { v =>
+      // version 0 is the empty pre-table
+      val prev = if (v == 1) Set.empty[String] else manifestAt(v - 1).toSet
+      val cur = manifestAt(v)
       val newDirs = cur.filterNot(prev)
       val dropped = (prev -- cur.toSet).toSeq.sorted
       val materialized = newDirs match {
         case Seq(g) if fs.exists(new org.apache.hadoop.fs.Path(
             s"$root/$g/${SnapshotLake.CdfDirName}")) =>
-          Some(spark.read.schema(withChange)
-            .parquet(s"$root/$g/${SnapshotLake.CdfDirName}"))
+          Some(readCdfRows(s"$root/$g/${SnapshotLake.CdfDirName}"))
         case _ => None
       }
       materialized match {
-        case Some(c) => Seq(ordered(c, v))
+        case Some(c) => Seq(v -> c)
         case None =>
           val ins = if (newDirs.isEmpty) None else Some(
-            spark.read.schema(baseSchema)
-              .parquet(newDirs.map(d => s"$root/$d"): _*)
+            readRows(newDirs.map(d => s"$root/$d"))
               .withColumn(SnapshotLake.ChangeTypeCol, lit("insert")))
           val del = if (dropped.isEmpty) None else Some(
-            spark.read.schema(baseSchema)
-              .parquet(dropped.map(d => s"$root/$d"): _*)
+            readRows(dropped.map(d => s"$root/$d"))
               .withColumn(SnapshotLake.ChangeTypeCol, lit("delete")))
-          (ins.toSeq ++ del.toSeq).map(ordered(_, v))
+          (ins.toSeq ++ del.toSeq).map(v -> _)
       }
     }
-    frames.reduceOption(_.unionByName(_)).getOrElse(
-      ordered(readAt(spark, toV).limit(0)
-        .withColumn(SnapshotLake.ChangeTypeCol, lit("")), toV).limit(0))
   }
 
   /** Drop generation directories not referenced by the newest

@@ -96,14 +96,7 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
     * fatal: a changefeed cannot skip history without lying. */
   private def changeBatch(startV: Long, endV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = lake.versions(spark).toSet
-    def manifestAt(v: Long): Seq[String] =
-      if (v == 0) Seq.empty
-      else if (committed.contains(v)) lake.dirsAt(spark, v)
-      else throw new IllegalStateException(
-        s"changefeed needs version $v of $root but it has been vacuumed")
     val withChange = StructType(tableSchema.fields :+
       org.apache.spark.sql.types.StructField(SnapshotLake.ChangeTypeCol,
         org.apache.spark.sql.types.StringType))
@@ -111,30 +104,16 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
       df.select(tableSchema.fieldNames.map(col).toSeq :+
         col(SnapshotLake.ChangeTypeCol): _*)
         .withColumn(SnapshotLake.CommitVersionCol, lit(v))
-    val frames = ((startV + 1) to endV).flatMap { v =>
-      val prev = manifestAt(v - 1).toSet
-      val cur = manifestAt(v)
-      val newDirs = cur.filterNot(prev)
-      val dropped = (prev -- cur.toSet).toSeq.sorted
-      val materialized = newDirs match {
-        case Seq(g) if fs.exists(new org.apache.hadoop.fs.Path(
-            s"$root/$g/${SnapshotLake.CdfDirName}")) =>
-          Some(streamingParquet(
-            Seq(s"$root/$g/${SnapshotLake.CdfDirName}"), withChange))
-        case _ => None
-      }
-      materialized match {
-        case Some(c) => Seq(ordered(c, v))
-        case None =>
-          val ins = if (newDirs.isEmpty) None else Some(
-            streamingParquet(newDirs.map(d => s"$root/$d"), tableSchema)
-              .withColumn(SnapshotLake.ChangeTypeCol, lit("insert")))
-          val del = if (dropped.isEmpty) None else Some(
-            streamingParquet(dropped.map(d => s"$root/$d"), tableSchema)
-              .withColumn(SnapshotLake.ChangeTypeCol, lit("delete")))
-          (ins.toSeq ++ del.toSeq).map(ordered(_, v))
-      }
-    }
+    // the shared tier walker — only frame construction (streaming
+    // relations) and missing-manifest policy are this source's own
+    val frames = lake.walkChanges(spark, startV, endV,
+      manifestAt = v =>
+        if (committed.contains(v)) lake.dirsAt(spark, v)
+        else throw new IllegalStateException(
+          s"changefeed needs version $v of $root but it has been vacuumed"),
+      readRows = paths => streamingParquet(paths, tableSchema),
+      readCdfRows = p => streamingParquet(Seq(p), withChange))
+      .map { case (v, df) => ordered(df, v) }
     frames.reduceOption(_.unionByName(_)).getOrElse(emptyStreamDf(schema))
   }
 
