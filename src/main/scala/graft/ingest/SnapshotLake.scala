@@ -663,6 +663,41 @@ class SnapshotLake(root: String) {
     }
   }
 
+  /** RESTORE: make the table's next version identical to `version` by
+    * publishing a manifest that references that version's generations —
+    * a metadata-only commit, no data moves (generations are immutable,
+    * so re-referencing them is free). History is preserved: the bad
+    * versions stay time-travelable until vacuumed, and because the new
+    * head references the restored generations, vacuum keeps them live.
+    * The changefeed across a restore surfaces as the file-level
+    * restatement the manifest diff implies. Optimistic retry like any
+    * append: losing the race re-reads the target version (unchanged)
+    * and re-claims the next number. */
+  def restore(spark: SparkSession, version: Long): Long = {
+    val fs = hadoopFs(spark)
+    val dirs = dirsAt(spark, version) // throws if vacuumed
+    var published = -1L
+    while (published < 0) {
+      val next = latestVersion(spark).getOrElse(0L) + 1
+      val json = dirs.map("\"" + _ + "\"")
+        .mkString(s"""{"version":$next,"dirs":[""", ",", "]}")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$commitsDir/.tmp-restore-$version-$next")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      try {
+        claimVersionFile(spark, fs, tmp,
+          new org.apache.hadoop.fs.Path(f"$commitsDir/v$next%08d.json"))
+        published = next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+      }
+    }
+    published
+  }
+
   /** Row-level changes between two committed versions: what v2 inserted
     * (rows in v2 not in v1) and deleted (the reverse), with EXCEPT ALL
     * multiplicity — an update surfaces as its delete+insert pair, and a

@@ -130,6 +130,27 @@ object LayoutPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // RESTORE as rollback: commit a good snapshot, clobber it with a bad
+    // overwrite, restore — a manifest-only commit re-referencing the good
+    // version's generations (no data movement; SnapshotLakeSpec pins the
+    // manifests equal). The answer is the good snapshot through the
+    // restored head. Deterministic reused root + vacuum as the others.
+    "l_snaplake_restore" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapr_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val base = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+      base.write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      val good = lake.latestVersion(s).get
+      base.limit(3).write.format("snaplake").mode("overwrite").save(root)
+      lake.restore(s, good)
+      lake.vacuum(s, retainLast = 1)
+      s.read.format("snaplake").load(root)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // Row-level CHANGEFEED of a merge: the mutation materialized its
     // exact changes (_cdf inside the rewrite generation, atomic with
     // the commit), so the feed is pre-image deletes + source inserts —
@@ -229,6 +250,11 @@ object LayoutPack extends QueryPack {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id
         |FROM documents WHERE doc_id >= 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The restored head is the full base snapshot.
+    "l_snaplake_restore" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The merge's exact change rows: pre-image deletes of every fourth
     // doc, its updated insert, plus the shifted-key pure inserts.

@@ -152,6 +152,26 @@ class SnapshotLakeSpec extends SparkSpecBase {
     assert(gens.length == 1, s"loser left generation residue: ${gens.mkString(",")}")
   }
 
+  test("restore republishes an old snapshot without moving data") {
+    val root = Files.createTempDirectory("graft_snap_restore").toString
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((9L, "oops")).toDF("id", "v"), overwrite = true) // bad deploy
+    val v = lake.restore(spark, 1L)
+    assert(v == 3L)
+    // the head is byte-identical to v1's manifest — same generations,
+    // zero data movement
+    assert(lake.dirsAt(spark, 3L) == lake.dirsAt(spark, 1L))
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the bad version stays time-travelable until vacuumed
+    assert(lake.readAt(spark, 2L).count() == 1)
+    // vacuum keeps the restored generations live (head references them)
+    lake.vacuum(spark, retainLast = 1)
+    assert(lake.versions(spark) == Seq(3L))
+    assert(lake.read(spark).count() == 2)
+  }
+
   test("vacuum drops only generations owned by expired commits") {
     val (lake, root) = freshLake()
     lake.commit(Seq((1L, "a")).toDF("id", "v"))
