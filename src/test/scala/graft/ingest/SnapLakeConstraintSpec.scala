@@ -91,6 +91,40 @@ class SnapLakeConstraintSpec extends SparkSpecBase {
     assert(gens.length == 1, s"orphan generation left behind: ${gens.toSeq}")
   }
 
+  test("a violating micro-batch fails the stream; the lake stays clean") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, 10)).toDF("id", "score"), overwrite = true)
+    lake.addConstraint(spark, "score_range", "score BETWEEN 0 AND 100")
+    val sink = new graft.sources.SnapLakeSource().createSink(spark.sqlContext,
+      Map("path" -> root), Nil, org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0L, Seq((2L, 50)).toDF("id", "score"))
+    assert(lake.read(spark).count() == 2)
+    // the violating batch aborts before the commit claim — in a real
+    // query this surfaces as the stream failing, which is the correct
+    // outcome for a quality gate: bad data never lands, and the
+    // checkpoint retries the batch after the producer is fixed
+    intercept[IllegalStateException] {
+      sink.addBatch(1L, Seq((3L, 999)).toDF("id", "score"))
+    }
+    assert(lake.latestVersion(spark).contains(2L))
+    assert(lake.read(spark).count() == 2, "violating batch leaked rows")
+  }
+
+  test("changefeed reads plan as pure scans: no exchange, no join") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    lake.merge(Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    // the merge version's changes come from the materialized _cdf — the
+    // read is a scan plus literals, never a diff of snapshots
+    val plan = lake.changesBetween(spark, 1L, 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"changefeed read should be scan-only:\n$plan")
+    assert(lake.changesBetween(spark, 1L, 2L).count() == 2)
+  }
+
   test("vacuumOlderThan drops an aged prefix, never the head or a hole") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
