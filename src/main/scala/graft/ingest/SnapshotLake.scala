@@ -573,12 +573,20 @@ class SnapshotLake(root: String) {
     * prune — the OPTIMIZE ZORDER maintenance pass. */
   def optimizeZOrder(spark: SparkSession,
       a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      numFiles: Int, bitsPerKey: Int = 21): Long =
+    optimizeZOrderN(spark, Seq(a, b), numFiles, bitsPerKey)
+
+  /** [[optimizeZOrder]] at arbitrary arity
+    * ([[graft.ops.Layout.zOrderClusterN]]): n keys share the curve,
+    * n·bitsPerKey ≤ 63. */
+  def optimizeZOrderN(spark: SparkSession,
+      keys: Seq[org.apache.spark.sql.Column],
       numFiles: Int, bitsPerKey: Int = 21): Long = {
     val base = latestVersion(spark).getOrElse(
       sys.error(s"optimize of a never-committed lake: $root"))
     val snap = readAt(spark, base)
     publishRewrite(spark, base, Seq.empty,
-      graft.ops.Layout.zOrderCluster(snap, a, b, numFiles, bitsPerKey),
+      graft.ops.Layout.zOrderClusterN(snap, keys, numFiles, bitsPerKey),
       Some(emptyChanges(snap)))
   }
 

@@ -33,20 +33,37 @@ object Layout {
     * partition by z-value and sort within partitions, so each output
     * file carries a tight envelope on BOTH keys. */
   def zOrderCluster(df: DataFrame, a: Column, b: Column,
+      numFiles: Int, bitsPerKey: Int = 21): DataFrame =
+    zOrderClusterN(df, Seq(a, b), numFiles, bitsPerKey)
+
+  /** N-key clustering on the [[graft.functions.ZOrderN]] curve: each key
+    * min-max normalized to `bitsPerKey` bits (one global-stats agg — an
+    * unequal-range key would otherwise hog every split bit), then the
+    * interleave is the range-partition + sort key. The 2-key path uses
+    * [[ZOrder2]]'s custom expression, wider arities the pure builtin
+    * composition — bit-identical layouts either way. */
+  def zOrderClusterN(df: DataFrame, keys: Seq[Column],
       numFiles: Int, bitsPerKey: Int = 21): DataFrame = {
-    val bounds = df.agg(min(a).cast("double").as("amin"),
-      max(a).cast("double").as("amax"),
-      min(b).cast("double").as("bmin"), max(b).cast("double").as("bmax"))
-      .head()
+    require(keys.size >= 2, "z-order clustering needs at least two keys")
+    require(keys.size * bitsPerKey <= 63,
+      s"${keys.size} keys × $bitsPerKey bits exceeds a long")
+    val aggs = keys.zipWithIndex.flatMap { case (k, i) =>
+      Seq(min(k).cast("double").as(s"mn_$i"), max(k).cast("double").as(s"mx_$i"))
+    }
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val maxCode = (1L << bitsPerKey) - 1
     def scale(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else least(lit(maxCode),
         ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxCode.toDouble))
           .cast("long"))
-    val za = scale(a, bounds.getDouble(0), bounds.getDouble(1))
-    val zb = scale(b, bounds.getDouble(2), bounds.getDouble(3))
-    df.withColumn("__z", ZOrder2.zorder(za, zb, bitsPerKey))
+    val scaled = keys.zipWithIndex.map { case (k, i) =>
+      scale(k, bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+    }
+    val z =
+      if (keys.size == 2) ZOrder2.zorder(scaled(0), scaled(1), bitsPerKey)
+      else graft.functions.ZOrderN.zorder(scaled, bitsPerKey)
+    df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -80,6 +80,30 @@ class SnapLakeOptimizeSpec extends SparkSpecBase {
       .filter(col("y") >= 10 && col("y") < 20).count() == 1000)
   }
 
+  test("optimizeZOrderN: three keys all prune after one clustering pass") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // 20×20×20 grid in row-major order: only x is naturally clustered
+    lake.commit(spark.range(0, 8000).select(
+      (col("id") / 400).cast("long").as("x"),
+      ((col("id") / 20) % 20).cast("long").as("y"),
+      (col("id") % 20).as("z")), overwrite = true)
+    lake.optimizeZOrderN(spark, Seq(col("x"), col("y"), col("z")), 16, 12)
+    def files(f: org.apache.spark.sql.Column): Long =
+      filesRead(spark.read.format("snaplake").load(root).filter(f))
+    assert(files(lit(true)) == 16L)
+    // a narrow range on EACH key individually prunes — with three keys
+    // sharing the curve each gets weaker pruning than a 2-key layout
+    // would give it (the inherent trade), but every key must beat the
+    // unclustered layout's read-everything
+    Seq(col("x"), col("y"), col("z")).foreach { k =>
+      val n = files(k >= 5 && k < 8)
+      assert(n <= 12L, s"$k range read $n of 16 files after 3-key zorder")
+    }
+    assert(spark.read.format("snaplake").load(root)
+      .filter(col("y") >= 5 && col("y") < 8).count() == 1200)
+  }
+
   test("compactSmall folds the small tail, carries the big body") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
