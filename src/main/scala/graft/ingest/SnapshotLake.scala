@@ -71,21 +71,32 @@ class SnapshotLake(root: String) {
   def latestVersion(spark: SparkSession): Option[Long] =
     versions(spark).lastOption
 
-  /** Generation directories of a committed version (names relative to
-    * root, in commit order). */
-  def dirsAt(spark: SparkSession, version: Long): Seq[String] = {
+  private def commitJson(spark: SparkSession, version: Long): String = {
     val fs = hadoopFs(spark)
     val p = new org.apache.hadoop.fs.Path(f"$commitsDir/v$version%08d.json")
     require(fs.exists(p), s"no commit for version $version under $root")
     val in = fs.open(p)
-    val txt =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Generation directories of a committed version (names relative to
+    * root, in commit order). */
+  def dirsAt(spark: SparkSession, version: Long): Seq[String] =
     // commit JSON is written by this class only; a regex parse keeps the
     // manifest dependency-free (same trade as Bench.loadFloor)
-    "\"(gen-[0-9a-f]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
-  }
+    "\"(gen-[0-9a-f]+)\"".r
+      .findAllMatchIn(commitJson(spark, version)).map(_.group(1)).toSeq
+
+  /** Was `version` published by a mutation that MATERIALIZED its
+    * changefeed (merge/delete/optimize/compact)? Only those commits may
+    * read a generation's `_cdf/` as the version's changes: a RESTORE
+    * re-references an old rewrite generation — `_cdf/` and all — and
+    * its changefeed must be the manifest restatement, not the original
+    * mutation's stale rows. */
+  private[graft] def commitIsRewrite(spark: SparkSession, version: Long): Boolean =
+    commitJson(spark, version).contains("\"rewrite\":true")
 
   /** Latest version whose commit file was published at or before
     * `tsMillis` — timestamp-based time travel. The commit file's
@@ -168,36 +179,15 @@ class SnapshotLake(root: String) {
     // footer-harvested file stats land inside the still-unpublished
     // generation, so they are immutable alongside the data they describe
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
-    var published = -1L
-    while (published < 0) {
-      val base = latestVersion(spark)
-      val next = base.getOrElse(0L) + 1
-      val dirs =
-        if (overwrite || base.isEmpty) Seq(gen)
-        else dirsAt(spark, base.get) :+ gen
-      val tag = batchId.map(b => s""""batchId":$b,""").getOrElse("") +
-        queryId.map(q => s""""queryId":"$q",""").getOrElse("")
-      val json = dirs.map("\"" + _ + "\"")
-        .mkString(s"""{"version":$next,$tag"dirs":[""", ",", "]}")
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$commitsDir/.tmp-$gen-$next")
-      val out = fs.create(tmp, true)
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      try {
-        // NO overwrite: losing the race throws and we retry against the
-        // (re-read) new latest — an append retry re-bases on the winner's
-        // snapshot, exactly the optimistic-concurrency contract
-        claimVersionFile(spark, fs, tmp,
-          new org.apache.hadoop.fs.Path(f"$commitsDir/v$next%08d.json"))
-        published = next
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          fs.delete(tmp, false)
-      }
+    val tag = batchId.map(b => s""""batchId":$b,""").getOrElse("") +
+      queryId.map(q => s""""queryId":"$q",""").getOrElse("")
+    // losing the claim race retries against the re-read latest — an
+    // append retry re-bases on the winner's snapshot, exactly the
+    // optimistic-concurrency contract
+    retryClaim(spark, fs, tag) { next =>
+      if (overwrite || next == 1) Seq(gen)
+      else dirsAt(spark, next - 1) :+ gen
     }
-    published
   }
 
   /** Commit `df` only as the TABLE-CREATING version 1; returns None if
@@ -651,8 +641,12 @@ class SnapshotLake(root: String) {
     onBeforePublish()
     val next = base + 1
     val dirs = untouched :+ gen
+    // "rewrite":true marks this commit as the mutation that OWNS its
+    // generation's _cdf — the changefeed walker only reads _cdf under
+    // this flag (a restore re-referencing the generation stays a
+    // restatement)
     val json = dirs.map("\"" + _ + "\"")
-      .mkString(s"""{"version":$next,"dirs":[""", ",", "]}")
+      .mkString(s"""{"version":$next,"rewrite":true,"dirs":[""", ",", "]}")
     val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-$next")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -684,13 +678,41 @@ class SnapshotLake(root: String) {
   def restore(spark: SparkSession, version: Long): Long = {
     val fs = hadoopFs(spark)
     val dirs = dirsAt(spark, version) // throws if vacuumed
+    retryClaim(spark, fs, extraTag = "") { _ =>
+      // restore uniquely re-references generations the current head may
+      // NOT reference, which vacuum could be deleting concurrently —
+      // the one writer/maintenance race the generation-immutability
+      // protocol doesn't cover. Re-checking just before each claim
+      // shrinks the window to the claim itself; like other table
+      // formats, restore and vacuum are a single-maintainer pair and
+      // must not run concurrently.
+      dirs.foreach { d =>
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$d")),
+          s"generation $d of version $version was vacuumed mid-restore")
+      }
+      dirs
+    }
+  }
+
+  /** The optimistic write-tmp → claim → retry loop shared by every
+    * versioned publication that re-bases on the winner: `dirsFor(next)`
+    * recomputes the manifest against the re-read latest version, the
+    * tmp name embeds a writer-unique token (two writers colliding on a
+    * tmp path would turn the loser's retryable claim race into a
+    * spurious failure), and losing the claim deletes the tmp and goes
+    * again. `extraTag` carries optional commit-JSON fields (batch/query
+    * markers, the rewrite flag), already comma-terminated. */
+  private def retryClaim(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, extraTag: String)(
+      dirsFor: Long => Seq[String]): Long = {
+    val writer = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
     var published = -1L
     while (published < 0) {
       val next = latestVersion(spark).getOrElse(0L) + 1
-      val json = dirs.map("\"" + _ + "\"")
-        .mkString(s"""{"version":$next,"dirs":[""", ",", "]}")
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$commitsDir/.tmp-restore-$version-$next")
+      val json = dirsFor(next).map("\"" + _ + "\"")
+        .mkString(s"""{"version":$next,$extraTag"dirs":[""", ",", "]}")
+      val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$writer-$next")
       val out = fs.create(tmp, true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -750,7 +772,6 @@ class SnapshotLake(root: String) {
   def changesBetween(spark: SparkSession, fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromV < toV, s"need fromV < toV, got ($fromV, $toV]")
-    val fs = hadoopFs(spark)
     val baseSchema = readAt(spark, toV).schema
     val withChange = org.apache.spark.sql.types.StructType(
       baseSchema.fields :+ org.apache.spark.sql.types.StructField(
@@ -790,9 +811,15 @@ class SnapshotLake(root: String) {
       val cur = manifestAt(v)
       val newDirs = cur.filterNot(prev)
       val dropped = (prev -- cur.toSet).toSeq.sorted
+      // the `_cdf/` read is gated on the COMMIT being a rewrite, not
+      // just on the directory carrying `_cdf/`: a restore re-references
+      // an old rewrite generation, and reading its stale change rows
+      // here would feed CDC consumers the original mutation's changes
+      // (or optimize's empty feed) instead of the restore's restatement
       val materialized = newDirs match {
-        case Seq(g) if fs.exists(new org.apache.hadoop.fs.Path(
-            s"$root/$g/${SnapshotLake.CdfDirName}")) =>
+        case Seq(g) if commitIsRewrite(spark, v) && fs.exists(
+            new org.apache.hadoop.fs.Path(
+              s"$root/$g/${SnapshotLake.CdfDirName}")) =>
           Some(readCdfRows(s"$root/$g/${SnapshotLake.CdfDirName}"))
         case _ => None
       }

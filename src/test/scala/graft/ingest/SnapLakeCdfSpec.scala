@@ -57,6 +57,25 @@ class SnapLakeCdfSpec extends SparkSpecBase {
       Set((1L, "a", "delete", 2L), (2L, "b", "insert", 2L)))
   }
 
+  test("a restore's feed is the restatement, not the restored mutation's rows") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true) // v1
+    lake.merge(Seq((2L, "B")).toDF("id", "v"), Seq("id")) // v2: one gen WITH _cdf
+    lake.commit(Seq((9L, "z")).toDF("id", "v"), overwrite = true) // v3: bad deploy
+    lake.restore(spark, 2L) // v4 re-references v2's rewrite generation
+    // v4's "new" directory carries the v2 merge's _cdf — but v4 is a
+    // restore, so its changefeed must be the manifest restatement
+    // (delete the bad table, insert the restored one), never the stale
+    // merge rows (delete b / insert B) tagged with v4
+    assert(changes(lake, 3L, 4L) == Set(
+      (9L, "z", "delete", 4L),
+      (1L, "a", "insert", 4L), (2L, "B", "insert", 4L)))
+    // and v2's own feed still reads its materialized rows
+    assert(changes(lake, 1L, 2L) == Set(
+      (2L, "b", "delete", 2L), (2L, "B", "insert", 2L)))
+  }
+
   test("changefeed past retention fails fast") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
