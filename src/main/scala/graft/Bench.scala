@@ -31,7 +31,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val reps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,9 +55,16 @@ object Bench {
     // floor loaded up front: queries with a heavy committed floor get extra
     // reps (see below) so their min-of-N is co-tenant-burst-proof in the
     // driver-visible artifact, not just in NOTES.md bisects.
-    val floor = loadFloor(sys.env.getOrElse("SPARK_GRAFT_FLOOR",
-      "BENCH_FLOOR.json"))
-    // min-of-N per query (default 2): this box has bursty co-tenant load
+    // resolve the floor file against cwd AND the repo root: if the driver
+    // launches from elsewhere, a bare relative path silently loads
+    // nothing and the adaptive anti-burst reps never fire — r7's
+    // committed artifact carried a 6.6x co-tenant spike exactly that way
+    val floorPath = sys.env.get("SPARK_GRAFT_FLOOR")
+      .orElse(Seq("BENCH_FLOOR.json", "/root/repo/BENCH_FLOOR.json")
+        .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+      .getOrElse("BENCH_FLOOR.json")
+    val floor = loadFloor(floorPath)
+    // min-of-N per query (default 3): this box has bursty co-tenant load
     // (NOTES.md §9) and single-shot timings varied up to 5x across
     // identical binaries. Queries whose committed floor exceeds 0.5s are
     // the ones where a single unlucky rep shows up as a >2x "regression"

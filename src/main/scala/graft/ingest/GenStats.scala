@@ -146,6 +146,25 @@ object GenStats {
       case _ if logical != null &&
           logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
         None
+      // TIMESTAMP: Catalyst pushes microsecond Long literals, so only the
+      // MICROS storage unit compares correctly. A table written with
+      // outputTimestampType=TIMESTAMP_MILLIS (or NANOS via a foreign
+      // writer) stores a different unit — comparing those raw longs
+      // against micro literals could prune files that DO contain matching
+      // rows (wrong results, not just a missed optimization). Treat
+      // non-MICROS units as unsupported → no stats → never pruned.
+      case PrimitiveTypeName.INT64 if logical != null &&
+          logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        val unit = logical
+          .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation].getUnit
+        if (unit == LogicalTypeAnnotation.TimeUnit.MICROS) Some("l") else None
+      // unsigned int annotations reorder the raw bits (stat min/max are
+      // unsigned-ordered, our Long ordering is signed) — unsupported
+      case _ if logical != null &&
+          logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] &&
+          !logical.asInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+            .isSigned =>
+        None
       case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => Some("l")
       case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("d")
       case PrimitiveTypeName.BOOLEAN => Some("b")

@@ -269,7 +269,16 @@ class SnapshotLake(root: String) {
     * the expression is NULL passes). Administrative, not versioned:
     * they gate writes from the moment they are set. */
   def constraints(spark: SparkSession): Map[String, String] = {
-    val fs = hadoopFs(spark)
+    // read through the RAW filesystem: on the local ChecksumFileSystem an
+    // overwriting rename replaces the data file atomically but its .crc
+    // sidecar in a second step, and a checksummed read in that window
+    // throws ChecksumException. The data-file rename is the atomicity
+    // contract; the sidecar is a local-FS artifact (HDFS checksums are
+    // inline, object stores have none), so control-plane reads skip it.
+    val fs = hadoopFs(spark) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     if (!fs.exists(constraintsPath)) return Map.empty
     val in = fs.open(constraintsPath)
     val txt =
@@ -289,17 +298,46 @@ class SnapshotLake(root: String) {
 
   private def writeConstraints(spark: SparkSession,
       cs: Map[String, String]): Unit = {
-    val fs = hadoopFs(spark)
+    val fsAll = hadoopFs(spark)
+    val raw = fsAll match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     cs.toSeq.sortBy(_._1).foreach { case (n, e) => node.put(n, e) }
+    // tmp through the RAW fs (no .crc sidecar — see the read-side note)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/._constraints.tmp")
-    val out = fs.create(tmp, true)
+    val out = raw.create(tmp, true)
     try out.write(mapper.writeValueAsString(node)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(constraintsPath, false)
-    fs.rename(tmp, constraintsPath)
+    // OVERWRITING atomic publish: delete-then-rename opens a window
+    // where a concurrent commit's validateGen sees NO constraints file
+    // and validates against zero constraints — readers must always
+    // observe either the old or the new file. FileContext's OVERWRITE
+    // rename is atomic on HDFS but falls back to delete+rename on the
+    // local fs, so local takes the POSIX ATOMIC_MOVE directly.
+    raw match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(constraintsPath.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case _ =>
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          constraintsPath.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, constraintsPath,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    // a pre-raw writer may have left a checksum sidecar describing the
+    // OLD content; it would poison any checksummed read of the new file
+    fsAll match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        raw.delete(c.getChecksumFile(constraintsPath), false)
+      case _ => ()
+    }
   }
 
   /** Validate a freshly-written, still-unpublished generation against
@@ -324,20 +362,32 @@ class SnapshotLake(root: String) {
     // or analysis error) must clean up the unpublished generation —
     // nothing sweeps orphans later
     try {
-      val gdf = spark.read.parquet(s"$root/$gen")
-      // a constraint referencing a column this generation doesn't carry
-      // is vacuously satisfied: schema evolution reads the column as
-      // NULL everywhere, and CHECK passes NULL — evaluating it would
-      // instead fail analysis. Resolution is by parsed attribute names
-      // (top-level columns only, which is all constraints deal in).
-      val cols = gdf.columns.map(_.toLowerCase).toSet
-      val names = cs.keys.toSeq.sorted.filter { n =>
+      val raw = spark.read.parquet(s"$root/$gen")
+      // A constraint referencing a column this generation lacks must be
+      // evaluated under evolved-read semantics: such a column reads as
+      // NULL everywhere, so the missing attributes are ADDED as NULL
+      // literals and the constraint runs. "CHECK passes NULL" makes this
+      // a vacuous pass ONLY for null-propagating expressions — `id IS
+      // NOT NULL` over a missing `id` yields FALSE, and skipping it
+      // would let a column-dropping append commit rows every reader sees
+      // as violations. Only single-part names are materializable this
+      // way (a NULL literal has no fields to extract); constraints over
+      // missing STRUCT roots keep the documented vacuous pass.
+      val cols = raw.columns.map(_.toLowerCase).toSet
+      def refs(n: String): Seq[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute] =
         spark.sessionState.sqlParser.parseExpression(cs(n)).collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-            a.nameParts.head.toLowerCase
-        }.forall(cols.contains)
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+        }
+      val names = cs.keys.toSeq.sorted.filter { n =>
+        refs(n).forall(a =>
+          cols.contains(a.nameParts.head.toLowerCase) || a.nameParts.size == 1)
       }
       if (names.isEmpty) return
+      val missing = names.flatMap(refs).collect {
+        case a if a.nameParts.size == 1 &&
+            !cols.contains(a.nameParts.head.toLowerCase) => a.nameParts.head
+      }.distinct
+      val gdf = missing.foldLeft(raw)((df, c) => df.withColumn(c, lit(null)))
       // one aggregate pass counts violations of every constraint at
       // once; CHECK passes NULL: a violation is coalesce(expr, true) =
       // false
@@ -889,6 +939,29 @@ class SnapshotLake(root: String) {
         new org.apache.hadoop.fs.Path(f"$commitsDir/v$v%08d.json"), false))
       dead.foreach(d => fs.delete(
         new org.apache.hadoop.fs.Path(s"$root/$d"), true))
+    }
+  }
+
+  /** Sweep ORPHANED generations: `gen-*` directories no surviving commit
+    * references AND older than `olderThanMillis`. [[vacuum]] deliberately
+    * deletes only generations the dropped commits referenced, so a crash
+    * between a data write and its commit claim (or a failed _cdf/_stats
+    * publish) strands a directory forever — an unbounded storage leak on
+    * a long-lived table. The age guard (directory mtime) is what keeps
+    * this safe against the race vacuum's comment warns about: an
+    * in-flight writer's unpublished generation is by construction
+    * younger than any sane retention horizon, while a crash orphan only
+    * ages. Same single-maintainer contract as vacuum/restore. */
+  def vacuumOrphans(spark: SparkSession, olderThanMillis: Long): Unit = {
+    val fs = hadoopFs(spark)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return
+    val live = versions(spark).flatMap(v => dirsAt(spark, v)).toSet
+    fs.listStatus(rootPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("gen-") && !live.contains(name)
+          && st.getModificationTime < olderThanMillis)
+        fs.delete(st.getPath, true)
     }
   }
 }

@@ -706,19 +706,48 @@ object Similarity {
     else cosineDupPairsBanded(emb, threshold, nBands, rowsPerBand, dim)
   }
 
-  /** Exact all-pairs verification: broadcast one side, nested-loop with the
-    * codegen cosine, keep pairs >= τ. O(n²) cosines but zero shuffle and no
-    * candidate materialization — the right tool when τ is too low for any
-    * sign-LSH S-curve to filter (and for modest n). At 100 TB corpus sizes
-    * a τ this permissive is not a dedup setting; real pipelines dedup at
-    * τ >= 0.85 where [[cosineDupPairsBanded]] filters properly.
+  /** Exact all-pairs verification as a TILED block-nested-loop — the
+    * right tool when τ is too low for any sign-LSH S-curve to filter
+    * (at τ=0.45 banding passes ~every random pair and just re-derives
+    * the all-pairs set, paying the sketch for nothing).
+    *
+    * O(n²) cosines are inherent to exactness at a non-filtering τ; what
+    * must NOT be O(n) is any single task's memory. Each vector gets a
+    * block id `vec_id % B`; the unordered block-pair grid {(i,j): i≤j}
+    * becomes the join key — the left side carries block i replicated to
+    * tiles (i, i..B-1), the right side block j replicated to tiles
+    * (0..j, j) — so the equi-join materializes each tile as one key
+    * group of (n/B)×(n/B) work. Per-task state is the sort-merge
+    * buffer of one tile's right rows: (n/B)·dim·8 bytes, a knob (B),
+    * never the corpus; no side is broadcast (a 5M×64-float corpus is a
+    * multi-GB broadcast — the plan this replaces). Replication cost is
+    * B+1 copies of each vector through one exchange, i.e. O(n·B) —
+    * linear, and irrelevant next to the quadratic cosine count that any
+    * exact answer pays. B should scale as n·dim·8 / (per-task budget):
+    * B=16 suits 10⁴–10⁵ vectors; a 5M corpus wants B≈512 (≈5 MB tile
+    * sides, 130k uniform tiles).
+    *
+    * Pair coverage is exact-once: a cross-block pair {x,y} (bx<by)
+    * appears only in tile (bx,by) with x on the left; a same-block pair
+    * appears in tile (k,k) in both orientations and `id_l < id_r` keeps
+    * one. `least/greatest` canonicalize the output ids (cosine is
+    * symmetric), so the result equals the brute-force pair set row for
+    * row — the oracle is unchanged.
     */
-  def cosineDupPairsExact(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-    l.join(broadcast(r), col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+  def cosineDupPairsExact(emb: DataFrame, threshold: Double,
+      nBlocks: Int = 16): DataFrame = {
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      pmod(col("vec_id"), lit(nBlocks)).cast("int").as("blk"))
+    val left = e.select(col("vec_id").as("id_l"), col("v").as("va"),
+      col("blk").as("ta"),
+      explode(sequence(col("blk"), lit(nBlocks - 1))).as("tb"))
+    val right = e.select(col("vec_id").as("id_r"), col("v").as("vb"),
+      explode(sequence(lit(0), col("blk"))).as("ta"),
+      col("blk").as("tb"))
+    left.join(right, Seq("ta", "tb"))
+      .filter(col("ta") =!= col("tb") || col("id_l") < col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("vec_a"),
+        greatest(col("id_l"), col("id_r")).as("vec_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

@@ -57,8 +57,15 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
         // interpreted in the SESSION time zone, like Spark timestamps
         val zone = java.time.ZoneId.of(
           spark.sessionState.conf.sessionLocalTimeZone)
-        val millis = java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
-          .atZone(zone).toInstant.toEpochMilli
+        // a date-only value ("2026-08-14") resolves to midnight, like
+        // table formats accept for timestampAsOf
+        val local =
+          try java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              java.time.LocalDate.parse(ts).atStartOfDay()
+          }
+        val millis = local.atZone(zone).toInstant.toEpochMilli
         lake.versionAt(spark, millis).getOrElse(
           throw new IllegalArgumentException(
             s"no commit at or before $ts under $root"))

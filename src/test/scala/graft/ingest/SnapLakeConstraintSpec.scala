@@ -76,6 +76,76 @@ class SnapLakeConstraintSpec extends SparkSpecBase {
     assert(lake.latestVersion(spark).contains(1L))
   }
 
+  test("IS NOT NULL on a missing column gates the write (evolved-read eval)") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.addConstraint(spark, "id_present", "id IS NOT NULL")
+    // "missing column ⇒ CHECK passes NULL" is only true for
+    // null-propagating expressions; IS NOT NULL over an evolved-read
+    // NULL is FALSE, so an append that simply drops the column must
+    // abort — otherwise every committed row reads back as a violation
+    val e = intercept[IllegalStateException] {
+      lake.commit(Seq(("x", 1)).toDF("v", "score"), overwrite = true)
+    }
+    assert(e.getMessage.contains("id_present"), e.getMessage)
+    assert(lake.versions(spark).isEmpty)
+    // with the column present and non-null the same shape commits
+    lake.commit(Seq((1L, "x")).toDF("id", "v"), overwrite = true)
+    assert(lake.read(spark).count() == 1)
+  }
+
+  test("concurrent validateGen never sees an absent constraints file") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.addConstraint(spark, "c0", "v > 0")
+    // writeConstraints must replace via an OVERWRITING atomic rename: a
+    // delete-then-rename window would let a racing commit validate
+    // against zero constraints. Hammer replacements on one thread while
+    // the read side polls — constraints() must never come back empty.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sawEmpty = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get() && i < 200) {
+        lake.addConstraint(spark, "c0", s"v > ${i % 3}")
+        i += 1
+      }
+    })
+    writer.start()
+    val deadline = System.nanoTime() + 2_000_000_000L
+    while (writer.isAlive && System.nanoTime() < deadline) {
+      if (lake.constraints(spark).isEmpty) sawEmpty.set(true)
+    }
+    stop.set(true); writer.join()
+    assert(!sawEmpty.get(), "a reader observed zero constraints mid-replace")
+    assert(lake.constraints(spark).keySet == Set("c0"))
+  }
+
+  test("vacuumOrphans reclaims aged unreferenced generations only") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between data write and commit claim: a gen dir
+    // with data but no referencing commit — plain vacuum never touches
+    // it (could be an in-flight writer), so it leaks forever without a
+    // dedicated sweep
+    val orphan = new org.apache.hadoop.fs.Path(root, "gen-deadbeef0001")
+    fs.mkdirs(orphan)
+    val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "part-0.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val young = new org.apache.hadoop.fs.Path(root, "gen-deadbeef0002")
+    fs.mkdirs(young) // an "in-flight writer" — too young to sweep
+    fs.setTimes(orphan, 1000L, -1)
+    fs.setTimes(young, System.currentTimeMillis(), -1)
+    lake.vacuumOrphans(spark, olderThanMillis = 1000000L)
+    assert(!fs.exists(orphan), "aged orphan not reclaimed")
+    assert(fs.exists(young), "in-flight generation swept")
+    // the referenced generation is untouched
+    assert(lake.read(spark).count() == 1)
+  }
+
   test("a malformed constraint aborts the commit without orphaning data") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
@@ -172,6 +242,11 @@ class SnapLakeConstraintSpec extends SparkSpecBase {
     val asOf = spark.read.format("snaplake")
       .option("timestampAsOf", "2023-11-14 22:13:20").load(root)
     assert(asOf.count() == 1)
+    // date-only form resolves to midnight (reference-format behavior):
+    // 2023-11-15 00:00:00Z is after both commits → v2's 2 rows
+    val dateOnly = spark.read.format("snaplake")
+      .option("timestampAsOf", "2023-11-15").load(root)
+    assert(dateOnly.count() == 2)
     intercept[IllegalArgumentException] {
       spark.read.format("snaplake").option("timestampAsOf", "2001-01-01 00:00:00")
         .load(root)

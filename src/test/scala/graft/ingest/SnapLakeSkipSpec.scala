@@ -176,6 +176,52 @@ class SnapLakeSkipSpec extends SparkSpecBase {
       "merge scoped away the NaN-statless generation")
   }
 
+  test("millis-unit timestamps harvest no envelope and never mis-prune") {
+    // Catalyst pushes TIMESTAMP literals as MICROSECOND longs; a table
+    // written with outputTimestampType=TIMESTAMP_MILLIS stores millis in
+    // the footer stats. Comparing those units prunes files that DO hold
+    // matching rows — so the harvester must refuse non-MICROS units
+    // (absent stats = never pruned), not record them.
+    val root = freshRoot()
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      val df = Seq(
+        (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2026-06-15 12:30:00"))
+      ).toDF("id", "ts").coalesce(1)
+      df.write.format("snaplake").mode(SaveMode.Overwrite).save(root)
+      val lake = new SnapshotLake(root)
+      val gen = lake.dirsAt(spark, 1L).head
+      val cols = GenStats.load(spark.sparkContext.hadoopConfiguration,
+        s"$root/$gen").get.values.head.cols
+      assert(!cols.contains("ts"),
+        s"millis-unit timestamp column must carry NO stats, got ${cols.get("ts")}")
+      assert(cols.contains("id"), "plain long column should still harvest")
+      // the filter that a millis-vs-micros compare would wrongly prune:
+      // micros literal ≫ millis-stored max
+      val got = runCounting(spark.read.format("snaplake").load(root)
+        .filter(col("ts") === lit(java.sql.Timestamp.valueOf("2026-06-15 12:30:00"))))
+      assert(got == ((1L, 1L)), s"millis-unit file was mis-pruned: $got")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    // control: the MICROS unit (Catalyst's own) harvests and skips
+    val root2 = freshRoot()
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("id", "ts").coalesce(1)
+        .write.format("snaplake").mode(SaveMode.Overwrite).save(root2)
+      val lake2 = new SnapshotLake(root2)
+      val gen2 = lake2.dirsAt(spark, 1L).head
+      assert(GenStats.load(spark.sparkContext.hadoopConfiguration,
+        s"$root2/$gen2").get.values.head.cols.contains("ts"),
+        "micros timestamps should harvest an envelope")
+      val miss = runCounting(spark.read.format("snaplake").load(root2)
+        .filter(col("ts") === lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00"))))
+      assert(miss == ((0L, 0L)), s"micros miss should schedule zero files: $miss")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+  }
+
   test("pruning evaluator: proofs prune, unknowns keep") {
     val f = FileStats(100L, Map(
       "n" -> ColStats("l", Some(10L), Some(20L), Some(0L)),

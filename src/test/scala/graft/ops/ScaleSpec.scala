@@ -377,4 +377,50 @@ class ScaleSpec extends SparkSpecBase {
     }
     spark.catalog.clearCache() // fuzzyPairs persists its signature table
   }
+
+  test("exact cosine dup pairs: tiled block join, no full-corpus broadcast") {
+    // the 100 TB property of the SCORED exact all-pairs path
+    // (ns_cosine_dup_pairs at τ=0.45, where no S-curve filters): O(n²)
+    // cosines are inherent, but no task may hold the corpus. The tiled
+    // plan joins on the (ta, tb) block-pair grid, so per-task state is
+    // one tile side (n/B vectors) and NOTHING is broadcast — the
+    // full-corpus broadcast this replaces is a multi-GB driver ship at
+    // 5M vectors and the first thing to die at 100×.
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val b = 8
+    // parity vs the definitionally-correct form: condition cross join
+    val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val brute = e.select($"vec_id".as("vec_a"), $"v".as("va"))
+      .crossJoin(e.select($"vec_id".as("vec_b"), $"v".as("vb")))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        round(graft.ml.Similarity.cosine($"va", $"vb"), 6).as("c"))
+      .filter($"c" >= 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    val tiled = graft.ml.Similarity.cosineDupPairsExact(emb, 0.45, b)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(tiled == brute, s"tiled ${tiled.size} != brute ${brute.size}")
+    // plan shape, non-adaptively and with broadcast allowed (the claim
+    // is that the plan never ASKS for one, not that a tiny threshold
+    // forbids it): no broadcast of either side, no nested-loop join —
+    // an equi-join on the tile grid is all that may appear
+    val plan = withForcedShufflePlanning {
+      graft.ml.Similarity.cosineDupPairsExact(emb, 0.45, b)
+        .queryExecution.executedPlan
+    }
+    val broadcasts = plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => x
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(broadcasts.isEmpty,
+      s"exact path still broadcasts: ${broadcasts.mkString("; ").take(400)}")
+    // tile boundedness in the data itself: every (ta, tb) key group's
+    // right side is one block = n/B rows (+1 for remainder) — the
+    // per-task memory bound the tiling exists to provide
+    val n = emb.count()
+    val maxBlock = emb
+      .groupBy(pmod($"vec_id", lit(b))).count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxBlock <= n / b + 1, s"block skew: $maxBlock rows > ${n / b + 1}")
+  }
 }
