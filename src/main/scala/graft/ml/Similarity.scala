@@ -397,6 +397,42 @@ object Similarity {
     IvfPqIndex(centroids, codebook, codes, m, dim)
   }
 
+  /** TRAINED [[IvfPqIndex]] build — the retrain half of FAISS's
+    * retrain-and-re-add semantics: the coarse quantizer is L2-Lloyd
+    * refined over the CURRENT corpus ([[l2CoarseCentroids]], `coarseIters`
+    * rounds) and the PQ codebook Lloyd-trained ([[pqTrainCodebook]],
+    * `pqIters` rounds), then everything is encoded under the new
+    * quantizer via the same [[encodeVectors]] the frozen tier uses —
+    * assignment and probing stay cosine-metric, so a trained index probes
+    * through the unchanged [[ivfpqProbe]].
+    *
+    * This is what bounds quantization drift on a growing corpus: the
+    * deterministic sample quantizer ([[ivfpqIndex]]) anchors on the
+    * lowest-id seed vectors forever, so a distribution that moves (new
+    * topic clusters, embedding-model updates) accumulates unbounded
+    * reconstruction error; Lloyd rounds move the centroids to wherever
+    * the mass now is. Trained centroids are float means (summation-order
+    * nondeterminism), so this tier is spec-tested, not oracle-scored —
+    * the [[ivfpqTopKResidual]] precedent. Training cost is
+    * `coarseIters + pqIters` corpus passes, each one agg job — the
+    * offline price of the rebuild, never on the probe path. */
+  def ivfpqIndexTrained(emb: DataFrame, excludeIds: Seq[Long],
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      coarseIters: Int = 5, pqIters: Int = 3,
+      eager: Boolean = false): IvfPqIndex = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(!col("vec_id").isin(excludeIds: _*))
+    val centroids = broadcast(l2CoarseCentroids(corpus, nlist, coarseIters))
+    val codebook = pqTrainCodebook(emb, excludeIds, m, ksub, dim, pqIters)
+    val codesByList = encodeVectors(centroids, codebook, m, dsub)(corpus)
+    val codes =
+      if (eager) codesByList.repartition(col("lid")).localCheckpoint()
+      else codesByList
+    IvfPqIndex(centroids, codebook, codes, m, dim)
+  }
+
   /** (lid, vec_id, sub, cid) rows for `vecs` (vec_id, v) under a frozen
     * quantizer — ONE implementation shared by the index build and
     * [[ivfpqEncode]], so grown rows cannot encode differently from

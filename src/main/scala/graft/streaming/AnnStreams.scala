@@ -183,6 +183,62 @@ object AnnStreams {
     v
   }
 
+  /** Drift gauge for the growing index: the fraction of the
+    * probe-visible corpus that streamed in AFTER the quantizer froze.
+    * FAISS's operational rule of thumb — retrain once the added
+    * fraction is material — needs exactly this number. Counts are
+    * distinct vec_ids over the code tables (metadata-sized aggregates;
+    * a maintenance probe, not a hot-path cost). */
+  def grownFraction(spark: SparkSession, lake: graft.ingest.SnapshotLake,
+      index: IvfPqIndex): Double = {
+    val grown = grownCodes(spark, lake).select(col("vec_id")).distinct().count()
+    val base = index.codes.select(col("vec_id")).distinct().count()
+    if (base + grown == 0L) 0.0 else grown.toDouble / (base + grown)
+  }
+
+  /** REBUILD — the retrain-and-re-add half of FAISS index maintenance:
+    * retrain the coarse + PQ quantizers on the CURRENT corpus
+    * ([[Similarity.ivfpqIndexTrained]]) and re-encode every vector as
+    * ONE overwrite commit to the growth lake. `corpus` must be the full
+    * raw-vector table (base ∪ streamed arrivals) — codes alone cannot
+    * be re-quantized, which is why a real pipeline always keeps the
+    * source embedding table (here: whatever fed [[indexAppendSink]]).
+    *
+    * The commit is atomic and versioned: in-flight probes keep their
+    * snapshot, and the PRE-rebuild code table remains time-travel
+    * readable (`lake.readAt`) until vacuum — the spec pins both. The
+    * returned index probes the committed codes (durable storage, not
+    * training lineage). Runs under the lake's single-maintainer
+    * contract: a racing append commit aborts one writer (abort-on-race),
+    * so schedule rebuilds like compaction. After a rebuild the OLD base
+    * index is obsolete — continue ingest with the returned index (its
+    * quantizer is the new frozen artifact) and compose later growth via
+    * [[grownIndex]] exactly as before. */
+  def rebuildIndex(spark: SparkSession, lake: graft.ingest.SnapshotLake,
+      corpus: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, coarseIters: Int = 5, pqIters: Int = 3)
+      : (IvfPqIndex, Long) = {
+    val trained = Similarity.ivfpqIndexTrained(corpus, Seq.empty,
+      nlist, m, ksub, dim, coarseIters, pqIters)
+    val v = lake.commit(trained.codes, overwrite = true)
+    (trained.copy(codes = lake.readAt(spark, v)
+      .select(col("lid"), col("vec_id"), col("sub"), col("cid"))), v)
+  }
+
+  /** Rebuild iff the appended fraction exceeds `threshold`; otherwise
+    * return the composed grown index unchanged. The maintenance loop a
+    * probe service runs between ingest waves. */
+  def maybeRebuild(spark: SparkSession, lake: graft.ingest.SnapshotLake,
+      index: IvfPqIndex, corpus: DataFrame, threshold: Double = 0.3,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      coarseIters: Int = 5, pqIters: Int = 3)
+      : (IvfPqIndex, Option[Long]) =
+    if (grownFraction(spark, lake, index) > threshold) {
+      val (idx, v) = rebuildIndex(spark, lake, corpus, nlist, m, ksub, dim,
+        coarseIters, pqIters)
+      (idx, Some(v))
+    } else (grownIndex(spark, lake, index), None)
+
   /** [[runOnce]] for the growing-index ingest ([[indexAppendSink]]). */
   def runOnceGrow(spark: SparkSession, srcDir: String, index: IvfPqIndex,
       lake: graft.ingest.SnapshotLake, markerDir: String,

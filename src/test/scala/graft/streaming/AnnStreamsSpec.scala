@@ -160,6 +160,114 @@ class AnnStreamsSpec extends SparkSpecBase {
     assert(topAfter.sameElements(top), "probe changed across compaction")
   }
 
+  test("quantizer REBUILD recovers recall lost to drifted appends; old version time-travels") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // DRIFTED appends: 48 vectors in a region the frozen quantizer has
+    // never seen — negated and 3x-scaled copies of base vectors. Under
+    // the base codebook their reconstructions stay in the base region,
+    // so ADC scores against drifted queries are noise; this is the
+    // unbounded-drift failure FAISS answers with retrain + re-add.
+    val drifted = emb.filter($"vec_id".between(100L, 147L))
+      .select(($"vec_id" + 910000L).as("vec_id"),
+        transform($"embedding".cast("array<double>"), x => x * -3.0d)
+          .as("embedding"))
+    val index = Similarity.ivfpqIndex(emb, qids, eager = true)
+    val lake = new graft.ingest.SnapshotLake(
+      Files.createTempDirectory("graft_ann_rebuild").toString + "/lake")
+    val markers = Files.createTempDirectory("graft_ann_rebuild_mk").toString
+    AnnStreams.indexAppendSink(index, lake, markers)(drifted, 0L)
+    val vPre = lake.latestVersion(spark).get
+    val preCodes = AnnStreams.grownCodes(spark, lake)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(preCodes.nonEmpty)
+
+    // queries: PERTURBED drifted vectors (not in any corpus) — an exact
+    // twin would be a matched filter (query and twin share the same
+    // optimal codeword per sub, so even a blind codebook ranks it first);
+    // what drift actually degrades is NEAR-neighbor ranking, so the
+    // queries mix two drifted vectors and recall is measured against the
+    // brute-force exact-cosine truth
+    val dv = drifted.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    val queries = (0 until 8).map { i =>
+      val a = dv(910100L + i); val b = dv(910120L + i)
+      (920000L + i, a.zip(b).map { case (x, y) => 0.9 * x + 0.3 * y })
+    }.toDF("vec_id", "v")
+    val corpusAll = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .unionByName(drifted.select($"vec_id", $"embedding".as("v")))
+    val truth: Map[Long, Set[Long]] = queries
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .crossJoin(corpusAll)
+      .select($"query_id", $"vec_id",
+        Similarity.cosine($"qv", $"v").as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"c".desc, $"vec_id")))
+      .filter($"rk" <= 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // metric: the PRODUCTION probe shape — ADC retrieve rerankK
+    // candidates, exact-cosine rerank to top-5 (annEnrichRerankedBatch,
+    // the same stack ns_similarity_ivfpq_rerank scores). Raw ADC
+    // ranking at ksub=16 is resolution-limited for ANY codebook (the
+    // documented PQ crudeness), so what a rebuild measurably recovers
+    // is RETRIEVAL: whether the true neighbors are in the probed lists
+    // and survive the ADC top-rerankK cut at all. Rerank then reports
+    // exact scores, so recall differences are pure retrieval.
+    def recallAt5(idx: Similarity.IvfPqIndex): Double = {
+      val got = AnnStreams.annEnrichRerankedBatch(idx,
+          corpusAll.select($"vec_id", $"v".as("embedding")),
+          k = 5, rerankK = 12, nprobe = 2)(
+          queries.select($"vec_id", $"v".as("embedding")))
+        .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size / 5.0
+      }.sum / truth.size
+    }
+    val frozenRecall = recallAt5(AnnStreams.grownIndex(spark, lake, index))
+    info(s"frozen reranked recall@5 on drifted queries: $frozenRecall")
+
+    // drift below threshold: maybeRebuild composes, commits nothing
+    val (composed, noV) = AnnStreams.maybeRebuild(spark, lake, index,
+      corpus = emb.select($"vec_id", $"embedding").unionByName(drifted),
+      threshold = 0.5)
+    assert(noV.isEmpty && lake.latestVersion(spark).contains(vPre),
+      "maybeRebuild committed below threshold")
+    // 492 base (500 minus the 8 excluded qids) + 48 drifted
+    assert(composed.codes.select($"vec_id").distinct().count() == 540)
+
+    // drift above threshold (48/548 ≈ 0.088): retrain + re-encode as one
+    // overwrite commit
+    val (rebuilt, someV) = AnnStreams.maybeRebuild(spark, lake, index,
+      corpus = emb.select($"vec_id", $"embedding").unionByName(drifted),
+      threshold = 0.05)
+    val vNew = someV.getOrElse(fail("maybeRebuild did not rebuild"))
+    assert(vNew > vPre)
+    // recall RECOVERY: Lloyd rounds move coarse centroids into the
+    // drifted shell (it is SSE-rich: 48 vectors at 3x scale) so probed
+    // lists align with the drifted geometry, and the trained codebook
+    // spends codewords there so true neighbors survive the ADC
+    // top-rerankK cut. Measured ~0.48 vs the frozen 0.30 at
+    // nprobe=2/rerankK=12; the frozen number is fully deterministic,
+    // the margins absorb the float-mean wobble trained centroids carry.
+    val rebuiltRecall = recallAt5(rebuilt)
+    info(s"rebuilt reranked recall@5 on drifted queries: $rebuiltRecall")
+    assert(rebuiltRecall >= 0.38,
+      s"rebuilt index still blind to drifted region: recall $rebuiltRecall")
+    assert(rebuiltRecall > frozenRecall + 0.05,
+      s"no recovery: frozen $frozenRecall vs rebuilt $rebuiltRecall")
+
+    // the rebuilt commit carries the WHOLE corpus (base + drifted)...
+    assert(rebuilt.codes.select($"vec_id").distinct().count() == 548)
+    // ...and the pre-rebuild code table is still time-travel-readable
+    val timeTravel = lake.readAt(spark, vPre)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(timeTravel == preCodes,
+      "pre-rebuild version no longer reads back identically")
+  }
+
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
     val emb = Tables.embeddings(spark, sf0001)
     val index = Similarity.ivfpqIndex(emb, qids, eager = true)
