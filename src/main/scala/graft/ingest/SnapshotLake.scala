@@ -471,7 +471,11 @@ class SnapshotLake(root: String) {
         case Some(d) => d.unionByName(inserts, allowMissingColumns = true)
         case None => inserts
       }
-      publishRewrite(spark, base, untouched, rewritten, Some(changes))
+      // rebase-across check = the scoping check: a racing commit's new
+      // generation is safe to carry forward iff it provably holds none
+      // of this merge's keys
+      publishRewrite(spark, base, untouched, rewritten, Some(changes),
+        mayOverlapScope = g => genMayContainKeys(spark, g, keyCols, srcEnv))
     } finally src.unpersist()
   }
 
@@ -499,17 +503,16 @@ class SnapshotLake(root: String) {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.headOption
     val conf = spark.sparkContext.hadoopConfiguration
-    val affected = dirs.filter { gen =>
-      cond match {
-        case None => true
-        case Some(c) => GenStats.load(conf, s"$root/$gen") match {
-          case Some(stats) =>
-            stats.isEmpty || stats.values.exists(fileSt =>
-              graft.sources.StatsPruning.mayMatch(c, fileSt))
-          case None => true // statless: rewrite conservatively
-        }
+    def genMayMatch(gen: String): Boolean = cond match {
+      case None => true
+      case Some(c) => GenStats.load(conf, s"$root/$gen") match {
+        case Some(stats) =>
+          stats.isEmpty || stats.values.exists(fileSt =>
+            graft.sources.StatsPruning.mayMatch(c, fileSt))
+        case None => true // statless: rewrite conservatively
       }
     }
+    val affected = dirs.filter(genMayMatch)
     if (affected.isEmpty) return base
     val untouched = dirs.filterNot(affected.contains)
     // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
@@ -520,8 +523,9 @@ class SnapshotLake(root: String) {
       org.apache.spark.sql.functions.lit(false))
     val changes = affectedDf.filter(hit).withColumn(
       SnapshotLake.ChangeTypeCol, org.apache.spark.sql.functions.lit("delete"))
+    // same evaluator scopes the rewrite AND gates rebase-across
     publishRewrite(spark, base, untouched, affectedDf.filter(!hit),
-      Some(changes))
+      Some(changes), mayOverlapScope = genMayMatch)
   }
 
   /** Could generation `gen` hold a row whose every key column falls in
@@ -603,8 +607,13 @@ class SnapshotLake(root: String) {
         .sortWithinPartitions(sortCols: _*)
     // optimize changes the layout, not the table: materialize an EMPTY
     // changefeed so CDF readers see "no rows changed", not the
-    // file-level restatement the manifest delta would imply
-    publishRewrite(spark, base, Seq.empty, clustered, Some(emptyChanges(snap)))
+    // file-level restatement the manifest delta would imply.
+    // mayOverlapScope=false: a layout rewrite claims nothing about row
+    // content, so racing APPEND generations always carry forward
+    // (rewrites of the consumed snapshot still abort via the consumed
+    // check)
+    publishRewrite(spark, base, Seq.empty, clustered,
+      Some(emptyChanges(snap)), mayOverlapScope = _ => false)
   }
 
   /** [[optimize]] on the z-order curve of two numeric keys
@@ -627,7 +636,7 @@ class SnapshotLake(root: String) {
     val snap = readAt(spark, base)
     publishRewrite(spark, base, Seq.empty,
       graft.ops.Layout.zOrderClusterN(snap, keys, numFiles, bitsPerKey),
-      Some(emptyChanges(snap)))
+      Some(emptyChanges(snap)), mayOverlapScope = _ => false)
   }
 
   /** INCREMENTAL compaction: collapse only generations smaller than
@@ -663,21 +672,44 @@ class SnapshotLake(root: String) {
       if (sortCols.isEmpty) tail.coalesce(numFiles)
       else tail.repartitionByRange(numFiles, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-    publishRewrite(spark, base, big, clustered, Some(emptyChanges(tail)))
+    publishRewrite(spark, base, big, clustered, Some(emptyChanges(tail)),
+      mayOverlapScope = _ => false)
   }
 
   private def emptyChanges(snap: DataFrame): DataFrame =
     snap.limit(0).withColumn(SnapshotLake.ChangeTypeCol,
       org.apache.spark.sql.functions.lit("insert"))
 
-  /** Write `rewritten` as a new generation and claim version base+1
-    * referencing `untouched ++ newGen`. Loses a race → abort (cleanup,
-    * ConcurrentModificationException) rather than rebase: the rewrite
-    * was computed against `base` and is stale under any later commit. */
+  /** Write `rewritten` as a new generation and claim the next version
+    * referencing `untouched ++ newGen`. Loses a race → REBASE when the
+    * winner's commits are provably disjoint from this mutation's scope,
+    * abort otherwise (cleanup, ConcurrentModificationException) — the
+    * Delta-style conflict check one level up, at generation granularity:
+    *
+    *  - every generation this rewrite CONSUMED (`base` manifest minus
+    *    `untouched`) must still be referenced by the new head — a winner
+    *    that rewrote or dropped one has invalidated our rewrite;
+    *  - every generation the winners ADDED must satisfy
+    *    `!mayOverlapScope(gen)` — its stats envelope provably holds no
+    *    row this mutation's key envelope / predicate could touch (the
+    *    SAME evaluator that scoped the rewrite, so "carried forward
+    *    untouched" and "safe to rebase across" cannot drift).
+    *
+    * A valid rebase re-claims with manifest = (head's dirs minus the
+    * consumed generations) + our generation: winners' disjoint work is
+    * carried forward BY REFERENCE, and both writers land — without this,
+    * every concurrent pair of disjoint merges serializes through abort
+    * and rerun, which at 100 TB (many independent upsert streams over
+    * disjoint key ranges) serializes the whole write path. Bounded
+    * retries; the materialized `_cdf` stays correct under rebase because
+    * the carried generations provably contain no scoped rows. */
   private def publishRewrite(spark: SparkSession, base: Long,
       untouched: Seq[String], rewritten: DataFrame,
-      changes: Option[DataFrame] = None): Long = {
+      changes: Option[DataFrame] = None,
+      mayOverlapScope: String => Boolean = _ => true): Long = {
     val fs = hadoopFs(spark)
+    val baseDirs = dirsAt(spark, base)
+    val consumed = baseDirs.filterNot(untouched.contains).toSet
     val gen = s"gen-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
     rewritten.write.parquet(s"$root/$gen")
     validateGen(spark, gen) // a merge source can violate like any ingest
@@ -689,30 +721,48 @@ class SnapshotLake(root: String) {
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
     onBeforePublish()
-    val next = base + 1
-    val dirs = untouched :+ gen
-    // "rewrite":true marks this commit as the mutation that OWNS its
-    // generation's _cdf — the changefeed walker only reads _cdf under
-    // this flag (a restore re-referencing the generation stays a
-    // restatement)
-    val json = dirs.map("\"" + _ + "\"")
-      .mkString(s"""{"version":$next,"rewrite":true,"dirs":[""", ",", "]}")
-    val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-$next")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try {
-      claimVersionFile(spark, fs, tmp,
-        new org.apache.hadoop.fs.Path(f"$commitsDir/v$next%08d.json"))
-      next
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        fs.delete(tmp, false)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
-        throw new java.util.ConcurrentModificationException(
-          s"lake $root advanced past version $base during the rewrite; " +
-            "rerun the merge/delete to rebase on the new snapshot")
+    def abort(detail: String): Nothing = {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$gen"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"lake $root advanced past version $base during the rewrite " +
+          s"($detail); rerun the merge/delete to rebase on the new snapshot")
     }
+    var attemptBase = base
+    var carried = untouched
+    var attempts = 0
+    while (true) {
+      val next = attemptBase + 1
+      // "rewrite":true marks this commit as the mutation that OWNS its
+      // generation's _cdf — the changefeed walker only reads _cdf under
+      // this flag (a restore re-referencing the generation stays a
+      // restatement)
+      val json = (carried :+ gen).map("\"" + _ + "\"")
+        .mkString(s"""{"version":$next,"rewrite":true,"dirs":[""", ",", "]}")
+      val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-$next")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      try {
+        claimVersionFile(spark, fs, tmp,
+          new org.apache.hadoop.fs.Path(f"$commitsDir/v$next%08d.json"))
+        return next
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          attempts += 1
+          if (attempts >= 5) abort("rebase retries exhausted")
+          val head = latestVersion(spark).getOrElse(0L)
+          val headDirs = dirsAt(spark, head)
+          if (!consumed.forall(headDirs.contains))
+            abort("a racing commit rewrote a generation this mutation read")
+          val added = headDirs.filterNot(baseDirs.contains)
+          if (added.exists(mayOverlapScope))
+            abort("a racing commit added rows inside this mutation's scope")
+          attemptBase = head
+          carried = headDirs.filterNot(consumed.contains)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** RESTORE: make the table's next version identical to `version` by

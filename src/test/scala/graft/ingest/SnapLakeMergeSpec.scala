@@ -99,25 +99,92 @@ class SnapLakeMergeSpec extends SparkSpecBase {
     assert(lake.read(spark).count() == 150)
   }
 
-  test("a commit racing into the publish window aborts the merge") {
+  test("a racing append DISJOINT from the merge scope rebases; in-scope aborts") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
     lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
-    // a lake whose publish window admits a competing append
+    // racing append outside the merge's key envelope (id=7 vs scope
+    // id=1): its generation provably holds none of the merge's keys, so
+    // the merge REBASES — carries the winner's generation forward by
+    // reference and lands; both writers' rows survive
     val racy = new SnapshotLake(root) {
       override protected def onBeforePublish(): Unit =
         new SnapshotLake(root).commit(Seq((7L, "g")).toDF("id", "v"))
     }
-    intercept[java.util.ConcurrentModificationException] {
-      racy.merge(Seq((1L, "A")).toDF("id", "v"), Seq("id"))
-    }
-    // the winner's append survives; the merge left no published trace
+    val v = racy.merge(Seq((1L, "A")).toDF("id", "v"), Seq("id"))
     assert(lake.read(spark).as[(Long, String)].collect().toSet ==
-      Set((1L, "a"), (7L, "g")))
-    // rerun rebases cleanly on the new snapshot
-    val v = lake.merge(Seq((1L, "A")).toDF("id", "v"), Seq("id"))
-    assert(lake.readAt(spark, v).as[(Long, String)].collect().toSet ==
-      Set((1L, "A"), (7L, "g")))
+      Set((1L, "A"), (7L, "g")), "disjoint race should rebase, not abort")
+    assert(lake.latestVersion(spark).contains(v))
+    // racing append INSIDE the scope (same key): the merge computed
+    // without seeing that row, so landing it would silently miss an
+    // update — must abort, and the winner's row survives
+    val racy2 = new SnapshotLake(root) {
+      override protected def onBeforePublish(): Unit =
+        new SnapshotLake(root).commit(Seq((1L, "z")).toDF("id", "v"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      racy2.merge(Seq((1L, "B")).toDF("id", "v"), Seq("id"))
+    }
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (1L, "z"), (7L, "g")),
+      "abort must leave the winner's commit intact and publish nothing")
+    // rerun rebases cleanly on the new snapshot (replaces BOTH id=1 rows)
+    val v2 = lake.merge(Seq((1L, "B")).toDF("id", "v"), Seq("id"))
+    assert(lake.readAt(spark, v2).as[(Long, String)].collect().toSet ==
+      Set((1L, "B"), (7L, "g")))
+  }
+
+  test("two concurrent merges over disjoint key ranges both land") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // two generations with disjoint key envelopes
+    lake.commit(spark.range(0, 100).toDF("id")
+      .withColumn("v", lit("old")), overwrite = true)
+    lake.commit(spark.range(1000, 1100).toDF("id")
+      .withColumn("v", lit("old2")))
+    val srcA = spark.range(0, 10).toDF("id").withColumn("v", lit("A"))
+    val srcB = spark.range(1000, 1010).toDF("id").withColumn("v", lit("B"))
+    // merge B races into merge A's publish window; their scopes touch
+    // different generations, so A's rebase carries B's rewrite forward
+    // and BOTH land — the serialization-killer case at 100 TB (many
+    // independent upsert streams over disjoint key ranges)
+    var raced = false
+    val racy = new SnapshotLake(root) {
+      override protected def onBeforePublish(): Unit =
+        if (!raced) { raced = true
+          new SnapshotLake(root).merge(srcB, Seq("id")) }
+    }
+    val vA = racy.merge(srcA, Seq("id"))
+    assert(vA == 4L, s"expected A to land at v4 after rebasing over B, got $vA")
+    val got = lake.read(spark).as[(Long, String)].collect().toSet
+    val want = ((0L until 10L).map(_ -> "A") ++
+      (10L until 100L).map(_ -> "old") ++
+      (1000L until 1010L).map(_ -> "B") ++
+      (1010L until 1100L).map(_ -> "old2")).toSet
+    assert(got == want, "both merges' updates must be present")
+    // the changefeed across both versions reports each merge's own rows
+    val feed = lake.changesBetween(spark, 2L, 4L)
+      .filter(col(SnapshotLake.ChangeTypeCol) === "insert")
+      .select($"id", $"v").as[(Long, String)].collect().toSet
+    assert(feed == ((0L until 10L).map(_ -> "A") ++
+      (1000L until 1010L).map(_ -> "B")).toSet)
+
+    // CONFLICTING concurrent merges (same generation): the racer
+    // rewrites the generation this merge consumed — must still abort
+    val srcC = spark.range(20, 30).toDF("id").withColumn("v", lit("C"))
+    val srcD = spark.range(5, 15).toDF("id").withColumn("v", lit("D"))
+    var raced2 = false
+    val racy2 = new SnapshotLake(root) {
+      override protected def onBeforePublish(): Unit =
+        if (!raced2) { raced2 = true
+          new SnapshotLake(root).merge(srcD, Seq("id")) }
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      racy2.merge(srcC, Seq("id"))
+    }
+    // D (the winner) landed; C published nothing
+    val after = lake.read(spark).as[(Long, String)].collect().toMap
+    assert(after(5L) == "D" && after(20L) == "old" && after(0L) == "A")
   }
 
   test("merge I/O is bounded by the affected tail, not the table") {

@@ -130,19 +130,33 @@ class SnapLakeOptimizeSpec extends SparkSpecBase {
     assert(before.size == 6)
   }
 
-  test("a commit racing into optimize's publish window aborts it") {
+  test("optimize rebases across a racing append; aborts on a racing rewrite") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
     lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    // a layout rewrite claims nothing about row content, so a racing
+    // APPEND generation carries forward by reference and optimize lands:
+    // content = clustered snapshot + the winner's rows
     val racy = new SnapshotLake(root) {
       override protected def onBeforePublish(): Unit =
         new SnapshotLake(root).commit(Seq((2L, "b")).toDF("id", "v"))
     }
-    intercept[java.util.ConcurrentModificationException] {
-      racy.optimize(spark, 1, Seq(col("id")))
+    val v = racy.optimize(spark, 1, Seq(col("id")))
+    assert(v == 3L, s"optimize should land at v3 after rebasing, got $v")
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")), "racing append lost across optimize")
+    // a racing REWRITE (delete) invalidates the consumed snapshot — the
+    // optimize's output would resurrect the deleted row — must abort
+    val racy2 = new SnapshotLake(root) {
+      override protected def onBeforePublish(): Unit = {
+        val l = new SnapshotLake(root)
+        l.delete(spark, col("id") === 1L)
+      }
     }
-    // the racing append survived; optimize left nothing published
-    assert(lake.read(spark).count() == 2)
-    assert(lake.versions(spark) == Seq(1L, 2L))
+    intercept[java.util.ConcurrentModificationException] {
+      racy2.optimize(spark, 1, Seq(col("id")))
+    }
+    assert(lake.read(spark).as[(Long, String)].collect().toSet ==
+      Set((2L, "b")), "abort must preserve the winning delete")
   }
 }
