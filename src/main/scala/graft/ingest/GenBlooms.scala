@@ -1,0 +1,182 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name}
+
+/** Per-file BLOOM fingerprints for a [[SnapshotLake]] generation — the
+  * skipping tier min/max envelopes cannot provide: a point lookup on a
+  * high-cardinality UNSORTED key (`id = 123456789` on a table whose
+  * files each span the whole id domain) passes every envelope and
+  * schedules every file; a bloom answers "definitely not in this file"
+  * per file and the miss schedules ZERO tasks. This is Parquet's
+  * column-bloom idea hoisted to the manifest level, where it prunes
+  * BEFORE task planning (a row-group bloom only helps after every file
+  * already cost a task and a footer read).
+  *
+  * Unlike `_stats.json` (free — harvested from footers the write just
+  * produced), blooms cost one columnar scan of the fingerprinted
+  * columns, so they are an OPT-IN maintenance artifact
+  * ([[SnapshotLake.computeBlooms]]), written as `_blooms.json` beside
+  * the stats. Adding a sidecar to a published (immutable) generation is
+  * safe: readers racing the write see either no bloom (no pruning) or
+  * the complete bloom — never a partial one (tmp + rename).
+  *
+  * Pruning stays strictly conservative: a bloom answers "maybe" or
+  * "definitely absent"; only the latter prunes. Absent files, absent
+  * columns, unsupported types → never pruned.
+  */
+object GenBlooms {
+
+  val BloomsFileName = "_blooms.json"
+
+  /** Split-bloom with double hashing (Kirsch–Mitzenmacher): k indices
+    * derived from two murmur hashes of the value's canonical bytes.
+    * `m` is a power of two; sized ~10 bits per expected distinct value
+    * for ~1% false-positive rate at k=7. */
+  final class Bloom(val m: Int, val k: Int, val bits: Array[Long])
+      extends Serializable {
+    def this(m: Int, k: Int) = this(m, k, new Array[Long]((m + 63) / 64))
+    private def indices(v: Any): Option[Seq[Int]] = canonicalBytes(v).map { b =>
+      val h1 = scala.util.hashing.MurmurHash3.bytesHash(b, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.bytesHash(b, 0x85ebca6b)
+      (0 until k).map(i => math.floorMod(h1 + i * h2, m))
+    }
+    def add(v: Any): Unit = indices(v).foreach(_.foreach { idx =>
+      bits(idx >> 6) |= 1L << (idx & 63)
+    })
+    /** false ⇒ the value is PROVABLY absent from the fingerprinted
+      * column of this file; unsupported value types answer true. */
+    def mightContain(v: Any): Boolean = indices(v) match {
+      case None => true
+      case Some(ix) => ix.forall(idx => (bits(idx >> 6) & (1L << (idx & 63))) != 0)
+    }
+    def merge(o: Bloom): Bloom = {
+      require(o.m == m && o.k == k, "bloom shape mismatch")
+      var i = 0
+      while (i < bits.length) { bits(i) |= o.bits(i); i += 1 }
+      this
+    }
+  }
+
+  /** Canonical byte form shared by the build scan and the prune probe —
+    * both sides normalize to the stats value space first (integral →
+    * Long, float → Double, UTF8String → String), so a Catalyst literal
+    * and a row value hash identically. None: unsupported type. */
+  private[graft] def canonicalBytes(v: Any): Option[Array[Byte]] = v match {
+    case null => None
+    case i: Int => canonicalBytes(i.toLong)
+    case s: Short => canonicalBytes(s.toLong)
+    case b: Byte => canonicalBytes(b.toLong)
+    case l: Long =>
+      Some(java.nio.ByteBuffer.allocate(8).putLong(l).array)
+    case f: Float => canonicalBytes(f.toDouble)
+    case d: Double =>
+      Some(java.nio.ByteBuffer.allocate(8)
+        .putLong(java.lang.Double.doubleToLongBits(d)).array)
+    case b: Boolean => Some(Array[Byte](if (b) 1 else 0))
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes.clone())
+    case s: String => Some(s.getBytes(UTF_8))
+    case _ => None
+  }
+
+  /** Build per-(file, column) blooms for `cols` over the generation at
+    * `genPath` and publish `_blooms.json` there. One distributed scan of
+    * the requested columns; per-partition blooms merge by bitwise OR
+    * (commutative — row order never matters), and only the finished
+    * bloom bits travel to the driver: numFiles × |cols| × m/8 bytes,
+    * metadata-sized. */
+  def write(spark: SparkSession, genPath: String, cols: Seq[String],
+      expectedNdvPerFile: Int = 100000): Unit = {
+    val m = Integer.highestOneBit(
+      math.max(1024, expectedNdvPerFile * 10) - 1) * 2 // next pow2
+    val k = 7
+    val df = spark.read.parquet(genPath)
+    // SCHEMA-gate supported types: a column whose row values canonical-
+    // bytes to None (e.g. timestamps surface as java.sql.Timestamp here
+    // but as micros Longs in Catalyst literals) would build an EMPTY
+    // bloom that wrongly proves every probe absent — such columns must
+    // have no bloom at all
+    val supported: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(LongType, IntegerType, ShortType, ByteType, StringType,
+        DoubleType, FloatType, BooleanType)
+    }
+    val present = cols.filter(c => df.schema.fields.exists(f =>
+      f.name == c && supported.contains(f.dataType)))
+    if (present.isEmpty) return
+    val rows = df.select(input_file_name().as("__f") +: present.map(col): _*)
+    val perFile: Array[(String, Seq[(String, Bloom)])] = rows.rdd
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap[String, Array[Bloom]]()
+        it.foreach { r =>
+          val f = r.getString(0)
+          val blooms = acc.getOrElseUpdate(f,
+            Array.fill(present.size)(new Bloom(m, k)))
+          var i = 0
+          while (i < present.size) {
+            if (!r.isNullAt(i + 1)) blooms(i).add(r.get(i + 1))
+            i += 1
+          }
+        }
+        acc.iterator.map { case (f, bs) => f -> bs }
+      }
+      .reduceByKey((a, b) => a.zip(b).map { case (x, y) => x.merge(y) })
+      .map { case (f, bs) =>
+        new Path(f).getName -> present.zip(bs.toSeq)
+      }
+      .collect()
+    val enc = java.util.Base64.getEncoder
+    def b64(b: Bloom): String = {
+      val bb = java.nio.ByteBuffer.allocate(b.bits.length * 8)
+      b.bits.foreach(bb.putLong)
+      enc.encodeToString(bb.array)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    perFile.sortBy(_._1).foreach { case (file, colBlooms) =>
+      val fn = rootNode.putObject(file)
+      colBlooms.foreach { case (c, b) =>
+        val cn = fn.putObject(c)
+        cn.put("m", b.m); cn.put("k", b.k); cn.put("b", b64(b))
+      }
+    }
+    val dir = new Path(genPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s".$BloomsFileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsString(rootNode).getBytes(UTF_8))
+    finally out.close()
+    fs.delete(new Path(dir, BloomsFileName), false)
+    fs.rename(tmp, new Path(dir, BloomsFileName))
+  }
+
+  /** Blooms for one generation, keyed by bare file name then column;
+    * None when the generation has no bloom sidecar. */
+  def load(conf: Configuration, genPath: String)
+      : Option[Map[String, Map[String, Bloom]]] = {
+    val p = new Path(genPath, BloomsFileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+      finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(txt)
+    val dec = java.util.Base64.getDecoder
+    import scala.jdk.CollectionConverters._
+    Some(node.properties().asScala.map { fe =>
+      fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+        val cn = ce.getValue
+        val bytes = dec.decode(cn.get("b").asText())
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val longs = Array.fill(bytes.length / 8)(bb.getLong)
+        ce.getKey -> new Bloom(cn.get("m").asInt(), cn.get("k").asInt(), longs)
+      }.toMap
+    }.toMap)
+  }
+}

@@ -992,6 +992,32 @@ class SnapshotLake(root: String) {
     }
   }
 
+  /** Build `_blooms.json` bloom sidecars for `cols` in every generation
+    * of the LATEST snapshot that lacks one — the opt-in point-lookup
+    * skipping tier ([[GenBlooms]]): min/max envelopes cannot prune
+    * `key = x` on a high-cardinality unsorted key (every file's
+    * envelope spans the domain), a bloom prunes it to zero files.
+    * Costs one columnar scan per uncovered generation; generations are
+    * immutable, so a sidecar never goes stale and incremental calls
+    * only touch generations newer appends created. Sizing:
+    * ~10·`expectedNdvPerFile` bits per (file, column) for ~1% false
+    * positives — a false positive only costs an extra file read, never
+    * correctness. */
+  def computeBlooms(spark: SparkSession, cols: Seq[String],
+      expectedNdvPerFile: Int = 100000): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    latestVersion(spark).foreach { v =>
+      dirsAt(spark, v).foreach { gen =>
+        val genPath = s"$root/$gen"
+        val hasFiles = hadoopFs(spark)
+          .listStatus(new org.apache.hadoop.fs.Path(genPath))
+          .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        if (hasFiles && GenBlooms.load(conf, genPath).isEmpty)
+          GenBlooms.write(spark, genPath, cols, expectedNdvPerFile)
+      }
+    }
+  }
+
   /** Sweep ORPHANED generations: `gen-*` directories no surviving commit
     * references AND older than `olderThanMillis`. [[vacuum]] deliberately
     * deletes only generations the dropped commits referenced, so a crash

@@ -98,11 +98,20 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
             .getOrElse(Map.empty)
             .map { case (file, st) => s"$gen/$file" -> st }
         }.toMap
+        // bloom sidecars (opt-in, SnapshotLake.computeBlooms): the point-
+        // lookup tier envelopes can't serve — keyed the same way
+        val blooms = lake.dirsAt(spark, version).flatMap { gen =>
+          graft.ingest.GenBlooms
+            .load(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
+            .getOrElse(Map.empty)
+            .map { case (file, bs) => s"$gen/$file" -> bs }
+        }.toMap
         // wrap even with no stats: the wrapper's rootPaths carry the
         // commit log, which is what blocks single-path INSERT INTO from
         // corrupting a committed generation (see StatsFileIndex)
         fsRel.copy(location = new StatsFileIndex(fsRel.location, stats,
-          Some(new org.apache.hadoop.fs.Path(s"$root/_commits"))))(spark)
+          Some(new org.apache.hadoop.fs.Path(s"$root/_commits")),
+          blooms))(spark)
       case other => other
     }
   }

@@ -29,7 +29,9 @@ import graft.ingest.GenStats.{ColStats, FileStats}
   * generation names are UUID-derived.
   */
 class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats],
-    commitLogPath: Option[Path] = None)
+    commitLogPath: Option[Path] = None,
+    bloomsByFile: Map[String, Map[String, graft.ingest.GenBlooms.Bloom]] =
+      Map.empty)
     extends FileIndex {
 
   /** The generation directories PLUS the commit log: the table is
@@ -50,13 +52,22 @@ class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats],
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = inner.listFiles(partitionFilters, dataFilters)
-    if (dataFilters.isEmpty || statsByFile.isEmpty) base
+    if (dataFilters.isEmpty || (statsByFile.isEmpty && bloomsByFile.isEmpty))
+      base
     else base.map { pd =>
       pd.copy(files = pd.files.filter { f =>
-        statsByFile.get(StatsFileIndex.keyOf(f.getPath)) match {
+        val key = StatsFileIndex.keyOf(f.getPath)
+        val envelopeKeeps = statsByFile.get(key) match {
           case Some(st) => dataFilters.forall(StatsPruning.mayMatch(_, st))
-          case None => true // statless file: never prune
+          case None => true // statless file: never prune on envelopes
         }
+        // bloom tier: point predicates a min/max envelope can't decide
+        // (equality on a high-cardinality unsorted key) prune on a
+        // definite-absence answer from the file's bloom sidecar
+        envelopeKeeps && (bloomsByFile.get(key) match {
+          case Some(bs) => dataFilters.forall(BloomPruning.mayMatch(_, bs))
+          case None => true
+        })
       })
     }
   }
@@ -201,4 +212,43 @@ object StatsPruning {
     case ("b", _: Boolean) => true
     case _ => false
   }
+
+  /** Catalyst internal literal → the stats value space, for the bloom
+    * probe (same mapping as [[norm]] — one value space everywhere). */
+  private[sources] def normForBloom(v: Any): Option[Any] = norm(v)
+}
+
+/** Bloom-tier pruning: equality-shaped predicates against a file's
+  * [[graft.ingest.GenBlooms.Bloom]] sidecars. `false` ⇒ provable
+  * absence (modulo the bloom's zero-false-negative guarantee: every
+  * written value was inserted, so an all-miss IS a proof). Everything
+  * that is not an equality on a bloomed column answers `true` — range
+  * and null predicates belong to the envelope tier. */
+object BloomPruning {
+  import graft.ingest.GenBlooms.Bloom
+
+  def mayMatch(e: Expression, blooms: Map[String, Bloom]): Boolean = e match {
+    case And(l, r) => mayMatch(l, blooms) && mayMatch(r, blooms)
+    case Or(l, r) => mayMatch(l, blooms) || mayMatch(r, blooms)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => probe(blooms, a.name, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => probe(blooms, a.name, v)
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+      probe(blooms, a.name, v)
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
+      probe(blooms, a.name, v)
+    case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.exists { case Literal(v, _) => probe(blooms, a.name, v) }
+    case InSet(a: AttributeReference, hset) =>
+      hset.exists(v => probe(blooms, a.name, v))
+    case _ => true
+  }
+
+  private def probe(blooms: Map[String, Bloom], col: String, v: Any): Boolean =
+    blooms.get(col) match {
+      case None => true
+      case Some(b) => StatsPruning.normForBloom(v) match {
+        case None => true // NULL or exotic literal: not bloom-decidable
+        case Some(n) => b.mightContain(n)
+      }
+    }
 }

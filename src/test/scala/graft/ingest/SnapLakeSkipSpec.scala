@@ -222,6 +222,52 @@ class SnapLakeSkipSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
   }
 
+  test("bloom sidecars: equality miss on an unclustered key schedules zero files") {
+    // the case envelopes CANNOT serve: ids hash-scattered across files,
+    // so every file's min/max spans the whole domain and a point query
+    // keeps everything — the bloom tier answers definite absence per file
+    val root = freshRoot()
+    spark.range(0, 4000)
+      .select((col("id") * 7919L).as("id"),
+        concat(lit("u"), col("id") * 7919L).as("payload"))
+      .repartition(6) // arbitrary placement: wide envelopes by design
+      .write.format("snaplake").mode(SaveMode.Overwrite).save(root)
+    val lake = new SnapshotLake(root)
+    // precondition: envelopes alone cannot prune this point miss
+    val noBloom = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id") === 3959501L)) // in-range, not a multiple of 7919
+    assert(noBloom == ((0L, 6L)),
+      s"expected envelopes to keep all 6 files pre-bloom: $noBloom")
+    lake.computeBlooms(spark, Seq("id", "payload"), expectedNdvPerFile = 4000)
+    // point miss → zero files, zero tasks
+    val miss = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id") === 3959501L))
+    assert(miss == ((0L, 0L)), s"bloom miss should schedule nothing: $miss")
+    // string key misses prune too
+    val smiss = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("payload") === "nope"))
+    assert(smiss == ((0L, 0L)), s"string bloom miss: $smiss")
+    // a present key still reads its file(s) and answers correctly
+    val hit = spark.read.format("snaplake").load(root)
+      .filter(col("id") === 7L * 7919L).collect()
+    assert(hit.length == 1 && hit.head.getAs[String]("payload") == s"u${7 * 7919}")
+    // IN over one present + one absent key: at most the present key's
+    // files schedule, and the row comes back
+    val in = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id").isin(7L * 7919L, 3959501L)))
+    assert(in._1 == 1L && in._2 <= 2L, s"IN should prune the absent member: $in")
+    // parity sweep: blooms never change an answer
+    assert(spark.read.format("snaplake").load(root)
+      .filter(col("id") < 2000 * 7919L).count() == 2000)
+    // appends after the bloom pass: the new generation has no sidecar
+    // and is conservatively kept until the next computeBlooms
+    new SnapshotLake(root).commit(Seq((3959501L, "late")).toDF("id", "payload"))
+    val late = spark.read.format("snaplake").load(root)
+      .filter(col("id") === 3959501L).collect()
+    assert(late.length == 1 && late.head.getAs[String]("payload") == "late",
+      "bloomless new generation must never be pruned")
+  }
+
   test("pruning evaluator: proofs prune, unknowns keep") {
     val f = FileStats(100L, Map(
       "n" -> ColStats("l", Some(10L), Some(20L), Some(0L)),
