@@ -18,26 +18,10 @@ import graft.{SparkSpecBase, Tables}
 class ShuffleVolumeSpec extends SparkSpecBase {
   import spark.implicits._
 
-  /** Total shuffle (bytes, records) written across all tasks of `body`. */
-  private def shuffleMetrics(body: => Unit): (Long, Long) = {
-    val bytes = new java.util.concurrent.atomic.AtomicLong
-    val records = new java.util.concurrent.atomic.AtomicLong
-    val listener = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) {
-          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      body
-      org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
-    } finally spark.sparkContext.removeSparkListener(listener)
-    (bytes.get(), records.get())
-  }
+  /** Total shuffle (bytes, records) written across all tasks of `body`
+    * ([[graft.ShuffleMeter]] — shared with the ns_* family guard). */
+  private def shuffleMetrics(body: => Unit): (Long, Long) =
+    graft.ShuffleMeter.shuffleMetrics(spark)(body)
 
   private def shuffleWritten(body: => Unit): Long = shuffleMetrics(body)._1
 
