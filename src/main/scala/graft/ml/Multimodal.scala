@@ -345,11 +345,13 @@ object Multimodal {
     * javax.imageio), audio is real ([[decodeAudioMeta]],
     * javax.sound.sampled), video container metadata is real
     * ([[decodeVideoMeta]], direct ISO-BMFF parse). What remains
-    * codec-bound — and absent from this environment — is decoding
-    * compressed SAMPLE data (video frames, MP3/AAC audio) into pixels
-    * or PCM; this deterministic pseudo-metadata generator (payload-hash
-    * derived) keeps that plumbing shape testable end-to-end, and an
-    * ffmpeg/JNI decode slots in exactly where it sits. */
+    * codec-bound is decoding compressed SAMPLE data (video frames,
+    * MP3/AAC audio) into pixels or PCM; this deterministic
+    * pseudo-metadata generator (payload-hash derived) keeps that
+    * plumbing shape testable end-to-end. The REAL decode exists behind
+    * a capability probe — [[FfmpegDecode.decodeFrameMeta]] slots in
+    * exactly here wherever an ffmpeg binary is present (it is absent
+    * from this build container, so its spec gates on the probe). */
   def fakeDecodeMeta(assetsDf: DataFrame): DataFrame =
     assetsDf
       .withColumn("byte_len", length(col("bytes")))
