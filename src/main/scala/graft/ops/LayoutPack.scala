@@ -197,6 +197,62 @@ object LayoutPack extends QueryPack {
       lake.vacuum(s, retainLast = 2)
       lake.diff(s, v, v + 1)
         .orderBy(col("op"), col("doc_id"), col("text_len"))
+    }),
+
+    // CONCURRENT disjoint merges through the rebase path: two
+    // range-disjoint generations (doc_id <200 / >=200), then merge B
+    // (high keys) races into merge A's (low keys) publish window via
+    // the onBeforePublish hook — A loses its claim, proves B's new
+    // generation disjoint from its key envelope, and REBASES: both
+    // writers land, nothing serializes through abort-and-rerun. The
+    // oracle pins the combined upsert answer, which only exists if
+    // neither writer aborted nor clobbered the other.
+    "l_snaplake_rebase" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snaprb_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val base = graft.Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+      base.filter(col("doc_id") < 200)
+        .write.format("snaplake").mode("overwrite").save(root)
+      base.filter(col("doc_id") >= 200)
+        .write.format("snaplake").mode("append").save(root)
+      def bumped(cond: org.apache.spark.sql.Column) =
+        base.filter(cond && col("doc_id") % 5 === 0)
+          .withColumn("text_len", col("text_len") + 1000)
+      val srcB = bumped(col("doc_id") >= 200)
+      @volatile var raced = false
+      val racy = new graft.ingest.SnapshotLake(root) {
+        override protected def onBeforePublish(): Unit =
+          if (!raced) { raced = true
+            new graft.ingest.SnapshotLake(root).merge(srcB, Seq("doc_id"))
+          }
+      }
+      racy.merge(bumped(col("doc_id") < 200), Seq("doc_id"))
+      val lake = new graft.ingest.SnapshotLake(root)
+      lake.vacuum(s, retainLast = 1)
+      s.read.format("snaplake").load(root).orderBy(col("doc_id"))
+    }),
+
+    // Bloom-sidecar point lookups end-to-end: keys stored SPARSE
+    // (o_orderkey * 7919) and hash-scattered across 6 files, so every
+    // file's min/max envelope spans the whole domain and cannot prune a
+    // point probe; computeBlooms builds the opt-in fingerprint tier and
+    // the IN probe schedules only files whose blooms admit a member —
+    // zero for the absent key (asserted plan-level in SnapLakeSkipSpec;
+    // the oracle pins that bloom pruning never changes the answer).
+    "l_snaplake_bloom" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapbl_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      Tables.orders(s, d)
+        .select((col("o_orderkey") * 7919L).as("okey"), col("o_orderpriority"))
+        .repartition(6)
+        .write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      lake.vacuum(s, retainLast = 1)
+      lake.computeBlooms(s, Seq("okey"), expectedNdvPerFile = 30000)
+      s.read.format("snaplake").load(root)
+        .filter(col("okey").isin(7L * 7919L, 101L * 7919L, 3959501L))
+        .orderBy(col("okey"))
     })
   )
 
@@ -285,6 +341,24 @@ object LayoutPack extends QueryPack {
         |        EXCEPT ALL SELECT doc_id, text_len FROM v2)
         |SELECT doc_id, text_len, 'insert' AS op FROM ins
         |UNION ALL SELECT doc_id, text_len, 'delete' AS op FROM del
-        |ORDER BY op, doc_id, text_len""".stripMargin
+        |ORDER BY op, doc_id, text_len""".stripMargin,
+
+    // Both concurrent merges' updates present: every fifth doc bumped,
+    // regardless of which half (= which racing writer) owned it.
+    "l_snaplake_rebase" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text_len + 1000 ELSE text_len END
+        |    AS text_len
+        |FROM (SELECT doc_id, CAST(length(text) AS INT) AS text_len
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Bloom pruning is invisible to the oracle — the point, as with
+    // l_snaplake_skipping: the probe answer is plain SQL.
+    "l_snaplake_bloom" ->
+      """SELECT CAST(o_orderkey AS BIGINT) * 7919 AS okey, o_orderpriority
+        |FROM orders
+        |WHERE CAST(o_orderkey AS BIGINT) * 7919 IN (55433, 799819, 3959501)
+        |ORDER BY okey""".stripMargin
   )
 }
