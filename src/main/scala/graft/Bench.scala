@@ -24,6 +24,18 @@ object Bench {
         Map.empty
     }
 
+  /** Nearest ancestor of the launch cwd containing build.sbt — the repo
+    * root wherever the checkout lives. Guard files resolve against
+    * this, so neither a cwd-relative miss (silently disables the floor
+    * logic) nor a machine-specific absolute fallback is needed. */
+  def repoRoot(): Option[java.nio.file.Path] = {
+    var d = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", ".")).toAbsolutePath
+    while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+      d = d.getParent
+    Option(d)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,13 +67,12 @@ object Bench {
     // floor loaded up front: queries with a heavy committed floor get extra
     // reps (see below) so their min-of-N is co-tenant-burst-proof in the
     // driver-visible artifact, not just in NOTES.md bisects.
-    // resolve the floor file against cwd AND the repo root: if the driver
-    // launches from elsewhere, a bare relative path silently loads
-    // nothing and the adaptive anti-burst reps never fire — r7's
+    // resolve the floor file against the DISCOVERED repo root: if the
+    // driver launches from elsewhere, a bare relative path silently
+    // loads nothing and the adaptive anti-burst reps never fire — r7's
     // committed artifact carried a 6.6x co-tenant spike exactly that way
     val floorPath = sys.env.get("SPARK_GRAFT_FLOOR")
-      .orElse(Seq("BENCH_FLOOR.json", "/root/repo/BENCH_FLOOR.json")
-        .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+      .orElse(repoRoot().map(_.resolve("BENCH_FLOOR.json").toString))
       .getOrElse("BENCH_FLOOR.json")
     val floor = loadFloor(floorPath)
     // min-of-N per query (default 3): this box has bursty co-tenant load

@@ -75,8 +75,13 @@ object GenBlooms {
       Some(java.nio.ByteBuffer.allocate(8).putLong(l).array)
     case f: Float => canonicalBytes(f.toDouble)
     case d: Double =>
+      // ±0.0 must hash identically: SQL equality says -0.0 = 0.0, so a
+      // file holding -0.0 must answer "maybe" to a 0.0 probe — distinct
+      // fingerprints would prune it (wrong results). NaN needs no such
+      // fold: doubleToLongBits already canonicalizes every NaN payload.
+      val canon = if (d == 0.0) 0.0 else d
       Some(java.nio.ByteBuffer.allocate(8)
-        .putLong(java.lang.Double.doubleToLongBits(d)).array)
+        .putLong(java.lang.Double.doubleToLongBits(canon)).array)
     case b: Boolean => Some(Array[Byte](if (b) 1 else 0))
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.getBytes.clone())
     case s: String => Some(s.getBytes(UTF_8))
@@ -91,8 +96,14 @@ object GenBlooms {
     * metadata-sized. */
   def write(spark: SparkSession, genPath: String, cols: Seq[String],
       expectedNdvPerFile: Int = 100000): Unit = {
-    val m = Integer.highestOneBit(
-      math.max(1024, expectedNdvPerFile * 10) - 1) * 2 // next pow2
+    // next pow2 of ~10 bits/value, in Long space (Int math wraps
+    // negative past ndv≈215M — plausible per-file NDV at 100 TB — and
+    // either crashes array allocation or silently degenerates to a
+    // saturated 1024-bit bloom); capped at 2^30 bits = 128 MiB/column,
+    // past which callers should shard files rather than grow blooms
+    val target = math.min(1L << 30,
+      math.max(1024L, expectedNdvPerFile.toLong * 10))
+    val m = (java.lang.Long.highestOneBit(target - 1) * 2).toInt
     val k = 7
     val df = spark.read.parquet(genPath)
     // SCHEMA-gate supported types: a column whose row values canonical-
@@ -151,7 +162,12 @@ object GenBlooms {
     try out.write(mapper.writeValueAsString(rootNode).getBytes(UTF_8))
     finally out.close()
     fs.delete(new Path(dir, BloomsFileName), false)
-    fs.rename(tmp, new Path(dir, BloomsFileName))
+    // a false rename (concurrent recreation, cross-mount tmp) must NOT
+    // report success: the operator would believe the point-lookup tier
+    // exists while every probe keeps paying full fan-out
+    if (!fs.rename(tmp, new Path(dir, BloomsFileName)))
+      throw new IllegalStateException(
+        s"failed to publish $BloomsFileName under $genPath")
   }
 
   /** Blooms for one generation, keyed by bare file name then column;

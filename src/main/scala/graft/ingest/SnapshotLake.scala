@@ -378,15 +378,33 @@ class SnapshotLake(root: String) {
         spark.sessionState.sqlParser.parseExpression(cs(n)).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
         }
-      val names = cs.keys.toSeq.sorted.filter { n =>
-        refs(n).forall(a =>
-          cols.contains(a.nameParts.head.toLowerCase) || a.nameParts.size == 1)
-      }
-      if (names.isEmpty) return
-      val missing = names.flatMap(refs).collect {
+      def missingStructRoots(n: String): Seq[String] = refs(n).collect {
+        case a if a.nameParts.size > 1 &&
+            !cols.contains(a.nameParts.head.toLowerCase) => a.nameParts.head
+      }.distinct
+      def missingSimple(n: String): Seq[String] = refs(n).collect {
         case a if a.nameParts.size == 1 &&
             !cols.contains(a.nameParts.head.toLowerCase) => a.nameParts.head
       }.distinct
+      // a constraint whose only missing references are STRUCT roots keeps
+      // the documented vacuous pass (a NULL literal has no fields to
+      // extract, so evolved-read evaluation is impossible). But MIXING a
+      // missing struct root with a missing single-part column must not
+      // silently skip the whole constraint — that would bypass the very
+      // IS-NOT-NULL gate evolved-read evaluation exists for. Refuse:
+      // safer than a vacuous pass, and the error names the gap.
+      cs.keys.toSeq.sorted.foreach { n =>
+        if (missingStructRoots(n).nonEmpty && missingSimple(n).nonEmpty)
+          throw new IllegalStateException(
+            s"CHECK constraint '$n' (${cs(n)}) mixes missing nested " +
+              s"columns (${missingStructRoots(n).mkString(",")}) with " +
+              s"missing top-level columns (${missingSimple(n).mkString(",")})" +
+              " — cannot be validated under evolved-read semantics; " +
+              s"commit to $root refused")
+      }
+      val names = cs.keys.toSeq.sorted.filter(n => missingStructRoots(n).isEmpty)
+      if (names.isEmpty) return
+      val missing = names.flatMap(missingSimple).distinct
       val gdf = missing.foldLeft(raw)((df, c) => df.withColumn(c, lit(null)))
       // one aggregate pass counts violations of every constraint at
       // once; CHECK passes NULL: a violation is coalesce(expr, true) =
@@ -1019,16 +1037,23 @@ class SnapshotLake(root: String) {
   }
 
   /** Sweep ORPHANED generations: `gen-*` directories no surviving commit
-    * references AND older than `olderThanMillis`. [[vacuum]] deliberately
-    * deletes only generations the dropped commits referenced, so a crash
-    * between a data write and its commit claim (or a failed _cdf/_stats
-    * publish) strands a directory forever — an unbounded storage leak on
-    * a long-lived table. The age guard (directory mtime) is what keeps
-    * this safe against the race vacuum's comment warns about: an
-    * in-flight writer's unpublished generation is by construction
-    * younger than any sane retention horizon, while a crash orphan only
-    * ages. Same single-maintainer contract as vacuum/restore. */
-  def vacuumOrphans(spark: SparkSession, olderThanMillis: Long): Unit = {
+    * references AND whose mtime is before the ABSOLUTE instant
+    * `cutoffMillis` (epoch millis — the same clock and convention as
+    * [[vacuumOlderThan]]; pass `System.currentTimeMillis() - retention`,
+    * NEVER a bare retention duration, which would silently sweep
+    * nothing — and never a raw `currentTimeMillis()`, which would sweep
+    * a concurrent writer's seconds-old unpublished generation).
+    * [[vacuum]] deliberately deletes only generations the dropped
+    * commits referenced, so a crash between a data write and its commit
+    * claim (or a failed _cdf/_stats publish) strands a directory
+    * forever — an unbounded storage leak on a long-lived table. The age
+    * guard (directory mtime vs a cutoff a sane retention puts hours in
+    * the past) is what keeps this safe against the race vacuum's
+    * comment warns about: an in-flight writer's unpublished generation
+    * is by construction younger than any sane retention horizon, while
+    * a crash orphan only ages. Same single-maintainer contract as
+    * vacuum/restore. */
+  def vacuumOrphans(spark: SparkSession, cutoffMillis: Long): Unit = {
     val fs = hadoopFs(spark)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(rootPath)) return
@@ -1036,7 +1061,7 @@ class SnapshotLake(root: String) {
     fs.listStatus(rootPath).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("gen-") && !live.contains(name)
-          && st.getModificationTime < olderThanMillis)
+          && st.getModificationTime < cutoffMillis)
         fs.delete(st.getPath, true)
     }
   }

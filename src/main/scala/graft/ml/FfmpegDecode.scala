@@ -39,19 +39,28 @@ object FfmpegDecode {
       height: Int): Option[Array[Byte]] = {
     if (!available) return None
     val tmp = java.nio.file.Files.createTempFile("graft_ff", ".bin")
+    var p: Process = null
     try {
       java.nio.file.Files.write(tmp, container)
-      val p = new ProcessBuilder("ffmpeg", "-v", "error",
+      // stderr is DISCARDED at the OS level, not read after stdout:
+      // error-chatty input can emit more than a pipe buffer of
+      // diagnostics while frame bytes are pending — reading stdout to
+      // EOF first would deadlock ffmpeg (blocked on stderr) against the
+      // JVM (blocked on stdout), wedging the Spark task
+      p = new ProcessBuilder("ffmpeg", "-v", "error",
         "-i", tmp.toString, "-frames:v", "1",
         "-vf", s"scale=$width:$height", "-f", "rawvideo",
-        "-pix_fmt", "rgb24", "pipe:1").start()
+        "-pix_fmt", "rgb24", "pipe:1")
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
       val out = p.getInputStream.readAllBytes()
-      p.getErrorStream.readAllBytes()
       val ok = p.waitFor() == 0 && out.length == width * height * 3
       if (ok) Some(out) else None
     } catch {
       case scala.util.control.NonFatal(_) => None
-    } finally java.nio.file.Files.delete(tmp)
+    } finally {
+      if (p != null) p.destroyForcibly() // no-op if already exited
+      java.nio.file.Files.delete(tmp)
+    }
   }
 
   /** Frame-decode metadata over an asset frame table: per-channel pixel

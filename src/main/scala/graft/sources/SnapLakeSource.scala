@@ -99,8 +99,12 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
             .map { case (file, st) => s"$gen/$file" -> st }
         }.toMap
         // bloom sidecars (opt-in, SnapshotLake.computeBlooms): the point-
-        // lookup tier envelopes can't serve — keyed the same way
-        val blooms = lake.dirsAt(spark, version).flatMap { gen =>
+        // lookup tier envelopes can't serve — keyed the same way, but
+        // passed as a THUNK: the index loads them only for scans whose
+        // pushed filters carry an equality shape (they are file-sized
+        // artifacts, not envelope-sized)
+        val genDirs = lake.dirsAt(spark, version)
+        val blooms = () => genDirs.flatMap { gen =>
           graft.ingest.GenBlooms
             .load(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
             .getOrElse(Map.empty)

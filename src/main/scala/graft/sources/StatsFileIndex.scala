@@ -30,9 +30,16 @@ import graft.ingest.GenStats.{ColStats, FileStats}
   */
 class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats],
     commitLogPath: Option[Path] = None,
-    bloomsByFile: Map[String, Map[String, graft.ingest.GenBlooms.Bloom]] =
-      Map.empty)
+    bloomsByFile: () => Map[String, Map[String, graft.ingest.GenBlooms.Bloom]] =
+      () => Map.empty)
     extends FileIndex {
+
+  // LAZY and equality-gated: bloom sidecars are orders of magnitude
+  // bigger than stats envelopes (~m/8 bytes per file-column), so they
+  // are parsed only the first time a scan actually presents a predicate
+  // the bloom tier can serve — full scans, counts, and pure range
+  // queries never pay the load
+  private lazy val blooms = bloomsByFile()
 
   /** The generation directories PLUS the commit log: the table is
     * genuinely multi-location, and advertising that is also the guard
@@ -52,9 +59,13 @@ class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats],
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = inner.listFiles(partitionFilters, dataFilters)
-    if (dataFilters.isEmpty || (statsByFile.isEmpty && bloomsByFile.isEmpty))
-      base
-    else base.map { pd =>
+    if (dataFilters.isEmpty) return base
+    val wantBlooms = dataFilters.exists(_.exists {
+      case _: EqualTo | _: EqualNullSafe | _: In | _: InSet => true
+      case _ => false
+    })
+    if (statsByFile.isEmpty && !wantBlooms) return base
+    base.map { pd =>
       pd.copy(files = pd.files.filter { f =>
         val key = StatsFileIndex.keyOf(f.getPath)
         val envelopeKeeps = statsByFile.get(key) match {
@@ -64,10 +75,10 @@ class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats],
         // bloom tier: point predicates a min/max envelope can't decide
         // (equality on a high-cardinality unsorted key) prune on a
         // definite-absence answer from the file's bloom sidecar
-        envelopeKeeps && (bloomsByFile.get(key) match {
+        envelopeKeeps && (!wantBlooms || (blooms.get(key) match {
           case Some(bs) => dataFilters.forall(BloomPruning.mayMatch(_, bs))
           case None => true
-        })
+        }))
       })
     }
   }

@@ -94,6 +94,28 @@ class SnapLakeConstraintSpec extends SparkSpecBase {
     assert(lake.read(spark).count() == 1)
   }
 
+  test("mixed missing struct-root + missing column refuses, never skips silently") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // `meta.flag` cannot be evaluated when meta is absent (a NULL
+    // literal has no fields), but silently skipping the WHOLE constraint
+    // would also drop the id IS NOT NULL gate — refuse instead
+    lake.addConstraint(spark, "mixed", "id IS NOT NULL AND meta IS NOT NULL")
+    lake.dropConstraint(spark, "mixed")
+    lake.addConstraint(spark, "mixed2", "id IS NOT NULL AND named_struct('f', meta.flag).f")
+    val e = intercept[IllegalStateException] {
+      lake.commit(Seq(("x", 1)).toDF("v", "score"), overwrite = true)
+    }
+    assert(e.getMessage.contains("mixed2") &&
+      e.getMessage.contains("evolved-read"), e.getMessage)
+    assert(lake.versions(spark).isEmpty, "refusal must not publish")
+    // with both columns present the constraint evaluates normally
+    lake.dropConstraint(spark, "mixed2")
+    lake.addConstraint(spark, "id_p", "id IS NOT NULL")
+    lake.commit(Seq((1L, "x")).toDF("id", "v"), overwrite = true)
+    assert(lake.read(spark).count() == 1)
+  }
+
   test("concurrent validateGen never sees an absent constraints file") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
@@ -139,7 +161,7 @@ class SnapLakeConstraintSpec extends SparkSpecBase {
     fs.mkdirs(young) // an "in-flight writer" — too young to sweep
     fs.setTimes(orphan, 1000L, -1)
     fs.setTimes(young, System.currentTimeMillis(), -1)
-    lake.vacuumOrphans(spark, olderThanMillis = 1000000L)
+    lake.vacuumOrphans(spark, cutoffMillis = 1000000L)
     assert(!fs.exists(orphan), "aged orphan not reclaimed")
     assert(fs.exists(young), "in-flight generation swept")
     // the referenced generation is untouched

@@ -268,6 +268,30 @@ class SnapLakeSkipSpec extends SparkSpecBase {
       "bloomless new generation must never be pruned")
   }
 
+  test("bloom value canonicalization: ±0.0 fold, int widths fold, no cross-hits") {
+    // SQL equality says -0.0 = 0.0: a file holding -0.0 must answer
+    // "maybe" to a 0.0 probe or bloom pruning changes query answers
+    val b = new GenBlooms.Bloom(1024, 7)
+    b.add(-0.0d)
+    assert(b.mightContain(0.0d) && b.mightContain(-0.0d),
+      "-0.0 and 0.0 must hash identically")
+    assert(!b.mightContain(1.0d))
+    // a float row value must admit the (double-normalized) literal probe
+    val bf = new GenBlooms.Bloom(1024, 7)
+    bf.add(2.5f)
+    assert(bf.mightContain(2.5d))
+    // integral widths normalize to Long on both sides
+    val bi = new GenBlooms.Bloom(1024, 7)
+    bi.add(42)
+    assert(bi.mightContain(42L))
+    // UTF8String (Catalyst literal space) vs String (row space)
+    val bs = new GenBlooms.Bloom(1024, 7)
+    bs.add("doc-7")
+    assert(bs.mightContain(
+      org.apache.spark.unsafe.types.UTF8String.fromString("doc-7")))
+    assert(!bs.mightContain("doc-8"))
+  }
+
   test("pruning evaluator: proofs prune, unknowns keep") {
     val f = FileStats(100L, Map(
       "n" -> ColStats("l", Some(10L), Some(20L), Some(0L)),

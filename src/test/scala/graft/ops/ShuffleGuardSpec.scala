@@ -20,7 +20,13 @@ import graft.{ShuffleMeter, SparkSpecBase}
   */
 class ShuffleGuardSpec extends SparkSpecBase {
 
-  private val FloorFile = "SHUFFLE_FLOOR.json"
+  // resolved against the discovered repo root (graft.Bench.repoRoot),
+  // not bare cwd: an IDE/CI launch dir would otherwise make every
+  // query fall into the "no floor entry" branch and the guard pass
+  // vacuously — the exact silent-relative-path hazard Bench fixed
+  private val FloorFile = graft.Bench.repoRoot()
+    .map(_.resolve("SHUFFLE_FLOOR.json").toString)
+    .getOrElse("SHUFFLE_FLOOR.json")
 
   private def loadFloors(): Map[String, (Long, Long)] = {
     val p = java.nio.file.Paths.get(FloorFile)
