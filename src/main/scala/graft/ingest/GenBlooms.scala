@@ -33,6 +33,14 @@ object GenBlooms {
 
   val BloomsFileName = "_blooms.json"
 
+  /** Sidecar format version, embedded as the `_v` key. Bumped whenever
+    * the VALUE CANONICALIZATION changes (e.g. the ±0.0 fold): a bloom
+    * built under an older hash answers "definitely absent" for values
+    * the new probe hashes differently — a silent wrong-prune. [[load]]
+    * treats any other version as no-sidecar, and
+    * [[SnapshotLake.computeBlooms]]'s covered-check then rebuilds. */
+  val FormatVersion = 2
+
   /** Split-bloom with double hashing (Kirsch–Mitzenmacher): k indices
     * derived from two murmur hashes of the value's canonical bytes.
     * `m` is a power of two; sized ~10 bits per expected distinct value
@@ -148,6 +156,7 @@ object GenBlooms {
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootNode = mapper.createObjectNode()
+    rootNode.put("_v", FormatVersion)
     perFile.sortBy(_._1).foreach { case (file, colBlooms) =>
       val fn = rootNode.putObject(file)
       colBlooms.foreach { case (c, b) =>
@@ -164,10 +173,15 @@ object GenBlooms {
     fs.delete(new Path(dir, BloomsFileName), false)
     // a false rename (concurrent recreation, cross-mount tmp) must NOT
     // report success: the operator would believe the point-lookup tier
-    // exists while every probe keeps paying full fan-out
-    if (!fs.rename(tmp, new Path(dir, BloomsFileName)))
+    // exists while every probe keeps paying full fan-out. Clean the tmp
+    // up — the old sidecar is already gone either way, so the message
+    // says so and a rebuild is the recovery.
+    if (!fs.rename(tmp, new Path(dir, BloomsFileName))) {
+      fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"failed to publish $BloomsFileName under $genPath")
+        s"failed to publish $BloomsFileName under $genPath — the " +
+          "generation now has NO bloom sidecar; rerun computeBlooms")
+    }
   }
 
   /** Blooms for one generation, keyed by bare file name then column;
@@ -183,9 +197,12 @@ object GenBlooms {
       finally in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(txt)
+    // a sidecar from a different canonicalization era reads as absent
+    // (never pruned) and computeBlooms rebuilds it — see FormatVersion
+    if (node.path("_v").asInt(-1) != FormatVersion) return None
     val dec = java.util.Base64.getDecoder
     import scala.jdk.CollectionConverters._
-    Some(node.properties().asScala.map { fe =>
+    Some(node.properties().asScala.filter(_.getKey != "_v").map { fe =>
       fe.getKey -> fe.getValue.properties().asScala.map { ce =>
         val cn = ce.getValue
         val bytes = dec.decode(cn.get("b").asText())

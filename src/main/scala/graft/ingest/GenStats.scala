@@ -178,12 +178,23 @@ object GenStats {
   private def statValue(tag: String, v: AnyRef): Option[Any] = (tag, v) match {
     case ("l", i: java.lang.Integer) => Some(i.longValue())
     case ("l", l: java.lang.Long) => Some(l.longValue())
-    case ("d", f: java.lang.Float) => Some(f.doubleValue())
-    case ("d", d: java.lang.Double) => Some(d.doubleValue())
+    case ("d", f: java.lang.Float) => Some(foldZero(f.doubleValue()))
+    case ("d", d: java.lang.Double) => Some(foldZero(d.doubleValue()))
     case ("b", b: java.lang.Boolean) => Some(b.booleanValue())
     case ("s", b: org.apache.parquet.io.api.Binary) => Some(b.toStringUsingUTF8)
     case _ => None
   }
+
+  /** -0.0 → 0.0 at every boundary into the stats value space. SQL
+    * comparisons treat the zeros as EQUAL, but the total ordering the
+    * pruning evaluator uses does not (-0.0 < 0.0), so an envelope
+    * harvested as min=max=-0.0 (foreign/older writers skip the
+    * parquet-format ±0 stats adjustment) would wrongly prune `x = 0.0`
+    * and `x >= 0.0` — folding both the harvested values and the probe
+    * literals ([[graft.sources.StatsPruning]]) to +0.0 makes every
+    * comparison agree with SQL at the zero boundary, and is lossless
+    * for range proofs precisely because SQL cannot distinguish them. */
+  def foldZero(d: Double): Double = if (d == 0.0) 0.0 else d
 
   /** Ordering used both to merge chunk envelopes and by the pruning
     * evaluator. Strings compare by UTF-8 bytes (UTF8String), matching

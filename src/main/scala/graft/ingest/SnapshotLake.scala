@@ -374,10 +374,15 @@ class SnapshotLake(root: String) {
       // way (a NULL literal has no fields to extract); constraints over
       // missing STRUCT roots keep the documented vacuous pass.
       val cols = raw.columns.map(_.toLowerCase).toSet
-      def refs(n: String): Seq[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute] =
-        spark.sessionState.sqlParser.parseExpression(cs(n)).collect {
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+      // one parse per constraint — refs are consulted several times below
+      val refsByName: Map[String,
+          Seq[org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute]] =
+        cs.map { case (n, sql) =>
+          n -> spark.sessionState.sqlParser.parseExpression(sql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+          }.toSeq
         }
+      def refs(n: String) = refsByName(n)
       def missingStructRoots(n: String): Seq[String] = refs(n).collect {
         case a if a.nameParts.size > 1 &&
             !cols.contains(a.nameParts.head.toLowerCase) => a.nameParts.head
@@ -586,15 +591,17 @@ class SnapshotLake(root: String) {
     case _ => false
   }
 
-  /** External row value → the stats value space (None: unsupported). */
+  /** External row value → the stats value space (None: unsupported).
+    * Doubles fold -0.0 → 0.0 like every other boundary into that space
+    * ([[GenStats.foldZero]]). */
   private def normScalar(v: Any): Option[Any] = v match {
     case null => None
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
-    case f: Float => Some(f.toDouble)
-    case d: Double => Some(d)
+    case f: Float => Some(GenStats.foldZero(f.toDouble))
+    case d: Double => Some(GenStats.foldZero(d))
     case b: Boolean => Some(b)
     case s: String => Some(s)
     case _ => None

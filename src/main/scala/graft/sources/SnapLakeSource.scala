@@ -73,7 +73,10 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
       .getOrElse(lake.latestVersion(spark).getOrElse(
         throw new IllegalArgumentException(
           s"no committed version under $root")))
-    val dirs = lake.dirsAt(spark, version).map(d => s"$root/$d")
+    // one manifest read serves the path list, the stats map, and the
+    // bloom thunk — dirsAt re-reads and re-parses the commit JSON
+    val genDirs = lake.dirsAt(spark, version)
+    val dirs = genDirs.map(d => s"$root/$d")
     // Delegate to Spark's parquet relation over exactly this version's
     // files: pushdown/pruning/vectorization are the scan's own, and the
     // relation pins its file listing now (snapshot isolation).
@@ -92,7 +95,7 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
         // _stats.json under the scan's pushed data filters. Generations
         // without stats contribute nothing to the map and their files
         // are never pruned.
-        val stats = lake.dirsAt(spark, version).flatMap { gen =>
+        val stats = genDirs.flatMap { gen =>
           graft.ingest.GenStats
             .load(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
             .getOrElse(Map.empty)
@@ -103,7 +106,6 @@ class SnapLakeSource extends RelationProvider with CreatableRelationProvider
         // passed as a THUNK: the index loads them only for scans whose
         // pushed filters carry an equality shape (they are file-sized
         // artifacts, not envelope-sized)
-        val genDirs = lake.dirsAt(spark, version)
         val blooms = () => genDirs.flatMap { gen =>
           graft.ingest.GenBlooms
             .load(spark.sparkContext.hadoopConfiguration, s"$root/$gen")

@@ -201,15 +201,18 @@ object StatsPruning {
       case None => true
     }
 
-  /** Catalyst internal literal → the stats value space. */
+  /** Catalyst internal literal → the stats value space. Doubles fold
+    * -0.0 to 0.0, matching the harvest side
+    * ([[graft.ingest.GenStats.foldZero]]) — see its scaladoc for the
+    * wrong-prune this prevents. */
   private def norm(v: Any): Option[Any] = v match {
     case null => None
     case i: Int => Some(i.toLong)
     case l: Long => Some(l)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
-    case f: Float => Some(f.toDouble)
-    case d: Double => Some(d)
+    case f: Float => Some(graft.ingest.GenStats.foldZero(f.toDouble))
+    case d: Double => Some(graft.ingest.GenStats.foldZero(d))
     case b: Boolean => Some(b)
     case u: UTF8String => Some(u.toString)
     case s: String => Some(s)

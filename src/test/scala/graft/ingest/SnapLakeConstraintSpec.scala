@@ -100,9 +100,8 @@ class SnapLakeConstraintSpec extends SparkSpecBase {
     // `meta.flag` cannot be evaluated when meta is absent (a NULL
     // literal has no fields), but silently skipping the WHOLE constraint
     // would also drop the id IS NOT NULL gate — refuse instead
-    lake.addConstraint(spark, "mixed", "id IS NOT NULL AND meta IS NOT NULL")
-    lake.dropConstraint(spark, "mixed")
-    lake.addConstraint(spark, "mixed2", "id IS NOT NULL AND named_struct('f', meta.flag).f")
+    lake.addConstraint(spark, "mixed2",
+      "id IS NOT NULL AND named_struct('f', meta.flag).f")
     val e = intercept[IllegalStateException] {
       lake.commit(Seq(("x", 1)).toDF("v", "score"), overwrite = true)
     }

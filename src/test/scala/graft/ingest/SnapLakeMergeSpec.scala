@@ -187,6 +187,38 @@ class SnapLakeMergeSpec extends SparkSpecBase {
     assert(after(5L) == "D" && after(20L) == "old" && after(0L) == "A")
   }
 
+  test("four genuinely concurrent disjoint merges all land under contention") {
+    // no deterministic hook — real threads racing the claim loop: each
+    // merges its own key range (disjoint generations), so every loser
+    // must REBASE across the winners' commits, possibly several times
+    // (bounded retries). All four must land; content must be the union.
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    val ranges = Seq((0L, 100L), (1000L, 1100L), (2000L, 2100L), (3000L, 3100L))
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      lake.commit(spark.range(lo, hi).toDF("id").withColumn("v", lit("old")),
+        overwrite = i == 0)
+    }
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = ranges.map { case (lo, _) =>
+      new Thread(() =>
+        try new SnapshotLake(root).merge(
+          spark.range(lo, lo + 10).toDF("id").withColumn("v", lit(s"m$lo")),
+          Seq("id"))
+        catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(failures.isEmpty,
+      s"concurrent disjoint merges failed: ${failures.peek()}")
+    assert(lake.latestVersion(spark).contains(8L),
+      s"expected 4 base + 4 merge commits, got ${lake.latestVersion(spark)}")
+    val got = lake.read(spark).as[(Long, String)].collect().toSet
+    val want = ranges.flatMap { case (lo, hi) =>
+      (lo until hi).map(id => id -> (if (id < lo + 10) s"m$lo" else "old"))
+    }.toSet
+    assert(got == want, "merged content diverged under contention")
+  }
+
   test("merge I/O is bounded by the affected tail, not the table") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
