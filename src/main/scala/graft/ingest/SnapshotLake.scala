@@ -48,6 +48,12 @@ object SnapshotLake {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
   val CdfDirName = "_cdf"
+
+  /** Max distinct source key tuples collected for merge's bloom-tier
+    * scoping — a bounded METADATA collect (≤ cap+1 narrow rows), never
+    * data-path; bigger sources skip the bloom tier and scope by
+    * envelopes alone. */
+  val BloomScopeCap = 1024
 }
 
 class SnapshotLake(root: String) {
@@ -472,12 +478,49 @@ class SnapshotLake(root: String) {
           case _ => None // non-primitive key type or all-null: no envelope
         }
       }.toMap
-      val (affected, untouched) = dirs.partition(genMayContainKeys(spark, _, keyCols, srcEnv))
+      val srcKeys = src.select(keyCols.map(col): _*).distinct()
+      // BLOOM tier of the scoping: when the distinct source key set is
+      // small (bounded metadata collect, like every other collect here),
+      // a generation whose every file's blooms reject every source key
+      // tuple provably holds no match and carries forward even when its
+      // ENVELOPE intersects — the case that matters on unsorted layouts,
+      // where every file's envelope spans the whole key domain and the
+      // envelope tier alone would rewrite everything for a 3-row upsert.
+      // Tuples containing NULL match no target row and are dropped.
+      val keyTuples: Option[Seq[Seq[Any]]] = {
+        val head = srcKeys.limit(SnapshotLake.BloomScopeCap + 1).collect()
+        if (head.length > SnapshotLake.BloomScopeCap) None
+        else Some(head.toSeq
+          .map(r => keyCols.indices.map(i => r.get(i)).toSeq)
+          .filterNot(_.contains(null)))
+      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      def bloomMayContain(gen: String): Boolean = keyTuples match {
+        case None => true
+        case Some(tuples) =>
+          GenBlooms.load(conf, s"$root/$gen") match {
+            case None => true // no sidecar: no proof
+            case Some(byFile) =>
+              byFile.isEmpty || byFile.values.exists { colBlooms =>
+                tuples.exists(t => keyCols.zip(t).forall { case (c, v) =>
+                  colBlooms.get(c) match {
+                    case None => true // column not bloomed: unconstrained
+                    case Some(b) => normScalar(v) match {
+                      case None => true
+                      case Some(n) => b.mightContain(n)
+                    }
+                  }
+                })
+              }
+          }
+      }
+      def genInScope(gen: String): Boolean =
+        genMayContainKeys(spark, gen, keyCols, srcEnv) && bloomMayContain(gen)
+      val (affected, untouched) = dirs.partition(genInScope)
       import org.apache.spark.sql.functions.lit
       val affectedDf = if (affected.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true")
           .parquet(affected.map(d => s"$root/$d"): _*))
-      val srcKeys = src.select(keyCols.map(col): _*).distinct()
       val keep = affectedDf.map(_.join(srcKeys, keyCols, "left_anti"))
       val rewritten = keep match {
         case Some(k) => k.unionByName(src, allowMissingColumns = true)
@@ -494,11 +537,11 @@ class SnapshotLake(root: String) {
         case Some(d) => d.unionByName(inserts, allowMissingColumns = true)
         case None => inserts
       }
-      // rebase-across check = the scoping check: a racing commit's new
-      // generation is safe to carry forward iff it provably holds none
-      // of this merge's keys
+      // rebase-across check = the scoping check (envelope AND bloom
+      // tiers): a racing commit's new generation is safe to carry
+      // forward iff it provably holds none of this merge's keys
       publishRewrite(spark, base, untouched, rewritten, Some(changes),
-        mayOverlapScope = g => genMayContainKeys(spark, g, keyCols, srcEnv))
+        mayOverlapScope = genInScope)
     } finally src.unpersist()
   }
 
@@ -528,12 +571,21 @@ class SnapshotLake(root: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     def genMayMatch(gen: String): Boolean = cond match {
       case None => true
-      case Some(c) => GenStats.load(conf, s"$root/$gen") match {
-        case Some(stats) =>
-          stats.isEmpty || stats.values.exists(fileSt =>
-            graft.sources.StatsPruning.mayMatch(c, fileSt))
-        case None => true // statless: rewrite conservatively
-      }
+      case Some(c) =>
+        val envMay = GenStats.load(conf, s"$root/$gen") match {
+          case Some(stats) =>
+            stats.isEmpty || stats.values.exists(fileSt =>
+              graft.sources.StatsPruning.mayMatch(c, fileSt))
+          case None => true // statless: rewrite conservatively
+        }
+        // bloom tier, same evaluator the read path uses: an equality
+        // predicate every file's blooms reject cannot match — the scope
+        // proof envelopes can't give on unsorted layouts
+        envMay && (GenBlooms.load(conf, s"$root/$gen") match {
+          case None => true
+          case Some(byFile) => byFile.isEmpty || byFile.values.exists(
+            bs => graft.sources.BloomPruning.mayMatch(c, bs))
+        })
     }
     val affected = dirs.filter(genMayMatch)
     if (affected.isEmpty) return base

@@ -187,6 +187,41 @@ class SnapLakeMergeSpec extends SparkSpecBase {
     assert(after(5L) == "D" && after(20L) == "old" && after(0L) == "A")
   }
 
+  test("bloom-tier scoping: unsorted generations carry when blooms reject the keys") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    // INTERLEAVED key ranges: both generations' envelopes span the whole
+    // domain, so the envelope tier alone would rewrite both for any
+    // in-range upsert — the unsorted-layout case the bloom tier exists for
+    lake.commit(spark.range(0, 100).select((col("id") * 2).as("id"))
+      .withColumn("v", lit("even")), overwrite = true)
+    lake.commit(spark.range(0, 100).select((col("id") * 2 + 1).as("id"))
+      .withColumn("v", lit("odd")))
+    lake.computeBlooms(spark, Seq("id"), expectedNdvPerFile = 1000)
+    val before = lake.dirsAt(spark, 2L)
+    val Seq(evenGen, oddGen) = before
+    // a 2-row EVEN-key upsert: the odd generation's blooms reject both
+    // keys, so it must carry forward BY REFERENCE
+    val v = lake.merge(Seq((2L, "E2"), (4L, "E4")).toDF("id", "v"), Seq("id"))
+    val after = lake.dirsAt(spark, v)
+    assert(after.contains(oddGen) && !after.contains(evenGen),
+      s"bloom scoping failed: before=$before after=$after")
+    val got = lake.read(spark).as[(Long, String)].collect().toMap
+    assert(got(2L) == "E2" && got(4L) == "E4" && got(6L) == "even" &&
+      got(7L) == "odd" && got.size == 200)
+    // DELETE through the same tier: bloom the merge's new generation,
+    // then delete one odd key — the (bloomed) even rewrite must carry
+    lake.computeBlooms(spark, Seq("id"), expectedNdvPerFile = 1000)
+    val beforeDel = lake.dirsAt(spark, lake.latestVersion(spark).get)
+    val evenGen2 = beforeDel.filterNot(_ == oddGen).head
+    val v2 = lake.delete(spark, col("id") === 7L)
+    val afterDel = lake.dirsAt(spark, v2)
+    assert(afterDel.contains(evenGen2) && !afterDel.contains(oddGen),
+      s"bloom delete scoping failed: before=$beforeDel after=$afterDel")
+    assert(lake.read(spark).count() == 199)
+    assert(lake.read(spark).filter(col("id") === 7L).count() == 0)
+  }
+
   test("four genuinely concurrent disjoint merges all land under contention") {
     // no deterministic hook — real threads racing the claim loop: each
     // merges its own key range (disjoint generations), so every loser
