@@ -268,6 +268,35 @@ class AnnStreamsSpec extends SparkSpecBase {
       "pre-rebuild version no longer reads back identically")
   }
 
+  test("post-rebuild ingest: appends under the new quantizer compose via grownIndex") {
+    // the documented post-rebuild contract: the returned index IS the
+    // new frozen artifact — ingest continues against it, and grownIndex
+    // composes the rebuilt commit with later appends exactly as before
+    val emb = Tables.embeddings(spark, sf0001)
+    val lake = new graft.ingest.SnapshotLake(
+      Files.createTempDirectory("graft_ann_postrb").toString + "/lake")
+    val (rebuilt, v) = AnnStreams.rebuildIndex(spark, lake,
+      emb.select($"vec_id", $"embedding"))
+    assert(lake.latestVersion(spark).contains(v))
+    // a later arrival: a verbatim twin of vector 3, encoded under the
+    // REBUILT quantizer and appended as the next lake commit
+    val twin = emb.filter($"vec_id" === 3L)
+      .select(lit(930001L).as("vec_id"), $"embedding")
+    val markers = Files.createTempDirectory("graft_ann_postrb_mk").toString
+    AnnStreams.indexAppendSink(rebuilt, lake, markers)(twin, 0L)
+    assert(lake.latestVersion(spark).contains(v + 1))
+    val grown = AnnStreams.grownIndex(spark, lake, rebuilt)
+    // the collapsed composition holds the full corpus + the arrival once
+    assert(grown.codes.select($"vec_id").distinct().count() == 501)
+    // and the twin is retrieved for its original's query
+    val queries = emb.filter($"vec_id" === 3L)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val top = Similarity.ivfpqProbe(grown, queries, 5)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    assert(top.contains(930001L),
+      s"twin not retrieved after post-rebuild append: ${top.mkString(",")}")
+  }
+
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
     val emb = Tables.embeddings(spark, sf0001)
     val index = Similarity.ivfpqIndex(emb, qids, eager = true)
