@@ -48,6 +48,30 @@ class SnapLakeCdfSpec extends SparkSpecBase {
     assert(changes(lake, 2L, 5L) == changes(lake, 2L, 3L) ++ changes(lake, 3L, 4L))
   }
 
+  test("changefeed across a REBASED merge: winner's inserts, then the merge's _cdf") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true) // v1
+    // a disjoint append races into the merge's publish window: the merge
+    // loses its claim at v2, proves the appended generation outside its
+    // key envelope, and REBASES to v3 — its materialized _cdf must still
+    // describe exactly its own changes, and the winner's version must
+    // feed its own inserts
+    val racy = new SnapshotLake(root) {
+      override protected def onBeforePublish(): Unit =
+        new SnapshotLake(root).commit(Seq((7L, "g")).toDF("id", "v")) // v2
+    }
+    val v = racy.merge(Seq((1L, "A"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    assert(v == 3L, s"merge should land at v3 after rebasing, got $v")
+    assert(changes(lake, 1L, 2L) == Set((7L, "g", "insert", 2L)))
+    assert(changes(lake, 2L, 3L) == Set(
+      (1L, "a", "delete", 3L), (1L, "A", "insert", 3L),
+      (5L, "e", "insert", 3L)))
+    // the composed window tells the whole interleaved story
+    assert(changes(lake, 1L, 3L) ==
+      changes(lake, 1L, 2L) ++ changes(lake, 2L, 3L))
+  }
+
   test("a blind overwrite restates: delete-all + insert-all") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
