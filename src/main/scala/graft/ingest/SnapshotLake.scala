@@ -118,6 +118,37 @@ class SnapshotLake(root: String) {
     }
   }
 
+  /** Operation HISTORY — the audit surface a table format exposes as
+    * DESCRIBE HISTORY: one row per surviving commit with the operation
+    * that published it (`create`/`append`/`overwrite`/`merge`/`delete`/
+    * `optimize`/`zorder`/`compact`/`restore`; commits from writers
+    * predating the tag read as `unknown`), the generation count, and
+    * the publication instant ([[versionAt]]'s clock). Metadata-only:
+    * one commit-file read per version, no data touched. Built with an
+    * explicit schema (the createDataFrame/REPL-classloader contract
+    * every frozen-table helper here follows). */
+  def history(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fs = hadoopFs(spark)
+    val rows = versions(spark).map { v =>
+      val txt = commitJson(spark, v)
+      val op = """"op":"(\w+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("unknown")
+      val nDirs = "\"(gen-[0-9a-f]+)\"".r.findAllMatchIn(txt).length
+      val ts = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        f"$commitsDir/v$v%08d.json")).getModificationTime
+      Row(v, op, nDirs, ts)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("version", LongType),
+        StructField("op", StringType),
+        StructField("n_dirs", IntegerType),
+        StructField("ts_millis", LongType))))
+  }
+
   /** TIME TRAVEL: the table exactly as committed at `version`. */
   def readAt(spark: SparkSession, version: Long): DataFrame = {
     val dirs = dirsAt(spark, version)
@@ -185,7 +216,8 @@ class SnapshotLake(root: String) {
     // footer-harvested file stats land inside the still-unpublished
     // generation, so they are immutable alongside the data they describe
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
-    val tag = batchId.map(b => s""""batchId":$b,""").getOrElse("") +
+    val tag = s""""op":"${if (overwrite) "overwrite" else "append"}",""" +
+      batchId.map(b => s""""batchId":$b,""").getOrElse("") +
       queryId.map(q => s""""queryId":"$q",""").getOrElse("")
     // losing the claim race retries against the re-read latest — an
     // append retry re-bases on the winner's snapshot, exactly the
@@ -212,7 +244,7 @@ class SnapshotLake(root: String) {
     validateGen(spark, gen)
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
-    val json = s"""{"version":1,"dirs":["$gen"]}"""
+    val json = s"""{"version":1,"op":"create","dirs":["$gen"]}"""
     val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-1")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -541,7 +573,7 @@ class SnapshotLake(root: String) {
       // tiers): a racing commit's new generation is safe to carry
       // forward iff it provably holds none of this merge's keys
       publishRewrite(spark, base, untouched, rewritten, Some(changes),
-        mayOverlapScope = genInScope)
+        mayOverlapScope = genInScope, op = "merge")
     } finally src.unpersist()
   }
 
@@ -600,7 +632,7 @@ class SnapshotLake(root: String) {
       SnapshotLake.ChangeTypeCol, org.apache.spark.sql.functions.lit("delete"))
     // same evaluator scopes the rewrite AND gates rebase-across
     publishRewrite(spark, base, untouched, affectedDf.filter(!hit),
-      Some(changes), mayOverlapScope = genMayMatch)
+      Some(changes), mayOverlapScope = genMayMatch, op = "delete")
   }
 
   /** Could generation `gen` hold a row whose every key column falls in
@@ -690,7 +722,8 @@ class SnapshotLake(root: String) {
     // (rewrites of the consumed snapshot still abort via the consumed
     // check)
     publishRewrite(spark, base, Seq.empty, clustered,
-      Some(emptyChanges(snap)), mayOverlapScope = _ => false)
+      Some(emptyChanges(snap)), mayOverlapScope = _ => false,
+      op = "optimize")
   }
 
   /** [[optimize]] on the z-order curve of two numeric keys
@@ -713,7 +746,8 @@ class SnapshotLake(root: String) {
     val snap = readAt(spark, base)
     publishRewrite(spark, base, Seq.empty,
       graft.ops.Layout.zOrderClusterN(snap, keys, numFiles, bitsPerKey),
-      Some(emptyChanges(snap)), mayOverlapScope = _ => false)
+      Some(emptyChanges(snap)), mayOverlapScope = _ => false,
+      op = "zorder")
   }
 
   /** INCREMENTAL compaction: collapse only generations smaller than
@@ -750,7 +784,7 @@ class SnapshotLake(root: String) {
       else tail.repartitionByRange(numFiles, sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
     publishRewrite(spark, base, big, clustered, Some(emptyChanges(tail)),
-      mayOverlapScope = _ => false)
+      mayOverlapScope = _ => false, op = "compact")
   }
 
   private def emptyChanges(snap: DataFrame): DataFrame =
@@ -783,7 +817,8 @@ class SnapshotLake(root: String) {
   private def publishRewrite(spark: SparkSession, base: Long,
       untouched: Seq[String], rewritten: DataFrame,
       changes: Option[DataFrame] = None,
-      mayOverlapScope: String => Boolean = _ => true): Long = {
+      mayOverlapScope: String => Boolean = _ => true,
+      op: String = "rewrite"): Long = {
     val fs = hadoopFs(spark)
     val baseDirs = dirsAt(spark, base)
     val consumed = baseDirs.filterNot(untouched.contains).toSet
@@ -814,7 +849,9 @@ class SnapshotLake(root: String) {
       // this flag (a restore re-referencing the generation stays a
       // restatement)
       val json = (carried :+ gen).map("\"" + _ + "\"")
-        .mkString(s"""{"version":$next,"rewrite":true,"dirs":[""", ",", "]}")
+        .mkString(
+          s"""{"version":$next,"op":"$op","rewrite":true,"dirs":[""",
+          ",", "]}")
       val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-$next")
       val out = fs.create(tmp, true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -855,7 +892,7 @@ class SnapshotLake(root: String) {
   def restore(spark: SparkSession, version: Long): Long = {
     val fs = hadoopFs(spark)
     val dirs = dirsAt(spark, version) // throws if vacuumed
-    retryClaim(spark, fs, extraTag = "") { _ =>
+    retryClaim(spark, fs, extraTag = "\"op\":\"restore\",") { _ =>
       // restore uniquely re-references generations the current head may
       // NOT reference, which vacuum could be deleting concurrently —
       // the one writer/maintenance race the generation-immutability

@@ -233,6 +233,33 @@ object LayoutPack extends QueryPack {
       s.read.format("snaplake").load(root).orderBy(col("doc_id"))
     }),
 
+    // Operation HISTORY (DESCRIBE HISTORY analog): run a deterministic
+    // overwrite→merge→delete→optimize→restore sequence, vacuum to
+    // exactly those five commits, and report (seq, op, n_dirs) — seq is
+    // a row_number over version order because the reused root's version
+    // counter grows across invocations. Pins that every mutation path
+    // stamps its operation into the commit log.
+    "l_snaplake_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snaph_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val lake = new graft.ingest.SnapshotLake(root)
+      graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .write.format("snaplake").mode("overwrite").save(root)
+      val v0 = lake.latestVersion(s).get
+      lake.merge(s.range(0, 1).select(col("id").as("doc_id"),
+        lit("xx").as("lang")), Seq("doc_id"))
+      lake.delete(s, col("doc_id") === 1L)
+      lake.optimize(s, 1, Seq(col("doc_id")))
+      lake.restore(s, v0)
+      lake.vacuum(s, retainLast = 5)
+      lake.history(s)
+        .withColumn("seq",
+          row_number().over(Window.orderBy(col("version"))))
+        .select(col("seq"), col("op"), col("n_dirs"))
+        .orderBy(col("seq"))
+    }),
+
     // Bloom-sidecar point lookups end-to-end: keys stored SPARSE
     // (o_orderkey * 7919) and hash-scattered across 6 files, so every
     // file's min/max envelope spans the whole domain and cannot prune a
@@ -352,6 +379,14 @@ object LayoutPack extends QueryPack {
         |FROM (SELECT doc_id, CAST(length(text) AS INT) AS text_len
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // The five-operation audit trail as literal rows: the lake's
+    // history is fully determined by the query's own mutation sequence.
+    "l_snaplake_history" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'overwrite', 1), (2, 'merge', 1), (3, 'delete', 1),
+        |  (4, 'optimize', 1), (5, 'restore', 1))
+        |AS t(seq, op, n_dirs) ORDER BY seq""".stripMargin,
 
     // Bloom pruning is invisible to the oracle — the point, as with
     // l_snaplake_skipping: the probe answer is plain SQL.
