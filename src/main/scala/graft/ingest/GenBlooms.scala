@@ -39,15 +39,36 @@ object GenBlooms {
     * the new probe hashes differently — a silent wrong-prune. [[load]]
     * treats any other version as no-sidecar, and
     * [[SnapshotLake.computeBlooms]]'s covered-check then rebuilds. */
-  val FormatVersion = 2
+  val FormatVersion = 3
+
+  /** Storage-kind tag of a value in the canonical space ("l"/"d"/"s"/
+    * "b"), or None for unsupported kinds — the SAME tag alphabet
+    * [[GenStats]] uses. */
+  private[graft] def kindOf(v: Any): Option[String] = v match {
+    case null => None
+    case _: Int | _: Long | _: Short | _: Byte => Some("l")
+    case _: Float | _: Double => Some("d")
+    case _: String | _: org.apache.spark.unsafe.types.UTF8String => Some("s")
+    case _: Boolean => Some("b")
+    case _ => None
+  }
 
   /** Split-bloom with double hashing (Kirsch–Mitzenmacher): k indices
     * derived from two murmur hashes of the value's canonical bytes.
     * `m` is a power of two; sized ~10 bits per expected distinct value
-    * for ~1% false-positive rate at k=7. */
-  final class Bloom(val m: Int, val k: Int, val bits: Array[Long])
-      extends Serializable {
-    def this(m: Int, k: Int) = this(m, k, new Array[Long]((m + 63) / 64))
+    * for ~1% false-positive rate at k=7.
+    *
+    * `tag` is the fingerprinted column's storage kind: a probe value of
+    * a DIFFERENT kind answers "maybe", never "definitely absent" — a
+    * Double source key probed against a Long-keyed bloom hashes
+    * different canonical bytes than the stored values, but Spark's
+    * implicit join/comparison casts could still match the rows, so a
+    * cross-kind miss is no proof (the bloom analog of the envelope
+    * tier's sameKind guard). */
+  final class Bloom(val m: Int, val k: Int, val tag: String,
+      val bits: Array[Long]) extends Serializable {
+    def this(m: Int, k: Int, tag: String) =
+      this(m, k, tag, new Array[Long]((m + 63) / 64))
     private def indices(v: Any): Option[Seq[Int]] = canonicalBytes(v).map { b =>
       val h1 = scala.util.hashing.MurmurHash3.bytesHash(b, 0x9747b28c)
       val h2 = scala.util.hashing.MurmurHash3.bytesHash(b, 0x85ebca6b)
@@ -57,13 +78,17 @@ object GenBlooms {
       bits(idx >> 6) |= 1L << (idx & 63)
     })
     /** false ⇒ the value is PROVABLY absent from the fingerprinted
-      * column of this file; unsupported value types answer true. */
-    def mightContain(v: Any): Boolean = indices(v) match {
-      case None => true
-      case Some(ix) => ix.forall(idx => (bits(idx >> 6) & (1L << (idx & 63))) != 0)
-    }
+      * column of this file; unsupported value types AND values of a
+      * different storage kind than the column answer true. */
+    def mightContain(v: Any): Boolean =
+      if (!kindOf(v).contains(tag)) true
+      else indices(v) match {
+        case None => true
+        case Some(ix) =>
+          ix.forall(idx => (bits(idx >> 6) & (1L << (idx & 63))) != 0)
+      }
     def merge(o: Bloom): Bloom = {
-      require(o.m == m && o.k == k, "bloom shape mismatch")
+      require(o.m == m && o.k == k && o.tag == tag, "bloom shape mismatch")
       var i = 0
       while (i < bits.length) { bits(i) |= o.bits(i); i += 1 }
       this
@@ -124,9 +149,20 @@ object GenBlooms {
       Set(LongType, IntegerType, ShortType, ByteType, StringType,
         DoubleType, FloatType, BooleanType)
     }
+    def tagOf(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | IntegerType | ShortType | ByteType => "l"
+        case DoubleType | FloatType => "d"
+        case StringType => "s"
+        case BooleanType => "b"
+        case other => sys.error(s"unsupported bloom type $other")
+      }
+    }
     val present = cols.filter(c => df.schema.fields.exists(f =>
       f.name == c && supported.contains(f.dataType)))
     if (present.isEmpty) return
+    val tags = present.map(c => tagOf(df.schema(c).dataType))
     val rows = df.select(input_file_name().as("__f") +: present.map(col): _*)
     val perFile: Array[(String, Seq[(String, Bloom)])] = rows.rdd
       .mapPartitions { it =>
@@ -134,7 +170,7 @@ object GenBlooms {
         it.foreach { r =>
           val f = r.getString(0)
           val blooms = acc.getOrElseUpdate(f,
-            Array.fill(present.size)(new Bloom(m, k)))
+            tags.map(t => new Bloom(m, k, t)).toArray)
           var i = 0
           while (i < present.size) {
             if (!r.isNullAt(i + 1)) blooms(i).add(r.get(i + 1))
@@ -161,7 +197,8 @@ object GenBlooms {
       val fn = rootNode.putObject(file)
       colBlooms.foreach { case (c, b) =>
         val cn = fn.putObject(c)
-        cn.put("m", b.m); cn.put("k", b.k); cn.put("b", b64(b))
+        cn.put("m", b.m); cn.put("k", b.k); cn.put("t", b.tag)
+        cn.put("b", b64(b))
       }
     }
     val dir = new Path(genPath)
@@ -208,7 +245,8 @@ object GenBlooms {
         val bytes = dec.decode(cn.get("b").asText())
         val bb = java.nio.ByteBuffer.wrap(bytes)
         val longs = Array.fill(bytes.length / 8)(bb.getLong)
-        ce.getKey -> new Bloom(cn.get("m").asInt(), cn.get("k").asInt(), longs)
+        ce.getKey -> new Bloom(cn.get("m").asInt(), cn.get("k").asInt(),
+          cn.get("t").asText(), longs)
       }.toMap
     }.toMap)
   }

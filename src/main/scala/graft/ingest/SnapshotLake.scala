@@ -87,12 +87,16 @@ class SnapshotLake(root: String) {
     finally in.close()
   }
 
+  /** One regex for generation-directory names in commit JSON — shared by
+    * [[dirsAt]] and [[history]] so the manifest shape has one spelling. */
+  private val GenDirPattern = "\"(gen-[0-9a-f]+)\"".r
+
   /** Generation directories of a committed version (names relative to
     * root, in commit order). */
   def dirsAt(spark: SparkSession, version: Long): Seq[String] =
     // commit JSON is written by this class only; a regex parse keeps the
     // manifest dependency-free (same trade as Bench.loadFloor)
-    "\"(gen-[0-9a-f]+)\"".r
+    GenDirPattern
       .findAllMatchIn(commitJson(spark, version)).map(_.group(1)).toSeq
 
   /** Was `version` published by a mutation that MATERIALIZED its
@@ -135,14 +139,13 @@ class SnapshotLake(root: String) {
       val txt = commitJson(spark, v)
       val op = """"op":"(\w+)"""".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse("unknown")
-      val nDirs = "\"(gen-[0-9a-f]+)\"".r.findAllMatchIn(txt).length
+      val nDirs = GenDirPattern.findAllMatchIn(txt).length
       val ts = fs.getFileStatus(new org.apache.hadoop.fs.Path(
         f"$commitsDir/v$v%08d.json")).getModificationTime
       Row(v, op, nDirs, ts)
     }
     spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava),
+      java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField("version", LongType),
         StructField("op", StringType),
         StructField("n_dirs", IntegerType),
@@ -519,7 +522,10 @@ class SnapshotLake(root: String) {
       // where every file's envelope spans the whole key domain and the
       // envelope tier alone would rewrite everything for a 3-row upsert.
       // Tuples containing NULL match no target row and are dropped.
-      val keyTuples: Option[Seq[Seq[Any]]] = {
+      // LAZY: the collect job runs only if some generation actually has
+      // a sidecar (blooms are opt-in — most tables never pay this), and
+      // the sidecar parse runs only if the key set turned out small
+      lazy val keyTuples: Option[Seq[Seq[Any]]] = {
         val head = srcKeys.limit(SnapshotLake.BloomScopeCap + 1).collect()
         if (head.length > SnapshotLake.BloomScopeCap) None
         else Some(head.toSeq
@@ -527,11 +533,15 @@ class SnapshotLake(root: String) {
           .filterNot(_.contains(null)))
       }
       val conf = spark.sparkContext.hadoopConfiguration
-      def bloomMayContain(gen: String): Boolean = keyTuples match {
+      def bloomMayContain(gen: String): Boolean = {
+        val sidecar = new org.apache.hadoop.fs.Path(
+          s"$root/$gen/${GenBlooms.BloomsFileName}")
+        if (!hadoopFs(spark).exists(sidecar)) return true // no proof
+        keyTuples match {
         case None => true
         case Some(tuples) =>
           GenBlooms.load(conf, s"$root/$gen") match {
-            case None => true // no sidecar: no proof
+            case None => true // version-mismatched sidecar: no proof
             case Some(byFile) =>
               byFile.isEmpty || byFile.values.exists { colBlooms =>
                 tuples.exists(t => keyCols.zip(t).forall { case (c, v) =>
@@ -545,6 +555,7 @@ class SnapshotLake(root: String) {
                 })
               }
           }
+        }
       }
       def genInScope(gen: String): Boolean =
         genMayContainKeys(spark, gen, keyCols, srcEnv) && bloomMayContain(gen)
@@ -610,14 +621,21 @@ class SnapshotLake(root: String) {
               graft.sources.StatsPruning.mayMatch(c, fileSt))
           case None => true // statless: rewrite conservatively
         }
-        // bloom tier, same evaluator the read path uses: an equality
-        // predicate every file's blooms reject cannot match — the scope
-        // proof envelopes can't give on unsorted layouts
-        envMay && (GenBlooms.load(conf, s"$root/$gen") match {
+        // bloom tier, same evaluator AND the same equality gate the read
+        // path uses: only a predicate containing an equality shape can
+        // ever produce a bloom proof, so a pure range delete must not
+        // parse the file-sized sidecars at all
+        import org.apache.spark.sql.catalyst.expressions.{
+          EqualNullSafe, EqualTo, In, InSet}
+        val hasEq = c.exists {
+          case _: EqualTo | _: EqualNullSafe | _: In | _: InSet => true
+          case _ => false
+        }
+        envMay && (!hasEq || (GenBlooms.load(conf, s"$root/$gen") match {
           case None => true
           case Some(byFile) => byFile.isEmpty || byFile.values.exists(
             bs => graft.sources.BloomPruning.mayMatch(c, bs))
-        })
+        }))
     }
     val affected = dirs.filter(genMayMatch)
     if (affected.isEmpty) return base

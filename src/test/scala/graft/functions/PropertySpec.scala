@@ -133,33 +133,46 @@ class PropertySpec extends AnyFunSuite {
 
   test("bloom: zero false negatives, and SQL-equal values hash identically") {
     import graft.ingest.GenBlooms
-    // mixed-width numeric generator covering the value-space folds:
-    // Int↔Long, Float↔Double, and the ±0.0 identity SQL equality demands
-    val value: Gen[Any] = Gen.oneOf(
+    // per-kind blooms (a column has ONE storage kind); the membership
+    // property — every inserted value answers "maybe" — is what keeps
+    // bloom pruning from ever dropping real rows
+    val longs: Gen[List[Any]] = Gen.nonEmptyListOf(Gen.oneOf(
       Gen.long.map(identity[Any]),
-      Gen.choose(Int.MinValue, Int.MaxValue).map(identity[Any]),
-      Gen.double.map(identity[Any]),
-      Gen.oneOf[Any](0.0d, -0.0d, 0.0f, -0.0f),
-      asciiText.map(identity[Any]))
-    check(forAll(Gen.nonEmptyListOf(value)) { vs =>
-      val b = new GenBlooms.Bloom(4096, 7)
+      Gen.choose(Int.MinValue, Int.MaxValue).map(identity[Any])))
+    check(forAll(longs) { vs =>
+      val b = new GenBlooms.Bloom(4096, 7, "l")
       vs.foreach(b.add)
-      // membership: every inserted value answers "maybe" — a false
-      // negative anywhere means bloom pruning drops real rows
+      vs.forall(b.mightContain)
+    })
+    val doubles: Gen[List[Any]] = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.double.map(identity[Any]),
+      Gen.oneOf[Any](0.0d, -0.0d, 0.0f, -0.0f)))
+    check(forAll(doubles) { vs =>
+      val b = new GenBlooms.Bloom(4096, 7, "d")
+      vs.foreach(b.add)
+      vs.forall(b.mightContain)
+    })
+    check(forAll(Gen.nonEmptyListOf(asciiText)) { vs =>
+      val b = new GenBlooms.Bloom(4096, 7, "s")
+      vs.foreach(b.add)
       vs.forall(b.mightContain)
     })
     // SQL-equality classes hash to the same indices: widths fold and
     // the zeros fold, on BOTH paths (add and probe)
     check(forAll(Gen.choose(Int.MinValue, Int.MaxValue)) { i =>
-      val b = new GenBlooms.Bloom(4096, 7)
+      val b = new GenBlooms.Bloom(4096, 7, "l")
       b.add(i)
       b.mightContain(i.toLong)
     })
     check(forAll(Gen.double) { d =>
-      val b = new GenBlooms.Bloom(4096, 7)
+      val b = new GenBlooms.Bloom(4096, 7, "d")
       b.add(d)
-      // the float path only folds exactly-representable values
       b.mightContain(d) && (d != 0.0 || b.mightContain(-0.0d))
+    })
+    // cross-kind probes answer "maybe" — never a definite miss
+    check(forAll(Gen.long) { l =>
+      val b = new GenBlooms.Bloom(4096, 7, "l")
+      b.mightContain(l.toDouble) && b.mightContain(l.toString)
     })
   }
 }

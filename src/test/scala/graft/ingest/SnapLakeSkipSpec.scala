@@ -271,25 +271,29 @@ class SnapLakeSkipSpec extends SparkSpecBase {
   test("bloom value canonicalization: ±0.0 fold, int widths fold, no cross-hits") {
     // SQL equality says -0.0 = 0.0: a file holding -0.0 must answer
     // "maybe" to a 0.0 probe or bloom pruning changes query answers
-    val b = new GenBlooms.Bloom(1024, 7)
+    val b = new GenBlooms.Bloom(1024, 7, "d")
     b.add(-0.0d)
     assert(b.mightContain(0.0d) && b.mightContain(-0.0d),
       "-0.0 and 0.0 must hash identically")
     assert(!b.mightContain(1.0d))
     // a float row value must admit the (double-normalized) literal probe
-    val bf = new GenBlooms.Bloom(1024, 7)
+    val bf = new GenBlooms.Bloom(1024, 7, "d")
     bf.add(2.5f)
     assert(bf.mightContain(2.5d))
     // integral widths normalize to Long on both sides
-    val bi = new GenBlooms.Bloom(1024, 7)
+    val bi = new GenBlooms.Bloom(1024, 7, "l")
     bi.add(42)
     assert(bi.mightContain(42L))
     // UTF8String (Catalyst literal space) vs String (row space)
-    val bs = new GenBlooms.Bloom(1024, 7)
+    val bs = new GenBlooms.Bloom(1024, 7, "s")
     bs.add("doc-7")
     assert(bs.mightContain(
       org.apache.spark.unsafe.types.UTF8String.fromString("doc-7")))
     assert(!bs.mightContain("doc-8"))
+    // CROSS-KIND probes are never a proof: a Double probed against a
+    // Long-tagged bloom could still match after Spark's implicit cast
+    assert(bi.mightContain(42.0d) && bi.mightContain("42"),
+      "cross-kind probe must answer maybe, not definitely-absent")
   }
 
   test("pruning evaluator: proofs prune, unknowns keep") {
