@@ -135,6 +135,34 @@ object Corpus {
         round(col("score") / col("denom"), 6).as("mix_weight"))
   }
 
+  /** Temperature sampling — the [[sourceMixture]] weights REALIZED as an
+    * actual deterministic subsample: per-source keep rate
+    * `(n_min / n_s)^(1-alpha)` (the smallest source keeps everything;
+    * larger ones down-sample toward the `n^alpha` mixture — expected
+    * kept tokens per source = n_min^(1-α) · n_s^α, i.e. proportions
+    * ∝ n^α, the standard multilingual re-balancing rule), applied as an
+    * md5 threshold per doc so membership is a pure function of doc_id:
+    * re-runs, backfills, and engines agree row-for-row, and adding a
+    * source only changes OTHER sources' rates through n_min. Map-side
+    * after one tiny per-source aggregate (broadcast rates), no shuffle
+    * of the corpus. The rate is rounded to 6 decimals and the threshold
+    * compared in integer space, so a last-ulp `pow` divergence cannot
+    * flip a row. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_tokens"))
+    val nMin = per.agg(min(col("n_tokens")).as("n_min"))
+    val rates = per.crossJoin(broadcast(nMin))
+      .select(col("source"),
+        round(pow(col("n_min").cast("double") / col("n_tokens"), 1.0 - alpha), 6)
+          .as("keep_rate"))
+    docs.join(broadcast(rates), "source")
+      .filter((md5Key(col("doc_id").cast("string")) % 1000000L) <
+        round(col("keep_rate") * 1e6).cast("long"))
+      .select(col("doc_id"), col("source"), col("keep_rate"))
+  }
+
   /** Quality-threshold selection: keep documents whose stopword ratio is
     * strictly above the corpus median — the "top half by quality signal"
     * selection step. The exact median is a 1-row broadcast aggregate

@@ -38,6 +38,13 @@ object QualityPack extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Temperature sampling: the mixture weights realized as an actual
+    // deterministic subsample (md5 threshold at per-source keep rates).
+    "ns_sample_temperature" -> ((s, d) => {
+      Corpus.temperatureSample(Tables.documents(s, d), alpha = 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
     // Above-median quality selection (scalar-subquery threshold).
     "ns_quality_filter" -> ((s, d) => {
       Corpus.qualityFilter(Tables.documents(s, d))
@@ -135,6 +142,23 @@ object QualityPack extends QueryPack {
         |SELECT source, n_docs, n_tokens,
         |  round(score / denom, 6) AS mix_weight
         |FROM sc CROSS JOIN dn ORDER BY source""".stripMargin,
+
+    // Rate rounded to 6 decimals, threshold compared in integer space —
+    // a pow() ulp cannot flip membership (the source-mixture precedent).
+    "ns_sample_temperature" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |mn AS (SELECT min(n_tokens) AS n_min FROM per),
+        |r AS (SELECT source,
+        |    round(pow(CAST(n_min AS DOUBLE) / n_tokens, 0.3), 6) AS keep_rate
+        |  FROM per CROSS JOIN mn)
+        |SELECT d.doc_id, d.source, r.keep_rate
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |        % 1000000 < CAST(round(keep_rate * 1e6) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Same stopword-ratio definition as ns_text_quality; the continuous
     // median (quantile_cont == Spark percentile(0.5)) is rounded to 6
