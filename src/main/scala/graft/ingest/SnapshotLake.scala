@@ -533,16 +533,15 @@ class SnapshotLake(root: String) {
           .filterNot(_.contains(null)))
       }
       val conf = spark.sparkContext.hadoopConfiguration
-      def bloomMayContain(gen: String): Boolean = {
-        val sidecar = new org.apache.hadoop.fs.Path(
-          s"$root/$gen/${GenBlooms.BloomsFileName}")
-        if (!hadoopFs(spark).exists(sidecar)) return true // no proof
-        keyTuples match {
-        case None => true
-        case Some(tuples) =>
-          GenBlooms.load(conf, s"$root/$gen") match {
-            case None => true // version-mismatched sidecar: no proof
-            case Some(byFile) =>
+      def bloomMayContain(gen: String): Boolean =
+        // load FIRST (it answers absent AND version-stale sidecars with
+        // one exists + parse), so the keyTuples collect job is forced
+        // only when a usable sidecar actually exists
+        GenBlooms.load(conf, s"$root/$gen") match {
+          case None => true // no usable sidecar: no proof
+          case Some(byFile) => keyTuples match {
+            case None => true
+            case Some(tuples) =>
               byFile.isEmpty || byFile.values.exists { colBlooms =>
                 tuples.exists(t => keyCols.zip(t).forall { case (c, v) =>
                   colBlooms.get(c) match {
@@ -556,7 +555,6 @@ class SnapshotLake(root: String) {
               }
           }
         }
-      }
       def genInScope(gen: String): Boolean =
         genMayContainKeys(spark, gen, keyCols, srcEnv) && bloomMayContain(gen)
       val (affected, untouched) = dirs.partition(genInScope)
@@ -625,12 +623,7 @@ class SnapshotLake(root: String) {
         // path uses: only a predicate containing an equality shape can
         // ever produce a bloom proof, so a pure range delete must not
         // parse the file-sized sidecars at all
-        import org.apache.spark.sql.catalyst.expressions.{
-          EqualNullSafe, EqualTo, In, InSet}
-        val hasEq = c.exists {
-          case _: EqualTo | _: EqualNullSafe | _: In | _: InSet => true
-          case _ => false
-        }
+        val hasEq = graft.sources.BloomPruning.hasEqualityShape(c)
         envMay && (!hasEq || (GenBlooms.load(conf, s"$root/$gen") match {
           case None => true
           case Some(byFile) => byFile.isEmpty || byFile.values.exists(

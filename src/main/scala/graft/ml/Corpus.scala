@@ -20,6 +20,13 @@ object Corpus {
   private[ml] def md5Key(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Whitespace token count — ONE spelling of the cross-engine contract
+    * (`len(string_split_regex(trim(text), '\s+'))` in every oracle);
+    * shared by the mixture/sampling operators so their token
+    * definitions cannot drift apart. */
+  private[ml] def wsTokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("long")
+
   /** Eval-set contamination: for each training doc, the distinct n-grams it
     * shares with any held-out eval doc and how many eval docs it collides
     * with — the standard pre-training decontamination check (eval n-grams
@@ -122,7 +129,7 @@ object Corpus {
   def sourceMixture(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
     val per = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"))
+        sum(wsTokenCount(col("text"))).as("n_tokens"))
       .withColumn("score", round(pow(col("n_tokens").cast("double"), alpha), 6))
     // Fixed-point denominator: double addition is order-dependent and the
     // aggregation order is partition-dependent; summing round(score*1e6)
@@ -143,19 +150,24 @@ object Corpus {
     * ∝ n^α, the standard multilingual re-balancing rule), applied as an
     * md5 threshold per doc so membership is a pure function of doc_id:
     * re-runs, backfills, and engines agree row-for-row, and adding a
-    * source only changes OTHER sources' rates through n_min. Map-side
+    * source only changes OTHER sources' rates through n_min. The knob
+    * is `exponent` = 1 − alpha (alpha the usual temperature). Map-side
     * after one tiny per-source aggregate (broadcast rates), no shuffle
     * of the corpus. The rate is rounded to 6 decimals and the threshold
     * compared in integer space, so a last-ulp `pow` divergence cannot
     * flip a row. */
-  def temperatureSample(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+  def temperatureSample(docs: DataFrame, exponent: Double = 0.3): DataFrame = {
+    // `exponent` = 1 - alpha, passed DIRECTLY rather than derived:
+    // 1.0 - 0.7 is NOT the double literal 0.3 (they differ in the last
+    // bit), and the oracle mirrors the literal — deriving it here would
+    // hand pow() different inputs per engine, the ulp hazard the
+    // round-6 threshold guards everything else against
     val per = docs.groupBy(col("source"))
-      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
-        .as("n_tokens"))
+      .agg(sum(wsTokenCount(col("text"))).as("n_tokens"))
     val nMin = per.agg(min(col("n_tokens")).as("n_min"))
     val rates = per.crossJoin(broadcast(nMin))
       .select(col("source"),
-        round(pow(col("n_min").cast("double") / col("n_tokens"), 1.0 - alpha), 6)
+        round(pow(col("n_min").cast("double") / col("n_tokens"), exponent), 6)
           .as("keep_rate"))
     docs.join(broadcast(rates), "source")
       .filter((md5Key(col("doc_id").cast("string")) % 1000000L) <

@@ -40,8 +40,10 @@ object QualityPack extends QueryPack {
 
     // Temperature sampling: the mixture weights realized as an actual
     // deterministic subsample (md5 threshold at per-source keep rates).
+    // exponent = 1 - alpha, passed as the SAME double literal the oracle
+    // uses (1.0 - 0.7 != 0.3 in the last bit — pow inputs must match).
     "ns_sample_temperature" -> ((s, d) => {
-      Corpus.temperatureSample(Tables.documents(s, d), alpha = 0.7)
+      Corpus.temperatureSample(Tables.documents(s, d), exponent = 0.3)
         .orderBy(col("doc_id"))
     }),
 

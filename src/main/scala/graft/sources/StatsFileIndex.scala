@@ -60,10 +60,7 @@ class StatsFileIndex(inner: FileIndex, statsByFile: Map[String, FileStats],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = inner.listFiles(partitionFilters, dataFilters)
     if (dataFilters.isEmpty) return base
-    val wantBlooms = dataFilters.exists(_.exists {
-      case _: EqualTo | _: EqualNullSafe | _: In | _: InSet => true
-      case _ => false
-    })
+    val wantBlooms = dataFilters.exists(BloomPruning.hasEqualityShape)
     if (statsByFile.isEmpty && !wantBlooms) return base
     base.map { pd =>
       pd.copy(files = pd.files.filter { f =>
@@ -219,13 +216,9 @@ object StatsPruning {
     case _ => None
   }
 
-  private def tagMatches(tag: String, lit: Any): Boolean = (tag, lit) match {
-    case ("l", _: Long) => true
-    case ("d", _: Double) => true
-    case ("s", _: String) => true
-    case ("b", _: Boolean) => true
-    case _ => false
-  }
+  // one tag alphabet for the whole stats/bloom value space
+  private def tagMatches(tag: String, lit: Any): Boolean =
+    graft.ingest.GenBlooms.kindOf(lit).contains(tag)
 
   /** Catalyst internal literal → the stats value space, for the bloom
     * probe (same mapping as [[norm]] — one value space everywhere). */
@@ -240,6 +233,15 @@ object StatsPruning {
   * and null predicates belong to the envelope tier. */
 object BloomPruning {
   import graft.ingest.GenBlooms.Bloom
+
+  /** Does the predicate contain a shape the bloom tier can serve? ONE
+    * spelling, shared by the read path's lazy-load gate and delete()'s
+    * sidecar-parse gate — growing [[mayMatch]]'s coverage means
+    * updating this alongside it. */
+  def hasEqualityShape(e: Expression): Boolean = e.exists {
+    case _: EqualTo | _: EqualNullSafe | _: In | _: InSet => true
+    case _ => false
+  }
 
   def mayMatch(e: Expression, blooms: Map[String, Bloom]): Boolean = e match {
     case And(l, r) => mayMatch(l, blooms) && mayMatch(r, blooms)
