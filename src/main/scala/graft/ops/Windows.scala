@@ -155,6 +155,22 @@ object Windows extends QueryPack {
           moneyRound(sum(decMoney(col("o_totalprice")))).as("total"),
           min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
         .orderBy(col("quartile"))
+    }),
+
+    // Relative-position analytics: percent_rank ((rank-1)/(n-1)) and
+    // cume_dist (peers/n) per customer over a TOTAL order (the orderkey
+    // tiebreak removes peer groups, so both are exact rationals of the
+    // partition size — engine-identical doubles after round). The
+    // per-customer distribution-position shape quality-percentile
+    // filters use.
+    "w_percent_dist" -> ((s, d) => {
+      val w = byCust.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -252,6 +268,15 @@ object Windows extends QueryPack {
         |FROM (SELECT o_totalprice,
         |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
         |  FROM orders) t
-        |GROUP BY quartile ORDER BY quartile""".stripMargin
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    "w_percent_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
