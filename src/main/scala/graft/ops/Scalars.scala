@@ -125,6 +125,29 @@ object Scalars extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Array higher-order functions — the codegen-free lambda family
+    // (aggregate/filter/exists/forall/zip_with/transform/sort_array)
+    // over a derived numeric array. The oracle replays the SEMANTICS as
+    // scalar expressions with the SAME operation order (sequential fold
+    // parenthesization), so doubles stay bit-identical; `orders` keys
+    // the rows because (l_orderkey, l_linenumber) is not unique.
+    "f_array_hof" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          array(col("o_totalprice"), col("o_totalprice") * 0.1,
+            col("o_totalprice") - 42.0).as("a"))
+        .select(col("o_orderkey"),
+          round(aggregate(col("a"), lit(0.0), (acc, x) => acc + x), 6)
+            .as("hof_sum"),
+          size(filter(col("a"), x => x > lit(100.0))).as("n_gt100"),
+          exists(col("a"), x => x > lit(100000.0)).as("any_big"),
+          forall(col("a"), x => x >= lit(50.0)).as("all_ge50"),
+          round(element_at(
+            zip_with(col("a"), col("a"), (x, y) => x + y), 1), 6).as("z1"),
+          round(element_at(sort_array(col("a")), 1), 6).as("mn"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // VARIANT (Spark 4 semi-structured type): parse the JSON blob once
     // into the binary variant encoding, then typed-path extraction —
     // the scale upgrade of get_json_object (one parse feeds every field
@@ -141,6 +164,25 @@ object Scalars extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // The HOF semantics as scalar expressions: the fold's sequential
+    // parenthesization is written out so both engines run the same
+    // IEEE754 additions in the same order.
+    "f_array_hof" ->
+      """SELECT o_orderkey,
+        |  round(((0.0 + o_totalprice) + o_totalprice * 0.1)
+        |          + (o_totalprice - 42.0), 6) AS hof_sum,
+        |  CAST((o_totalprice > 100.0)::INT +
+        |       (o_totalprice * 0.1 > 100.0)::INT +
+        |       (o_totalprice - 42.0 > 100.0)::INT AS INT) AS n_gt100,
+        |  (o_totalprice > 100000.0 OR o_totalprice * 0.1 > 100000.0
+        |     OR o_totalprice - 42.0 > 100000.0) AS any_big,
+        |  (o_totalprice >= 50.0 AND o_totalprice * 0.1 >= 50.0
+        |     AND o_totalprice - 42.0 >= 50.0) AS all_ge50,
+        |  round(o_totalprice + o_totalprice, 6) AS z1,
+        |  round(least(o_totalprice, o_totalprice * 0.1, o_totalprice - 42.0), 6)
+        |    AS mn
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // try_cast is try_cast in both engines; try_divide maps to
     // x / nullif(y, 0) (DuckDB integer-zero division would raise).
     "f_try_parse" ->
