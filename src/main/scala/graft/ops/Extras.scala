@@ -95,6 +95,34 @@ object Extras extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Least-squares regression aggregates (regr_slope/regr_intercept
+    // semantics: qty regressed on price) from the SAME exact decimal
+    // sums as agg_corr — the one safe way to oracle regression doubles:
+    // both engines convert identical exact rationals to double once and
+    // run identically-parenthesized arithmetic from there.
+    "agg_regression" -> ((s, d) => {
+      val dec41 = org.apache.spark.sql.types.DecimalType(4, 1)
+      val num = col("n") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy")
+      val den = col("n") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          sum(decMoney(col("l_extendedprice"))).as("sx"),
+          sum(col("l_quantity")).as("sy"),
+          sum(decMoney(col("l_extendedprice"))
+            * decMoney(col("l_extendedprice"))).as("sxx"),
+          sum(decMoney(col("l_extendedprice"))
+            * col("l_quantity").cast(dec41)).as("sxy"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          r6(num / den).as("slope"),
+          r6((col("sy") - (num / den) * col("sx").cast("double")) / col("n"))
+            .as("intercept"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // String-function family beyond the reference's F-rows.
     "f_string_pack2" -> ((s, d) => {
       Tables.part(s, d)
@@ -214,6 +242,26 @@ object Extras extends QueryPack {
         |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
         |    / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |      * (n * syy - sy * sy)), 6) AS corr_price_qty,
+        |  n
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "agg_regression" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+        |    sum(l_quantity) AS sy,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        CAST(l_quantity AS DECIMAL(4,1))) AS sxy,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        |    6) AS slope,
+        |  round((sy - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+        |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
         |  n
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
