@@ -125,6 +125,23 @@ object Scalars extends QueryPack {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Date arithmetic family: interval shifts, month arithmetic with
+    // end-of-month clamping (add_months), boundary extraction
+    // (last_day, month trunc), and day differences — the calendar
+    // operations every retention/windowing pipeline leans on.
+    "f_date_arith" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          date_sub(col("o_orderdate"), 7).as("minus7"),
+          add_months(col("o_orderdate"), 2).as("plus2m"),
+          last_day(col("o_orderdate")).as("eom"),
+          trunc(col("o_orderdate"), "mm").as("som"),
+          datediff(lit(java.sql.Date.valueOf("2026-01-01")),
+            col("o_orderdate")).as("days_to_2026"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Array higher-order functions — the codegen-free lambda family
     // (aggregate/filter/exists/forall/zip_with/transform/sort_array)
     // over a derived numeric array. The oracle replays the SEMANTICS as
@@ -164,6 +181,20 @@ object Scalars extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // add_months end-of-month clamping matches DuckDB's +INTERVAL MONTH;
+    // datediff argument order is (end, start) vs date_diff('day', start,
+    // end) — the NOTES §4 mapping.
+    "f_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS minus7,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  last_day(o_orderdate) AS eom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS som,
+        |  CAST(date_diff('day', o_orderdate, DATE '2026-01-01') AS INT)
+        |    AS days_to_2026
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // The HOF semantics as scalar expressions: the fold's sequential
     // parenthesization is written out so both engines run the same
     // IEEE754 additions in the same order.
