@@ -80,7 +80,7 @@ object Bench {
     // identical binaries. Queries whose committed floor exceeds 0.5s are
     // the ones where a single unlucky rep shows up as a >2x "regression"
     // worth seconds — give those min-of-3 minimum.
-    val results = SparkEntry.queries
+    val firstPass = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val f = floor.get(name)
@@ -102,6 +102,19 @@ object Bench {
         }
         name -> times.min
       }
+    // SECOND-PASS retry (r8 verdict): the in-place adaptive reps above
+    // cannot outlast a co-tenant burst — the retries run immediately
+    // after the slow rep, while the burst is still live (r8's committed
+    // worst-10 was six such spikes, all clean on re-measurement).
+    // Queries still >1.5x their committed floor re-time once more at
+    // the END of the whole run, minutes later and temporally
+    // decorrelated from whatever flagged them; keep the min. A real
+    // regression survives the second pass at every rep.
+    val flagged = firstPass.collect { case (q, v)
+      if floor.get(q).exists(fl => fl > 0 && v / fl > 1.5) => q }.toSeq
+    val results = firstPass ++ flagged.map { q =>
+      q -> math.min(firstPass(q), timeOnce(SparkEntry.queries(q)))
+    }
     def toJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

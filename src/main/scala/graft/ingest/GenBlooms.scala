@@ -128,7 +128,7 @@ object GenBlooms {
     * bloom bits travel to the driver: numFiles × |cols| × m/8 bytes,
     * metadata-sized. */
   def write(spark: SparkSession, genPath: String, cols: Seq[String],
-      expectedNdvPerFile: Int = 100000): Unit = {
+      expectedNdvPerFile: Int = 100000, strict: Boolean = true): Unit = {
     // next pow2 of ~10 bits/value, in Long space (Int math wraps
     // negative past ndv≈215M — plausible per-file NDV at 100 TB — and
     // either crashes array allocation or silently degenerates to a
@@ -159,10 +159,31 @@ object GenBlooms {
         case other => sys.error(s"unsupported bloom type $other")
       }
     }
-    val present = cols.filter(c => df.schema.fields.exists(f =>
-      f.name == c && supported.contains(f.dataType)))
+    // Resolve requested columns CASE-INSENSITIVELY (Spark's default
+    // resolution): `computeBlooms(Seq("OKey"))` must build o_okey's
+    // bloom, not silently no-op. An unknown name throws — a silent skip
+    // leaves the operator believing the point-lookup tier exists.
+    // Sidecar keys are the LOWERCASED names; probes lowercase to match.
+    // `strict = false` (the auto-bloom commit path) drops unknown names
+    // instead: a table-level bloom config must survive schema evolution
+    // where a later commit simply lacks one of the configured columns.
+    val resolved = cols.flatMap { c =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case some @ Some(_) => some
+        case None if strict =>
+          sys.error(s"computeBlooms: no column matching '$c' in " +
+            df.schema.fieldNames.mkString("[", ", ", "]"))
+        case None => None
+      }
+    }
+    val presentFields = resolved.filter(f => supported.contains(f.dataType))
+    require(presentFields.map(_.name.toLowerCase).distinct.size ==
+      presentFields.size,
+      "bloom columns collide under case-insensitive resolution: " +
+        presentFields.map(_.name).mkString(", "))
+    val present = presentFields.map(_.name.toLowerCase)
     if (present.isEmpty) return
-    val tags = present.map(c => tagOf(df.schema(c).dataType))
+    val tags = presentFields.map(f => tagOf(f.dataType))
     val rows = df.select(input_file_name().as("__f") +: present.map(col): _*)
     val perFile: Array[(String, Seq[(String, Bloom)])] = rows.rdd
       .mapPartitions { it =>
@@ -202,7 +223,14 @@ object GenBlooms {
       }
     }
     val dir = new Path(genPath)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // publish through the RAW filesystem: on ChecksumFileSystem the
+    // delete+rename moves the data file and its .crc in separate steps,
+    // and a reader racing load() in that window throws ChecksumException
+    // — the same hazard the _constraints.json path closes this way
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     val tmp = new Path(dir, s".$BloomsFileName.tmp")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsString(rootNode).getBytes(UTF_8))
@@ -226,7 +254,12 @@ object GenBlooms {
   def load(conf: Configuration, genPath: String)
       : Option[Map[String, Map[String, Bloom]]] = {
     val p = new Path(genPath, BloomsFileName)
-    val fs = p.getFileSystem(conf)
+    // raw fs: see the write-side note — a .crc written by an earlier
+    // build must never fail a control-plane read mid-publish
+    val fs = p.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val txt =
@@ -245,8 +278,11 @@ object GenBlooms {
         val bytes = dec.decode(cn.get("b").asText())
         val bb = java.nio.ByteBuffer.wrap(bytes)
         val longs = Array.fill(bytes.length / 8)(bb.getLong)
-        ce.getKey -> new Bloom(cn.get("m").asInt(), cn.get("k").asInt(),
-          cn.get("t").asText(), longs)
+        // lowercase on parse too: write stores lowercased keys, and any
+        // same-version sidecar from the pre-resolution build normalizes
+        // identically (its keys were exact schema names)
+        ce.getKey.toLowerCase -> new Bloom(cn.get("m").asInt(),
+          cn.get("k").asInt(), cn.get("t").asText(), longs)
       }.toMap
     }.toMap)
   }

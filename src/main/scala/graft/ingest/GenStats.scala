@@ -50,6 +50,9 @@ object GenStats {
 
   val StatsFileName = "_stats.json"
 
+  /** See [[render]] — bump when the stats VALUE SPACE changes meaning. */
+  val FormatVersion = 2
+
   /** Harvest stats for every `*.parquet` under `genPath` and write
     * `_stats.json` there. Footer reads are driver-side metadata I/O
     * (a few KB per file), issued CONCURRENTLY (16-way, the same shape
@@ -91,7 +94,7 @@ object GenStats {
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    Some(parse(txt))
+    parse(txt)
   }
 
   // ---------------------------------------------------------------- footer
@@ -219,6 +222,14 @@ object GenStats {
 
   private def render(perFile: Seq[(String, FileStats)]): String = {
     val root = mapper.createObjectNode()
+    // Format version gate (the hazard class _blooms.json's FormatVersion
+    // already closes): v2 = -0.0 folded at harvest AND timestamps only
+    // harvested when the storage unit is MICROS. An unversioned sidecar
+    // predates both rules — its min=max=-0.0 envelope would wrongly
+    // prune `x = 0.0` and its millis-unit timestamp envelopes compare
+    // against micros literals — so [[load]] drops it (absent = never
+    // prune) rather than trusting it.
+    root.put("v", FormatVersion)
     val filesNode = root.putObject("files")
     perFile.foreach { case (name, fsStats) =>
       val f = filesNode.putObject(name)
@@ -242,10 +253,13 @@ object GenStats {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  private def parse(txt: String): Map[String, FileStats] = {
+  private def parse(txt: String): Option[Map[String, FileStats]] = {
     val root = mapper.readTree(txt)
+    // Unversioned (pre-v2) sidecars are DROPPED, not trusted — see
+    // [[render]]. Absent stats only cost pruning, never correctness.
+    if (root.path("v").asInt(0) < FormatVersion) return None
     val files = root.path("files")
-    files.properties().asScala.map { e =>
+    Some(files.properties().asScala.map { e =>
       val name = e.getKey
       val node = e.getValue
       val cols = node.path("cols").properties().asScala.map { ce =>
@@ -256,7 +270,11 @@ object GenStats {
           if (v == null || v.isNull) None
           else tag match {
             case "l" => Some(v.asLong())
-            case "d" => Some(v.asDouble())
+            // foldZero on the PARSE path too: belt-and-braces for any
+            // sidecar whose doubles reached json un-folded (json round-
+            // trips -0.0 faithfully, so harvest-side folding alone
+            // leaves the read path exposed to foreign writers).
+            case "d" => Some(foldZero(v.asDouble()))
             case "b" => Some(v.asBoolean())
             case "s" => Some(v.asText())
             case _ => None
@@ -266,6 +284,7 @@ object GenStats {
         ce.getKey -> ColStats(tag, readVal("min"), readVal("max"), nulls)
       }.toMap
       name -> FileStats(node.path("rows").asLong(-1L), cols)
-    }.toMap
+    }.toMap)
   }
 }
+

@@ -219,6 +219,7 @@ class SnapshotLake(root: String) {
     // footer-harvested file stats land inside the still-unpublished
     // generation, so they are immutable alongside the data they describe
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
+    maybeAutoBlooms(spark, gen)
     val tag = s""""op":"${if (overwrite) "overwrite" else "append"}",""" +
       batchId.map(b => s""""batchId":$b,""").getOrElse("") +
       queryId.map(q => s""""queryId":"$q",""").getOrElse("")
@@ -246,6 +247,7 @@ class SnapshotLake(root: String) {
     df.write.parquet(s"$root/$gen")
     validateGen(spark, gen)
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
+    maybeAutoBlooms(spark, gen)
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
     val json = s"""{"version":1,"op":"create","dirs":["$gen"]}"""
     val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-1")
@@ -300,6 +302,73 @@ class SnapshotLake(root: String) {
     * concurrent commit would race into. No-op in production. */
   protected def onBeforePublish(): Unit = ()
 
+  // ------------------------------------------------ auto bloom tier
+
+  private def bloomColsPath = new org.apache.hadoop.fs.Path(
+    s"$root/_bloomcols.json")
+
+  /** Table-level bloom freshness: once enabled, EVERY write path
+    * (append/overwrite commits, merge/delete rewrites, optimize) builds
+    * `_blooms.json` for its new generation before publishing, so
+    * point-lookup skipping and merge/delete bloom scoping never decay
+    * to envelope-only as the table accretes commits. [[computeBlooms]]
+    * remains the one-shot backfill for generations that predate the
+    * setting. Administrative, like constraints: applies from the moment
+    * it is set. */
+  def enableAutoBlooms(spark: SparkSession, cols: Seq[String],
+      expectedNdvPerFile: Int = 100000): Unit = {
+    require(cols.nonEmpty, "enableAutoBlooms needs at least one column")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("cols")
+    cols.foreach(arr.add)
+    node.put("ndv", expectedNdvPerFile)
+    writeControlFile(spark, bloomColsPath, "._bloomcols.tmp",
+      mapper.writeValueAsString(node))
+  }
+
+  def disableAutoBlooms(spark: SparkSession): Unit = {
+    val raw = rawFs(spark)
+    raw.delete(bloomColsPath, false)
+  }
+
+  /** The enabled auto-bloom setting, if any: (columns, expectedNdv). */
+  def autoBloomConfig(spark: SparkSession): Option[(Seq[String], Int)] = {
+    val raw = rawFs(spark)
+    if (!raw.exists(bloomColsPath)) return None
+    val in = raw.open(bloomColsPath)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    import scala.jdk.CollectionConverters._
+    val cols = m.path("cols").elements().asScala.map(_.asText()).toSeq
+    if (cols.isEmpty) None else Some((cols, m.path("ndv").asInt(100000)))
+  }
+
+  /** Best-effort per-generation bloom build for the auto tier — called
+    * on the still-UNPUBLISHED generation (immutable alongside its data,
+    * like `_stats.json`). Never fails the commit: an absent sidecar
+    * only costs pruning ("maybe"), never correctness, and an ingest
+    * must not die because an index build did. Lenient column matching
+    * (schema evolution may drop a configured column from one commit). */
+  private def maybeAutoBlooms(spark: SparkSession, gen: String): Unit =
+    try autoBloomConfig(spark).foreach { case (cols, ndv) =>
+      GenBlooms.write(spark, s"$root/$gen", cols, ndv, strict = false)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"snaplake: auto-bloom build failed for $root/$gen " +
+            s"(generation stays sidecar-less, never pruned): $e")
+    }
+
+  private def rawFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    hadoopFs(spark) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
   // ------------------------------------------------ CHECK constraints
 
   private def constraintsPath = new org.apache.hadoop.fs.Path(
@@ -339,44 +408,47 @@ class SnapshotLake(root: String) {
 
   private def writeConstraints(spark: SparkSession,
       cs: Map[String, String]): Unit = {
-    val fsAll = hadoopFs(spark)
-    val raw = fsAll match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     cs.toSeq.sortBy(_._1).foreach { case (n, e) => node.put(n, e) }
-    // tmp through the RAW fs (no .crc sidecar — see the read-side note)
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/._constraints.tmp")
+    writeControlFile(spark, constraintsPath, "._constraints.tmp",
+      mapper.writeValueAsString(node))
+  }
+
+  /** Atomic OVERWRITING publish of an administrative control file
+    * (constraints, auto-bloom config), through the RAW filesystem (no
+    * .crc sidecar — see the [[constraints]] read-side note).
+    * Delete-then-rename would open a window where a concurrent commit's
+    * validateGen sees NO file and validates against nothing — readers
+    * must always observe either the old or the new file. FileContext's
+    * OVERWRITE rename is atomic on HDFS but falls back to delete+rename
+    * on the local fs, so local takes the POSIX ATOMIC_MOVE directly. */
+  private def writeControlFile(spark: SparkSession,
+      dst: org.apache.hadoop.fs.Path, tmpName: String,
+      content: String): Unit = {
+    val fsAll = hadoopFs(spark)
+    val raw = rawFs(spark)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$tmpName")
     val out = raw.create(tmp, true)
-    try out.write(mapper.writeValueAsString(node)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // OVERWRITING atomic publish: delete-then-rename opens a window
-    // where a concurrent commit's validateGen sees NO constraints file
-    // and validates against zero constraints — readers must always
-    // observe either the old or the new file. FileContext's OVERWRITE
-    // rename is atomic on HDFS but falls back to delete+rename on the
-    // local fs, so local takes the POSIX ATOMIC_MOVE directly.
     raw match {
       case _: org.apache.hadoop.fs.RawLocalFileSystem =>
         java.nio.file.Files.move(
           java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(constraintsPath.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       case _ =>
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          constraintsPath.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, constraintsPath,
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          dst.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     // a pre-raw writer may have left a checksum sidecar describing the
     // OLD content; it would poison any checksummed read of the new file
     fsAll match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem =>
-        raw.delete(c.getChecksumFile(constraintsPath), false)
+        raw.delete(c.getChecksumFile(dst), false)
       case _ => ()
     }
   }
@@ -544,7 +616,9 @@ class SnapshotLake(root: String) {
             case Some(tuples) =>
               byFile.isEmpty || byFile.values.exists { colBlooms =>
                 tuples.exists(t => keyCols.zip(t).forall { case (c, v) =>
-                  colBlooms.get(c) match {
+                  // sidecar keys are lowercased — match Spark's
+                  // case-insensitive resolution (GenBlooms.write)
+                  colBlooms.get(c.toLowerCase) match {
                     case None => true // column not bloomed: unconstrained
                     case Some(b) => normScalar(v) match {
                       case None => true
@@ -842,6 +916,7 @@ class SnapshotLake(root: String) {
     // cleaned up with it on abort — no separate claim to race
     changes.foreach(_.write.parquet(s"$root/$gen/${SnapshotLake.CdfDirName}"))
     GenStats.write(spark.sparkContext.hadoopConfiguration, s"$root/$gen")
+    maybeAutoBlooms(spark, gen)
     fs.mkdirs(new org.apache.hadoop.fs.Path(commitsDir))
     onBeforePublish()
     def abort(detail: String): Nothing = {

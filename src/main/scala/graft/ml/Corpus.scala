@@ -194,6 +194,67 @@ object Corpus {
         col("median_ratio"))
   }
 
+  /** The END-TO-END training-mix pipeline: quality gate → exact-dedup
+    * keep → decontamination → per-domain cap → temperature sampling →
+    * split assignment, composed as ONE lazy plan (no driver-side seam,
+    * no materialization between stages — Catalyst sees the whole chain).
+    * Each stage is the already-scored operator applied to the previous
+    * stage's survivors:
+    *
+    *  1. keep docs whose stopword ratio is strictly above the corpus
+    *     median ([[qualityFilter]] semantics, median over the FULL
+    *     corpus);
+    *  2. exact dedup among survivors — keep the min doc_id per
+    *     content hash;
+    *  3. drop the held-out eval shard (doc_id % 10 = 0) and every doc
+    *     sharing a verbatim 8-gram with it ([[contamination]]; a doc's
+    *     contamination is a function of the eval set only, so scoping
+    *     the check to survivors changes nothing);
+    *  4. cap each source at `domainCap` docs (longest n_chars, ties to
+    *     low doc_id) through the bounded-heap TopKPerKeyExec — token
+    *     counts are projected BEFORE the heap so text never flows
+    *     through it;
+    *  5. temperature-sample per source at keep rate
+    *     (min_tokens/tokens)^exponent, md5-threshold deterministic
+    *     ([[temperatureSample]] conventions: rate rounded to 6, compare
+    *     in integer space);
+    *  6. assign train/val/test by md5 bucket (80/10/10).
+    *
+    * Scale shape: stages 1/5 are broadcast 1-row aggregates, stage 2 is
+    * one hash-key shuffle, stage 3 broadcasts only eval-shard grams,
+    * stage 4 shuffles ≤ cap rows per (source, partition) — the text
+    * column is dropped after stage 3's projection. */
+  def trainingMix(docs: DataFrame, domainCap: Int = 50,
+      exponent: Double = 0.3): DataFrame = {
+    val kept1 = docs.join(qualityFilter(docs).select("doc_id"), Seq("doc_id"))
+    val reps = kept1.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val kept2 = kept1.join(reps, Seq("doc_id"))
+    val contaminated = contamination(docs, col("doc_id") % 10 === 0, 8)
+      .select("doc_id")
+    val kept3 = kept2.filter(col("doc_id") % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        wsTokenCount(col("text")).as("n_tokens"))
+    val kept4 = graft.plans.TopK.perKey(kept3, Seq("source"),
+      Seq(("n_chars", false), ("doc_id", true)), domainCap)
+    val per = kept4.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("nt"))
+    val nMin = per.agg(min(col("nt")).as("n_min"))
+    val rates = per.crossJoin(broadcast(nMin))
+      .select(col("source"),
+        round(pow(col("n_min").cast("double") / col("nt"), exponent), 6)
+          .as("keep_rate"))
+    val kept5 = kept4.join(broadcast(rates), "source")
+      .filter((md5Key(col("doc_id").cast("string")) % 1000000L) <
+        round(col("keep_rate") * 1e6).cast("long"))
+    val bucket = md5Key(col("doc_id").cast("string")) % 100L
+    kept5.select(col("doc_id"), col("source"), col("lang"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Paragraph-granularity dedup (Gopher/RefinedWeb line-dedup shape): the
     * token stream is chunked into fixed `chunkTokens`-token paragraphs,
     * each chunk is fingerprinted (md5), and a chunk is "duplicated" when

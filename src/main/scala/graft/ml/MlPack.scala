@@ -176,6 +176,28 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN index QUALITY as a scored row: recall@5 of the production
+    // retrieve-and-rerank stack against the exact-cosine ground truth,
+    // per query. Both stages are deterministic, so the recall is a
+    // stable number the driver's oracle gates every round — a probe
+    // misroute or codebook regression turns this row red before any
+    // spec does (r8 verdict #7: recall was previously pinned only in
+    // AnnStreamsSpec).
+    "ns_similarity_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(emb, QueryVecIds, 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.ivfpqTopKReranked(emb, QueryVecIds, 5,
+          rerankK = 20, nlist = 16, nprobe = 4, m = 8, ksub = 16)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      truth.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+          QueryPack.r6(sum(coalesce(col("hit"), lit(0))) / lit(5.0))
+            .as("recall_at_5"))
+        .orderBy(col("query_id"))
+    }),
+
     // Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     // verify. Banding makes candidate recall ~1-1e-11, verification makes
     // precision exact → output equals the brute-force pair set, which is
@@ -360,6 +382,17 @@ object MlPack extends QueryPack {
     // decontamination check. Eval side broadcasts; corpus never shuffles.
     "ns_contamination" -> ((s, d) => {
       Corpus.contamination(Tables.documents(s, d), col("doc_id") % 10 === 0, 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // The END-TO-END training-mix pipeline as one scored plan (r8
+    // verdict #8): quality gate → exact-dedup keep → decontamination →
+    // domain cap (through the custom TopKPerKeyExec) → temperature
+    // sample → split assign. Every component is individually green;
+    // this row proves they COMPOSE without a driver-side seam.
+    "ns_training_mix" -> ((s, d) => {
+      Corpus.trainingMix(Tables.documents(s, d), domainCap = 50,
+          exponent = 0.3)
         .orderBy(col("doc_id"))
     }),
 
@@ -823,6 +856,33 @@ object MlPack extends QueryPack {
         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // The rerank oracle's chain continued two steps: exact-cosine truth
+    // top-5, then per-query overlap — recall@5 of the production stack.
+    "ns_similarity_recall" -> (ivfpqAdcCtes +
+      """,
+        |cand AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 20),
+        |ex AS (SELECT c.query_id, c.vec_id,
+        |      round(list_cosine_similarity(q.v, t.v), 6) AS cos_sim
+        |    FROM cand c JOIN e t ON t.vec_id = c.vec_id
+        |    JOIN e q ON q.vec_id = c.query_id),
+        |rr AS (SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank FROM ex),
+        |approx AS (SELECT query_id, vec_id FROM rr WHERE rank <= 5),
+        |bscored AS (SELECT q.vec_id AS query_id, t.vec_id,
+        |    round(list_cosine_similarity(q.v, t.v), 6) AS cos_sim
+        |  FROM e t CROSS JOIN e q WHERE q.vec_id <= 7 AND t.vec_id > 7),
+        |truth AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rk FROM bscored) x
+        |  WHERE rk <= 5)
+        |SELECT t.query_id,
+        |  CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+        |  round(count(a.vec_id) / 5.0, 6) + 0 AS recall_at_5
+        |FROM truth t LEFT JOIN approx a
+        |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+
     // Residual IVF-ADC replay: the frozen quantizer (ResidualTable) as
     // VALUES literals — coordinates reconstructed as fix/1e6 exactly as
     // the Spark path does, so both engines score the identical tables.
@@ -1098,6 +1158,57 @@ object MlPack extends QueryPack {
         |  CAST(count(DISTINCT co.g) AS BIGINT) AS n_shared_ngrams,
         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
         |FROM co JOIN ev USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Stagewise replay of Corpus.trainingMix: each CTE is the
+    // corresponding component oracle scoped to the previous stage's
+    // survivors (quality/median, exact-dedup min-id, the contamination
+    // gram join, the windowed domain cap, the temperature threshold in
+    // integer space, the md5 split buckets).
+    "ns_training_mix" ->
+      """WITH q AS (SELECT doc_id,
+        |    round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
+        |      len(string_split_regex(trim(text), '\s+')), 6) AS sr
+        |  FROM documents),
+        |m AS (SELECT round(quantile_cont(sr, 0.5), 6) AS med FROM q),
+        |s1 AS (SELECT d.doc_id, d.source, d.lang, d.n_chars, d.text
+        |       FROM documents d JOIN q USING (doc_id) CROSS JOIN m
+        |       WHERE q.sr > m.med),
+        |s2 AS (SELECT s1.* FROM s1 JOIN (SELECT min(doc_id) AS doc_id
+        |        FROM s1 GROUP BY md5(text)) r USING (doc_id)),
+        |w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
+        |         t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]
+        |         for i in range(1, len(t)-6)]) s
+        |       FROM w WHERE len(t) >= 8),
+        |evg AS (SELECT DISTINCT unnest(s) g FROM sh WHERE doc_id % 10 = 0),
+        |cont AS (SELECT DISTINCT co.doc_id FROM
+        |    (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 10 <> 0) co
+        |    JOIN evg USING (g)),
+        |s3 AS (SELECT doc_id, source, lang, n_chars,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |       FROM s2 WHERE doc_id % 10 <> 0
+        |         AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        |s4 AS (SELECT doc_id, source, lang, n_tokens FROM (
+        |        SELECT s3.*, row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id) AS rk FROM s3) t
+        |       WHERE rk <= 50),
+        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS nt
+        |        FROM s4 GROUP BY source),
+        |mn AS (SELECT min(nt) AS n_min FROM per),
+        |kr AS (SELECT source,
+        |         round(pow(CAST(n_min AS DOUBLE) / nt, 0.3), 6) AS keep_rate
+        |       FROM per CROSS JOIN mn),
+        |s5 AS (SELECT s4.* FROM s4 JOIN kr USING (source)
+        |       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |             % 1000000 < CAST(round(keep_rate * 1e6) AS BIGINT))
+        |SELECT doc_id, source, lang,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |         % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |         % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM s5 ORDER BY doc_id""".stripMargin,
 
     "ns_lm_perplexity" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws

@@ -361,7 +361,7 @@ object Aggregates extends QueryPack {
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM customer GROUP BY c_mktsegment)
         |SELECT c_mktsegment,
-        |  round(CAST(s1 AS DOUBLE) / n, 4) AS avg_bal,
+        |  round(CAST(s1 AS DOUBLE) / n, 4) + 0 AS avg_bal,
         |  round(sqrt((CAST(s2 AS DOUBLE)
         |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 4) AS sd_bal,
         |  max_bal, min_bal, n

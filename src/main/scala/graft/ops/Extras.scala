@@ -222,8 +222,8 @@ object Extras extends QueryPack {
 
     "agg_percentile" ->
       """SELECT c_mktsegment,
-        |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
-        |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) + 0 AS median_bal,
+        |  round(quantile_cont(c_acctbal, 0.9), 4) + 0 AS p90_bal,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -241,7 +241,7 @@ object Extras extends QueryPack {
         |SELECT l_returnflag,
         |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
         |    / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |      * (n * syy - sy * sy)), 6) AS corr_price_qty,
+        |      * (n * syy - sy * sy)), 6) + 0 AS corr_price_qty,
         |  n
         |FROM g ORDER BY l_returnflag""".stripMargin,
 
@@ -258,10 +258,10 @@ object Extras extends QueryPack {
         |SELECT l_returnflag,
         |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
         |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-        |    6) AS slope,
+        |    6) + 0 AS slope,
         |  round((sy - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
         |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-        |    * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+        |    * CAST(sx AS DOUBLE)) / n, 6) + 0 AS intercept,
         |  n
         |FROM g ORDER BY l_returnflag""".stripMargin,
 

@@ -18,11 +18,21 @@ trait QueryPack {
 }
 
 object QueryPack {
+  /** Fold IEEE -0.0 to +0.0 (x + 0.0 == x for every other double). The
+    * driver hash-compares BITS: DuckDB's round() is sign-preserving
+    * (round(-2.3e-7, 6) = -0.0) while Spark's BigDecimal Round emits
+    * +0.0 — equal under ==, different under hash. Every rounded double
+    * that can go tiny-negative (slopes, correlations, differences) must
+    * pass through this on BOTH sides: here via r2/r4/r6, and in the
+    * oracle SQL by appending `+ 0` to the round(...) expression. */
+  def zf(c: Column): Column = c + lit(0.0)
+
   /** Round a computed double; raw stored doubles pass through un-rounded
-    * (identical bits in both engines need no tolerance). */
-  def r2(c: Column): Column = round(c, 2)
-  def r4(c: Column): Column = round(c, 4)
-  def r6(c: Column): Column = round(c, 6)
+    * (identical bits in both engines need no tolerance). Zero-folded —
+    * see [[zf]]; oracle spellings of these must carry `+ 0`. */
+  def r2(c: Column): Column = zf(round(c, 2))
+  def r4(c: Column): Column = zf(round(c, 4))
+  def r6(c: Column): Column = zf(round(c, 6))
 
   /** Money determinism: the test data's monetary doubles are exact
     * 2-decimal values, so float SUMs land exactly ON `.xx5` rounding

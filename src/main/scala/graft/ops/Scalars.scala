@@ -177,6 +177,25 @@ object Scalars extends QueryPack {
           try_variant_get(v, "$.k", "double").as("k_dbl"),
           variant_get(v, "$.missing", "string").as("absent"))
         .orderBy(col("event_id"))
+    }),
+
+    // Signed-zero canonicalization, driver-gated: (42.0 - o_totalprice)
+    // scaled down rounds to ±0.0 for most rows, the exact class that
+    // shipped agg_regression red in r8 (DuckDB's round is
+    // sign-preserving, Spark's BigDecimal Round is not; the driver
+    // hash-compares BITS). r2/r4/r6 zero-fold (QueryPack.zf) and the
+    // oracle mirrors with `+ 0` — this row keeps the convention honest
+    // every round. Rounded magnitudes sit ~1e8 ulps from any .5
+    // boundary, so the engines' differing boundary arithmetic (NOTES §1)
+    // never engages.
+    "f_signed_zero" -> ((s, d) => {
+      val tiny = lit(42.0) - col("o_totalprice")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          r6(tiny / lit(1e12)).as("tiny6"),
+          r4(tiny / lit(1e9)).as("tiny4"),
+          r2(tiny / lit(1e7)).as("tiny2"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -305,6 +324,15 @@ object Scalars extends QueryPack {
         |  l_orderkey % 7 AS key_mod7,
         |  round(abs(l_discount - l_tax), 6) AS disc_tax_gap,
         |  round(sqrt(l_quantity), 6) AS qty_sqrt
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // `+ 0` folds DuckDB's sign-preserving round to +0.0 (IEEE
+    // -0.0 + 0 = +0.0) — mirrors QueryPack.zf on the Spark side.
+    "f_signed_zero" ->
+      """SELECT o_orderkey,
+        |  round((42.0 - o_totalprice) / 1e12, 6) + 0 AS tiny6,
+        |  round((42.0 - o_totalprice) / 1e9, 4) + 0 AS tiny4,
+        |  round((42.0 - o_totalprice) / 1e7, 2) + 0 AS tiny2
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -260,7 +260,9 @@ object BloomPruning {
   }
 
   private def probe(blooms: Map[String, Bloom], col: String, v: Any): Boolean =
-    blooms.get(col) match {
+    // sidecar keys are lowercased (GenBlooms.write) so an attribute
+    // cased differently from the physical schema still finds its bloom
+    blooms.get(col.toLowerCase) match {
       case None => true
       case Some(b) => StatsPruning.normForBloom(v) match {
         case None => true // NULL or exotic literal: not bloom-decidable

@@ -191,7 +191,15 @@ object AnnStreams {
     * a maintenance probe, not a hot-path cost). */
   def grownFraction(spark: SparkSession, lake: graft.ingest.SnapshotLake,
       index: IvfPqIndex): Double = {
-    val grown = grownCodes(spark, lake).select(col("vec_id")).distinct().count()
+    // 'Grown' = lake ids the index does NOT already probe (left_anti on
+    // vec_id). After rebuildIndex the lake holds the full re-encoded
+    // corpus AND the returned index probes that same table — counting
+    // every lake id as grown would report ~0.5 drift with zero new
+    // arrivals and make maybeRebuild retrain on every maintenance cycle.
+    val grown = grownCodes(spark, lake).select(col("vec_id"))
+      .join(index.codes.select(col("vec_id")).distinct(), Seq("vec_id"),
+        "left_anti")
+      .distinct().count()
     val base = index.codes.select(col("vec_id")).distinct().count()
     if (base + grown == 0L) 0.0 else grown.toDouble / (base + grown)
   }

@@ -38,9 +38,18 @@ class ShuffleGuardSpec extends SparkSpecBase {
       .toMap
   }
 
-  test("ns_* family shuffle volumes stay within committed floors") {
+  /** Guarded families: the full ML surface plus the join/window/agg
+    * gap-fill packs and the reference J-rows (r8 verdict #9 — the
+    * custom TopK exec's queries especially). Scalar/projection packs
+    * shuffle only for their canonical ORDER BY, so guarding them would
+    * pin sort exchanges, not plan shape. */
+  private val GuardedPrefixes =
+    Seq("ns_", "join_", "w_", "agg_", "j1_", "j2_", "j3_", "sub_", "q1_")
+
+  test("scored-family shuffle volumes stay within committed floors") {
     graft.plans.TopK.ensurePlanning(spark)
-    val ns = graft.SparkEntry.queries.keys.filter(_.startsWith("ns_")).toSeq.sorted
+    val ns = graft.SparkEntry.queries.keys
+      .filter(q => GuardedPrefixes.exists(q.startsWith)).toSeq.sorted
     assert(ns.nonEmpty)
     val measured = ns.map { q =>
       val (b, r) = ShuffleMeter.shuffleMetrics(spark) {

@@ -297,6 +297,34 @@ class AnnStreamsSpec extends SparkSpecBase {
       s"twin not retrieved after post-rebuild append: ${top.mkString(",")}")
   }
 
+  test("grownFraction after a rebuild counts only genuinely new arrivals") {
+    // Regression (r8 advice): rebuildIndex overwrites the lake with the
+    // full re-encoded corpus AND returns an index probing that same
+    // table, so a grown-count that doesn't subtract index-known ids
+    // reports ~0.5 drift with ZERO new arrivals — and the documented
+    // maintenance loop then retrains on every cycle at any threshold
+    // <= 0.5. 'Grown' must mean: lake ids the index does not probe.
+    val emb = Tables.embeddings(spark, sf0001)
+    val lake = new graft.ingest.SnapshotLake(
+      Files.createTempDirectory("graft_ann_frac").toString + "/lake")
+    val (rebuilt, v) = AnnStreams.rebuildIndex(spark, lake,
+      emb.select($"vec_id", $"embedding"))
+    assert(AnnStreams.grownFraction(spark, lake, rebuilt) == 0.0,
+      "zero arrivals after a rebuild must gauge zero drift")
+    val (_, noV) = AnnStreams.maybeRebuild(spark, lake, rebuilt,
+      corpus = emb.select($"vec_id", $"embedding"), threshold = 0.4)
+    assert(noV.isEmpty && lake.latestVersion(spark).contains(v),
+      "maybeRebuild retrained with zero new arrivals")
+    // one genuine arrival: fraction = 1 / (500 base + 1)
+    val twin = emb.filter($"vec_id" === 3L)
+      .select(lit(940001L).as("vec_id"), $"embedding")
+    val markers = Files.createTempDirectory("graft_ann_frac_mk").toString
+    AnnStreams.indexAppendSink(rebuilt, lake, markers)(twin, 0L)
+    val fr = AnnStreams.grownFraction(spark, lake, rebuilt)
+    assert(math.abs(fr - 1.0 / 501) < 1e-12,
+      s"one arrival over a 500-vector base should gauge 1/501, got $fr")
+  }
+
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
     val emb = Tables.embeddings(spark, sf0001)
     val index = Similarity.ivfpqIndex(emb, qids, eager = true)

@@ -12,6 +12,7 @@ Dev tooling only (driver-side python has duckdb/pyarrow); not a build dep.
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -29,9 +30,14 @@ def norm(v):
 
 
 def close(a, b):
-    a, b = norm(a), norm(b)
+    # Driver-grade compare: the driver hash-compares values BIT-exactly,
+    # so doubles must match to the bit — Python's == equates -0.0 and
+    # +0.0 (and any tolerance hides them entirely), which is exactly the
+    # class that shipped agg_regression red in r8. Pack to IEEE bytes.
     if isinstance(a, float) and isinstance(b, float):
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return struct.pack(">d", a) == struct.pack(">d", b)
     return a == b
 
 
@@ -101,11 +107,7 @@ def main():
             print(f"FAIL {name}: row {i} col {c}: spark={gv!r} oracle={ev!r}")
             n_fail += 1
         else:
-            exact = all(
-                norm(er[eidx[j]]) == norm(gr[gidx[j]])
-                for er, gr in zip(exp_rows, got_rows) for j in range(len(eidx)))
-            tag = "PASS" if exact else "PASS~ (float tolerance only)"
-            print(f"{tag} {name}: {len(got_rows)} rows")
+            print(f"PASS {name}: {len(got_rows)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(oracles)} oracles, {n_pass + n_fail} checked")
