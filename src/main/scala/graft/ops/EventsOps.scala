@@ -157,6 +157,62 @@ object EventsOps extends QueryPack {
         .select(col("user_id"), col("event_type"), col("event_id"),
           tsStrUs(col("ts")).as("first_ts"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // ORDERED funnel (view → click → purchase): each stage's timestamp
+    // is the earliest event of that type STRICTLY AFTER the previous
+    // stage — min-aggregate per stage, stage N joins stage N-1 on the
+    // user key. At scale every frame is user-keyed, so the three joins
+    // co-partition on one shuffle key and each stage's frame is one row
+    // per user (the funnels themselves never hold event-sized state).
+    "e_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          tsStrUs(col("view_ts")).as("first_view"),
+          tsStrUs(col("click_ts")).as("first_click"),
+          tsStrUs(col("purchase_ts")).as("first_purchase"),
+          (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+            + when(col("purchase_ts").isNotNull, 1).otherwise(0))
+            .cast("int").as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Cohort retention triangle: cohort = the user's first active DAY,
+    // cell = distinct users of that cohort active at each day offset.
+    // One user-keyed aggregate for cohorts, then a (cohort, offset)
+    // distinct-count — the curve every growth dashboard draws.
+    "e_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      ev.join(first, "user_id")
+        .select(col("cohort_day"), col("user_id"),
+          datediff(to_date(col("ts")), col("cohort_day")).as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Fixed-width value histogram (10 × 50-unit buckets): a pure
+    // map-side bucket projection + one hash aggregate — the profile
+    // query that must NOT need a sort or a pass per bucket.
+    "e_hist_value" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(least(floor(col("value") / 50.0), lit(9.0)).cast("int")
+          .as("bucket"), col("value"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          moneyRound(sum(decMoney(col("value")))).as("sum_value"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -260,6 +316,44 @@ object EventsOps extends QueryPack {
         |    row_number() OVER (PARTITION BY user_id, event_type
         |      ORDER BY ts, event_id) AS rn
         |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "e_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+        |       JOIN v ON e.user_id = v.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > v.vt
+        |       GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+        |       JOIN c ON e.user_id = c.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > c.ct
+        |       GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  strftime(v.vt, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+        |  strftime(c.ct, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+        |  strftime(p.pt, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase,
+        |  CAST(1 + CASE WHEN c.ct IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.pt IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "e_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |       FROM events GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT)
+        |    AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "e_hist_value" ->
+      """SELECT CAST(least(floor(value / 50.0), 9.0) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

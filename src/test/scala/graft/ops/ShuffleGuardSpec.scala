@@ -44,7 +44,8 @@ class ShuffleGuardSpec extends SparkSpecBase {
     * shuffle only for their canonical ORDER BY, so guarding them would
     * pin sort exchanges, not plan shape. */
   private val GuardedPrefixes =
-    Seq("ns_", "join_", "w_", "agg_", "j1_", "j2_", "j3_", "sub_", "q1_")
+    Seq("ns_", "join_", "w_", "agg_", "j1_", "j2_", "j3_", "sub_", "q1_",
+      "e_")
 
   test("scored-family shuffle volumes stay within committed floors") {
     graft.plans.TopK.ensurePlanning(spark)
