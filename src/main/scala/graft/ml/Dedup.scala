@@ -128,6 +128,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Shingle CONTAINMENT pairs: |shingles(a) ∩ shingles(b)| /
+    * |shingles(a)| ≥ threshold for ordered pairs a ≠ b — the asymmetric
+    * companion to Jaccard that catches quote-inclusion / sub-document
+    * duplication (a short doc fully embedded in a long one scores
+    * containment 1.0 but arbitrarily low Jaccard, so a Jaccard-only
+    * dedup never sees it). Same df-capped inverted index as
+    * [[jaccardPairsCapped]] (near-contained docs share rare shingles);
+    * candidates expand to both orderings, verification is the exact
+    * array_intersect over full shingle sets. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxShingleDf: Int): DataFrame = {
+    val sh = shingled(docs)
+    val cands = cappedCandidates(sh, maxShingleDf)
+    val ordered = cands.union(
+      cands.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    ordered
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("containment",
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(col("sa")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Exact n-gram Jaccard pairs via inverted shingle index.
     * Returns (doc_a, doc_b, jaccard) for jaccard >= threshold, doc_a < doc_b.
     */

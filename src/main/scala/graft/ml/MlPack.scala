@@ -67,6 +67,16 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Asymmetric CONTAINMENT dedup (quote-inclusion / sub-document
+    // detection): |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8 over ordered pairs —
+    // a short doc fully embedded in a long one scores 1.0 here but
+    // arbitrarily low Jaccard, so the symmetric tiers never see it.
+    // Same capped inverted index and scale shape as ns_dedup_jaccard.
+    "ns_dedup_containment" -> ((s, d) => {
+      Dedup.containmentPairs(Tables.documents(s, d), 0.8, Dedup.ScoredDfCap)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Retention: full corpus minus non-canonical duplicate-cluster members.
     "ns_dedup_keep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -110,6 +120,20 @@ object MlPack extends QueryPack {
     // Brute-force cosine top-5 for 8 query vectors — the ANN baseline.
     "ns_similarity_topk" -> ((s, d) => {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), QueryVecIds, 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Matryoshka (MRL) truncated retrieval: exact top-5 over the FIRST
+    // 16 of 64 dims — the "cheap first-stage at 1/4 the bytes" path an
+    // MRL-trained embedding ladder ships (cosine is scale-invariant, so
+    // no renormalization step exists to get wrong). Same plan shape as
+    // the brute-force tier; only the per-vector arithmetic shrinks 4x.
+    "ns_embedding_truncate" -> ((s, d) => {
+      val tr = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 16)
+            .as("embedding"))
+      Similarity.bruteForceTopK(tr, QueryVecIds, 5)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -897,6 +921,40 @@ object MlPack extends QueryPack {
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "ns_dedup_jaccard" -> jaccardPairsOracle,
+
+    // The Jaccard gram construction re-scored as ordered-pair
+    // containment i / |sh(a)|.
+    "ns_dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
+        |         t[i+3]||' '||t[i+4] for i in range(1, len(t)-3)]) s
+        |       FROM w WHERE len(t) >= 5),
+        |tok AS (SELECT doc_id, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, len(s) n FROM sh),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(i * 1.0 / sa.n, 6) AS containment
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+        |WHERE round(i * 1.0 / sa.n, 6) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ns_similarity_topk's oracle over list_slice(v, 1, 16) — the MRL
+    // truncated-retrieval tier.
+    "ns_embedding_truncate" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_slice(CAST(embedding AS DOUBLE[]), 1, 16) v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 7),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id > 7),
+        |scored AS (SELECT q.query_id, c.vec_id,
+        |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM c CROSS JOIN q),
+        |ranked AS (SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // Connected components via transitive closure (WITH RECURSIVE) over
     // the same jaccard pair CTEs; cluster id = min reachable doc_id.

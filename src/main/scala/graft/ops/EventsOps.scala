@@ -202,6 +202,22 @@ object EventsOps extends QueryPack {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Trailing-7-day distinct users per active day (rolling MAU/WAU
+    // shape): distinct (day, user) pairs band-joined to the tiny
+    // day dimension — the dimension broadcasts, so the corpus-sized
+    // side never reshuffles per window and no per-day pass exists.
+    "e_rolling_users" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("asof_day")).distinct()
+      du.join(broadcast(days),
+          col("day") > date_sub(col("asof_day"), 7)
+            && col("day") <= col("asof_day"))
+        .groupBy(col("asof_day"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .orderBy(col("asof_day"))
+    }),
+
     // Fixed-width value histogram (10 × 50-unit buckets): a pure
     // map-side bucket projection + one hash aggregate — the profile
     // query that must NOT need a sort or a pass per bucket.
@@ -348,6 +364,14 @@ object EventsOps extends QueryPack {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "e_rolling_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |       FROM events),
+        |days AS (SELECT DISTINCT day AS asof_day FROM du)
+        |SELECT asof_day, CAST(count(DISTINCT user_id) AS BIGINT) AS users_7d
+        |FROM days JOIN du ON du.day > asof_day - 7 AND du.day <= asof_day
+        |GROUP BY asof_day ORDER BY asof_day""".stripMargin,
 
     "e_hist_value" ->
       """SELECT CAST(least(floor(value / 50.0), 9.0) AS INT) AS bucket,

@@ -123,6 +123,40 @@ object Extras extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Count-min sketch (depth 4 × width 64, md5-derived row hashes):
+    // the mergeable fixed-size frequency sketch a 100 TB pipeline keeps
+    // when exact per-key counts don't fit — cells build in ONE hash
+    // aggregate over (row, cell) keys (map-side partials collapse hot
+    // keys), probes take the min over rows, and the estimate is
+    // provably >= exact (overestimation only). Scored against the exact
+    // counts so both the sketch arithmetic AND the invariant are
+    // driver-gated; deterministic hashes make the whole build replay in
+    // SQL (same md5 convention as ns_split_assign).
+    "agg_countmin" -> ((s, d) => {
+      val depth = 4
+      val width = 64
+      // ONE md5 per row, sliced into four disjoint 32-bit row-hashes —
+      // 4x less hashing than md5-per-(row, sketch-row), same
+      // independence for the min-estimate
+      def h(i: Int, m: org.apache.spark.sql.Column) =
+        conv(substring(m, 1 + 8 * i, 8), 16, 10).cast("long") % width
+      def cellsOf(m: org.apache.spark.sql.Column) =
+        array((0 until depth).map(i => h(i, m)): _*)
+      val cms = Tables.lineitem(s, d)
+        .select(md5(col("l_suppkey").cast("string")).as("m"))
+        .select(posexplode(cellsOf(col("m"))).as(Seq("i", "cell")))
+        .groupBy(col("i"), col("cell")).agg(count(lit(1)).as("n"))
+      Tables.lineitem(s, d).filter(col("l_suppkey") <= 10)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_n"))
+        .select(col("l_suppkey"), col("exact_n"),
+          posexplode(cellsOf(md5(col("l_suppkey").cast("string"))))
+            .as(Seq("i", "cell")))
+        .join(cms, Seq("i", "cell"))
+        .groupBy(col("l_suppkey"), col("exact_n"))
+        .agg(min(col("n")).as("cms_est"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // String-function family beyond the reference's F-rows.
     "f_string_pack2" -> ((s, d) => {
       Tables.part(s, d)
@@ -264,6 +298,23 @@ object Extras extends QueryPack {
         |    * CAST(sx AS DOUBLE)) / n, 6) + 0 AS intercept,
         |  n
         |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "agg_countmin" ->
+      """WITH ri AS (SELECT md5(CAST(l_suppkey AS VARCHAR)) AS m FROM lineitem),
+        |iv AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |cms AS (SELECT i,
+        |    ('0x' || substr(m, 1 + 8 * i, 8))::UINTEGER % 64 AS cell,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ri CROSS JOIN iv GROUP BY 1, 2),
+        |probes AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS exact_n,
+        |    md5(CAST(l_suppkey AS VARCHAR)) AS m
+        |  FROM lineitem WHERE l_suppkey <= 10 GROUP BY l_suppkey),
+        |pe AS (SELECT l_suppkey, exact_n, i,
+        |    ('0x' || substr(m, 1 + 8 * i, 8))::UINTEGER % 64 AS cell
+        |  FROM probes CROSS JOIN iv)
+        |SELECT pe.l_suppkey, pe.exact_n, min(cms.n) AS cms_est
+        |FROM pe JOIN cms USING (i, cell)
+        |GROUP BY 1, 2 ORDER BY l_suppkey""".stripMargin,
 
     "f_string_pack2" ->
       """SELECT p_partkey,
