@@ -33,6 +33,52 @@ class MlSpec extends SparkSpecBase {
     assert(capped == exact) // near-dups share rare shingles; verification exact
   }
 
+  test("containment pairs: brute-force parity, asymmetry, and the " +
+      "full-containment duplicates Jaccard misses at high tau") {
+    // brute force over full shingle sets: ordered pairs a != b
+    val sh = Dedup.shingled(docs)
+    val brute = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb")))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("containment",
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double")
+          / size(col("sa")), 6))
+      .filter(col("containment") >= 0.8)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.containmentPairs(docs, 0.8, Dedup.ScoredDfCap)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == brute, "df-capped candidates missed a containment pair")
+    assert(brute.nonEmpty)
+    // asymmetry: a containment-1.0 pair (a fully inside b) need not
+    // hold in reverse unless the docs are identical
+    val full = brute.filter(_._3 == 1.0)
+    assert(full.nonEmpty, "fixture should contain full-containment pairs")
+    // every Jaccard>=0.8 pair is a containment>=0.8 pair in both
+    // orders (containment >= jaccard pointwise)
+    val jac = Dedup.jaccardPairs(docs, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val contKeys = brute.map(p => (p._1, p._2))
+    assert(jac.forall(p => contKeys.contains(p) && contKeys.contains(p.swap)))
+    // the converse fails exactly on QUOTE INCLUSION: a short doc
+    // verbatim inside a much longer one scores containment 1.0 but
+    // Jaccard |short|/|long| — plant that shape and show the Jaccard
+    // tier is blind to it at the same threshold
+    val words = (0 until 60).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, words.split(" ").take(12).mkString(" ")), // 12 tokens
+      (2L, words)) // 60 tokens, contains doc 1 verbatim as a prefix
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(planted, 0.8, Dedup.ScoredDfCap)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(c.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0),
+      s"short-inside-long must score containment 1.0: $c")
+    assert(!c.exists(p => p._1 == 2L && p._2 == 1L),
+      "reverse direction must stay below threshold")
+    assert(Dedup.jaccardPairs(planted, 0.8).collect().isEmpty,
+      "Jaccard at 0.8 must be blind to the quote inclusion")
+  }
+
   test("minhash+LSH+verify returns exactly the exact-jaccard pairs") {
     val exact = Dedup.jaccardPairs(docs, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
