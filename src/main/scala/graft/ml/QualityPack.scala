@@ -47,6 +47,31 @@ object QualityPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // key = u^(1/w) with u an md5-derived uniform and w = n_chars —
+    // ONE pass, no RNG state, reproducible across engines/backfills;
+    // the top-k by key IS the weighted sample. Keys are rounded to 6
+    // before ranking (the pow-ulp convention) with doc_id tie-break.
+    "ns_sample_weighted" -> ((s, d) => {
+      val u = (Corpus.md5Key(col("doc_id").cast("string")) + 1L)
+        .cast("double") / lit(4294967296.0)
+      val key = round(pow(u, lit(1.0) / col("n_chars").cast("double")), 6)
+      // orderBy+limit plans as TakeOrderedAndProject (distributed
+      // per-partition top-20 + driver merge) — a global row_number
+      // window would drag the corpus into one task. The rank window
+      // then runs over 20 rows only.
+      val top = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          key.as("skey"))
+        .orderBy(col("skey").desc, col("doc_id")).limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("skey").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("source"), col("n_chars"),
+          col("skey"))
+        .orderBy(col("rank"))
+    }),
+
     // Above-median quality selection (scalar-subquery threshold).
     "ns_quality_filter" -> ((s, d) => {
       Corpus.qualityFilter(Tables.documents(s, d))
@@ -147,6 +172,20 @@ object QualityPack extends QueryPack {
 
     // Rate rounded to 6 decimals, threshold compared in integer space —
     // a pow() ulp cannot flip membership (the source-mixture precedent).
+    // u = (md5_32 + 1) / 2^32 is exact dyadic, 1.0/w is one correctly-
+    // rounded division — pow gets bit-identical inputs in both engines
+    // and the round-6 + doc_id tie-break absorbs any last-ulp drift.
+    "ns_sample_weighted" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |    round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                 ::UINTEGER::BIGINT + 1) / 4294967296.0,
+        |              1.0 / CAST(n_chars AS DOUBLE)), 6) AS skey
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id) AS rank
+        |  FROM k)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, source, n_chars, skey
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     "ns_sample_temperature" ->
       """WITH per AS (SELECT source,
         |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)

@@ -202,6 +202,29 @@ object EventsOps extends QueryPack {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Z-score anomaly flagging per event type: mean/std derived from
+    // EXACT decimal sums (the agg_stats convention — both engines
+    // divide bit-identical doubles), events with |z| > 2.5 surface.
+    // One grouped aggregate broadcast back over the stream — the
+    // monitoring query that must not re-sort the corpus.
+    "e_anomaly" -> ((s, d) => {
+      val st = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(sum(decMoney(col("value"))).as("s1"),
+          sum(decMoney(col("value")) * decMoney(col("value"))).as("s2"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          (col("s1").cast("double") / col("n")).as("mean_v"),
+          sqrt((col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+            / (col("n") - 1)).as("sd_v"))
+      Tables.events(s, d).join(broadcast(st), "event_type")
+        .withColumn("z", (col("value") - col("mean_v")) / col("sd_v"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          r6(col("z")).as("z_score"))
+        .orderBy(col("event_id"))
+    }),
+
     // Trailing-7-day distinct users per active day (rolling MAU/WAU
     // shape): distinct (day, user) pairs band-joined to the tiny
     // day dimension — the dimension broadcasts, so the corpus-sized
@@ -364,6 +387,21 @@ object EventsOps extends QueryPack {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "e_anomaly" ->
+      """WITH st AS (SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2)) *
+        |             CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT event_type, s1 / n AS mean_v,
+        |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd_v FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - g.mean_v) / g.sd_v, 6) + 0 AS z_score
+        |FROM events e JOIN g ON e.event_type = g.event_type
+        |WHERE abs((e.value - g.mean_v) / g.sd_v) > 2.5
+        |ORDER BY e.event_id""".stripMargin,
 
     "e_rolling_users" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id

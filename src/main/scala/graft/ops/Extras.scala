@@ -157,6 +157,46 @@ object Extras extends QueryPack {
         .orderBy(col("l_suppkey"))
     }),
 
+    // HyperLogLog distinct-count sketch, replayed EXACTLY in both
+    // engines (vs agg_approx_distinct, which only sanity-bands Spark's
+    // built-in HLL++): m=64 registers from the top 6 bits of a 32-bit
+    // md5 slice, rho = leading-zero rank of the remaining 26 bits
+    // (computed as 27 - bit_length via bin(), no float log), harmonic
+    // sum kept in INTEGER fixed point (sum of 2^(27-M_j), max 2^33) so
+    // the only double arithmetic is the final alpha*m^2/Z — identical
+    // IEEE ops from identical integers. Registers build in one hash
+    // aggregate; the register table is 64 rows forever, the mergeable
+    // fixed-size distinct sketch of a 100 TB ingest.
+    "agg_hyperloglog" -> ((s, d) => {
+      val m = 64
+      val x = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8),
+        16, 10).cast("long")
+      val regs = Tables.lineitem(s, d)
+        .select(shiftright(x, 26).as("bucket"),
+          x.bitwiseAND(lit((1L << 26) - 1)).as("y"))
+        .select(col("bucket"),
+          (lit(27) - when(col("y") === 0, 0).otherwise(length(bin(col("y")))))
+            .as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+      val full = s.range(m).select(col("id").as("bucket"))
+        .join(regs, Seq("bucket"), "left")
+        .select(coalesce(col("reg"), lit(0)).as("reg"))
+      val agg = full.agg(
+        sum(expr("cast(shiftleft(1L, 27 - reg) as bigint)")).as("z_fix"),
+        count(when(col("reg") === 0, 1)).as("v_zero"))
+      val exact = Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      agg.crossJoin(exact)
+        .select(col("n_exact"), col("v_zero"), col("z_fix"),
+          r4(when(
+            lit(0.709 * m * m) / (col("z_fix").cast("double") / lit(134217728.0))
+              <= 2.5 * m && col("v_zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(
+            lit(0.709 * m * m) / (col("z_fix").cast("double") / lit(134217728.0))))
+            .as("hll_est"))
+    }),
+
     // String-function family beyond the reference's F-rows.
     "f_string_pack2" -> ((s, d) => {
       Tables.part(s, d)
@@ -298,6 +338,33 @@ object Extras extends QueryPack {
         |    * CAST(sx AS DOUBLE)) / n, 6) + 0 AS intercept,
         |  n
         |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    // 134217728 = 2^27; 67108863 = 2^26 - 1. No ORDER BY: one row.
+    "agg_hyperloglog" ->
+      """WITH h AS (SELECT
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::UINTEGER
+        |      ::BIGINT AS x
+        |  FROM lineitem),
+        |b AS (SELECT x // 67108864 AS bucket, x & 67108863 AS y FROM h),
+        |r AS (SELECT bucket,
+        |    max(27 - CASE WHEN y = 0 THEN 0 ELSE len(bin(y)) END) AS reg
+        |  FROM b GROUP BY bucket),
+        |fl AS (SELECT coalesce(r.reg, 0) AS reg
+        |  FROM (SELECT unnest(range(0, 64)) AS bucket) s
+        |  LEFT JOIN r ON r.bucket = s.bucket),
+        |agg AS (SELECT
+        |    CAST(sum(CAST(1 AS BIGINT) << (27 - reg)) AS BIGINT) AS z_fix,
+        |    CAST(count(*) FILTER (reg = 0) AS BIGINT) AS v_zero
+        |  FROM fl),
+        |ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        |  FROM lineitem)
+        |SELECT n_exact, v_zero, z_fix,
+        |  round(CASE WHEN (0.709 * 64 * 64) / (CAST(z_fix AS DOUBLE) / 134217728.0)
+        |               <= 2.5 * 64 AND v_zero > 0
+        |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+        |        ELSE (0.709 * 64 * 64) / (CAST(z_fix AS DOUBLE) / 134217728.0)
+        |        END, 4) AS hll_est
+        |FROM agg CROSS JOIN ex""".stripMargin,
 
     "agg_countmin" ->
       """WITH ri AS (SELECT md5(CAST(l_suppkey AS VARCHAR)) AS m FROM lineitem),

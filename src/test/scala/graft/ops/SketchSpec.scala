@@ -9,6 +9,16 @@ import graft.SparkSpecBase
   */
 class SketchSpec extends SparkSpecBase {
 
+  test("hyperloglog estimate lands within 3 sigma of exact") {
+    val r = graft.SparkEntry.queries("agg_hyperloglog")(spark, sf0001)
+      .collect().head
+    val exact = r.getAs[Long]("n_exact")
+    val est = r.getAs[Double]("hll_est")
+    // standard error 1.04/sqrt(64) = 13%; 3 sigma = 39%
+    assert(math.abs(est - exact) <= 0.39 * exact,
+      s"HLL est $est vs exact $exact outside 3 sigma")
+  }
+
   test("count-min estimates dominate exact counts within the width bound") {
     val rows = graft.SparkEntry.queries("agg_countmin")(spark, sf0001)
       .collect()
