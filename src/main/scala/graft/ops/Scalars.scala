@@ -179,6 +179,36 @@ object Scalars extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Regex family over the phone/name columns (digits live there).
+    // Patterns stay in the character-class subset where Java regex and
+    // DuckDB's RE2 agree; DuckDB's regexp_replace needs the 'g' flag to
+    // match Spark's replace-all semantics.
+    "f_regexp" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "^([A-Za-z]+)#", 1).as("prefix"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("int")
+            .as("cust_num"),
+          length(regexp_replace(col("c_name"), "[^0-9]", ""))
+            .as("n_digits"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          col("c_name").rlike("00[0-9]{2}$").as("low_tail"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Bitwise family on the key columns — codegen'd integer ops.
+    "f_bitwise" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+          col("o_orderkey").bitwiseXOR(shiftright(col("o_orderkey"), 3))
+            .as("mixed"),
+          bit_count(col("o_orderkey")).as("popcount"),
+          bitwise_not(col("o_orderkey")).as("inverted"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Signed-zero canonicalization, driver-gated: (42.0 - o_totalprice)
     // scaled down rounds to ±0.0 for most rows, the exact class that
     // shipped agg_regression red in r8 (DuckDB's round is
@@ -325,6 +355,27 @@ object Scalars extends QueryPack {
         |  round(abs(l_discount - l_tax), 6) AS disc_tax_gap,
         |  round(sqrt(l_quantity), 6) AS qty_sqrt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f_regexp" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '^([A-Za-z]+)#', 1) AS prefix,
+        |  CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS INT) AS cust_num,
+        |  CAST(len(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT)
+        |    AS n_digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  regexp_matches(c_name, '00[0-9]{2}$') AS low_tail
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // xor()/~ spellings differ per engine; the semantics are identical
+    // two's-complement BIGINT ops.
+    "f_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low_byte,
+        |  o_orderkey | 4096 AS with_flag,
+        |  xor(o_orderkey, o_orderkey >> 3) AS mixed,
+        |  CAST(bit_count(o_orderkey) AS INT) AS popcount,
+        |  ~o_orderkey AS inverted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // `+ 0` folds DuckDB's sign-preserving round to +0.0 (IEEE
     // -0.0 + 0 = +0.0) — mirrors QueryPack.zf on the Spark side.
