@@ -197,6 +197,24 @@ object Extras extends QueryPack {
             .as("hll_est"))
     }),
 
+    // EXACT distinct counting via mergeable bitmaps (Spark 4 bitmap
+    // aggregates): per (group, 32k-bucket) bitmaps OR-merge in partial
+    // aggregation — unlike countDistinct, whose exact form must shuffle
+    // every distinct value, the bitmap is a fixed-size pre-aggregable
+    // state per bucket, the same trick ClickHouse/Doris use for exact
+    // distinct at scale. The result EQUALS count(distinct), which is
+    // the oracle.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_orderkey)").as("b"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))")
+          .as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // String-function family beyond the reference's F-rows.
     "f_string_pack2" -> ((s, d) => {
       Tables.part(s, d)
@@ -365,6 +383,11 @@ object Extras extends QueryPack {
         |        ELSE (0.709 * 64 * 64) / (CAST(z_fix AS DOUBLE) / 134217728.0)
         |        END, 4) AS hll_est
         |FROM agg CROSS JOIN ex""".stripMargin,
+
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_countmin" ->
       """WITH ri AS (SELECT md5(CAST(l_suppkey AS VARCHAR)) AS m FROM lineitem),

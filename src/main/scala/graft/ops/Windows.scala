@@ -144,6 +144,27 @@ object Windows extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Gaps-and-islands sessionization as a WINDOW query (vs
+    // t_session_window's native session_window aggregate): new-session
+    // flag from the lag'd gap, then a running sum numbers each user's
+    // sessions — the classic two-window composition, microsecond
+    // arithmetic in integer space so both engines compare exactly.
+    "w_session_number" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord)))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(run))
+        .select(col("user_id"), col("event_id"), tsStrUs(col("ts")).as("ts"),
+          col("session_seq"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ntile quartiles + per-quartile aggregate (chunk assignment analog,
     // floor(idx/150) at app.js:406).
     "w_ntile" -> ((s, d) => {
@@ -260,6 +281,20 @@ object Windows extends QueryPack {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w_session_number" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1
+        |           ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
 
     "w_ntile" ->
       """SELECT quartile, CAST(count(*) AS BIGINT) AS n,
