@@ -280,6 +280,31 @@ object LayoutPack extends QueryPack {
       s.read.format("snaplake").load(root)
         .filter(col("okey").isin(7L * 7919L, 101L * 7919L, 3959501L))
         .orderBy(col("okey"))
+    }),
+
+    // The AUTO-bloom tier driver-gated end to end: blooms=on makes the
+    // post-backfill append build its own sidecar at commit time, so the
+    // probe set spans a backfilled generation (even keys), an
+    // auto-bloomed one (odd keys, committed AFTER computeBlooms), and
+    // an absent key the blooms prune to zero files (plan-level
+    // assertions in SnapLakeSkipSpec; the oracle pins answers never
+    // change).
+    "l_snaplake_autobloom" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_snapab_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      def half(parity: Int) = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === parity)
+        .select((col("o_orderkey") * 7919L).as("okey"), col("o_orderpriority"))
+        .repartition(4)
+      half(0).write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      lake.vacuum(s, retainLast = 1)
+      lake.enableAutoBlooms(s, Seq("okey"), expectedNdvPerFile = 30000)
+      lake.computeBlooms(s, Seq("okey"), expectedNdvPerFile = 30000)
+      lake.commit(half(1))
+      s.read.format("snaplake").load(root)
+        .filter(col("okey").isin(7L * 7919L, 100L * 7919L, 3959501L))
+        .orderBy(col("okey"))
     })
   )
 
@@ -394,6 +419,14 @@ object LayoutPack extends QueryPack {
       """SELECT CAST(o_orderkey AS BIGINT) * 7919 AS okey, o_orderpriority
         |FROM orders
         |WHERE CAST(o_orderkey AS BIGINT) * 7919 IN (55433, 799819, 3959501)
+        |ORDER BY okey""".stripMargin,
+
+    // 55433 = 7·7919 (odd key, auto-bloomed append generation);
+    // 791900 = 100·7919 (even key, backfilled base); 3959501 absent.
+    "l_snaplake_autobloom" ->
+      """SELECT CAST(o_orderkey AS BIGINT) * 7919 AS okey, o_orderpriority
+        |FROM orders
+        |WHERE CAST(o_orderkey AS BIGINT) * 7919 IN (55433, 791900, 3959501)
         |ORDER BY okey""".stripMargin
   )
 }
