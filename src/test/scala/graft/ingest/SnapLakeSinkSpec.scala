@@ -52,6 +52,36 @@ class SnapLakeSinkSpec extends SparkSpecBase {
     assert(lake.readAt(spark, 1L).count() == 2)
   }
 
+  test("blooms=on: every micro-batch commit carries its bloom sidecar") {
+    // the streaming sink lands through commitTagged, so the auto-bloom
+    // tier applies per micro-batch — a long-lived streamed table keeps
+    // point-lookup skipping without any maintenance job. (The build is
+    // one extra scan of the new generation per batch: opt-in cost.)
+    val src = tmp("graft_sinkab_src")
+    val root = tmp("graft_sinkab_lake") + "/lake"
+    val ckpt = tmp("graft_sinkab_ckpt")
+    val lake = new SnapshotLake(root)
+    lake.enableAutoBlooms(spark, Seq("id"), expectedNdvPerFile = 100)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    val q = spark.readStream.schema(srcSchema).parquet(src)
+      .writeStream.format("snaplake")
+      .option("checkpointLocation", ckpt).start(root)
+    try {
+      q.processAllAvailable()
+      Seq((3L, "c")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val vs = lake.versions(spark)
+    assert(vs.size >= 2)
+    vs.flatMap(v => lake.dirsAt(spark, v)).distinct.foreach { gen =>
+      assert(GenBlooms.load(conf, s"$root/$gen").isDefined,
+        s"streamed generation $gen missing its auto-built bloom sidecar")
+    }
+  }
+
   test("a replayed batch id is skipped whole; newer ids commit") {
     val root = tmp("graft_sink_replay") + "/lake"
     val lake = new SnapshotLake(root)

@@ -130,6 +130,24 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("training mix: the domain-cap heap never buffers document text") {
+    // the pipeline projects token counts BEFORE TopKPerKey so the heap
+    // state per (source, partition) is cap × a few scalars — text
+    // flowing through it would make per-task state corpus-text-sized
+    graft.plans.TopK.ensurePlanning(spark)
+    val df = graft.SparkEntry.queries("ns_training_mix")(spark, sf0001)
+    val heaps = df.queryExecution.optimizedPlan.collect {
+      case t: graft.plans.TopKPerKeyNode => t
+    }
+    assert(heaps.nonEmpty, "training mix should plan through TopKPerKeyNode")
+    heaps.foreach { t =>
+      (t.output ++ t.children.flatMap(_.output)).foreach(a =>
+        assert(a.name != "text",
+          "document text must not flow through the domain-cap heap"))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dsir scoring join broadcasts the bucket table (map-side scoring)") {
     val docs = Tables.documents(spark, sf0001)
     val plan = graft.ml.Corpus.dsirScore(docs, $"lang" === "en", 1024)
