@@ -176,7 +176,17 @@ object GenBlooms {
         case None => None
       }
     }
-    val presentFields = resolved.filter(f => supported.contains(f.dataType))
+    // strict mode also rejects a RESOLVED column of unsupported type —
+    // silently skipping it would recreate the exact no-sidecar-no-signal
+    // failure strict resolution exists to prevent
+    val presentFields = resolved.filter { f =>
+      val ok = supported.contains(f.dataType)
+      if (!ok && strict)
+        sys.error(s"computeBlooms: column '${f.name}' has unsupported " +
+          s"bloom type ${f.dataType.simpleString} (supported: integral, " +
+          "float/double, string, boolean)")
+      ok
+    }
     require(presentFields.map(_.name.toLowerCase).distinct.size ==
       presentFields.size,
       "bloom columns collide under case-insensitive resolution: " +
@@ -227,7 +237,8 @@ object GenBlooms {
     // delete+rename moves the data file and its .crc in separate steps,
     // and a reader racing load() in that window throws ChecksumException
     // — the same hazard the _constraints.json path closes this way
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+    val fsAll = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsAll match {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case other => other
     }
@@ -246,6 +257,15 @@ object GenBlooms {
       throw new IllegalStateException(
         s"failed to publish $BloomsFileName under $genPath — the " +
           "generation now has NO bloom sidecar; rerun computeBlooms")
+    }
+    // a sidecar written by a pre-raw (checksummed) build left a .crc
+    // describing the OLD content; the raw rename above does not touch
+    // it, and it would permanently fail any checksummed read of the new
+    // file — same hygiene as writeControlFile's publish
+    fsAll match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        fs.delete(c.getChecksumFile(new Path(dir, BloomsFileName)), false)
+      case _ => ()
     }
   }
 

@@ -77,9 +77,13 @@ object GenStats {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // plain rename: the generation is unpublished (no commit references
-    // it yet), so there is no reader to race and no concurrent writer —
-    // the directory is writer-unique by construction
+    // Commit-time call: the generation is unpublished, no reader to
+    // race, the delete is a no-op. BACKFILL call
+    // ([[SnapshotLake.computeStats]]): a pre-v2 sidecar may sit at the
+    // destination — without the delete, local-fs rename refuses to
+    // overwrite and the backfill silently no-ops; a reader in the
+    // delete→rename window sees no sidecar and simply doesn't prune.
+    fs.delete(new Path(dir, StatsFileName), false)
     fs.rename(tmp, new Path(dir, StatsFileName))
   }
 

@@ -1218,6 +1218,27 @@ class SnapshotLake(root: String) {
     }
   }
 
+  /** Backfill `_stats.json` for every generation of the LATEST snapshot
+    * whose sidecar is absent or format-stale (pre-v2 sidecars read as
+    * absent under the [[GenStats.FormatVersion]] gate) — the stats
+    * counterpart of [[computeBlooms]], recovering envelope pruning on
+    * historical generations after an upgrade without rewriting any
+    * data. Pure footer I/O: min/max/null-count already live in the
+    * parquet footers, so cost is a few KB of metadata per file. */
+  def computeStats(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    latestVersion(spark).foreach { v =>
+      dirsAt(spark, v).foreach { gen =>
+        val genPath = s"$root/$gen"
+        val hasFiles = hadoopFs(spark)
+          .listStatus(new org.apache.hadoop.fs.Path(genPath))
+          .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        if (hasFiles && GenStats.load(conf, genPath).isEmpty)
+          GenStats.write(conf, genPath)
+      }
+    }
+  }
+
   /** Sweep ORPHANED generations: `gen-*` directories no surviving commit
     * references AND whose mtime is before the ABSOLUTE instant
     * `cutoffMillis` (epoch millis — the same clock and convention as

@@ -219,6 +219,22 @@ class SnapLakeSkipSpec extends SparkSpecBase {
       GenBlooms.write(spark, s"$root/$gen", Seq("nope"))
     }
     assert(ex.getMessage.contains("no column matching"))
+    // ...and so is a RESOLVED column whose type has no bloom support —
+    // a silent skip would leave no sidecar and no signal (strict only;
+    // the auto-bloom commit path stays lenient for schema evolution)
+    val tdf = Seq((java.sql.Date.valueOf("2024-01-01"), 1L)).toDF("d", "k")
+    val root2 = freshRoot()
+    tdf.coalesce(1).write.format("snaplake").mode(SaveMode.Overwrite)
+      .save(root2)
+    val gen2 = new SnapshotLake(root2).dirsAt(spark, 1L).head
+    val ex2 = intercept[RuntimeException] {
+      GenBlooms.write(spark, s"$root2/$gen2", Seq("d"))
+    }
+    assert(ex2.getMessage.contains("unsupported bloom type"))
+    // lenient mode on the same input: no-op, no sidecar, no throw
+    GenBlooms.write(spark, s"$root2/$gen2", Seq("d"), strict = false)
+    assert(GenBlooms.load(spark.sparkContext.hadoopConfiguration,
+      s"$root2/$gen2").isEmpty)
   }
 
   test("_stats.json version gate: an unversioned sidecar reads as absent") {
@@ -253,6 +269,14 @@ class SnapLakeSkipSpec extends SparkSpecBase {
     val r = runCounting(spark.read.format("snaplake").load(root)
       .filter(col("id") === 5000L))
     assert(r == ((0L, 1L)), s"legacy-stats gen must be kept whole: $r")
+    // BACKFILL: computeStats re-harvests the stale generation from its
+    // footers (replacing the legacy sidecar) and pruning comes back
+    lake.computeStats(spark)
+    assert(GenStats.load(conf, s"$root/$gen").isDefined,
+      "computeStats must rebuild the stale sidecar")
+    val r2 = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id") === 5000L))
+    assert(r2 == ((0L, 0L)), s"envelope pruning not recovered: $r2")
   }
 
   test("NaN-bearing doubles lose their parquet min/max but are never pruned") {

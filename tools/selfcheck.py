@@ -21,14 +21,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
 def close(a, b):
     # Driver-grade compare: the driver hash-compares values BIT-exactly,
     # so doubles must match to the bit — Python's == equates -0.0 and
