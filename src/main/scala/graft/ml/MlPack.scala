@@ -409,6 +409,30 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus coverage curve: sources ranked by token mass, kept until
+    // the cumulative share first reaches 90% — the "which sources make
+    // up the corpus" cut every mixture report draws. The window runs
+    // over the per-source aggregate (one row per source), never the
+    // corpus; the 0.9 threshold compares in INTEGER space
+    // ((cum-nt)·10 < tot·9) so no double boundary exists to disagree on.
+    "ns_source_coverage" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("nt").desc, col("source"))
+      val run = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val per = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(Corpus.wsTokenCount(col("text"))).as("nt"))
+      val tot = per.agg(sum(col("nt")).as("tot"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("nt")).over(run))
+        .filter((col("cum") - col("nt")) * 10 < col("tot") * 9)
+        .select(col("rank"), col("source"), col("nt"),
+          QueryPack.r6(col("cum").cast("double") / col("tot")).as("cum_share"))
+        .orderBy(col("rank"))
+    }),
+
     // The END-TO-END training-mix pipeline as one scored plan (r8
     // verdict #8): quality gate → exact-dedup keep → decontamination →
     // domain cap (through the custom TopKPerKeyExec) → temperature
@@ -1216,6 +1240,24 @@ object MlPack extends QueryPack {
         |  CAST(count(DISTINCT co.g) AS BIGINT) AS n_shared_ngrams,
         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
         |FROM co JOIN ev USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "ns_source_coverage" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS nt
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tot FROM per),
+        |r AS (SELECT source, nt,
+        |    row_number() OVER (ORDER BY nt DESC, source) AS rank,
+        |    CAST(sum(nt) OVER (ORDER BY nt DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM per)
+        |SELECT CAST(rank AS INT) AS rank, source, nt,
+        |  round(CAST(cum AS DOUBLE) / tot, 6) + 0 AS cum_share
+        |FROM r CROSS JOIN tot
+        |WHERE (cum - nt) * 10 < tot * 9
+        |ORDER BY rank""".stripMargin,
 
     // Stagewise replay of Corpus.trainingMix: each CTE is the
     // corresponding component oracle scoped to the previous stage's

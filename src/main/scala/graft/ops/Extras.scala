@@ -197,6 +197,38 @@ object Extras extends QueryPack {
             .as("hll_est"))
     }),
 
+    // Skewness + excess kurtosis from EXACT integer power sums: values
+    // round to integer units first so every sum (w^4 summed over sf0.1's
+    // 100k events stays < 2^53) is exactly representable — both engines
+    // then cast identical integers and run identical IEEE arithmetic
+    // (m2^1.5 spelled m2*sqrt(m2): sqrt is correctly rounded, pow is
+    // not). The agg_stats/corr/regression convention extended to the
+    // 3rd and 4th moments.
+    "agg_skew_kurt" -> ((s, d) => {
+      val w = round(col("value")).cast("long")
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(w).as("s1"), sum(w * w).as("s2"),
+          sum(w * w * w).as("s3"), sum(w * w * w * w).as("s4"))
+        .select(col("event_type"), col("n"), {
+          val n = col("n").cast("double")
+          val m = col("s1").cast("double") / n
+          val m2 = col("s2").cast("double") / n - m * m
+          val m3 = col("s3").cast("double") / n -
+            lit(3.0) * m * (col("s2").cast("double") / n) +
+            lit(2.0) * m * m * m
+          val m4 = col("s4").cast("double") / n -
+            lit(4.0) * m * (col("s3").cast("double") / n) +
+            lit(6.0) * m * m * (col("s2").cast("double") / n) -
+            lit(3.0) * m * m * m * m
+          struct(r6(m3 / (m2 * sqrt(m2))).as("skewness"),
+            r6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+        }.as("mm"))
+        .select(col("event_type"), col("n"),
+          col("mm.skewness").as("skewness"),
+          col("mm.kurtosis").as("kurtosis"))
+        .orderBy(col("event_type"))
+    }),
+
     // EXACT distinct counting via mergeable bitmaps (Spark 4 bitmap
     // aggregates): per (group, 32k-bucket) bitmaps OR-merge in partial
     // aggregation — unlike countDistinct, whose exact form must shuffle
@@ -383,6 +415,33 @@ object Extras extends QueryPack {
         |        ELSE (0.709 * 64 * 64) / (CAST(z_fix AS DOUBLE) / 134217728.0)
         |        END, 4) AS hll_est
         |FROM agg CROSS JOIN ex""".stripMargin,
+
+    // Identically-parenthesized double arithmetic from identical exact
+    // integers; kurtosis is EXCESS kurtosis (normal = 0).
+    "agg_skew_kurt" ->
+      """WITH p AS (SELECT event_type, CAST(round(value, 0) AS BIGINT) AS w
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(w) AS BIGINT) AS s1, CAST(sum(w*w) AS BIGINT) AS s2,
+        |    CAST(sum(w*w*w) AS BIGINT) AS s3,
+        |    CAST(sum(w*w*w*w) AS BIGINT) AS s4
+        |  FROM p GROUP BY event_type),
+        |m AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM g),
+        |c AS (SELECT event_type, n,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT event_type, n,
+        |  round(m3 / (m2 * sqrt(m2)), 6) + 0 AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) + 0 AS kurtosis
+        |FROM c ORDER BY event_type""".stripMargin,
 
     "agg_bitmap_distinct" ->
       """SELECT l_returnflag,
