@@ -226,10 +226,13 @@ class SnapshotLake(root: String) {
     // losing the claim race retries against the re-read latest — an
     // append retry re-bases on the winner's snapshot, exactly the
     // optimistic-concurrency contract
-    retryClaim(spark, fs, tag) { next =>
+    val v = retryClaim(spark, fs, tag) { next =>
       if (overwrite || next == 1) Seq(gen)
       else dirsAt(spark, next - 1) :+ gen
     }
+    // post-publish, best-effort: the commit above is durable regardless
+    maybeAutoCompact(spark)
+    v
   }
 
   /** Commit `df` only as the TABLE-CREATING version 1; returns None if
@@ -361,6 +364,65 @@ class SnapshotLake(root: String) {
         System.err.println(
           s"snaplake: auto-bloom build failed for $root/$gen " +
             s"(generation stays sidecar-less, never pruned): $e")
+    }
+
+  // ---------------------------------------------- auto compaction
+
+  private def autoCompactPath = new org.apache.hadoop.fs.Path(
+    s"$root/_autocompact.json")
+
+  /** Table-level AUTO-compaction — the write-path companion of
+    * [[enableAutoBlooms]] and the generalized form of the streaming
+    * ledgers' every-N-batches compaction: once enabled, each
+    * append/overwrite commit (streamed micro-batches included) checks
+    * the small-generation tail and runs [[compactSmall]] when it has
+    * accumulated `maxSmallGens` generations under `smallBytes` each.
+    * A stream-written table then holds a bounded generation count with
+    * no external maintenance job. The compaction publishes its own
+    * commit AFTER the triggering one (the ingested data is durable
+    * either way); losing a race to a concurrent writer just skips the
+    * cycle — the next commit re-checks. Old versions still need
+    * [[vacuum]] for space, as ever. */
+  def enableAutoCompact(spark: SparkSession, maxSmallGens: Int = 8,
+      smallBytes: Long = 32L << 20): Unit = {
+    require(maxSmallGens >= 2, "auto-compact needs maxSmallGens >= 2")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("maxSmallGens", maxSmallGens)
+    node.put("smallBytes", smallBytes)
+    writeControlFile(spark, autoCompactPath, "._autocompact.tmp",
+      mapper.writeValueAsString(node))
+  }
+
+  def disableAutoCompact(spark: SparkSession): Unit =
+    rawFs(spark).delete(autoCompactPath, false)
+
+  /** The enabled auto-compact setting: (maxSmallGens, smallBytes). */
+  def autoCompactConfig(spark: SparkSession): Option[(Int, Long)] = {
+    val raw = rawFs(spark)
+    if (!raw.exists(autoCompactPath)) return None
+    val in = raw.open(autoCompactPath)
+    val txt =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val n = m.path("maxSmallGens").asInt(0)
+    if (n < 2) None else Some((n, m.path("smallBytes").asLong(32L << 20)))
+  }
+
+  /** Best-effort post-commit compaction check for the auto tier. Never
+    * fails the commit that triggered it: a compaction abort (racing
+    * writer) or any other failure only defers folding to a later
+    * commit. Called AFTER the triggering commit publishes — no commit
+    * depends on it. */
+  private def maybeAutoCompact(spark: SparkSession): Unit =
+    try autoCompactConfig(spark).foreach { case (n, bytes) =>
+      compactSmall(spark, bytes, Seq.empty, minSmallGens = n)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"snaplake: auto-compact skipped this cycle for $root: $e")
     }
 
   private def rawFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
@@ -847,7 +909,8 @@ class SnapshotLake(root: String) {
     * generations exist. Same abort-on-race and empty-changefeed
     * contract as optimize. */
   def compactSmall(spark: SparkSession, maxBytes: Long,
-      sortCols: Seq[org.apache.spark.sql.Column]): Long = {
+      sortCols: Seq[org.apache.spark.sql.Column],
+      minSmallGens: Int = 2): Long = {
     val base = latestVersion(spark).getOrElse(
       sys.error(s"compact of a never-committed lake: $root"))
     val fs = hadoopFs(spark)
@@ -857,7 +920,7 @@ class SnapshotLake(root: String) {
     val sizes = dirs.map(d => d -> fs.getContentSummary(
       new org.apache.hadoop.fs.Path(s"$root/$d")).getLength).toMap
     val (small, big) = dirs.partition(d => sizes(d) < maxBytes)
-    if (small.size < 2) return base
+    if (small.size < math.max(2, minSmallGens)) return base
     val tailBytes = small.map(sizes).sum
     // target file count keeps outputs at ~maxBytes so a later pass sees
     // them as "big" and stops re-rewriting the same rows

@@ -130,6 +130,41 @@ class SnapLakeOptimizeSpec extends SparkSpecBase {
     assert(before.size == 6)
   }
 
+  test("auto-compact: the commit path keeps the small tail bounded") {
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(spark.range(0, 50000).toDF("id"), overwrite = true)
+    lake.enableAutoCompact(spark, maxSmallGens = 3, smallBytes = 64 * 1024)
+    // tiny appends: the third one crosses the threshold and its commit
+    // triggers the fold as a follow-on commit
+    (0 until 3).foreach { k =>
+      lake.commit(spark.range(50000 + k * 10, 50010 + k * 10).toDF("id")
+        .coalesce(1))
+    }
+    val vLatest = lake.latestVersion(spark).get
+    val dirs = lake.dirsAt(spark, vLatest)
+    assert(dirs.size == 2,
+      s"3 small gens should have folded to 1 beside the big body: $dirs")
+    assert(dirs.contains(lake.dirsAt(spark, 1L).head),
+      "the big generation must carry by reference through auto-compact")
+    // the compaction is its own commit AFTER the triggering append
+    val hist = lake.history(spark).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[String]("op")).toMap
+    assert(hist(vLatest) == "compact", s"history: $hist")
+    assert(spark.read.format("snaplake").load(root).count() == 50030)
+    // below threshold nothing compacts (the folded tiny gen is itself
+    // still "small", so the tail is {folded, new} = 2 < 3)
+    lake.commit(spark.range(60000, 60010).toDF("id").coalesce(1))
+    assert(lake.dirsAt(spark, lake.latestVersion(spark).get).size == 3,
+      "under-threshold tail must not trigger a fold")
+    // disable stops the tier: a further tiny append accretes normally
+    // even though it crosses the old threshold
+    lake.disableAutoCompact(spark)
+    lake.commit(spark.range(70000, 70010).toDF("id").coalesce(1))
+    assert(lake.dirsAt(spark, lake.latestVersion(spark).get).size == 4)
+    assert(spark.read.format("snaplake").load(root).count() == 50050)
+  }
+
   test("optimize rebases across a racing append; aborts on a racing rewrite") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
