@@ -202,6 +202,44 @@ object EventsOps extends QueryPack {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Conversion attribution: purchases within ONE HOUR after any view
+    // by the same user, deduplicated by purchase id (a purchase after
+    // several views still counts once), rolled up to per-user counts
+    // and exact-decimal attributed revenue. Both sides are user-keyed —
+    // one shuffle key, co-partitioned band join.
+    "e_conversion" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      p.join(v, Seq("user_id"))
+        .filter(col("view_ts") < col("ts")
+          && col("ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("event_id"), col("value")).distinct()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_conversions"),
+          moneyRound(sum(decMoney(col("value")))).as("attributed_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Datetime-extraction pack (the §2.6 F10 family widened): every
+    // field in both engines' shared semantics — Spark dayofweek is
+    // Sunday=1 (DuckDB's dayofweek+1); Spark weekday()+1 is ISO dow
+    // (DuckDB isodow); weekofyear is ISO week in both.
+    "f_datetime_pack" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          year(col("ts")).as("y"), quarter(col("ts")).as("q"),
+          month(col("ts")).as("mo"), dayofmonth(col("ts")).as("dom"),
+          dayofweek(col("ts")).as("dow"),
+          (weekday(col("ts")) + 1).as("iso_dow"),
+          weekofyear(col("ts")).as("woy"), dayofyear(col("ts")).as("doy"),
+          hour(col("ts")).as("hr"), minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"))
+        .orderBy(col("event_id"))
+    }),
+
     // Z-score anomaly flagging per event type: mean/std derived from
     // EXACT decimal sums (the agg_stats convention — both engines
     // divide bit-identical doubles), events with |z| > 2.5 surface.
@@ -387,6 +425,31 @@ object EventsOps extends QueryPack {
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "e_conversion" ->
+      """WITH v AS (SELECT user_id, ts AS vt FROM events
+        |       WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id, ts, value FROM events
+        |       WHERE event_type = 'purchase'),
+        |conv AS (SELECT DISTINCT p.user_id, p.event_id, p.value
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |    AND v.vt < p.ts AND p.ts <= v.vt + INTERVAL 1 HOUR)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS attributed_value
+        |FROM conv GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "f_datetime_pack" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS y, CAST(quarter(ts) AS INT) AS q,
+        |  CAST(month(ts) AS INT) AS mo, CAST(dayofmonth(ts) AS INT) AS dom,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(isodow(ts) AS INT) AS iso_dow,
+        |  CAST(weekofyear(ts) AS INT) AS woy,
+        |  CAST(dayofyear(ts) AS INT) AS doy,
+        |  CAST(hour(ts) AS INT) AS hr, CAST(minute(ts) AS INT) AS mi,
+        |  CAST(second(ts) AS INT) AS sec
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "e_anomaly" ->
       """WITH st AS (SELECT event_type,

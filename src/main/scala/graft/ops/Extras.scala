@@ -197,6 +197,21 @@ object Extras extends QueryPack {
             .as("hll_est"))
     }),
 
+    // Geometric mean via the fixed-point log-sum convention
+    // (ns_char_entropy's pattern): per-row ln rounds to 6 decimals in
+    // INTEGER space before summing, so a libm last-ulp difference
+    // cannot creep into the aggregate; exp at the end runs on an
+    // identical double in both engines.
+    "agg_geomean" -> ((s, d) => {
+      Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(log(col("o_totalprice")) * 1e6).cast("long")).as("lfix"))
+        .select(col("o_orderstatus"), col("n"),
+          r4(exp(col("lfix").cast("double") / 1e6 / col("n")))
+            .as("geo_mean_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Skewness + excess kurtosis from EXACT integer power sums: values
     // round to integer units first so every sum (w^4 summed over sf0.1's
     // 100k events stays < 2^53) is exactly representable — both engines
@@ -415,6 +430,13 @@ object Extras extends QueryPack {
         |        ELSE (0.709 * 64 * 64) / (CAST(z_fix AS DOUBLE) / 134217728.0)
         |        END, 4) AS hll_est
         |FROM agg CROSS JOIN ex""".stripMargin,
+
+    "agg_geomean" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(exp(CAST(sum(CAST(round(ln(o_totalprice) * 1e6) AS BIGINT))
+        |                  AS DOUBLE) / 1e6 / count(*)), 4) + 0
+        |    AS geo_mean_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Identically-parenthesized double arithmetic from identical exact
     // integers; kurtosis is EXCESS kurtosis (normal = 0).
