@@ -123,6 +123,30 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // kNN label classification: majority vote over the exact top-5
+    // neighborhood (ties to the lexicographically first label), scored
+    // against the query's own label — the retrieval tier composed into
+    // the classical kNN classifier, all vote logic in one per-query
+    // aggregate over the 40-row top-k frame.
+    "ns_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val votes = Similarity.bruteForceTopK(emb, QueryVecIds, 5)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("query_id"), col("label").as("predicted"), col("votes"))
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .withColumn("correct", col("predicted") === col("true_label"))
+        .select(col("query_id"), col("predicted"), col("votes"),
+          col("true_label"), col("correct"))
+        .orderBy(col("query_id"))
+    }),
+
     // Matryoshka (MRL) truncated retrieval: exact top-5 over the FIRST
     // 16 of 64 dims — the "cheap first-stage at 1/4 the bytes" path an
     // MRL-trained embedding ladder ships (cosine is scale-invariant, so
@@ -1070,6 +1094,34 @@ object MlPack extends QueryPack {
         |  FROM documents)
         |SELECT lang, CAST(rank AS INT) AS rank, doc_id
         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // ns_similarity_topk's ranked CTE joined to labels, majority vote
+    // with (votes DESC, label) tie-break, scored against the query's
+    // own label.
+    "ns_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label,
+        |       CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id <= 7),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id > 7),
+        |scored AS (SELECT q.query_id, c.vec_id,
+        |    round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim
+        |  FROM c CROSS JOIN q),
+        |ranked AS (SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM scored),
+        |votes AS (SELECT r.query_id, el.label,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM ranked r JOIN e el ON el.vec_id = r.vec_id
+        |  WHERE r.rank <= 5 GROUP BY 1, 2),
+        |best AS (SELECT query_id, label AS predicted, votes FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, label) AS rk FROM votes) t
+        |  WHERE rk = 1)
+        |SELECT b.query_id, b.predicted, b.votes, t.label AS true_label,
+        |  b.predicted = t.label AS correct
+        |FROM best b JOIN e t ON t.vec_id = b.query_id
+        |ORDER BY b.query_id""".stripMargin,
 
     "ns_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),

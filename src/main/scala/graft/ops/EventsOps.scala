@@ -263,6 +263,27 @@ object EventsOps extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Behavioral diversity: Shannon entropy of each user's event-type
+    // mix, per-term fixed point (round-6 integer space, the
+    // ns_char_entropy convention) so libm ln drift cannot reach the
+    // per-user sum. Two user-keyed aggregates, no window.
+    "e_user_entropy" -> ((s, d) => {
+      val cnt = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("user_id")).agg(sum(col("n")).as("nt"))
+      val p = col("n").cast("double") / col("nt").cast("double")
+      cnt.join(tot, "user_id")
+        .select(col("user_id"),
+          round(-(p * log(p)) * lit(1e6)).cast("long").as("cfix"),
+          col("nt"))
+        .groupBy(col("user_id"))
+        .agg(max(col("nt")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          r6(sum(col("cfix")).cast("double") / lit(1e6)).as("type_entropy"))
+        .orderBy(col("user_id"))
+    }),
+
     // Trailing-7-day distinct users per active day (rolling MAU/WAU
     // shape): distinct (day, user) pairs band-joined to the tiny
     // day dimension — the dimension broadcasts, so the corpus-sized
@@ -465,6 +486,23 @@ object EventsOps extends QueryPack {
         |FROM events e JOIN g ON e.event_type = g.event_type
         |WHERE abs((e.value - g.mean_v) / g.sd_v) > 2.5
         |ORDER BY e.event_id""".stripMargin,
+
+    "e_user_entropy" ->
+      """WITH cnt AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nt
+        |  FROM cnt GROUP BY 1),
+        |fx AS (SELECT cnt.user_id,
+        |    CAST(round(-((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |        ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))) * 1e6)
+        |      AS BIGINT) AS cfix,
+        |    nt
+        |  FROM cnt JOIN tot ON cnt.user_id = tot.user_id)
+        |SELECT user_id, max(nt) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(CAST(sum(cfix) AS BIGINT) / 1e6, 6) + 0 AS type_entropy
+        |FROM fx GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e_rolling_users" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
