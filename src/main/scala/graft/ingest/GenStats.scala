@@ -84,7 +84,15 @@ object GenStats {
     // overwrite and the backfill silently no-ops; a reader in the
     // delete→rename window sees no sidecar and simply doesn't prune.
     fs.delete(new Path(dir, StatsFileName), false)
-    fs.rename(tmp, new Path(dir, StatsFileName))
+    // a false rename after the delete would leave the generation with
+    // NO sidecar while reporting success — the silent no-signal failure
+    // GenBlooms.write throws for; surface it the same way
+    if (!fs.rename(tmp, new Path(dir, StatsFileName))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"failed to publish $StatsFileName under $genPath — the " +
+          "generation now has NO stats sidecar; rerun computeStats")
+    }
   }
 
   /** Stats for one generation, keyed by bare file name; None when the

@@ -54,6 +54,20 @@ object SnapshotLake {
     * data-path; bigger sources skip the bloom tier and scope by
     * envelopes alone. */
   val BloomScopeCap = 1024
+
+  /** (root, generation) → total bytes. Generations are immutable, so an
+    * entry never invalidates; vacuumed generations merely strand a Long
+    * (per-process, bounded by generations ever measured). Keeps the
+    * per-commit auto-compact check from re-walking the whole big body. */
+  private[ingest] val genSizes =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  /** Reentrancy guard: a fold's own publishRewrite fires the
+    * auto-compact hook again; the guard no-ops that inner call. */
+  private[ingest] val inAutoCompact =
+    new ThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = false
+    }
 }
 
 class SnapshotLake(root: String) {
@@ -336,18 +350,28 @@ class SnapshotLake(root: String) {
   }
 
   /** The enabled auto-bloom setting, if any: (columns, expectedNdv). */
-  def autoBloomConfig(spark: SparkSession): Option[(Seq[String], Int)] = {
+  def autoBloomConfig(spark: SparkSession): Option[(Seq[String], Int)] =
+    readControlJson(spark, bloomColsPath).flatMap { m =>
+      import scala.jdk.CollectionConverters._
+      val cols = m.path("cols").elements().asScala.map(_.asText()).toSeq
+      if (cols.isEmpty) None else Some((cols, m.path("ndv").asInt(100000)))
+    }
+
+  /** Raw-fs read+parse of an administrative control file; None when
+    * absent. The read-side twin of [[writeControlFile]] — every control
+    * file goes through this pair so the ChecksumFileSystem hygiene
+    * lives in exactly one place. */
+  private def readControlJson(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
     val raw = rawFs(spark)
-    if (!raw.exists(bloomColsPath)) return None
-    val in = raw.open(bloomColsPath)
+    if (!raw.exists(p)) return None
+    val in = raw.open(p)
     val txt =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-    import scala.jdk.CollectionConverters._
-    val cols = m.path("cols").elements().asScala.map(_.asText()).toSeq
-    if (cols.isEmpty) None else Some((cols, m.path("ndv").asInt(100000)))
+    Some(new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt))
   }
 
   /** Best-effort per-generation bloom build for the auto tier — called
@@ -373,10 +397,12 @@ class SnapshotLake(root: String) {
 
   /** Table-level AUTO-compaction — the write-path companion of
     * [[enableAutoBlooms]] and the generalized form of the streaming
-    * ledgers' every-N-batches compaction: once enabled, each
-    * append/overwrite commit (streamed micro-batches included) checks
+    * ledgers' every-N-batches compaction: once enabled, EVERY
+    * publishing path — append/overwrite commits, streamed
+    * micro-batches, and the merge/delete/optimize rewrites — checks
     * the small-generation tail and runs [[compactSmall]] when it has
     * accumulated `maxSmallGens` generations under `smallBytes` each.
+    * (commitInitial is exempt: a one-generation table has no tail.)
     * A stream-written table then holds a bounded generation count with
     * no external maintenance job. The compaction publishes its own
     * commit AFTER the triggering one (the ingested data is durable
@@ -398,32 +424,40 @@ class SnapshotLake(root: String) {
     rawFs(spark).delete(autoCompactPath, false)
 
   /** The enabled auto-compact setting: (maxSmallGens, smallBytes). */
-  def autoCompactConfig(spark: SparkSession): Option[(Int, Long)] = {
-    val raw = rawFs(spark)
-    if (!raw.exists(autoCompactPath)) return None
-    val in = raw.open(autoCompactPath)
-    val txt =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-    val n = m.path("maxSmallGens").asInt(0)
-    if (n < 2) None else Some((n, m.path("smallBytes").asLong(32L << 20)))
-  }
+  def autoCompactConfig(spark: SparkSession): Option[(Int, Long)] =
+    readControlJson(spark, autoCompactPath).flatMap { m =>
+      val n = m.path("maxSmallGens").asInt(0)
+      if (n < 2) None else Some((n, m.path("smallBytes").asLong(32L << 20)))
+    }
 
   /** Best-effort post-commit compaction check for the auto tier. Never
     * fails the commit that triggered it: a compaction abort (racing
     * writer) or any other failure only defers folding to a later
     * commit. Called AFTER the triggering commit publishes — no commit
-    * depends on it. */
-  private def maybeAutoCompact(spark: SparkSession): Unit =
+    * depends on it. Hot-path cost control: the config read is one
+    * metadata probe; sizing only starts once the MANIFEST has at least
+    * `maxSmallGens` generations (fewer total can't hold that many
+    * smalls), and per-generation sizes come from the immutability cache
+    * so steady state walks only the generations the last commit added.
+    * Reentrancy guard: the fold's own publishRewrite fires this hook
+    * again — the guard turns that inner call into a no-op instead of a
+    * (terminating but wasteful) re-check. */
+  private def maybeAutoCompact(spark: SparkSession): Unit = {
+    if (SnapshotLake.inAutoCompact.get()) return
     try autoCompactConfig(spark).foreach { case (n, bytes) =>
-      compactSmall(spark, bytes, Seq.empty, minSmallGens = n)
+      val enoughGens = latestVersion(spark)
+        .exists(v => dirsAt(spark, v).size >= math.max(2, n))
+      if (enoughGens) {
+        SnapshotLake.inAutoCompact.set(true)
+        try compactSmall(spark, bytes, Seq.empty, minSmallGens = n)
+        finally SnapshotLake.inAutoCompact.set(false)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"snaplake: auto-compact skipped this cycle for $root: $e")
     }
+  }
 
   private def rawFs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
     hadoopFs(spark) match {
@@ -905,9 +939,10 @@ class SnapshotLake(root: String) {
     * tail WITHOUT rewriting the big compacted body the way a full
     * [[optimize]] would (on a 100 TB table, rewriting everything per
     * maintenance pass is the difference between minutes and a day).
-    * Returns the current version unchanged when fewer than two small
-    * generations exist. Same abort-on-race and empty-changefeed
-    * contract as optimize. */
+    * Returns the current version unchanged while fewer than
+    * `max(2, minSmallGens)` small generations exist (the auto tier
+    * passes its threshold through `minSmallGens`). Same abort-on-race
+    * and empty-changefeed contract as optimize. */
   def compactSmall(spark: SparkSession, maxBytes: Long,
       sortCols: Seq[org.apache.spark.sql.Column],
       minSmallGens: Int = 2): Long = {
@@ -915,10 +950,14 @@ class SnapshotLake(root: String) {
       sys.error(s"compact of a never-committed lake: $root"))
     val fs = hadoopFs(spark)
     val dirs = dirsAt(spark, base)
-    // one recursive listing per generation, reused for both the
-    // partition and the tail total (getContentSummary walks the dir)
-    val sizes = dirs.map(d => d -> fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(s"$root/$d")).getLength).toMap
+    // one recursive listing per generation, MEMOIZED on (root, gen):
+    // generations are immutable, so a size never changes once measured
+    // — with auto-compact checking per commit, the steady state walks
+    // only the generations the last commit added, not the whole (ever-
+    // growing) big body
+    val sizes = dirs.map(d => d -> SnapshotLake.genSizes.computeIfAbsent(
+      (root, d), _ => fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$root/$d")).getLength)).toMap
     val (small, big) = dirs.partition(d => sizes(d) < maxBytes)
     if (small.size < math.max(2, minSmallGens)) return base
     val tailBytes = small.map(sizes).sum
@@ -1008,6 +1047,10 @@ class SnapshotLake(root: String) {
       try {
         claimVersionFile(spark, fs, tmp,
           new org.apache.hadoop.fs.Path(f"$commitsDir/v$next%08d.json"))
+        // merge/delete/optimize commits can also grow the small tail —
+        // the auto tier covers EVERY publishing path, not just appends
+        // (the reentrancy guard no-ops this inside a fold's own publish)
+        maybeAutoCompact(spark)
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
