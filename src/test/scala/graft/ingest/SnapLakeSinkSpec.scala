@@ -82,6 +82,41 @@ class SnapLakeSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("auto-compact: a stream-written table keeps a bounded gen count") {
+    // the headline claim of the tier: many tiny micro-batches, no
+    // external maintenance job, and the latest snapshot never holds
+    // more than ~maxSmallGens generations (each fold runs as a
+    // follow-on commit inside the sink's own commit path)
+    val src = tmp("graft_sinkac_src")
+    val root = tmp("graft_sinkac_lake") + "/lake"
+    val ckpt = tmp("graft_sinkac_ckpt")
+    val lake = new SnapshotLake(root)
+    lake.enableAutoCompact(spark, maxSmallGens = 3,
+      smallBytes = 64 * 1024)
+    val q = spark.readStream.schema(srcSchema).parquet(src)
+      .writeStream.format("snaplake")
+      .option("checkpointLocation", ckpt).start(root)
+    try {
+      (0 until 7).foreach { k =>
+        Seq((k.toLong, s"v$k")).toDF("id", "v").coalesce(1)
+          .write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val vLatest = lake.latestVersion(spark).get
+    val dirs = lake.dirsAt(spark, vLatest)
+    assert(dirs.size <= 3,
+      s"7 micro-batches must stay folded under the threshold: $dirs")
+    // folds are layout-only: every row answers exactly once
+    assert(spark.read.format("snaplake").load(root)
+      .as[(Long, String)].collect().toSet ==
+      (0 until 7).map(k => (k.toLong, s"v$k")).toSet)
+    // replay watermark survives interleaved compact commits: the scan
+    // skips them and finds the newest batch marker
+    assert(lake.lastStreamBatchId(spark).contains(6L),
+      "batch-id watermark lost behind compact commits")
+  }
+
   test("a replayed batch id is skipped whole; newer ids commit") {
     val root = tmp("graft_sink_replay") + "/lake"
     val lake = new SnapshotLake(root)
