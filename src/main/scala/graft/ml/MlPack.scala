@@ -334,6 +334,25 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer FERTILITY (tokens per word) per language — the metric
+    // a tokenizer evaluation actually reports: BPE token mass over
+    // whitespace word mass from exact BIGINT sums, one double division
+    // at the end. Scores the committed tokenizer against the corpus
+    // slice-by-slice (a lang whose script the merges never saw shows
+    // elevated fertility).
+    "ns_tokenizer_fertility" -> ((s, d) => {
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Corpus.wsTokenCount(col("text"))).as("n_ws_tokens"),
+          sum(graft.functions.Bpe.tokenCount(col("text")).cast("long"))
+            .as("n_bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_ws_tokens"),
+          col("n_bpe_tokens"),
+          QueryPack.r6(col("n_bpe_tokens").cast("double")
+            / col("n_ws_tokens").cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // Model-based quality filtering: sigmoid of a FROZEN linear model
     // (TextAnalysis.QualityModel — versioned weights, the GPT-3-style
     // LR quality filter) over the quality features, with the keep
@@ -1191,6 +1210,25 @@ object MlPack extends QueryPack {
     "ns_token_count_bpe" ->
       graft.functions.Bpe.oracleSql("documents", "doc_id", "text",
         "n_bpe_tokens"),
+
+    // The BPE replace-chain CTEs rolled up per language.
+    "ns_tokenizer_fertility" -> {
+      val (ctes, last) = graft.functions.Bpe.oracleCtes(
+        "documents", "doc_id", "text")
+      s"""$ctes,
+         |bp AS (SELECT doc_id, CAST(length(s) AS BIGINT) AS nb FROM $last),
+         |ws AS (SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS nw
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(sum(nw) AS BIGINT) AS DOUBLE), 6) + 0 AS fertility
+         |FROM ws JOIN bp USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // Same fixed-point contribution sum as ns_dsir_score: each char's
     // -p·ln(p) is rounded to 6 decimals, then summed as round(x*1e6)
