@@ -314,19 +314,26 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
+    // Labels only ever decrease, so Σlabel is strictly monotone until the
+    // fixpoint: an unchanged sum proves convergence. The sum rides the
+    // checkpoint job itself via observe() — localCheckpoint(eager) is the
+    // action that materializes the frame, and the CollectMetrics node it
+    // executes through hands Σlabel to the Observation for free, so each
+    // round is ONE Spark job (propagate + checkpoint + converge-probe),
+    // not a checkpoint job plus a separate sum scan.
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df
+        .observe(obs, coalesce(sum(col("label")), lit(0L)).as("label_sum"))
+        .localCheckpoint()
+      (out, obs.get("label_sum").asInstanceOf[Long])
+    }
     // Seed one hop ahead: label(u) = min(u, min neighbor) directly from
     // the edge list — same shuffle the plain distinct would cost, one
     // fewer propagation round.
-    var labels = edges.groupBy(col("u"))
+    var (labels, prevSum) = checkpointWithSum(edges.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("label"))
-      .select(col("u").as("doc_id"), col("label"))
-      .localCheckpoint()
-    // Labels only ever decrease, so Σlabel is strictly monotone until the
-    // fixpoint: an unchanged sum proves convergence. One scan of the
-    // checkpointed frame per round instead of a join + count.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
+      .select(col("u").as("doc_id"), col("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -334,10 +341,9 @@ object Dedup {
           edges, "v", col("u"),
           labels.select(col("doc_id").as("v"), col("label")), saltBuckets)
         .select(col("u").as("doc_id"), col("label"))
-      labels = labels.union(nbr)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(labels)
+      val (next, s) = checkpointWithSum(labels.union(nbr)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
+      labels = next
       converged = s == prevSum
       prevSum = s
       iter += 1
@@ -390,12 +396,19 @@ object Dedup {
     * instead of dropping whole docs.
     *
     * Shape at scale: positional grams are one codegen map-side pass; the
-    * occurrence count is a window sum over the gram partition, and the
     * shuffle key is xxhash64(gram) with the gram string dropped before the
-    * exchange — rows in motion are (doc_id, pos, hash64). A hash collision
-    * could only ADD a false dup flag (P ≈ n²/2⁶⁴ corpus-wide); the scored
-    * oracle groups raw gram strings, so green rows prove the collision
-    * term is absent at test scale. Runs then need one shuffle on doc_id.
+    * exchange — rows in motion are (doc_id, pos, hash64). The duplicated-
+    * gram key set is a groupBy aggregate, NOT a window over the gram
+    * partition (same reasoning as [[cappedCandidates]]): partial map-side
+    * aggregation collapses a corpus-common gram (boilerplate headers,
+    * license blocks — the rows this operator exists to find, which by
+    * definition CANNOT be df-capped away) to one row per map partition,
+    * so no reducer ever buffers a hot gram's occurrence list; occurrence
+    * rows then stream through a semi-join probe that AQE can split. A
+    * hash collision could only ADD a false dup flag (P ≈ n²/2⁶⁴ corpus-
+    * wide); the scored oracle groups raw gram strings, so green rows
+    * prove the collision term is absent at test scale. Runs then need one
+    * shuffle on doc_id.
     */
   def dupNgramSpans(docs: DataFrame, n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -404,16 +417,16 @@ object Dedup {
         posexplode(graft.functions.PosShingles.posShingles(toks, n))
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
-    val flagged = grams.withColumn("dup",
-      count(lit(1)).over(Window.partitionBy(col("gh"))) >= 2)
+    val dupKeys = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = flagged.filter(col("dup"))
+    val runs = grams.join(dupKeys, Seq("gh"), "left_semi")
       .withColumn("grp", col("pos") - row_number().over(wDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("run_len"))
       .groupBy(col("doc_id"))
       .agg(sum(col("run_len")).as("n_dup_grams"), max(col("run_len")).as("max_dup_run"))
-    flagged.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
       .join(runs, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
@@ -433,20 +446,22 @@ object Dedup {
     * every token-level operator here.
     *
     * Scale shape: same as dupNgramSpans (xxhash64 gram keys, no gram
-    * strings in the exchange); the reassembly is one per-doc
-    * collect_list over positions — bounded by document length, the same
-    * bound `text` itself already imposes. */
+    * strings in the exchange, groupBy-derived dup keys + streaming
+    * semi-join probe — never a window over the gram partition, so a hot
+    * boilerplate gram collapses map-side instead of buffering in one
+    * task); the reassembly is one per-doc collect_list over positions —
+    * bounded by document length, the same bound `text` itself already
+    * imposes. */
   def removeDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id"),
       split(trim(lower(col("text"))), "\\s+").as("ws"))
     val grams = t.select(col("doc_id"),
         posexplode(graft.functions.PosShingles.posShingles(col("ws"), n))
           .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("gh"))
-    val dup = grams.withColumn("dup",
-        count(lit(1)).over(Window.partitionBy(col("gh"))) >= 2)
-      .filter(col("dup"))
+    val dupKeys = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"))
+    val dup = grams.join(dupKeys, Seq("gh"), "left_semi")
     val covered = dup.select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()

@@ -297,6 +297,41 @@ class ScaleSpec extends SparkSpecBase {
       "no salt-keyed exchange in the enrich-join plan")
   }
 
+  test("dup-cluster rounds run ONE action each: the converge probe rides the checkpoint") {
+    // each propagation round must be a single Spark ACTION (the eager
+    // localCheckpoint, whose observe() hands back Σlabel) — a separate
+    // per-round sum scan would double the job count of a 100 TB
+    // clustering run. Actions, not jobs: AQE splits one action into a
+    // job per shuffle stage, which is noise; QueryExecutionListener
+    // counts exactly the driver-side actions.
+    val pairs = (1L to 200L).map(i => (5000L, i)).toDF("doc_a", "doc_b")
+    pairs.count() // warm lazy session init outside the counted region
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = actions.add(s"FAILED:$funcName")
+    }
+    spark.listenerManager.register(l)
+    val clusters = try {
+      val c = graft.ml.Dedup.dupClusters(pairs, saltBuckets = 8)
+        .as[(Long, Long)].collect().toSet
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
+      c
+    } finally spark.listenerManager.unregister(l)
+    // star graph: seed labels leaves correctly, round 1 pulls the hub's
+    // min through, round 2 proves the fixpoint — 3 checkpoints total
+    assert(clusters.size == 201 && clusters.forall(_._2 == 1L))
+    val counted = actions.toArray(Array.empty[String]).toSeq
+    assert(counted.count(_ == "localCheckpoint") == 3,
+      s"expected 3 checkpoint actions (seed + 2 rounds), got: $counted")
+    assert(counted.forall(a => a == "localCheckpoint" || a == "collect"),
+      s"extra per-round actions crept in: $counted")
+  }
+
   test("train-order shuffle never single-partitions: per-shard windows only") {
     // the 100 TB property of ns_train_order: the permutation is
     // materialized with per-shard windows — a global ORDER BY (or an
@@ -366,6 +401,69 @@ class ScaleSpec extends SparkSpecBase {
     assert(windows.isEmpty,
       s"cappedCandidates plans a group-buffering window: ${windows.mkString("; ").take(600)}")
     spark.catalog.clearCache() // shingled() persists
+  }
+
+  test("dup-span gram counting: a hot boilerplate gram never buffers in a window") {
+    // the 100 TB property of ns_dup_ngram_spans / ns_dup_span_removal:
+    // gram occurrence counts come from a partial-aggregating groupBy
+    // (a hot gram collapses to one row per map partition) + semi-join
+    // probe, NEVER count().over(Window.partitionBy(gh)) — WindowExec
+    // would buffer a corpus-common gram's whole occurrence list in ONE
+    // task, and boilerplate grams are by definition un-cappable (they
+    // are the signal, not noise). Fixture: one 3-gram planted in 75%
+    // of the docs; every other gram is doc-unique.
+    val docs = ((1 to 30).map(i =>
+        (i.toLong, s"u${i}x u${i}y shared boiler plate u${i}z")) ++
+      (31 to 40).map(i =>
+        (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")))
+      .toDF("doc_id", "text")
+    // correctness: exactly the planted gram flags; spans cover its 3 tokens
+    val spans = graft.ml.Dedup.dupNgramSpans(docs, 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    (1 to 30).foreach { i =>
+      val (_, nGrams, nDup, maxRun, spanToks) = spans(i.toLong)
+      assert(nGrams == 4 && nDup == 1 && maxRun == 1 && spanToks == 3,
+        s"doc $i: got ($nGrams, $nDup, $maxRun, $spanToks)")
+    }
+    (31 to 40).foreach(i => assert(spans(i.toLong)._3 == 0,
+      s"doc $i wrongly flagged"))
+    val cleaned = graft.ml.Dedup.removeDupSpans(docs, 3)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "u1x u1y u1z" && cleaned(31L).startsWith("u31a"),
+      s"span removal wrong: ${cleaned(1L)} / ${cleaned(31L)}")
+    // plan shape (AQE off so executedPlan is walkable): the ONLY window
+    // allowed is the per-doc run numbering — no window may partition on
+    // the gram hash, and the gram count must be a hash aggregate
+    Seq(graft.ml.Dedup.dupNgramSpans(docs, 3),
+        graft.ml.Dedup.removeDupSpans(docs, 3)).foreach { q =>
+      val (windows, aggs) = withForcedShufflePlanning {
+        val p = q.queryExecution.executedPlan
+        (p.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        },
+         p.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        })
+      }
+      windows.foreach { w =>
+        assert(!w.partitionSpec.exists(_.toString.contains("gh")),
+          s"gram-partitioned window survives: ${w.partitionSpec.mkString(", ")}")
+      }
+      assert(aggs.exists(_.groupingExpressions.exists(_.toString.contains("gh"))),
+        "gram occurrence count is not a hash aggregate")
+    }
+    // shuffle-volume sanity: the hot gram's 30 occurrence rows collapse
+    // map-side, so the gh-keyed aggregate exchange carries FAR fewer
+    // records than the 30+10 grams-per-occurrence a window shuffle would
+    // ship twice (once to sort, once out). Records, not bytes: bytes
+    // swing with compression.
+    val (_, recs) = graft.ShuffleMeter.shuffleMetrics(spark) {
+      graft.ml.Dedup.dupNgramSpans(docs, 3).collect()
+    }
+    val totalGrams = 30 * 4 + 10 * 4
+    assert(recs < 6L * totalGrams,
+      s"dup-span shuffle ships $recs records for $totalGrams grams")
   }
 
   test("fuzzy-join signature exchanges carry hashed longs, never variant strings") {
