@@ -178,6 +178,33 @@ object Windows extends QueryPack {
         .orderBy(col("quartile"))
     }),
 
+    // The SCALE-SAFE sibling of w_ntile: quantile buckets from
+    // approx_percentile CUTPOINTS (one ordinary partial/final aggregate,
+    // state bounded by the accuracy parameter) broadcast onto a map-side
+    // bucket assignment — no global-sort window anywhere. At test scale
+    // accuracy=1e6 makes the GK sketch rank-exact (rank error n/accuracy
+    // < 1), so the cutpoints ARE the ceil(q·n) order statistics and the
+    // oracle can pin them; at 100 TB the same plan runs with accuracy
+    // ~1e4 and the buckets become approximate — the documented tradeoff
+    // (SCALE.md). Semantics differ from ntile on TIES (equal values
+    // share a bucket instead of splitting on the o_orderkey tiebreak),
+    // which is what a quantile-bucket user actually wants.
+    "w_ntile_approx" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cuts = o.agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000000)).as("cuts"))
+      o.crossJoin(broadcast(cuts))
+        .withColumn("quartile",
+          lit(1) + when(col("o_totalprice") > col("cuts")(0), 1).otherwise(0)
+                 + when(col("o_totalprice") > col("cuts")(1), 1).otherwise(0)
+                 + when(col("o_totalprice") > col("cuts")(2), 1).otherwise(0))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          moneyRound(sum(decMoney(col("o_totalprice")))).as("total"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy(col("quartile"))
+    }),
+
     // Relative-position analytics: percent_rank ((rank-1)/(n-1)) and
     // cume_dist (peers/n) per customer over a TOTAL order (the orderkey
     // tiebreak removes peer groups, so both are exact rationals of the
@@ -303,6 +330,35 @@ object Windows extends QueryPack {
         |FROM (SELECT o_totalprice,
         |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
         |  FROM orders) t
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+
+    // The cutpoints are pinned as explicit ceil(q·n) order statistics —
+    // the rank convention Spark's GK sketch resolves to when its rank
+    // error is under 1 — so the oracle is deterministic, not "whatever
+    // DuckDB's interpolating quantile returns".
+    "w_ntile_approx" ->
+      """WITH ranked AS (
+        |  SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER () AS cnt
+        |  FROM orders),
+        |cuts AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(ceil(0.25 * cnt) AS BIGINT)
+        |        THEN o_totalprice END) AS c1,
+        |    max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT)
+        |        THEN o_totalprice END) AS c2,
+        |    max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT)
+        |        THEN o_totalprice END) AS c3
+        |  FROM ranked)
+        |SELECT quartile, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (SELECT o.o_totalprice,
+        |    CAST(1 + CAST(o.o_totalprice > c.c1 AS INT)
+        |           + CAST(o.o_totalprice > c.c2 AS INT)
+        |           + CAST(o.o_totalprice > c.c3 AS INT) AS INT) AS quartile
+        |  FROM orders o CROSS JOIN cuts c) t
         |GROUP BY quartile ORDER BY quartile""".stripMargin,
 
     "w_percent_dist" ->
