@@ -246,6 +246,57 @@ object MlPack extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
+    // The REBUILT (trained) index path as a scored row (r9 verdict #6):
+    // ivfpqIndexTrained's Lloyd-refined coarse quantizer + Lloyd-trained
+    // PQ codebook, probed and exact-reranked end-to-end. Trained
+    // centroids are float means (summation-order last-bit noise), so the
+    // row hashes margin-backed INVARIANTS, never raw scores: structural
+    // completeness (every non-query vector encoded exactly once, m codes
+    // each — a dropped or duplicated vector flips n_vectors/n_codes),
+    // Lloyd's monotone-improvement guarantees (trained coarse SSE < raw
+    // seed-anchor SSE; trained PQ SSE < sample-codebook SSE — measured
+    // margins are ~2× on this corpus, far beyond float noise), and a
+    // total-recall floor (≥4 truth hits across the 8 queries at
+    // rerankK=20/nprobe=4; measured 8-17 across sf0.001/0.01/0.1, and
+    // chance is ≪1 — a probe misroute or codebook regression zeroes it).
+    "ns_similarity_rebuild" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = Similarity.ivfpqIndexTrained(emb, QueryVecIds, eager = true)
+      val allVecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val corpus = allVecs.filter(!col("vec_id").isin(QueryVecIds: _*))
+      val structural = index.codes.agg(
+        countDistinct(col("vec_id")).cast("bigint").as("n_vectors"),
+        count(lit(1)).cast("bigint").as("n_codes"),
+        (countDistinct(col("lid")) <= lit(16L)).as("n_lists_ok"))
+      val seeds = Similarity.seedVectors(corpus, 16, "trained-vs-seed probe")
+        .select(col("vec_id").as("lid"), col("v").as("lv"))
+      val coarseImproved = Similarity.coarseDistortionDF(corpus, index.centroids)
+        .select(col("coarse_sse").as("sse_tr"))
+        .crossJoin(Similarity.coarseDistortionDF(corpus, broadcast(seeds))
+          .select(col("coarse_sse").as("sse_seed")))
+        .select((col("sse_tr") < col("sse_seed")).as("coarse_improved"))
+      val pqImproved = Similarity
+        .pqDistortionDF(emb, QueryVecIds, 8, 64, index.codebook)
+        .select(col("pq_sse").as("pq_tr"))
+        .crossJoin(Similarity.pqDistortionDF(emb, QueryVecIds, 8, 64,
+            Similarity.pqSampleCodebook(emb, QueryVecIds, 8, 16, 64))
+          .select(col("pq_sse").as("pq_smp")))
+        .select((col("pq_tr") < col("pq_smp")).as("pq_improved"))
+      val truth = Similarity.bruteForceTopK(emb, QueryVecIds, 5)
+        .select(col("query_id"), col("vec_id"))
+      val queries = allVecs.filter(col("vec_id").isin(QueryVecIds: _*))
+      val cands = Similarity.ivfpqProbe(index, queries, 20, nprobe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.exactRerank(cands, allVecs,
+          queries.select(col("vec_id").as("query_id"), col("v").as("qv")), 5)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      val recallOk = truth.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))) >= lit(4)).as("recall_total_ok"))
+      structural.crossJoin(coarseImproved).crossJoin(pqImproved)
+        .crossJoin(recallOk)
+    }),
+
     // Embedding near-duplicate pairs via banded sign-LSH + exact cosine
     // verify. Banding makes candidate recall ~1-1e-11, verification makes
     // precision exact → output equals the brute-force pair set, which is
@@ -551,6 +602,50 @@ object MlPack extends QueryPack {
         .select(col("asset_id"), col("modality"),
           length(col("bytes")).as("byte_len"),
           md5(col("bytes")).as("content_md5"))
+        .orderBy(col("asset_id"))
+    }),
+
+    // The REAL image decode path as a scored row (r9 verdict #7): a
+    // committed JPEG fixture (src/main/resources/graft/fixtures/
+    // photo.jpg — javax.imageio's JPEG reader, the one committed-format
+    // family the PNG/BMP spec fixtures didn't exercise) plus the two
+    // corrupt-blob shapes (reader-returns-null garbage; a truncated
+    // JPEG whose reader THROWS mid-parse), so the null-quarantine
+    // convention — corrupt payloads become null-metadata rows that keep
+    // flowing, never task failures — is oracle-checked, not only
+    // spec-checked. The oracle can state everything as literals: the
+    // fixture bytes are committed (byte_len/md5 are constants of the
+    // repo) and JPEG dimensions/band-count are container facts every
+    // compliant decoder agrees on (pixel MEANS are lossy-decoder-
+    // dependent and stay spec-side). Fixture bytes ride createDataFrame
+    // as a 4-row local table — the same driver-literal shape as the
+    // codebook tables; the decode itself is the production map-side UDF.
+    "ns_multimodal_decode" -> ((s, _) => {
+      val jpeg = {
+        val in = getClass.getResourceAsStream("/graft/fixtures/photo.jpg")
+        require(in != null, "missing committed fixture photo.jpg")
+        try in.readAllBytes() finally in.close()
+      }
+      val truncated = jpeg.take(24) ++ Array.fill[Byte](40)(0x7F)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      Seq(
+        (1L, "image", jpeg),
+        (2L, "image", "not an image".getBytes("UTF-8")),
+        (3L, "image", truncated)
+      ).foreach { case (id, m, b) =>
+        rows.add(org.apache.spark.sql.Row(id, m, b))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("asset_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("modality",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType)))
+      Multimodal.decodeImageMeta(s.createDataFrame(rows, schema))
+        .select(col("asset_id"), col("byte_len"),
+          col("width"), col("height"), col("channels"),
+          col("width").isNotNull.as("decoded"))
         .orderBy(col("asset_id"))
     })
   )
@@ -973,6 +1068,19 @@ object MlPack extends QueryPack {
         |FROM truth t LEFT JOIN approx a
         |  ON a.query_id = t.query_id AND a.vec_id = t.vec_id
         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin),
+
+    // The rebuild row hashes invariants the oracle can state WITHOUT
+    // replaying the (float-mean, summation-order-sensitive) Lloyd
+    // training: exact structural counts from the corpus, and booleans
+    // whose truth is guaranteed by Lloyd monotonicity / measured margin
+    // (see the query comment). A regression in the trained path flips a
+    // boolean or a count and the hash goes red.
+    "ns_similarity_rebuild" ->
+      """SELECT CAST(count(*) - 8 AS BIGINT) AS n_vectors,
+        |  CAST((count(*) - 8) * 8 AS BIGINT) AS n_codes,
+        |  TRUE AS n_lists_ok, TRUE AS coarse_improved,
+        |  TRUE AS pq_improved, TRUE AS recall_total_ok
+        |FROM embeddings""".stripMargin,
 
     // Residual IVF-ADC replay: the frozen quantizer (ResidualTable) as
     // VALUES literals — coordinates reconstructed as fix/1e6 exactly as
@@ -1510,6 +1618,24 @@ object MlPack extends QueryPack {
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
         |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
         |  md5(text) AS content_md5
-        |FROM documents ORDER BY asset_id""".stripMargin
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // Literals only: the fixture bytes are COMMITTED (byte_len is a
+    // constant of the repo — 661 for photo.jpg, 12 for the garbage
+    // blob, 24+40=64 for the truncated JPEG) and 16x12x3 are container
+    // facts of the fixture every compliant JPEG decoder reports. The
+    // corrupt rows' all-NULL metadata is the quarantine contract under
+    // oracle check: a decoder change that starts throwing (task
+    // failure) or returning partial metadata flips the hash.
+    "ns_multimodal_decode" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(661 AS INTEGER), CAST(16 AS INTEGER),
+        |   CAST(12 AS INTEGER), CAST(3 AS INTEGER), TRUE),
+        |  (CAST(2 AS BIGINT), CAST(12 AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), FALSE),
+        |  (CAST(3 AS BIGINT), CAST(64 AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), FALSE))
+        |  AS t(asset_id, byte_len, width, height, channels, decoded)
+        |ORDER BY asset_id""".stripMargin
   )
 }

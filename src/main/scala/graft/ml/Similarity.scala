@@ -223,7 +223,14 @@ object Similarity {
     * (sub, cid, cv) codebook — the quantity Lloyd monotonically
     * decreases; the spec asserts trained < sample. */
   def pqDistortion(emb: DataFrame, queryIds: Seq[Long], m: Int, dim: Int,
-      codebook: DataFrame): Double = {
+      codebook: DataFrame): Double =
+    pqDistortionDF(emb, queryIds, m, dim, codebook).head.getDouble(0)
+
+  /** Lazy 1-row-DataFrame twin of [[pqDistortion]] — composable into a
+    * scored query plan (crossJoin against other aggregate envelopes)
+    * without a driver-side action at build time. */
+  def pqDistortionDF(emb: DataFrame, queryIds: Seq[Long], m: Int, dim: Int,
+      codebook: DataFrame): DataFrame = {
     val dsub = dim / m
     val corpus = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .filter(!col("vec_id").isin(queryIds: _*))
@@ -235,8 +242,17 @@ object Similarity {
     subVecs.join(broadcast(codebook), "sub")
       .withColumn("d", pqL2sq(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("sub")).agg(min(col("d")).as("d"))
-      .agg(sum(col("d"))).head.getDouble(0)
+      .agg(sum(col("d")).as("pq_sse"))
   }
+
+  /** Total squared-L2 distortion of a coarse quantizer over `corpus`
+    * (vec_id, v) — 1-row DataFrame, the coarse analog of
+    * [[pqDistortionDF]]: the quantity the Lloyd rounds of
+    * [[l2CoarseCentroids]] monotonically decrease relative to the raw
+    * seed anchors. */
+  def coarseDistortionDF(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    l2CoarseAssign(corpus, centroids)
+      .agg(sum(pqL2sq(col("v"), col("lv"))).as("coarse_sse"))
 
   private[ml] def pqL2sq(a: Column, b: Column): Column =
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
