@@ -44,10 +44,26 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // With the filter active, MERGE into any existing oracle_sql.json
+    // instead of clobbering the full map: a targeted run into an outDir
+    // previously populated by a full run would otherwise leave stale
+    // per-query parquet dirs next to a shrunken oracle map, and a
+    // downstream consumer would silently validate fewer queries. The
+    // existing file is this writer's own flat `"k": "v"` format, so the
+    // still-escaped pairs splice through verbatim (no unescape cycle).
+    val fresh = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      .map { case (k, v) => q(k) -> q(v) }
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    val prior: Map[String, String] =
+      if (only.isDefined && Files.exists(oraclePath)) {
+        val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        pair.findAllMatchIn(Files.readString(oraclePath))
+          .map(m => s""""${m.group(1)}"""" -> s""""${m.group(2)}"""").toMap
+      } else Map.empty
+    val json = (prior ++ fresh)
+      .map { case (k, v) => s"$k: $v" }.mkString("{", ",", "}")
+    Files.writeString(oraclePath, json)
     spark.stop()
   }
 }

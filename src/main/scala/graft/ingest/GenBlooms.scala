@@ -292,7 +292,7 @@ object GenBlooms {
     if (node.path("_v").asInt(-1) != FormatVersion) return None
     val dec = java.util.Base64.getDecoder
     import scala.jdk.CollectionConverters._
-    Some(node.properties().asScala.filter(_.getKey != "_v").map { fe =>
+    val perFile = node.properties().asScala.filter(_.getKey != "_v").map { fe =>
       fe.getKey -> fe.getValue.properties().asScala.map { ce =>
         val cn = ce.getValue
         val bytes = dec.decode(cn.get("b").asText())
@@ -301,9 +301,18 @@ object GenBlooms {
         // lowercase on parse too: write stores lowercased keys, and any
         // same-version sidecar from the pre-resolution build normalizes
         // identically (its keys were exact schema names)
-        ce.getKey.toLowerCase -> new Bloom(cn.get("m").asInt(),
-          cn.get("k").asInt(), cn.get("t").asText(), longs)
-      }.toMap
-    }.toMap)
+        (ce.getKey.toLowerCase, new Bloom(cn.get("m").asInt(),
+          cn.get("k").asInt(), cn.get("t").asText(), longs))
+      }.toSeq
+    }.toMap
+    // write() rejects case-colliding column sets up front, but a
+    // legacy/foreign same-version sidecar could carry two columns that
+    // collide under lowercasing — toMap would silently keep the LAST
+    // entry and a probe could then consult the WRONG column's bloom and
+    // wrongly prune files. A collided sidecar is untrustworthy as a
+    // whole: treat it as absent (never prune; computeBlooms rebuilds).
+    if (perFile.values.exists(cols => cols.map(_._1).distinct.size != cols.size))
+      return None
+    Some(perFile.map { case (f, cols) => f -> cols.toMap })
   }
 }

@@ -62,8 +62,8 @@ object GenStats {
     * harvesting is recorded with no columns (readable, never pruned). */
   def write(conf: Configuration, genPath: String): Unit = {
     val dir = new Path(genPath)
-    val fs = dir.getFileSystem(conf)
-    val files = fs.listStatus(dir).toSeq
+    val fsAll = dir.getFileSystem(conf)
+    val files = fsAll.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val pool = new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(16))
@@ -73,6 +73,13 @@ object GenStats {
       try par.map(st => st.getPath.getName -> harvestFile(conf, st.getPath)).toVector
       finally pool.environment.shutdown()
     val json = render(perFile)
+    // Publish through the RAW filesystem, like GenBlooms and the
+    // control files: on ChecksumFileSystem delete+rename moves the data
+    // file and its .crc in separate steps, and computeStats now
+    // backfills into PUBLISHED generations — a reader racing load() in
+    // that window would throw ChecksumException or see a momentary
+    // sidecar-less generation (lost pruning).
+    val fs = rawOf(fsAll)
     val tmp = new Path(dir, s".$StatsFileName.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -93,13 +100,28 @@ object GenStats {
         s"failed to publish $StatsFileName under $genPath — the " +
           "generation now has NO stats sidecar; rerun computeStats")
     }
+    // a sidecar written by a pre-raw (checksummed) build left a .crc
+    // describing the OLD content; the raw rename does not touch it, and
+    // it would permanently fail any checksummed read of the new file
+    fsAll match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        fs.delete(c.getChecksumFile(new Path(dir, StatsFileName)), false)
+      case _ => ()
+    }
+  }
+
+  private def rawOf(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
   }
 
   /** Stats for one generation, keyed by bare file name; None when the
     * generation predates stats collection. */
   def load(conf: Configuration, genPath: String): Option[Map[String, FileStats]] = {
     val p = new Path(genPath, StatsFileName)
-    val fs = p.getFileSystem(conf)
+    // raw fs: see the write-side note — a .crc written by an earlier
+    // build must never fail a control-plane read mid-backfill
+    val fs = rawOf(p.getFileSystem(conf))
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val txt =

@@ -409,13 +409,21 @@ class SnapshotLake(root: String) {
     * either way); losing a race to a concurrent writer just skips the
     * cycle — the next commit re-checks. Old versions still need
     * [[vacuum]] for space, as ever. */
+  /** `sortCols`: carried into every auto-fold so a table maintained
+    * with `optimize(sortCols)` keeps its clustering — without it the
+    * folded tail would be rewritten UNSORTED, silently degrading
+    * skipping effectiveness until the next full optimize. */
   def enableAutoCompact(spark: SparkSession, maxSmallGens: Int = 8,
-      smallBytes: Long = 32L << 20): Unit = {
+      smallBytes: Long = 32L << 20, sortCols: Seq[String] = Seq.empty): Unit = {
     require(maxSmallGens >= 2, "auto-compact needs maxSmallGens >= 2")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("maxSmallGens", maxSmallGens)
     node.put("smallBytes", smallBytes)
+    if (sortCols.nonEmpty) {
+      val arr = node.putArray("sortCols")
+      sortCols.foreach(arr.add)
+    }
     writeControlFile(spark, autoCompactPath, "._autocompact.tmp",
       mapper.writeValueAsString(node))
   }
@@ -423,11 +431,17 @@ class SnapshotLake(root: String) {
   def disableAutoCompact(spark: SparkSession): Unit =
     rawFs(spark).delete(autoCompactPath, false)
 
-  /** The enabled auto-compact setting: (maxSmallGens, smallBytes). */
-  def autoCompactConfig(spark: SparkSession): Option[(Int, Long)] =
+  /** The enabled auto-compact setting:
+    * (maxSmallGens, smallBytes, sortCols). */
+  def autoCompactConfig(spark: SparkSession): Option[(Int, Long, Seq[String])] =
     readControlJson(spark, autoCompactPath).flatMap { m =>
       val n = m.path("maxSmallGens").asInt(0)
-      if (n < 2) None else Some((n, m.path("smallBytes").asLong(32L << 20)))
+      if (n < 2) None else {
+        import scala.jdk.CollectionConverters._
+        val sortCols = Option(m.get("sortCols")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText()))
+        Some((n, m.path("smallBytes").asLong(32L << 20), sortCols))
+      }
     }
 
   /** Best-effort post-commit compaction check for the auto tier. Never
@@ -444,12 +458,13 @@ class SnapshotLake(root: String) {
     * (terminating but wasteful) re-check. */
   private def maybeAutoCompact(spark: SparkSession): Unit = {
     if (SnapshotLake.inAutoCompact.get()) return
-    try autoCompactConfig(spark).foreach { case (n, bytes) =>
+    try autoCompactConfig(spark).foreach { case (n, bytes, sortCols) =>
       val enoughGens = latestVersion(spark)
         .exists(v => dirsAt(spark, v).size >= math.max(2, n))
       if (enoughGens) {
         SnapshotLake.inAutoCompact.set(true)
-        try compactSmall(spark, bytes, Seq.empty, minSmallGens = n)
+        try compactSmall(spark, bytes,
+          sortCols.map(org.apache.spark.sql.functions.col), minSmallGens = n)
         finally SnapshotLake.inAutoCompact.set(false)
       }
     } catch {
