@@ -80,6 +80,7 @@ object Bench {
     // identical binaries. Queries whose committed floor exceeds 0.5s are
     // the ones where a single unlucky rep shows up as a >2x "regression"
     // worth seconds — give those min-of-3 minimum.
+    val repCounts = scala.collection.mutable.Map.empty[String, Int]
     val firstPass = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -100,6 +101,7 @@ object Bench {
           times = times :+ timeOnce(fn)
           extra += 1
         }
+        repCounts(name) = times.size
         name -> times.min
       }
     // SECOND-PASS retry (r8 verdict): the in-place adaptive reps above
@@ -113,6 +115,7 @@ object Bench {
     val flagged = firstPass.collect { case (q, v)
       if floor.get(q).exists(fl => fl > 0 && v / fl > 1.5) => q }.toSeq
     val results = firstPass ++ flagged.map { q =>
+      repCounts(q) = repCounts.getOrElse(q, 0) + 1
       q -> math.min(firstPass(q), timeOnce(SparkEntry.queries(q)))
     }
     def toJson(m: Iterable[(String, Double)]): String =
@@ -157,7 +160,19 @@ object Bench {
     // n_queries: the total is a SUM over every registered query, so it
     // grows as coverage grows — comparisons across rounds should be
     // per-query or normalized by this count
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${toJson(head)},"vs_floor_worst10":${toJson(worst10)},"sf":"$sfDir"}""")
+    // `config` is the authoritative record of what this run actually used
+    // — the driver's top-level `cpus` field in BENCH_r*.json records the
+    // MACHINE's core count, not the bench master, which made the r9
+    // artifact look misconfigured vs BASELINE.md (local[4]/shuffle=4);
+    // floors are only comparable under an identical config. `reps` lists
+    // the queries that got MORE than the base rep count (adaptive
+    // anti-burst reps and/or the decorrelated second pass), so a
+    // committed >1.5x-floor entry carries its own evidence of how many
+    // measurements failed to clear it. Both ride the FINAL line because
+    // the driver keeps only the tail of stdout.
+    val extraReps = repCounts.toSeq.filter(_._2 > reps).sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"config":{"master":"local[$cpus]","shuffle_partitions":$cpus,"base_reps":$reps},"reps":$extraReps,"queries":${toJson(head)},"vs_floor_worst10":${toJson(worst10)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
