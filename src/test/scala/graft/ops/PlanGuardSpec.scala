@@ -1,0 +1,164 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution._
+import graft.{SparkEntry, SparkSpecBase}
+
+/** Plan-drift regression guard (r9 verdict #3): the physical plans of
+  * the headline queries, canonicalized down to their OPERATOR SHAPE and
+  * pinned as committed golden files. EXPLAIN.md documents the plans
+  * prose-style and NOTES.md's "PLAN-VERIFIED" claims were manual diffs;
+  * this spec makes the claim decidable — a Catalyst upgrade, a refactor
+  * that silently de-broadcasts a join, an accidental extra Exchange, a
+  * Window sneaking into a groupBy path, or a local sort going global
+  * all change the canonical form and fail the diff.
+  *
+  * Canonical form: one line per operator, indented by tree depth,
+  * carrying exactly the drift-prone facts —
+  *   - `Exchange <PartitioningKind>` (hash / range / single-partition)
+  *   - join node + join type + build side (so broadcast→SMJ drift and
+  *     build-side flips are visible)
+  *   - `Sort global` vs `Sort local` (the w_ntile lesson: a global sort
+  *     is a single-task scale killer)
+  *   - `Window` (windows are the hot-key buffering hazard — the
+  *     dup-span lesson)
+  *   - every other node by bare nodeName
+  * and NOTHING else: no expressions, no stats, no plan ids, no file
+  * paths — those churn without semantic drift. WholeStageCodegen
+  * wrappers and InputAdapters are stripped for the same reason (codegen
+  * span boundaries move with Spark minor versions; the operator list
+  * beneath them is the invariant).
+  *
+  * AQE is disabled while capturing (the static plan is the canonical
+  * object; AQE rewrites are runtime-local) and the broadcast threshold
+  * is left at its default (broadcast decisions ARE part of the guarded
+  * shape). InMemoryTableScan is kept but not descended into — the cache
+  * boundary is shape; the cached fragment's plan is captured at its
+  * definition site anyway.
+  *
+  * Regenerating after an INTENTIONAL plan change:
+  *   SPARK_GRAFT_REGEN_PLANS=1 sbt "testOnly graft.ops.PlanGuardSpec"
+  * then review + commit the golden diffs like any other code change.
+  * A missing golden is written on first run and the test fails with a
+  * commit instruction (never silently passes).
+  */
+class PlanGuardSpec extends SparkSpecBase {
+
+  /** Queries under guard — the bench headline families plus the two
+    * plans r10 specifically reshaped (dup-span gram counting,
+    * w_ntile_approx). Keep construction-cheap entries only: each
+    * capture builds the DataFrame at sf0.001 (training collects run;
+    * the guarded artifact is the final plan). */
+  private val guarded = Seq(
+    "q1_agg",
+    "join_broadcast_star",
+    "join_inner_agg",
+    "ns_dedup_exact",
+    "ns_dedup_jaccard",
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_dup_ngram_spans",
+    "ns_dup_span_removal",
+    "ns_cosine_dup_pairs_banded",
+    "ns_similarity_topk",
+    "ns_similarity_ivf",
+    "ns_lm_perplexity",
+    "w_topk_heap",
+    "w_ntile_approx",
+    "t_tumbling_window",
+    "f13_url_pipeline")
+
+  private def canonical(plan: SparkPlan): String = {
+    val sb = new StringBuilder
+    def partKind(p: SparkPlan): String =
+      p.outputPartitioning.getClass.getSimpleName.stripSuffix("$")
+    // None = transparent wrapper: skip the node, keep its children at
+    // the parent's depth
+    def label(p: SparkPlan): Option[String] = p match {
+      case _: WholeStageCodegenExec => None
+      case _: InputAdapter => None
+      case e: exchange.ShuffleExchangeExec => Some(s"Exchange ${partKind(e)}")
+      case _: exchange.BroadcastExchangeExec => Some("BroadcastExchange")
+      case _: exchange.ReusedExchangeExec => Some("ReusedExchange")
+      case j: joins.BroadcastHashJoinExec =>
+        Some(s"BroadcastHashJoin ${j.joinType} ${j.buildSide}")
+      case j: joins.ShuffledHashJoinExec =>
+        Some(s"ShuffledHashJoin ${j.joinType} ${j.buildSide}")
+      case j: joins.SortMergeJoinExec => Some(s"SortMergeJoin ${j.joinType}")
+      case j: joins.BroadcastNestedLoopJoinExec =>
+        Some(s"BroadcastNestedLoopJoin ${j.joinType}")
+      case j: joins.CartesianProductExec => Some("CartesianProduct")
+      case s: SortExec => Some(if (s.global) "Sort global" else "Sort local")
+      case _: org.apache.spark.sql.execution.window.WindowExec => Some("Window")
+      case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        Some("WindowGroupLimit")
+      case _: FileSourceScanExec => Some("Scan parquet")
+      case other => Some(other.nodeName.takeWhile(_ != '(').trim)
+    }
+    def walk(p: SparkPlan, depth: Int): Unit = label(p) match {
+      case None => p.children.foreach(walk(_, depth))
+      case Some(l) =>
+        sb.append("  " * depth).append(l).append('\n')
+        // cache boundary: the fragment behind an InMemoryTableScan is
+        // planned (and guarded) where it was defined, not re-walked here
+        if (!p.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+          p.children.foreach(walk(_, depth + 1))
+    }
+    walk(plan, 0)
+    sb.toString
+  }
+
+  private def capture(name: String): String = {
+    val fn = SparkEntry.queries(name)
+    val keys = Seq("spark.sql.adaptive.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys.head, "false")
+    try {
+      spark.catalog.clearCache() // normalize InMemoryTableScan presence
+      val df: DataFrame = fn(spark, sf0001)
+      canonical(df.queryExecution.executedPlan)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Golden directory inside the SOURCE tree (so regenerated files are
+    * a reviewable git diff), located via the build.sbt walk rather than
+    * cwd assumptions. */
+  private lazy val goldenDir: Path = {
+    val root = graft.Bench.repoRoot()
+      .getOrElse(fail("cannot locate repo root (no build.sbt ancestor)"))
+    val d = root.resolve("src/test/resources/graft/plans")
+    Files.createDirectories(d)
+    d
+  }
+
+  private val regen = sys.env.get("SPARK_GRAFT_REGEN_PLANS").contains("1")
+
+  guarded.foreach { name =>
+    test(s"plan shape pinned: $name") {
+      val got = capture(name)
+      val file = goldenDir.resolve(s"$name.plan")
+      if (regen) {
+        Files.writeString(file, got)
+        info(s"regenerated $file")
+      } else if (!Files.exists(file)) {
+        Files.writeString(file, got)
+        fail(s"no golden for $name — wrote $file from the current plan; " +
+          "review it against EXPLAIN.md and commit it")
+      } else {
+        val want = Files.readString(file)
+        assert(got == want,
+          s"""plan shape drift in $name — if intentional, regenerate with
+             |SPARK_GRAFT_REGEN_PLANS=1 and commit the golden diff.
+             |=== golden ===
+             |$want
+             |=== current ===
+             |$got""".stripMargin)
+      }
+    }
+  }
+}
