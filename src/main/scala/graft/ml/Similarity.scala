@@ -570,10 +570,15 @@ object Similarity {
 
   private[ml] def l2CoarseCentroids(corpus: DataFrame, nlist: Int,
       iters: Int): DataFrame = {
-    val seeds = seedVectors(corpus, nlist, "residual L2 coarse quantizer")
+    // eager checkpoint: every Lloyd round scans the corpus; without the
+    // barrier each round re-reads parquet and re-casts the floats
+    // (iters × the decode cost, the same reuse shape pqTrainCodebook
+    // already applies to its subvector frame)
+    val mat = corpus.localCheckpoint()
+    val seeds = seedVectors(mat, nlist, "residual L2 coarse quantizer")
       .select(col("vec_id").as("lid"), col("v").as("lv"))
     (1 to iters).foldLeft(seeds) { (c, _) =>
-      val means = l2CoarseAssign(corpus, c)
+      val means = l2CoarseAssign(mat, c)
         .select(col("lid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("lid"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("lid"))
