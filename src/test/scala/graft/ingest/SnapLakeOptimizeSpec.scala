@@ -194,4 +194,40 @@ class SnapLakeOptimizeSpec extends SparkSpecBase {
     assert(lake.read(spark).as[(Long, String)].collect().toSet ==
       Set((2L, "b")), "abort must preserve the winning delete")
   }
+
+  test("auto-compact carries the configured sort columns into the fold") {
+    // a table maintained with optimize(sortCols) must not have its
+    // auto-folded tail rewritten UNSORTED — that silently degrades
+    // clustering (and stats-envelope tightness) until the next full
+    // optimize. enableAutoCompact(sortCols) threads the columns through
+    // to compactSmall's repartitionByRange + sortWithinPartitions.
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(spark.range(0, 50000).toDF("id"), overwrite = true)
+    lake.enableAutoCompact(spark, maxSmallGens = 3,
+      smallBytes = 64 * 1024, sortCols = Seq("id"))
+    assert(lake.autoCompactConfig(spark).exists(_._3 == Seq("id")))
+    // shuffled tiny appends: each gen's rows arrive in hash order, so a
+    // sort-free fold would stay unsorted with near-certainty
+    (0 until 3).foreach { k =>
+      lake.commit(spark.range(50000 + k * 200, 50200 + k * 200).toDF("id")
+        .repartition(4).coalesce(1))
+    }
+    val vLatest = lake.latestVersion(spark).get
+    val dirs = lake.dirsAt(spark, vLatest)
+    assert(dirs.size == 2, s"tail should have folded: $dirs")
+    val folded = dirs.filterNot(_ == lake.dirsAt(spark, 1L).head).head
+    // per-FILE sortedness of the folded generation (parquet preserves
+    // row order; one file per ~smallBytes)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$folded"))
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+        val ids = spark.read.parquet(st.getPath.toString)
+          .select("id").as[Long].collect()
+        assert(ids.sameElements(ids.sorted),
+          s"auto-folded file ${st.getPath.getName} is not sorted by id")
+      }
+    assert(spark.read.format("snaplake").load(root).count() == 50600)
+  }
 }

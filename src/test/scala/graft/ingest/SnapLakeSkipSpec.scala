@@ -462,4 +462,68 @@ class SnapLakeSkipSpec extends SparkSpecBase {
     assert(may(EqualTo(n, Literal(15.0))))
     assert(may(EqualTo(Abs(n), Literal(15L))))
   }
+
+  test("bloom sidecar with case-colliding column keys loads as ABSENT") {
+    // write() rejects colliding column sets up front, but a
+    // legacy/foreign same-version sidecar can carry two columns that
+    // collide under lowercasing; keeping the last entry silently would
+    // let a probe consult the WRONG column's bloom and wrongly prune
+    // files. The contract is None: absent means "never prune", always
+    // safe, and computeBlooms rebuilds a sane sidecar.
+    val dir = Files.createTempDirectory("graft_bloomcol").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(Array.fill[Byte](16)(0x55))
+    def bloomNode(tag: String) =
+      s"""{"m": 128, "k": 2, "t": "$tag", "b": "$b64"}"""
+    def writeSidecar(cols: String): Unit =
+      Files.write(java.nio.file.Paths.get(dir, GenBlooms.BloomsFileName),
+        s"""{"_v": ${GenBlooms.FormatVersion},
+           | "part-0.parquet": {$cols}}""".stripMargin.getBytes("UTF-8"))
+    writeSidecar(s""""Id": ${bloomNode("l")}, "ID": ${bloomNode("l")}""")
+    assert(GenBlooms.load(conf, dir).isEmpty,
+      "case-colliding sidecar must read as absent, not last-wins")
+    // sanity: the same sidecar WITHOUT the collision loads fine, so the
+    // guard rejects the collision, not the format
+    writeSidecar(s""""Id": ${bloomNode("l")}, "other": ${bloomNode("l")}""")
+    val loaded = GenBlooms.load(conf, dir)
+    assert(loaded.isDefined &&
+      loaded.get("part-0.parquet").keySet == Set("id", "other"))
+  }
+
+  test("stats backfill over a checksummed-era sidecar clears the stale .crc") {
+    // computeStats backfills _stats.json into PUBLISHED generations; a
+    // sidecar written by a pre-raw (checksummed) build left a .crc
+    // describing the OLD content. The raw-fs rename doesn't touch it,
+    // and it would permanently fail any checksummed read of the new
+    // file — write() must delete it (the GenBlooms/_constraints publish
+    // hygiene).
+    val dir = Files.createTempDirectory("graft_statscrc").toString
+    spark.range(0, 100).toDF("id").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, GenStats.StatsFileName)
+    val fsAll = p.getFileSystem(conf)
+    // simulate the pre-raw build: write THROUGH the checksummed fs so a
+    // .crc describing this (stale) content exists next to the sidecar
+    val out = fsAll.create(p, true)
+    try out.write("{\"_v\": 1}".getBytes("UTF-8")) finally out.close()
+    val crc = fsAll match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getChecksumFile(p)
+      case _ => fail("local test fs is expected to be checksummed")
+    }
+    assert(fsAll.exists(crc), "precondition: stale .crc present")
+    GenStats.write(conf, dir)
+    assert(!fsAll.exists(crc),
+      "stale .crc must be deleted on publish or checksummed reads fail")
+    // the backfilled sidecar is current-format and readable
+    val stats = GenStats.load(conf, dir)
+    assert(stats.isDefined && stats.get.values.map(_.rows).sum == 100L)
+    // and a CHECKSUMMED read (a foreign tool going through the default
+    // fs) no longer trips over a mismatched checksum
+    val in = fsAll.open(p)
+    try assert(new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      .contains("\"v\"")) finally in.close()
+  }
 }
