@@ -68,7 +68,18 @@ class PlanGuardSpec extends SparkSpecBase {
     "w_topk_heap",
     "w_ntile_approx",
     "t_tumbling_window",
-    "f13_url_pipeline")
+    "f13_url_pipeline",
+    // second wave (r10): the skew-mitigation plans (salting must stay
+    // pre-aggregating), the as-of join's single-shuffle union shape,
+    // the six-stage composed training mix, a snaplake read through the
+    // stats/bloom file index, and the streaming-shaped enrich join
+    "ns_dedup_minhash_salted",
+    "agg_salted_sum",
+    "join_asof",
+    "ns_training_mix",
+    "l_snaplake_skipping",
+    "e_funnel",
+    "t_stream_static_enrich")
 
   private def canonical(plan: SparkPlan): String = {
     val sb = new StringBuilder
