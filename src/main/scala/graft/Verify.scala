@@ -55,11 +55,34 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => q(k) -> q(v) }
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    // hand-rolled string scanner, NOT a regex: the obvious
+    // `"((?:[^"\\]|\\.)*)"` pattern recurses per character inside
+    // java.util.regex's alternation machinery and StackOverflowErrors
+    // on this file's multi-KB SQL strings (observed at 174 queries).
+    // Returns each still-escaped string literal verbatim, in order;
+    // pairing them up ({"k": "v", ...} holds only string literals)
+    // reconstructs the map with no unescape/re-escape cycle.
+    def stringLiterals(txt: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < txt.length) {
+        if (txt.charAt(i) == '"') {
+          val start = i
+          i += 1
+          while (i < txt.length && txt.charAt(i) != '"') {
+            if (txt.charAt(i) == '\\') i += 1 // skip the escaped char
+            i += 1
+          }
+          if (i < txt.length) out += txt.substring(start, i + 1)
+        }
+        i += 1
+      }
+      out.result()
+    }
     val prior: Map[String, String] =
       if (only.isDefined && Files.exists(oraclePath)) {
-        val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-        pair.findAllMatchIn(Files.readString(oraclePath))
-          .map(m => s""""${m.group(1)}"""" -> s""""${m.group(2)}"""").toMap
+        stringLiterals(Files.readString(oraclePath))
+          .grouped(2).collect { case Seq(k, v) => k -> v }.toMap
       } else Map.empty
     val json = (prior ++ fresh)
       .map { case (k, v) => s"$k: $v" }.mkString("{", ",", "}")
