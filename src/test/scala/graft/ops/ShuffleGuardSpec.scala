@@ -40,12 +40,17 @@ class ShuffleGuardSpec extends SparkSpecBase {
 
   /** Guarded families: the full ML surface plus the join/window/agg
     * gap-fill packs and the reference J-rows (r8 verdict #9 — the
-    * custom TopK exec's queries especially). Scalar/projection packs
-    * shuffle only for their canonical ORDER BY, so guarding them would
-    * pin sort exchanges, not plan shape. */
+    * custom TopK exec's queries especially); r10 adds the event-time
+    * family (t_ — windows/stream-shaped joins carry real aggregation
+    * exchanges) and the snaplake reads (l_ — the query functions build
+    * their lakes eagerly at construction, so the measured region is the
+    * READ: a pruning regression that starts shuffling unpruned files
+    * shows up as record growth). Scalar/projection packs shuffle only
+    * for their canonical ORDER BY, so guarding them would pin sort
+    * exchanges, not plan shape. */
   private val GuardedPrefixes =
     Seq("ns_", "join_", "w_", "agg_", "j1_", "j2_", "j3_", "sub_", "q1_",
-      "e_")
+      "e_", "t_", "l_")
 
   test("scored-family shuffle volumes stay within committed floors") {
     graft.plans.TopK.ensurePlanning(spark)
