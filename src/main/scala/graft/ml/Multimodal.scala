@@ -330,8 +330,9 @@ object Multimodal {
   }
 
   /** Synthesize an asset table from documents: bytes = UTF-8 payload,
-    * modality round-robins image/audio/video. Stands in for a real
-    * `binaryFile` / blob-store read. */
+    * modality round-robins image/audio/video. Stands in for a
+    * [[binaryAssets]] blob-store read where the testdata has no real
+    * media files. */
   def assets(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("asset_id"),
@@ -339,6 +340,37 @@ object Multimodal {
         array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       col("text").cast("binary").as("bytes"))
+
+  /** The REAL blob-store read: Spark's `binaryFile` source over a
+    * directory tree, mapped to the same (asset_id, modality, bytes)
+    * schema every decode operator downstream consumes — so the decode
+    * pipeline runs unchanged over synthesized tables (tests) and real
+    * media directories (production). Modality derives from the file
+    * extension; asset_id is a 64-bit content-path hash (stable across
+    * re-listings, collision odds n²/2⁶⁴). The source reads each file as
+    * ONE row map-side — at 100 TB the parallelism unit is the file,
+    * exactly right for per-asset decode, and
+    * `spark.sql.files.maxPartitionBytes` groups small files per task.
+    * `pathGlobFilter`/`recursiveFileLookup` push down to the listing, so
+    * a modality-filtered read never stats the other modalities' files. */
+  def binaryAssets(spark: SparkSession, dir: String,
+      glob: Option[String] = None): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val reader = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+    glob.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        when(ext.isin("png", "bmp", "gif", "jpg", "jpeg"), "image")
+          .when(ext.isin("wav", "aiff", "aif", "au", "mp3", "flac"), "audio")
+          .when(ext.isin("mp4", "mov", "m4v", "webm", "mkv"), "video")
+          .otherwise("binary").as("modality"),
+        col("content").as("bytes"),
+        col("path").as("source_path"),
+        col("length").as("byte_len"),
+        col("modificationTime").as("modified_at"))
+  }
 
   /** STUB decode — the SAMPLE-DATA level only, as of the container
     * parser landing: image metadata is real ([[decodeImageMeta]],

@@ -632,6 +632,67 @@ class MlSpec extends SparkSpecBase {
         s"asset $id should have null metadata") }
   }
 
+  test("binaryFile asset read: real media directory through the decode pipeline") {
+    // the production entry point: a directory tree of media files read
+    // via Spark's binaryFile source into the SAME (asset_id, modality,
+    // bytes) schema the synthesized assets() table uses — proven by
+    // running the real image decode unchanged over the read frame
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(name)
+      assert(in != null, s"missing resource $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_blob")
+    val sub = java.nio.file.Files.createDirectory(root.resolve("shard0"))
+    java.nio.file.Files.write(sub.resolve("gradient.png"),
+      res("/graft/fixtures/gradient.png"))
+    java.nio.file.Files.write(sub.resolve("photo.jpg"),
+      res("/graft/fixtures/photo.jpg"))
+    java.nio.file.Files.write(root.resolve("ramp.wav"),
+      res("/graft/fixtures/ramp.wav"))
+    java.nio.file.Files.write(root.resolve("readme.txt"),
+      "not media".getBytes("UTF-8"))
+    val assets = Multimodal.binaryAssets(spark, root.toString)
+    val rows = assets.collect().map(r =>
+      r.getAs[String]("source_path").split('/').last -> r).toMap
+    assert(rows.keySet ==
+      Set("gradient.png", "photo.jpg", "ramp.wav", "readme.txt"))
+    // modality from extension; recursive lookup found the shard subdir
+    assert(rows("gradient.png").getAs[String]("modality") == "image")
+    assert(rows("photo.jpg").getAs[String]("modality") == "image")
+    assert(rows("ramp.wav").getAs[String]("modality") == "audio")
+    assert(rows("readme.txt").getAs[String]("modality") == "binary")
+    // bytes round-trip exactly (content column IS the file)
+    assert(java.util.Arrays.equals(
+      rows("photo.jpg").getAs[Array[Byte]]("bytes"),
+      res("/graft/fixtures/photo.jpg")))
+    // asset_id: stable across re-listings, distinct per file
+    val again = Multimodal.binaryAssets(spark, root.toString).collect()
+      .map(r => r.getAs[String]("source_path") -> r.getAs[Long]("asset_id"))
+      .toMap
+    rows.values.foreach(r => assert(
+      again(r.getAs[String]("source_path")) == r.getAs[Long]("asset_id")))
+    assert(rows.values.map(_.getAs[Long]("asset_id")).toSet.size == 4)
+    // the REAL decode runs unchanged over the real read: both images
+    // decode (16x12 fixtures), the non-images null-quarantine
+    val meta = Multimodal.decodeImageMeta(assets)
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    val imgIds = Seq("gradient.png", "photo.jpg")
+      .map(f => rows(f).getAs[Long]("asset_id"))
+    imgIds.foreach { id =>
+      assert(meta(id).getAs[Int]("width") == 16 &&
+        meta(id).getAs[Int]("height") == 12, s"asset $id wrong dims")
+    }
+    val wavId = rows("ramp.wav").getAs[Long]("asset_id")
+    assert(meta(wavId).isNullAt(meta(wavId).fieldIndex("width")))
+    // pathGlobFilter pushes the modality filter into the LISTING —
+    // the other files are never read, not just dropped post-scan
+    val onlyPng = Multimodal.binaryAssets(spark, root.toString,
+      glob = Some("*.png")).collect()
+    assert(onlyPng.length == 1 &&
+      onlyPng.head.getAs[String]("modality") == "image")
+  }
+
   test("resize: bounded length, deterministic, identity under target") {
     val assets = Multimodal.assets(docs.limit(20))
     val r1 = Multimodal.resizeAssets(assets, 32).collect()
