@@ -4,6 +4,47 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise make
+    * the driver's json.load fail and silently zero the round's
+    * correctness. Exposed for VerifySpec's round-trip property. */
+  private[graft] def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Every double-quoted string literal in `txt`, still escaped,
+    * in order. Hand-rolled scanner, NOT a regex: the obvious
+    * `"((?:[^"\\]|\\.)*)"` pattern recurses per character inside
+    * java.util.regex's alternation machinery and StackOverflowErrors
+    * on this file's multi-KB SQL strings (observed at 174 queries).
+    * Pairing the literals up ({"k": "v", ...} holds only string
+    * literals) reconstructs the oracle map with no unescape/re-escape
+    * cycle. */
+  private[graft] def stringLiterals(txt: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < txt.length) {
+      if (txt.charAt(i) == '"') {
+        val start = i
+        i += 1
+        while (i < txt.length && txt.charAt(i) != '"') {
+          if (txt.charAt(i) == '\\') i += 1 // skip the escaped char
+          i += 1
+        }
+        if (i < txt.length) out += txt.substring(start, i + 1)
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,18 +73,6 @@ object Verify {
       }
       finally spark.catalog.clearCache() // free per-query persisted intermediates
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // With the filter active, MERGE into any existing oracle_sql.json
     // instead of clobbering the full map: a targeted run into an outDir
     // previously populated by a full run would otherwise leave stale
@@ -53,32 +82,8 @@ object Verify {
     // still-escaped pairs splice through verbatim (no unescape cycle).
     val fresh = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => q(k) -> q(v) }
+      .map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
-    // hand-rolled string scanner, NOT a regex: the obvious
-    // `"((?:[^"\\]|\\.)*)"` pattern recurses per character inside
-    // java.util.regex's alternation machinery and StackOverflowErrors
-    // on this file's multi-KB SQL strings (observed at 174 queries).
-    // Returns each still-escaped string literal verbatim, in order;
-    // pairing them up ({"k": "v", ...} holds only string literals)
-    // reconstructs the map with no unescape/re-escape cycle.
-    def stringLiterals(txt: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
-      var i = 0
-      while (i < txt.length) {
-        if (txt.charAt(i) == '"') {
-          val start = i
-          i += 1
-          while (i < txt.length && txt.charAt(i) != '"') {
-            if (txt.charAt(i) == '\\') i += 1 // skip the escaped char
-            i += 1
-          }
-          if (i < txt.length) out += txt.substring(start, i + 1)
-        }
-        i += 1
-      }
-      out.result()
-    }
     val prior: Map[String, String] =
       if (only.isDefined && Files.exists(oraclePath)) {
         stringLiterals(Files.readString(oraclePath))

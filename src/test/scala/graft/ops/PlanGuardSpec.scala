@@ -79,7 +79,12 @@ class PlanGuardSpec extends SparkSpecBase {
     "ns_training_mix",
     "l_snaplake_skipping",
     "e_funnel",
-    "t_stream_static_enrich")
+    "t_stream_static_enrich",
+    // the DOCUMENTED exception, pinned as such: w_ntile's golden
+    // contains the one sanctioned empty-partition Window (SCALE.md).
+    // Pinning it means a second global window can't hide behind "ntile
+    // was always like that" — the golden diff shows exactly one.
+    "w_ntile")
 
   private def canonical(plan: SparkPlan): String = {
     val sb = new StringBuilder
