@@ -84,10 +84,18 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    // prior entries are kept only for queries that still EXIST in
+    // SparkEntry: without the filter, a renamed/deleted query's stale
+    // oracle entry (plus its frozen parquet dump) would keep
+    // "validating" forever — green against its own old output, never
+    // able to go red, inflating the pass count the merge exists to keep
+    // honest.
+    val liveKeys = SparkEntry.oracleSql.keySet.map(jsonQuote)
     val prior: Map[String, String] =
       if (only.isDefined && Files.exists(oraclePath)) {
         stringLiterals(Files.readString(oraclePath))
-          .grouped(2).collect { case Seq(k, v) => k -> v }.toMap
+          .grouped(2).collect { case Seq(k, v) if liveKeys(k) => k -> v }
+          .toMap
       } else Map.empty
     val json = (prior ++ fresh)
       .map { case (k, v) => s"$k: $v" }.mkString("{", ",", "}")

@@ -78,7 +78,15 @@ object GenStats {
     // file and its .crc in separate steps, and computeStats now
     // backfills into PUBLISHED generations — a reader racing load() in
     // that window would throw ChecksumException or see a momentary
-    // sidecar-less generation (lost pruning).
+    // sidecar-less generation (lost pruning). ACCEPTED TRADEOFF (same
+    // call GenBlooms made in r9): raw reads forgo local-fs checksum
+    // verification, so silent on-disk corruption that still parses as
+    // valid JSON would yield a wrong envelope instead of a loud
+    // ChecksumException. Real object stores (S3/GCS/HDFS) carry their
+    // own integrity checks below this layer; the local-fs .crc was the
+    // only thing lost, and it is what caused the publish race. A
+    // malformed sidecar still reads as absent (parse() → None → never
+    // prune).
     val fs = rawOf(fsAll)
     val tmp = new Path(dir, s".$StatsFileName.tmp")
     val out = fs.create(tmp, true)

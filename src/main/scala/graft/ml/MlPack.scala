@@ -261,19 +261,25 @@ object MlPack extends QueryPack {
     // chance is ≪1 — a probe misroute or codebook regression zeroes it).
     "ns_similarity_rebuild" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // ONE decode of the embedding column feeds everything: training,
+      // both distortion scans, the sample codebook, brute-force truth,
+      // and the rerank — without the barrier each branch re-reads
+      // parquet and re-casts per consumer (the NOTES §7 multi-branch
+      // recompute hazard). embC re-presents the cached doubles under
+      // the original schema so the emb-taking helpers scan the cache
+      // too (their internal array<double> cast is a no-op on it —
+      // values identical); released by the harness's per-query
+      // clearCache.
+      val allVecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")).persist()
+      val embC = allVecs.select(col("vec_id"), col("v").as("embedding"))
       // 3+2 Lloyd rounds: the scored invariants need monotone
       // improvement over the seed/sample baselines (locked in from
       // round 1, margins still ~2x at these counts), not a converged
       // quantizer — the 5+3 defaults stay for real rebuilds; each extra
       // round is a full corpus pass this benchmark row doesn't need
-      val index = Similarity.ivfpqIndexTrained(emb, QueryVecIds,
+      val index = Similarity.ivfpqIndexTrained(embC, QueryVecIds,
         coarseIters = 3, pqIters = 2, eager = true)
-      // one decode of the embedding column feeds every probe below
-      // (two distortion scans, brute-force truth, rerank) — without the
-      // barrier each branch re-reads parquet and re-casts per consumer
-      // (the NOTES §7 multi-branch recompute hazard)
-      val allVecs = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v")).persist()
       val corpus = allVecs.filter(!col("vec_id").isin(QueryVecIds: _*))
       val structural = index.codes.agg(
         countDistinct(col("vec_id")).cast("bigint").as("n_vectors"),
@@ -287,13 +293,13 @@ object MlPack extends QueryPack {
           .select(col("coarse_sse").as("sse_seed")))
         .select((col("sse_tr") < col("sse_seed")).as("coarse_improved"))
       val pqImproved = Similarity
-        .pqDistortionDF(emb, QueryVecIds, 8, 64, index.codebook)
+        .pqDistortionDF(embC, QueryVecIds, 8, 64, index.codebook)
         .select(col("pq_sse").as("pq_tr"))
-        .crossJoin(Similarity.pqDistortionDF(emb, QueryVecIds, 8, 64,
-            Similarity.pqSampleCodebook(emb, QueryVecIds, 8, 16, 64))
+        .crossJoin(Similarity.pqDistortionDF(embC, QueryVecIds, 8, 64,
+            Similarity.pqSampleCodebook(embC, QueryVecIds, 8, 16, 64))
           .select(col("pq_sse").as("pq_smp")))
         .select((col("pq_tr") < col("pq_smp")).as("pq_improved"))
-      val truth = Similarity.bruteForceTopK(emb, QueryVecIds, 5)
+      val truth = Similarity.bruteForceTopK(embC, QueryVecIds, 5)
         .select(col("query_id"), col("vec_id"))
       val queries = allVecs.filter(col("vec_id").isin(QueryVecIds: _*))
       val cands = Similarity.ivfpqProbe(index, queries, 20, nprobe = 4)

@@ -336,6 +336,19 @@ object Windows extends QueryPack {
     // the rank convention Spark's GK sketch resolves to when its rank
     // error is under 1 — so the oracle is deterministic, not "whatever
     // DuckDB's interpolating quantile returns".
+    //
+    // VALIDITY ENVELOPE: the exactness argument needs the sketch to
+    // stay effectively uncompressed, which holds while n·(1/accuracy)
+    // ≪ 1 — comfortably true at every driver scale (orders: 1.5k /
+    // 15k / 150k rows → rank-error bound 0.0015 / 0.015 / 0.15). Past
+    // roughly n ≈ 5·10⁵ at accuracy=1e6 the GK summary begins merging
+    // samples and percentile_approx may return a NEIGHBORING order
+    // statistic; verifying this oracle at sf≥1 would need accuracy
+    // raised in lockstep (or the oracle relaxed to a ±1-rank band).
+    // That is the intended production semantics — the query's whole
+    // point is that buckets go approximate instead of the sort going
+    // global — but the BIT-EXACT gate is only claimed inside this
+    // envelope.
     "w_ntile_approx" ->
       """WITH ranked AS (
         |  SELECT o_totalprice,
