@@ -281,10 +281,16 @@ object GenBlooms {
       case other => other
     }
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
+    // exists→open is a TOCTOU pair: computeBlooms' republish delete can
+    // land between them, making the sidecar momentarily absent — the
+    // contract is None (full fan-out, never a planner-killing
+    // FileNotFoundException). Same fix as GenStats.load.
     val txt =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
-      finally in.close()
+      try {
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), UTF_8)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return None }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(txt)
     // a sidecar from a different canonicalization era reads as absent

@@ -131,12 +131,19 @@ object GenStats {
     // build must never fail a control-plane read mid-backfill
     val fs = rawOf(p.getFileSystem(conf))
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val txt =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    parse(txt)
+    // exists→open is a TOCTOU pair: a backfill's delete can land
+    // between them (the republish window), in which case the sidecar is
+    // momentarily ABSENT — the contract is None (never prune), not a
+    // FileNotFoundException killing the reader's planning. Caught by
+    // the SnapLakeSkipSpec republish hammer.
+    try {
+      val in = fs.open(p)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      parse(txt)
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   // ---------------------------------------------------------------- footer

@@ -491,6 +491,46 @@ class SnapLakeSkipSpec extends SparkSpecBase {
       loaded.get("part-0.parquet").keySet == Set("id", "other"))
   }
 
+  test("stats republish never exposes a reader to a broken window") {
+    // the race the raw-fs publish closes: computeStats backfills into
+    // PUBLISHED generations, so load() can run concurrently with
+    // write()'s delete->rename. A reader must see either the old or
+    // the new sidecar (or, in the unavoidable sub-moment between
+    // delete and rename, absent = "never prune") — NEVER a
+    // ChecksumException or a partial file. Hammer load() from 4
+    // threads across 25 republishes.
+    val dir = Files.createTempDirectory("graft_statsrace").toString
+    spark.range(0, 1000).toDF("id").coalesce(2)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    GenStats.write(conf, dir)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val absent = new java.util.concurrent.atomic.AtomicLong
+    val readers = (1 to 4).map { _ =>
+      val t = new Thread(() => {
+        while (!stop.get()) {
+          try GenStats.load(conf, dir) match {
+            case Some(stats) =>
+              reads.incrementAndGet()
+              // a parsed sidecar must be COMPLETE: both files, right rows
+              if (stats.values.map(_.rows).sum != 1000L)
+                failures.add(s"partial sidecar visible: $stats")
+            case None => absent.incrementAndGet() // delete->rename moment
+          } catch {
+            case e: Throwable => failures.add(s"${e.getClass.getName}: ${e.getMessage}")
+          }
+        }
+      })
+      t.start(); t
+    }
+    try (1 to 25).foreach(_ => GenStats.write(conf, dir))
+    finally { stop.set(true); readers.foreach(_.join(10000)) }
+    assert(failures.isEmpty, s"reader failures: ${failures.toArray.mkString("; ")}")
+    assert(reads.get() > 0, "hammer never completed a read")
+  }
+
   test("stats backfill over a checksummed-era sidecar clears the stale .crc") {
     // computeStats backfills _stats.json into PUBLISHED generations; a
     // sidecar written by a pre-raw (checksummed) build left a .crc
