@@ -293,6 +293,42 @@ object Corpus {
         round(col("n_dup_chunks") / col("n_chunks"), 6))
   }
 
+  /** Sliding-window chunker (the RAG / context-packing split): each doc's
+    * whitespace-token stream becomes windows of `window` tokens starting
+    * every `stride` tokens (overlap = window - stride), each chunk
+    * fingerprinted (md5 of the space-rejoined slice). Start positions are
+    * 0, stride, 2*stride, … stopping at the FIRST start whose window
+    * reaches the end of the doc (start + window >= n_tokens): every token
+    * lands in >= 1 chunk, a short tail emits one partial chunk, and no
+    * chunk is a suffix of its predecessor — the fully-contained tail
+    * starts an overlap chunker would otherwise emit are duplicate content
+    * a retrieval index must not hold twice. paragraphDedup is the
+    * degenerate stride == window case; the overlap generalization is what
+    * retrieval pipelines index.
+    *
+    * Scale shape: entirely map-side — explode the start-index sequence
+    * (outside any lambda, so slice/md5 stay codegen projections, NOTES.md
+    * §7), no shuffle at all; rows per doc bounded by n_tokens / stride.
+    * Reference analog: fixed-size chunk assignment (app.js:406).
+    */
+  def chunkSliding(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && window >= stride, "window >= stride >= 1")
+    docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0),
+          // last start index = ceil(max(n - window, 0) / stride): the
+          // first start covering the doc's end. Column `/` is double
+          // division; the +(stride-1) trick makes the truncating cast a
+          // ceil (numerator >= 0 always — size >= 1, split('') is ['']).
+          ((greatest(size(col("t")) - lit(window), lit(0)) +
+            lit(stride - 1)) / lit(stride)).cast("int"))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+        least(lit(window), size(col("t")) - col("i") * stride)
+          .cast("long").as("n_tokens"),
+        md5(array_join(slice(col("t"), col("i") * stride + 1, lit(window)),
+          " ")).as("chunk_hash"))
+  }
+
   /** DSIR-style importance score: how much a document looks like the
     * target domain (here: the `en` slice) relative to the raw corpus,
     * measured over hashed token buckets — the importance-resampling

@@ -111,6 +111,15 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Sliding-window chunking for retrieval / context packing: 24-token
+    // windows every 16 tokens (8-token overlap), content-fingerprinted.
+    // Entirely map-side (explode + codegen projections, zero shuffle
+    // before the canonical ORDER BY).
+    "ns_chunk_overlap" -> ((s, d) => {
+      Corpus.chunkSliding(Tables.documents(s, d), 24, 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // SimHash near-dup pairs (Hamming <= 3).
     "ns_dedup_simhash" -> ((s, d) => {
       Dedup.simhashDupPairs(Tables.documents(s, d), 3)
@@ -881,6 +890,22 @@ object MlPack extends QueryPack {
         |  CAST(n_dup AS BIGINT) AS n_dup_chunks,
         |  round(CAST(n_dup AS DOUBLE) / n_chunks, 6) AS dup_frac
         |FROM pd ORDER BY doc_id""".stripMargin,
+
+    // Sliding chunk replay: start indices 0,16,32,… stopping at the
+    // first start whose 24-token window reaches the doc's end
+    // (ceil(max(n-24,0)/16) is the last index — no suffix-duplicate
+    // tail chunks), 24-token inclusive-end slice, identical
+    // md5-of-rejoined-slice.
+    "ns_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |ci AS (SELECT doc_id, t,
+        |    unnest(range(0, ((greatest(len(t) - 24, 0) + 15) // 16) + 1))
+        |      AS i FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(least(24, len(t) - i * 16) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(t[(i*16 + 1):(i*16 + 24)], ' ')) AS chunk_hash
+        |FROM ci ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Full simhash replay: per-token 64-bit hash is the md5 prefix (the
     // one hash both engines derive bit-identically — SimHash64's basis),

@@ -84,6 +84,28 @@ object Aggregates extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // Multiset EXCEPT ALL — the bag-semantics complement of A5 that the
+    // distinct-set rows deliberately don't cover (COVERAGE §2.8):
+    // multiplicity max(m - n, 0) per key. Spark plans exceptAll as a
+    // +1/-1 counted aggregate + replicate-rows generate — one hash
+    // shuffle on the key, no sort, partial aggregation intact — so a
+    // hot key collapses map-side exactly like any groupBy. Collapsed to
+    // (k, n) so the surviving multiplicities are the scored artifact.
+    "set_except_all" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    // Multiset INTERSECT ALL: multiplicity min(m, n) per key.
+    "set_intersect_all" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
     // A6: union-all (frontier accumulation, app.js:181) — no dedup.
     "a6_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -300,6 +322,18 @@ object Aggregates extends QueryPack {
       """SELECT c_nationkey AS k FROM customer
         |INTERSECT SELECT s_nationkey AS k FROM supplier
         |ORDER BY k""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  EXCEPT ALL SELECT s_nationkey AS k FROM supplier)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT ALL SELECT s_nationkey AS k FROM supplier)
+        |GROUP BY k ORDER BY k""".stripMargin,
 
     "a6_union_all" ->
       """SELECT o_orderkey AS k, 'high' AS src FROM orders WHERE o_totalprice > 100000

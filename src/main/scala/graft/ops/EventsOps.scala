@@ -223,6 +223,63 @@ object EventsOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Last-touch attribution: each converting user's FIRST purchase is
+    // credited to the channel (event_type) of the latest event strictly
+    // before it. (ts, event_id) is a total order — timestamp collisions
+    // break on the id — so both the first-purchase min-struct and the
+    // last-touch max-struct are deterministic aggregates, never windows.
+    // Users whose first purchase has no prior event credit 'direct'.
+    // At scale: every frame is user-keyed (one shuffle key, the join
+    // co-partitions), per-user state is ONE struct in partial agg — the
+    // classic sort-based sessionize replaced by two hash aggregates.
+    "e_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+      val touch = ev.join(firstP, "user_id")
+        .filter(struct(col("ts"), col("event_id")) < col("fp"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("lt"))
+      firstP.join(touch, Seq("user_id"), "left")
+        .select(coalesce(col("lt.event_type"), lit("direct")).as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("channel"))
+    }),
+
+    // Rate-normalized cohort retention: e_retention's triangle with
+    // each cell divided by its cohort's size — the fraction a growth
+    // dashboard actually plots — and a deliberately different plan
+    // shape: ONE user-keyed aggregate carries
+    // both the cohort min and the distinct-day set (bounded by the
+    // horizon's day count, so collect_set state is constant-sized per
+    // user no matter how many raw events they emit); the explode then
+    // makes count(*) per (cohort, offset) already user-distinct. Cohort
+    // sizes are a tiny per-day aggregate, explicitly broadcast. No
+    // window anywhere; the only wide exchanges are user-keyed and
+    // (cohort, offset)-keyed hash aggregates.
+    "e_retention_rate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"),
+          collect_set(col("day")).as("days"))
+      val sizes = perUser.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_n"))
+      perUser
+        .select(col("cohort_day"), explode(col("days")).as("day"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_users"),
+          r6(col("n_users").cast("double") / col("cohort_n").cast("double"))
+            .as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Datetime-extraction pack (the §2.6 F10 family widened): every
     // field in both engines' shared semantics — Spark dayofweek is
     // Sunday=1 (DuckDB's dayofweek+1); Spark weekday()+1 is ISO dow
@@ -459,6 +516,45 @@ object EventsOps extends QueryPack {
         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
         |    AS attributed_value
         |FROM conv GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Attribution replay: row_number emulates the struct min/max with
+    // the identical (ts, event_id) total order.
+    "e_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |fp AS (SELECT user_id, ts AS fts, event_id AS fid
+        |  FROM p WHERE rn = 1),
+        |t AS (SELECT e.user_id, e.event_type,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM events e JOIN fp ON e.user_id = fp.user_id
+        |  WHERE e.ts < fp.fts OR (e.ts = fp.fts AND e.event_id < fp.fid)),
+        |lt AS (SELECT user_id, event_type FROM t WHERE rn = 1)
+        |SELECT coalesce(lt.event_type, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM fp LEFT JOIN lt ON fp.user_id = lt.user_id
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // Rate replay: DISTINCT (user, day) first so count(*) per
+    // (cohort, offset) is user-distinct, exactly like the exploded set.
+    "e_retention_rate" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |fu AS (SELECT user_id, min(day) AS cohort_day FROM ev
+        |  GROUP BY user_id),
+        |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n
+        |  FROM fu GROUP BY cohort_day),
+        |r AS (SELECT fu.cohort_day,
+        |    CAST(date_diff('day', fu.cohort_day, ev.day) AS INT)
+        |      AS day_offset,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM ev JOIN fu USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_day, day_offset, n_users,
+        |  round(CAST(n_users AS DOUBLE) / cohort_n, 6) + 0 AS retention
+        |FROM r JOIN sz ON r.cohort_day = sz.cohort_day
+        |ORDER BY r.cohort_day, day_offset""".stripMargin,
 
     "f_datetime_pack" ->
       """SELECT event_id,

@@ -262,6 +262,30 @@ object Extras extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Deterministic per-group MODE: two partial-aggregating hash
+    // aggregates, never a window — (group, value) counts collapse
+    // map-side first, then max(struct(n, value)) picks the most
+    // frequent value with ties broken to the GREATEST value (struct
+    // ordering compares field-by-field), a total order both engines
+    // share. The same aggregate carries the group total so the mode's
+    // share comes free. At scale this is the only mode plan that
+    // survives skew: a value owned by half the corpus collapses to one
+    // partial count per map task instead of buffering a window frame.
+    "agg_mode" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(struct(col("n"), col("o_orderpriority"))).as("m"),
+          sum(col("n")).as("n_total"))
+        .select(col("o_orderstatus"),
+          col("m.o_orderpriority").as("mode_priority"),
+          col("m.n").as("n_mode"),
+          r6(col("m.n").cast("double") / col("n_total").cast("double"))
+            .as("mode_share"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // String-function family beyond the reference's F-rows.
     "f_string_pack2" -> ((s, d) => {
       Tables.part(s, d)
@@ -486,6 +510,24 @@ object Extras extends QueryPack {
         |SELECT pe.l_suppkey, pe.exact_n, min(cms.n) AS cms_est
         |FROM pe JOIN cms USING (i, cell)
         |GROUP BY 1, 2 ORDER BY l_suppkey""".stripMargin,
+
+    // Mode replay: the tiebreak (count DESC, then value DESC) mirrors
+    // the struct-max ordering exactly; share rounds at 6 like r6.
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |t AS (SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n_total
+        |  FROM c GROUP BY o_orderstatus),
+        |r AS (SELECT o_orderstatus, o_orderpriority, n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY n DESC, o_orderpriority DESC) AS rn
+        |  FROM c)
+        |SELECT r.o_orderstatus, o_orderpriority AS mode_priority,
+        |  n AS n_mode,
+        |  round(CAST(n AS DOUBLE) / n_total, 6) + 0 AS mode_share
+        |FROM r JOIN t ON r.o_orderstatus = t.o_orderstatus
+        |WHERE rn = 1 ORDER BY r.o_orderstatus""".stripMargin,
 
     "f_string_pack2" ->
       """SELECT p_partkey,

@@ -737,6 +737,37 @@ class MlSpec extends SparkSpecBase {
     assert(got(1L) == (2L, 1L) && got(2L) == (2L, 1L) && got(3L) == (2L, 0L))
   }
 
+  test("sliding chunker: coverage, overlap identity, tail size, count formula") {
+    // 37 tokens, window 10, stride 6 -> starts 0,6,12,18,24,30 (6 chunks);
+    // last chunk holds tokens 31..37 (7 tokens — the partial tail)
+    val toks = (1 to 37).map(i => s"w$i")
+    val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val rows = Corpus.chunkSliding(df, 10, 6)
+      .orderBy(col("chunk_idx")).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("chunk_idx")).toSeq == (0L to 5L))
+    assert(rows.map(_.getAs[Long]("n_tokens")).toSeq ==
+      Seq(10L, 10L, 10L, 10L, 10L, 7L))
+    // fingerprints replay from the token slices exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val i = r.getAs[Long]("chunk_idx").toInt
+      val expect = toks.slice(i * 6, i * 6 + 10).mkString(" ")
+      assert(r.getAs[String]("chunk_hash") == h(expect))
+    }
+    // stride == window degenerates to disjoint chunks: same chunk count
+    // as paragraphDedup's index for the same corpus
+    assert(Corpus.chunkSliding(df, 10, 10).count() == 4)
+    // every token is covered: union of [start, start+len) == [0, n)
+    val covered = rows.flatMap { r =>
+      val i = r.getAs[Long]("chunk_idx").toInt
+      i * 6 until (i * 6 + r.getAs[Long]("n_tokens").toInt)
+    }.toSet
+    assert(covered == (0 until 37).toSet)
+  }
+
   test("dsir score: target-typical docs outrank off-target docs") {
     val scores = Corpus.dsirScore(docs, col("lang") === "en", 1024)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")

@@ -84,7 +84,30 @@ class PlanGuardSpec extends SparkSpecBase {
     // contains the one sanctioned empty-partition Window (SCALE.md).
     // Pinning it means a second global window can't hide behind "ntile
     // was always like that" — the golden diff shows exactly one.
-    "w_ntile")
+    "w_ntile",
+    // third wave (r10): the struct-max mode (partial/final SortAggregate
+    // over the bounded count frame — a Window appearing here is the
+    // regression), last-touch attribution (all user-keyed, no window),
+    // and the chunker (map-side only: any Exchange beyond the canonical
+    // sort is drift)
+    "agg_mode",
+    "e_attribution",
+    "ns_chunk_overlap",
+    // fourth wave (r10): rate-normalized retention must stay
+    // window-free with the cohort-size side broadcast (its golden pins
+    // the pruned recompute: Catalyst strips collect_set from that
+    // branch, so it's a cheap min-only agg, not a second set
+    // materialization), and the multiset set-op pins Spark's
+    // counted-aggregate + generate shape with the final rollup riding
+    // the SAME hash partitioning (exactly one wide exchange — a second
+    // one, a sort, or a window appearing means the replicate plan
+    // regressed)
+    "e_retention_rate",
+    "set_except_all",
+    // the min(m,n) twin rides the identical counted-aggregate +
+    // replicate-rows machinery; pinning both means a Spark upgrade
+    // that replans ONE of the multiset ops shows up as a one-file diff
+    "set_intersect_all")
 
   private def canonical(plan: SparkPlan): String = {
     val sb = new StringBuilder

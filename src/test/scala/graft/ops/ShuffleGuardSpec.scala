@@ -50,7 +50,11 @@ class ShuffleGuardSpec extends SparkSpecBase {
     * exchanges, not plan shape. */
   private val GuardedPrefixes =
     Seq("ns_", "join_", "w_", "agg_", "j1_", "j2_", "j3_", "sub_", "q1_",
-      "e_", "t_", "l_")
+      "e_", "t_", "l_",
+      // r10: the multiset set-ops plan as a counted aggregate + generate
+      // — losing the partial-agg collapse or gaining a second wide
+      // exchange is exactly a record-count regression
+      "set_")
 
   test("scored-family shuffle volumes stay within committed floors") {
     graft.plans.TopK.ensurePlanning(spark)
