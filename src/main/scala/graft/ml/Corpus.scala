@@ -329,6 +329,93 @@ object Corpus {
           " ")).as("chunk_hash"))
   }
 
+  /** Token-length histogram over power-of-two buckets — the sequence-
+    * length profile a packing/curriculum planner reads before choosing a
+    * context length (what fraction of documents — and of TOKENS — fit in
+    * 2^k?). Bucket = bit length of the whitespace token count, computed
+    * as `length(bin(n))`: integer-exact in both engines, immune to the
+    * floor(log2(n)) ulp flip at exact powers of two. Emits per-bucket
+    * doc/token counts, token share, and CUMULATIVE token share.
+    *
+    * Scale shape: one hash aggregate over a 1-column projection (partial
+    * map-side collapse, at most 63 groups), then a bounded self-join for
+    * the running sum — a bigint count has <= 63 buckets at ANY corpus
+    * size, so the join is constant and broadcast; never a global window
+    * (w_ntile stays the one sanctioned global window). Shares are
+    * single-division doubles over exact BIGINTs, round-6 per the
+    * cross-engine convention.
+    */
+  def tokenHistogram(docs: DataFrame): DataFrame = {
+    // persist + eager count, the shingled() pattern: the <= 63-row
+    // bucket frame has THREE consumers (self-join x2 + total); without
+    // the barrier each recomputes the corpus scan + aggregate — 3 full
+    // passes over 100 TB for a 63-row table (and racing cold-cache
+    // stages would make the metered shuffle volume nondeterministic).
+    val b = docs.select(wsTokenCount(col("text")).as("n_tok"))
+      .groupBy(length(bin(col("n_tok"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .persist()
+    b.count()
+    val tot = b.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val cum = b.join(
+        broadcast(b.select(col("bucket").as("b2"), col("n_tokens").as("nt2"))),
+        col("b2") <= col("bucket"))
+      .groupBy(col("bucket"), col("n_docs"), col("n_tokens"))
+      .agg(sum(col("nt2")).as("cum_tokens"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)").as("lo_tokens"),
+        (expr("shiftleft(CAST(1 AS BIGINT), bucket)") - lit(1L))
+          .as("hi_tokens"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("token_share"),
+        round(col("cum_tokens").cast("double") / col("tot_tokens"), 6)
+          .as("cum_token_share"))
+  }
+
+  /** Epochs-per-source budget plan — the data-constrained allocation
+    * step after [[sourceMixture]]: given a total training budget of
+    * `budgetMultiple` x the corpus's tokens and the temperature-smoothed
+    * mixture weights, how many tokens each source must contribute
+    * (`tokens_target`) and how many PASSES over that source that implies
+    * (`epochs` > 1 = the source repeats; the up-sampling factor a
+    * data-constrained run actually schedules). Determinism: mix_weight
+    * is already round-6 (fixed-point denominator in sourceMixture),
+    * budget is an exact BIGINT, so tokens_target is one IEEE multiply +
+    * half-away round in both engines; epochs is one division, round-6.
+    * Scale: per-source aggregates only — the corpus shuffles once inside
+    * sourceMixture (partial-agg token sums); everything after is a
+    * broadcast envelope over |sources| rows.
+    */
+  def epochsPerSource(docs: DataFrame, alpha: Double = 0.3,
+      budgetMultiple: Int = 3): DataFrame = {
+    // The [[sourceMixture]] fixed-point chain is INLINED (not called) so
+    // every envelope — score denominator AND token total — hangs off the
+    // IDENTICAL per-source aggregate subtree: Catalyst's exchange reuse
+    // then computes the corpus scan + token sum once (the plan golden
+    // pins the ReusedExchanges; calling sourceMixture left one consumer
+    // re-scanning the corpus for the total). Same score/denominator
+    // spelling as sourceMixture — the oracle replays both identically.
+    val per = docs.groupBy(col("source"))
+      .agg(sum(wsTokenCount(col("text"))).as("n_tokens"))
+    val sc = per.withColumn("score",
+      round(pow(col("n_tokens").cast("double"), alpha), 6))
+    val denom = sc.agg(
+      (sum(round(col("score") * 1e6).cast("long")) / 1e6).as("denom"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"))
+    sc.crossJoin(broadcast(denom)).crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("score") / col("denom"), 6).as("mix_weight"),
+        col("tot_tokens"))
+      .select(col("source"), col("n_tokens"), col("mix_weight"),
+        round((col("tot_tokens") * budgetMultiple).cast("double") *
+          col("mix_weight")).cast("long").as("tokens_target"))
+      .withColumn("epochs",
+        round(col("tokens_target").cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
+
   /** DSIR-style importance score: how much a document looks like the
     * target domain (here: the `en` slice) relative to the raw corpus,
     * measured over hashed token buckets — the importance-resampling

@@ -384,6 +384,119 @@ object Dedup {
       .join(counts, "cluster_id")
   }
 
+  /** Per-source duplication inflation — the dedup dashboard row: how
+    * many raw documents each source contributes vs how many DISTINCT
+    * contents (exact md5), the inflation factor (raw/distinct — the
+    * multiplier crawl revisits and syndication put on the source), and
+    * the duplicate fraction. The number a curation run reads to decide
+    * WHERE dedup budget goes before running the expensive near-dup
+    * tiers.
+    *
+    * Scale shape: one shuffle of (source, md5) — text never moves —
+    * with count_distinct's partial dedup collapsing repeats map-side;
+    * output is |sources| rows.
+    */
+  def dupInflation(docs: DataFrame): DataFrame =
+    docs.select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(col("n_docs").cast("double") / col("n_distinct"), 6)
+          .as("inflation"),
+        round((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs"), 6).as("dup_frac"))
+
+  /** Cross-source duplication matrix — syndication detection: NEAR-dup
+    * pairs rolled up by the (unordered) source pair they straddle — the
+    * "who copies whom" table that decides which source to keep when
+    * [[keepBest]] breaks cross-source ties, and where cross-domain
+    * near-dup pressure concentrates. Built on any committed pair tier
+    * (exact Jaccard, minhash, simhash) rather than exact hashes: near
+    * duplication is what actually crosses source boundaries (same
+    * article, different boilerplate), where byte-identical content
+    * rarely does.
+    *
+    * Scale shape: the pair table is tiny next to the corpus; the two
+    * source lookups are id-keyed joins (broadcast at bench SF,
+    * co-partitioned beyond); least/greatest canonicalizes the unordered
+    * pair map-side. Cost is dominated by the pair tier itself, which is
+    * priced where it is scored.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Soft dedup: instead of DROPPING duplicate-cluster members
+    * ([[keepCanonical]]/[[keepBest]]), every document keeps flowing with
+    * a training weight of 1/|cluster| — the duplicates of a cluster
+    * collectively contribute one document's worth of gradient signal
+    * (the down-weighting alternative pipelines use when hard dedup is
+    * too aggressive: near-dups often carry real variation worth a
+    * fractional weight but not a full epoch each). Docs untouched by the
+    * pair graph weigh 1.0.
+    *
+    * Scale shape: cluster sizes are a partial-aggregating groupBy over
+    * the (tiny: only docs with a duplicate) cluster table; the corpus
+    * joins it LEFT on doc_id — broadcast at bench SF, co-partitioned
+    * hash join beyond the threshold. The weight is one IEEE division of
+    * exact inputs, round-6 per the cross-engine convention.
+    */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"))
+    docs.select(col("doc_id"))
+      .join(clusters.join(sizes, "cluster_id")
+          .select(col("doc_id"), col("n")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(1L)).as("cluster_n"),
+        round(lit(1.0) / coalesce(col("n"), lit(1L)).cast("double"), 6)
+          .as("weight"))
+  }
+
+  /** Per-document shingle novelty: the fraction of a doc's distinct
+    * 5-gram shingles whose FIRST corpus occurrence (minimum doc_id over
+    * every doc containing the shingle) is this doc — high for original
+    * content, low for documents assembled from text seen elsewhere
+    * (boilerplate, quotations, templated spam). The doc-level signal
+    * that complements [[dupNgramSpans]]'s position-level one: a curation
+    * pass ranks by novelty where span removal surgically cuts.
+    *
+    * Scale shape: shingles are hashed BEFORE any exchange (rows in
+    * motion are (doc_id, hash64), never text); the first-owner table is
+    * a partial-aggregating min — a corpus-common shingle collapses to
+    * one row per map partition, no reducer buffers its occurrence list
+    * (the [[cappedCandidates]] lesson) — and the join back is linear in
+    * total shingle occurrences, AQE-splittable on skew. A hash collision
+    * could only merge two shingles' owners (P ≈ n²/2⁶⁴); the oracle
+    * groups raw shingle strings, so green rows prove the collision term
+    * absent at test scale.
+    */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val inv = shingled(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val owner = inv.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
+    inv.join(owner, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** Exact duplicated n-gram SPANS — substring-level dedup (the
     * "dedup training data" suffix-array result, re-expressed relationally):
     * an n-gram position is duplicated when its n-gram occurs >= 2 times

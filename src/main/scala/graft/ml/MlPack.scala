@@ -96,6 +96,40 @@ object MlPack extends QueryPack {
         .orderBy(col("cluster_id"))
     }),
 
+    // Per-source duplication inflation: raw vs distinct contents and the
+    // multiplier — where the dedup budget should go.
+    "ns_dup_inflation" -> ((s, d) => {
+      Dedup.dupInflation(Tables.documents(s, d))
+        .orderBy(col("source"))
+    }),
+
+    // Cross-source duplication matrix: near-dup pairs per unordered
+    // source pair (syndication detection over the scored Jaccard tier).
+    "ns_dup_cross_source" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossSourceDupMatrix(docs,
+          Dedup.jaccardPairsCapped(docs, 0.5, Dedup.ScoredDfCap))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Soft dedup: full corpus with 1/|cluster| training weights instead
+    // of hard drops — every doc flows, duplicate clusters collectively
+    // weigh one document.
+    "ns_dedup_soft" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.softDedupWeights(docs,
+          Dedup.dupClusters(
+            Dedup.jaccardPairsCapped(docs, 0.5, Dedup.ScoredDfCap)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Shingle novelty: fraction of each doc's distinct 5-gram shingles
+    // first seen (min doc_id) in that doc — original vs assembled text.
+    "ns_ngram_novelty" -> ((s, d) => {
+      Dedup.shingleNovelty(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental dedup: new-arrival batch (doc_id % 5 = 4) against the
     // already-ingested corpus — cross-set pairs only.
     "ns_incremental_dedup" -> ((s, d) => {
@@ -1198,6 +1232,59 @@ object MlPack extends QueryPack {
          |WHERE d.doc_id NOT IN
          |  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "ns_dup_inflation" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT md5(text)), 6)
+        |    AS inflation,
+        |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Matrix replay: the shared jaccard-pair CTEs joined to each side's
+    // source, canonicalized unordered with least/greatest.
+    "ns_dup_cross_source" ->
+      s"""WITH $jaccardCtes
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM jp
+         |  JOIN documents da ON jp.doc_a = da.doc_id
+         |  JOIN documents db ON jp.doc_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    // Soft-dedup replay: the same transitive closure, cluster sizes, and
+    // 1/|cluster| with non-members defaulting to a full weight of 1.
+    "ns_dedup_soft" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+         |          UNION
+         |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
+         |        FROM cl GROUP BY cluster_id)
+         |SELECT d.doc_id,
+         |  coalesce(csz.cluster_n, CAST(1 AS BIGINT)) AS cluster_n,
+         |  round(1.0 / coalesce(csz.cluster_n, CAST(1 AS BIGINT)), 6) AS weight
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |  LEFT JOIN csz ON cl.cluster_id = csz.cluster_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Novelty replay over raw shingle strings (the engine groups
+    // xxhash64 of the same strings — green rows prove no collision).
+    "ns_ngram_novelty" ->
+      s"""WITH $jaccardCtes,
+         |own AS (SELECT g, min(doc_id) AS owner FROM tok GROUP BY g)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN o.owner = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(sum(CASE WHEN o.owner = t.doc_id THEN 1 ELSE 0 END)
+         |          AS DOUBLE) / count(*), 6) AS novelty
+         |FROM tok t JOIN own o USING (g)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "ns_tfidf_top_terms" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),

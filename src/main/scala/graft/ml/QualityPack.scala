@@ -38,6 +38,32 @@ object QualityPack extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Per-source quality gate: keep docs strictly above their OWN
+    // source's median stopword ratio (domain-normalized version of
+    // ns_quality_filter's global gate); thresholds from the rank-exact
+    // approx_percentile sketch, broadcast onto a map-side filter.
+    "ns_quality_gate_source" -> ((s, d) => {
+      TextAnalysis.perSourceQualityGate(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence-length profile: power-of-two token-count buckets with
+    // doc/token counts and cumulative token share — the histogram a
+    // packing/curriculum planner reads before fixing a context length.
+    "ns_token_histogram" -> ((s, d) => {
+      Corpus.tokenHistogram(Tables.documents(s, d))
+        .orderBy(col("bucket"))
+    }),
+
+    // Data-constrained budget plan: tokens each source must contribute
+    // to a 3x-corpus training budget under the alpha=0.3 mixture, and
+    // the repeat factor (epochs) that implies per source.
+    "ns_epochs_per_source" -> ((s, d) => {
+      Corpus.epochsPerSource(Tables.documents(s, d), alpha = 0.3,
+          budgetMultiple = 3)
+        .orderBy(col("source"))
+    }),
+
     // Temperature sampling: the mixture weights realized as an actual
     // deterministic subsample (md5 threshold at per-source keep rates).
     // exponent = 1 - alpha, passed as the SAME double literal the oracle
@@ -185,6 +211,77 @@ object QualityPack extends QueryPack {
         |  FROM k)
         |SELECT CAST(rank AS INT) AS rank, doc_id, source, n_chars, skey
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // Gate replay: the w_ntile_approx convention — at accuracy=1e6 the
+    // sketch median IS the ceil(0.5*n)-th order statistic per source;
+    // ratios are round-6 on both sides and the median is one of them,
+    // so the strict compare cannot flip on an ulp.
+    "ns_quality_gate_source" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
+        |      len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
+        |  FROM documents),
+        |r AS (SELECT source, stopword_ratio,
+        |    row_number() OVER (PARTITION BY source ORDER BY stopword_ratio)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q),
+        |m AS (SELECT source, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |        THEN stopword_ratio END) AS source_median
+        |  FROM r GROUP BY source)
+        |SELECT q.doc_id, q.source, q.stopword_ratio, m.source_median
+        |FROM q JOIN m USING (source)
+        |WHERE q.stopword_ratio > m.source_median
+        |ORDER BY q.doc_id""".stripMargin,
+
+    // Histogram replay: the bucket is length(bin(n)) in both engines
+    // (integer bit length — no floor(log2) ulp hazard); shares are
+    // single divisions over exact BIGINTs; the running sum is the same
+    // bounded self-join, never a window.
+    "ns_token_histogram" ->
+      """WITH t AS (SELECT len(string_split_regex(trim(text), '\s+'))
+        |    AS n_tok FROM documents),
+        |b AS (SELECT CAST(length(bin(n_tok)) AS INT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM b),
+        |c AS (SELECT x.bucket, x.n_docs, x.n_tokens,
+        |    CAST(sum(y.n_tokens) AS BIGINT) AS cum_tokens
+        |  FROM b x JOIN b y ON y.bucket <= x.bucket GROUP BY 1, 2, 3)
+        |SELECT c.bucket,
+        |  (CAST(1 AS BIGINT) << (c.bucket - 1)) AS lo_tokens,
+        |  (CAST(1 AS BIGINT) << c.bucket) - 1 AS hi_tokens,
+        |  c.n_docs, c.n_tokens,
+        |  round(CAST(c.n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
+        |  round(CAST(c.cum_tokens AS DOUBLE) / tot_tokens, 6)
+        |    AS cum_token_share
+        |FROM c CROSS JOIN tot ORDER BY c.bucket""".stripMargin,
+
+    // Epochs replay: the source-mixture fixed-point chain verbatim, then
+    // one multiply (exact BIGINT budget x round-6 weight) + half-away
+    // round for the target and one round-6 division for the repeats.
+    "ns_epochs_per_source" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |sc AS (SELECT source, n_tokens,
+        |    round(pow(CAST(n_tokens AS DOUBLE), 0.3), 6) AS score FROM per),
+        |dn AS (SELECT CAST(sum(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT)
+        |         / 1e6 AS denom FROM sc),
+        |w AS (SELECT source, n_tokens, round(score / denom, 6) AS mix_weight
+        |  FROM sc CROSS JOIN dn),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM per),
+        |tgt AS (SELECT source, n_tokens, mix_weight,
+        |    CAST(round(CAST(tot_tokens * 3 AS DOUBLE) * mix_weight) AS BIGINT)
+        |      AS tokens_target
+        |  FROM w CROSS JOIN tot)
+        |SELECT source, n_tokens, mix_weight, tokens_target,
+        |  round(CAST(tokens_target AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS epochs
+        |FROM tgt ORDER BY source""".stripMargin,
 
     "ns_sample_temperature" ->
       """WITH per AS (SELECT source,

@@ -26,6 +26,38 @@ object TextAnalysis {
   private def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
+  /** Per-SOURCE quality gate: keep documents whose stopword ratio is
+    * strictly above their own source's median — the domain-normalized
+    * form of [[graft.ml.Corpus.qualityFilter]]'s global gate (a global
+    * threshold systematically drains whole domains whose prose style
+    * sits below the corpus-wide median; per-source gating keeps the
+    * mixture while dropping each domain's own worst half).
+    *
+    * Scale shape: thresholds come from approx_percentile at
+    * accuracy=1e6 per source — a partial-aggregating SKETCH (constant
+    * state per group, map-side combine), not an exact percentile that
+    * buffers every value of a group in one task; the w_ntile_approx
+    * convention applies (rank-exact at this accuracy: the value IS the
+    * ceil(q*n)-th order statistic, which the oracle replays). The tiny
+    * per-source threshold table broadcasts onto a map-side filter; the
+    * only corpus-wide exchange is the threshold aggregate's. Ratios are
+    * round-6 on both sides, and the median is one of the ratios, so the
+    * strict compare is ulp-safe.
+    */
+  def perSourceQualityGate(docs: DataFrame): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val r = docs.select(col("doc_id"), col("source"),
+      round(stopwordCount(toks, Stopwords("en")).cast("double") /
+        size(toks), 6).as("stopword_ratio"))
+    val thr = r.groupBy(col("source"))
+      .agg(expr("approx_percentile(stopword_ratio, 0.5, 1000000)")
+        .as("source_median"))
+    r.join(broadcast(thr), "source")
+      .filter(col("stopword_ratio") > col("source_median"))
+      .select(col("doc_id"), col("source"), col("stopword_ratio"),
+        col("source_median"))
+  }
+
   /** Shannon character entropy per document — a classic low-quality-text
     * signal (near-zero entropy = padded/repeated filler; natural prose sits
     * around 4 bits ≈ 2.8 nats). One explode + two hash aggregates; at

@@ -768,6 +768,125 @@ class MlSpec extends SparkSpecBase {
     assert(covered == (0 until 37).toSet)
   }
 
+  test("soft dedup: cluster members weigh 1/n, untouched docs weigh 1.0") {
+    // 1 and 2 are near-identical (one 6-token sentence apart over a
+    // shared 20-token body); 3 shares nothing
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base + " tail a b c d e"),
+      (3L, (100 to 130).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cl = Dedup.dupClusters(Dedup.jaccardPairsCapped(df, 0.5, 64))
+    val w = Dedup.softDedupWeights(df, cl).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_n"), r.getAs[Double]("weight"))).toMap
+    assert(w(1L) == (2L, 0.5) && w(2L) == (2L, 0.5) && w(3L) == (1L, 1.0))
+    // weights sum to the effective (cluster-deduped) corpus size
+    assert(w.values.map(_._2).sum == 2.0)
+  }
+
+  test("shingle novelty: owner doc scores 1.0, full copies score 0.0") {
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, a),               // owns all its shingles (min doc_id)
+      (2L, a),               // exact copy: every shingle first seen in 1
+      (3L, a + " x y z"))    // superset: novel only in the tail shingles
+      .toDF("doc_id", "text")
+    val nv = Dedup.shingleNovelty(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Double]("novelty"))).toMap
+    assert(nv(1L) == (8L, 1.0))
+    assert(nv(2L) == (8L, 0.0))
+    // doc 3 has 11 shingles: 8 owned by doc 1, 3 novel tail shingles
+    assert(nv(3L)._1 == 11L)
+    assert(math.abs(nv(3L)._2 - 3.0 / 11.0) < 1e-6)
+  }
+
+  test("token histogram: bit-length buckets, exact bounds, cum share hits 1") {
+    // token counts 3, 4, 7, 8 -> buckets 2 (lo 2, hi 3), 3 (4..7) x2, 4 (8..15)
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e f g"),
+      (4L, "a b c d e f g h")).toDF("doc_id", "text")
+    val h = Corpus.tokenHistogram(df).orderBy(col("bucket")).collect()
+    assert(h.map(_.getAs[Int]("bucket")).toSeq == Seq(2, 3, 4))
+    assert(h.map(r => (r.getAs[Long]("lo_tokens"), r.getAs[Long]("hi_tokens")))
+      .toSeq == Seq((2L, 3L), (4L, 7L), (8L, 15L)))
+    assert(h.map(_.getAs[Long]("n_docs")).toSeq == Seq(1L, 2L, 1L))
+    assert(h.map(_.getAs[Long]("n_tokens")).toSeq == Seq(3L, 11L, 8L))
+    assert(h.last.getAs[Double]("cum_token_share") == 1.0)
+    // shares are monotone cumulative
+    val cums = h.map(_.getAs[Double]("cum_token_share")).toSeq
+    assert(cums == cums.sorted)
+  }
+
+  test("epochs per source: budget conservation and repeat direction") {
+    val rows = Corpus.epochsPerSource(docs, alpha = 0.3, budgetMultiple = 3)
+      .collect()
+    val totalAvail = rows.map(_.getAs[Long]("n_tokens")).sum
+    val totalTarget = rows.map(_.getAs[Long]("tokens_target")).sum
+    // targets sum to the budget up to per-source half-token rounding
+    // plus the round-6 drift of the weight sum (|Σw − 1| ≤ n·5e-7,
+    // scaled by the budget)
+    val budget = 3L * totalAvail
+    val bound = rows.length / 2 + 1 + (budget * rows.length * 5e-7).toLong
+    assert(math.abs(totalTarget - budget) <= bound)
+    rows.foreach { r =>
+      val epochs = r.getAs[Double]("epochs")
+      assert(epochs > 0.0)
+      // epochs replays target/available exactly (round-6)
+      val expect = math.rint(r.getAs[Long]("tokens_target").toDouble /
+        r.getAs[Long]("n_tokens") * 1e6) / 1e6
+      assert(math.abs(epochs - expect) < 1e-9)
+    }
+    // temperature smoothing means SOME source repeats (>1 epoch) and
+    // some is subsampled (<1) unless all sources are identical
+    assert(rows.exists(_.getAs[Double]("epochs") > 1.0))
+    assert(rows.exists(_.getAs[Double]("epochs") < 3.0))
+  }
+
+  test("dup inflation: raw/distinct multiplier per source") {
+    val df = Seq(
+      (1L, "same text", "a"), (2L, "same text", "a"), (3L, "other", "a"),
+      (4L, "unique", "b")).toDF("doc_id", "text", "source")
+    val r = Dedup.dupInflation(df).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_distinct"),
+         x.getAs[Double]("inflation"), x.getAs[Double]("dup_frac"))).toMap
+    assert(r("a") == (3L, 2L, 1.5, math.rint(1.0 / 3 * 1e6) / 1e6))
+    assert(r("b") == (1L, 1L, 1.0, 0.0))
+  }
+
+  test("cross-source matrix: pairs land on unordered source cells") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val df = Seq((1L, "x", "s2"), (2L, "y", "s1"), (3L, "z", "s1"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.crossSourceDupMatrix(df, pairs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    // (1,2) and (1,3) cross s2/s1 -> canonicalized (s1, s2); (2,3) within s1
+    assert(m == Map(("s1", "s2") -> 2L, ("s1", "s1") -> 1L))
+  }
+
+  test("per-source quality gate: strictly-above-own-median per source") {
+    val rows = TextAnalysis.perSourceQualityGate(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("stopword_ratio") >
+        r.getAs[Double]("source_median"))
+    }
+    // the threshold is per source: at least two sources appear with
+    // DIFFERENT medians (a global gate would show one value)
+    val medians = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Double]("source_median")).distinct
+    assert(medians.map(_._2).distinct.length > 1)
+    // each source keeps strictly fewer than all its docs (median gate)
+    val keptPerSource = rows.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.length }
+    val totalPerSource = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    keptPerSource.foreach { case (s, k) => assert(k < totalPerSource(s)) }
+  }
+
   test("dsir score: target-typical docs outrank off-target docs") {
     val scores = Corpus.dsirScore(docs, col("lang") === "en", 1024)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")

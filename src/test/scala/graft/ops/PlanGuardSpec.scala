@@ -107,7 +107,24 @@ class PlanGuardSpec extends SparkSpecBase {
     // the min(m,n) twin rides the identical counted-aggregate +
     // replicate-rows machinery; pinning both means a Spark upgrade
     // that replans ONE of the multiset ops shows up as a one-file diff
-    "set_intersect_all")
+    "set_intersect_all",
+    // fifth wave (r10): novelty must keep the hashed-shingle exchange
+    // (text never shuffles) and its first-owner groupBy (a Window over
+    // gh appearing is the dup-span regression); the histogram must keep
+    // its bounded broadcast self-join (an Exchange between the bucket
+    // agg and the running sum, or a Window, means the <= 63-row join
+    // went wide); epochs must stay a broadcast envelope chain over the
+    // one corpus shuffle inside sourceMixture
+    "ns_ngram_novelty",
+    "ns_token_histogram",
+    "ns_epochs_per_source",
+    // sixth wave (r10): the per-source gate must keep its sketch
+    // aggregate + broadcast-filter shape (an exact percentile or a
+    // Window appearing means the constant-state threshold regressed to
+    // a group-buffering plan); inflation pins the single (source, md5)
+    // exchange with count_distinct's partial dedup
+    "ns_quality_gate_source",
+    "ns_dup_inflation")
 
   private def canonical(plan: SparkPlan): String = {
     val sb = new StringBuilder
