@@ -674,8 +674,22 @@ class SnapshotLake(root: String) {
     * with ConcurrentModificationException (cleaning up its generation)
     * instead of silently dropping the winner's rows — rerun to rebase.
     */
-  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+  def merge(source: DataFrame, keyCols: Seq[String]): Long =
+    mergeTagged(source, keyCols, None, None)
+
+  /** [[merge]] plus the optional streaming (queryId, batchId) marker in
+    * the commit JSON — the same exactly-once handshake [[commitTagged]]
+    * gives the append sink, extended to the MUTATING commit: a replayed
+    * micro-batch upsert is detected by [[lastStreamBatchId]] >= its id
+    * under the same query id and skipped whole by the sink
+    * ([[graft.streaming.EventStreams.snaplakeUpsertSink]]). The marker
+    * rides the one atomic commit-file claim, so "merged" and "recorded
+    * as batch N" cannot come apart. */
+  def mergeTagged(source: DataFrame, keyCols: Seq[String],
+      batchId: Option[Long], queryId: Option[String]): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    val mergeTag = batchId.map(b => s""""batchId":$b,""").getOrElse("") +
+      queryId.map(q => s""""queryId":"$q",""").getOrElse("")
     val spark = source.sparkSession
     import org.apache.spark.sql.functions.{col, min, max}
     val base = latestVersion(spark).getOrElse(
@@ -767,7 +781,7 @@ class SnapshotLake(root: String) {
       // tiers): a racing commit's new generation is safe to carry
       // forward iff it provably holds none of this merge's keys
       publishRewrite(spark, base, untouched, rewritten, Some(changes),
-        mayOverlapScope = genInScope, op = "merge")
+        mayOverlapScope = genInScope, op = "merge", tag = mergeTag)
     } finally src.unpersist()
   }
 
@@ -1020,7 +1034,8 @@ class SnapshotLake(root: String) {
       untouched: Seq[String], rewritten: DataFrame,
       changes: Option[DataFrame] = None,
       mayOverlapScope: String => Boolean = _ => true,
-      op: String = "rewrite"): Long = {
+      op: String = "rewrite",
+      tag: String = ""): Long = {
     val fs = hadoopFs(spark)
     val baseDirs = dirsAt(spark, base)
     val consumed = baseDirs.filterNot(untouched.contains).toSet
@@ -1053,7 +1068,7 @@ class SnapshotLake(root: String) {
       // restatement)
       val json = (carried :+ gen).map("\"" + _ + "\"")
         .mkString(
-          s"""{"version":$next,"op":"$op","rewrite":true,"dirs":[""",
+          s"""{"version":$next,"op":"$op",$tag"rewrite":true,"dirs":[""",
           ",", "]}")
       val tmp = new org.apache.hadoop.fs.Path(s"$commitsDir/.tmp-$gen-$next")
       val out = fs.create(tmp, true)

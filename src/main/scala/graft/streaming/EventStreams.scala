@@ -224,6 +224,47 @@ object EventStreams {
     }
   }
 
+  /** Streaming CDC upsert into the TRANSACTIONAL lake — the
+    * [[upsertSnapshotSink]] semantics upgraded from the raw
+    * pointer-swap snapshot to [[graft.ingest.SnapshotLake]] MERGE:
+    * every micro-batch is one versioned, optimistically-retried,
+    * changefeed-materializing commit, so the upserted table gets time
+    * travel, CDF, stats/bloom skipping and concurrent-batch-writer
+    * safety for free, and the lake's version history IS the batch
+    * history.
+    *
+    * Exactly-once: the merge commit carries the (queryId, batchId)
+    * marker in its ATOMIC commit-file claim ([[SnapshotLake.mergeTagged]]),
+    * so "applied" and "recorded as batch N" cannot come apart; a
+    * replayed batch is detected by lastStreamBatchId under this query's
+    * id and skipped whole (merge is NOT idempotent against its own
+    * changefeed — a blind re-merge would publish a duplicate CDF
+    * restatement even though the data rows converge). The watermark is
+    * query-scoped exactly like the append sink's: a fresh query whose
+    * batch ids restart at 0 is not mistaken for a replay.
+    *
+    * Batch shape contract: the caller collapses the batch to one row
+    * per key (last-wins by (ts, event_id) for CDC) BEFORE the sink —
+    * merge applies the source verbatim, so in-batch duplicates would
+    * both insert. First batch on a never-committed lake lands as the
+    * table-creating append; empty batches commit an empty generation so
+    * the watermark advances across idle windows (the append-sink rule —
+    * and merge's key envelope is degenerate on an empty source, so the
+    * empty append also dodges an unscoped full rewrite).
+    */
+  def snaplakeUpsertSink(lake: graft.ingest.SnapshotLake,
+      keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      "sql.streaming.queryId"))
+    if (lake.lastStreamBatchId(spark, queryId).exists(_ >= batchId))
+      return // replay of this query's own batch
+    if (lake.latestVersion(spark).isEmpty || batch.isEmpty)
+      lake.commitTagged(batch, overwrite = false, Some(batchId), queryId)
+    else
+      lake.mergeTagged(batch, keyCols, Some(batchId), queryId)
+  }
+
   /** Live (non-tombstoned) rows of the [[upsertSnapshotSink]] snapshot. */
   def activeSnapshot(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path

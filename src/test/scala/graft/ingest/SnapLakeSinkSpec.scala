@@ -52,6 +52,57 @@ class SnapLakeSinkSpec extends SparkSpecBase {
     assert(lake.readAt(spark, 1L).count() == 2)
   }
 
+  test("streaming MERGE sink: versioned upserts, exactly-once on replay") {
+    val src = tmp("graft_umerge_src")
+    val root = tmp("graft_umerge_lake") + "/lake"
+    val ckpt = tmp("graft_umerge_ckpt")
+    val lake = new SnapshotLake(root)
+    def run(): Unit = {
+      val q = spark.readStream.schema(srcSchema).parquet(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id")) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 0 creates the table (append path of the sink)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    assert(lake.versions(spark) == Seq(1L))
+    // batch 1: update id=2, insert id=3 -> ONE versioned merge commit
+    Seq((2L, "B"), (3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    assert(lake.versions(spark) == Seq(1L, 2L))
+    assert(spark.read.format("snaplake").load(root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")),
+      "merge must apply the batch as an upsert, not an append")
+    assert(lake.history(spark).filter(col("op") === "merge").count() == 1L)
+    assert(lake.lastStreamBatchId(spark).contains(1L),
+      "merge commit must carry the batch-id watermark")
+    // time travel into the upsert history: v1 is the pre-merge table
+    assert(lake.readAt(spark, 1L).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // exactly-once: a replay of batch 1 (same watermark scope) must
+    // skip WHOLE -- no new version, its rows never applied
+    graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id"))(
+      Seq((9L, "X")).toDF("id", "v"), 1L)
+    assert(lake.versions(spark) == Seq(1L, 2L),
+      "replayed batch id must not publish a new version")
+    assert(spark.read.format("snaplake").load(root)
+      .filter(col("id") === 9L).count() == 0L)
+    // and the next REAL batch still lands
+    graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id"))(
+      Seq((1L, "A2")).toDF("id", "v"), 2L)
+    assert(lake.versions(spark) == Seq(1L, 2L, 3L))
+    assert(spark.read.format("snaplake").load(root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "A2"), (2L, "B"), (3L, "c")))
+  }
+
   test("blooms=on: every micro-batch commit carries its bloom sidecar") {
     // the streaming sink lands through commitTagged, so the auto-bloom
     // tier applies per micro-batch — a long-lived streamed table keeps
