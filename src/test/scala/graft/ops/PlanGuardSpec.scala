@@ -46,85 +46,8 @@ import graft.{SparkEntry, SparkSpecBase}
   */
 class PlanGuardSpec extends SparkSpecBase {
 
-  /** Queries under guard — the bench headline families plus the two
-    * plans r10 specifically reshaped (dup-span gram counting,
-    * w_ntile_approx). Keep construction-cheap entries only: each
-    * capture builds the DataFrame at sf0.001 (training collects run;
-    * the guarded artifact is the final plan). */
-  private val guarded = Seq(
-    "q1_agg",
-    "join_broadcast_star",
-    "join_inner_agg",
-    "ns_dedup_exact",
-    "ns_dedup_jaccard",
-    "ns_dedup_minhash",
-    "ns_dedup_simhash",
-    "ns_dup_ngram_spans",
-    "ns_dup_span_removal",
-    "ns_cosine_dup_pairs_banded",
-    "ns_similarity_topk",
-    "ns_similarity_ivf",
-    "ns_lm_perplexity",
-    "w_topk_heap",
-    "w_ntile_approx",
-    "t_tumbling_window",
-    "f13_url_pipeline",
-    // second wave (r10): the skew-mitigation plans (salting must stay
-    // pre-aggregating), the as-of join's single-shuffle union shape,
-    // the six-stage composed training mix, a snaplake read through the
-    // stats/bloom file index, and the streaming-shaped enrich join
-    "ns_dedup_minhash_salted",
-    "agg_salted_sum",
-    "join_asof",
-    "ns_training_mix",
-    "l_snaplake_skipping",
-    "e_funnel",
-    "t_stream_static_enrich",
-    // the DOCUMENTED exception, pinned as such: w_ntile's golden
-    // contains the one sanctioned empty-partition Window (SCALE.md).
-    // Pinning it means a second global window can't hide behind "ntile
-    // was always like that" — the golden diff shows exactly one.
-    "w_ntile",
-    // third wave (r10): the struct-max mode (partial/final SortAggregate
-    // over the bounded count frame — a Window appearing here is the
-    // regression), last-touch attribution (all user-keyed, no window),
-    // and the chunker (map-side only: any Exchange beyond the canonical
-    // sort is drift)
-    "agg_mode",
-    "e_attribution",
-    "ns_chunk_overlap",
-    // fourth wave (r10): rate-normalized retention must stay
-    // window-free with the cohort-size side broadcast (its golden pins
-    // the pruned recompute: Catalyst strips collect_set from that
-    // branch, so it's a cheap min-only agg, not a second set
-    // materialization), and the multiset set-op pins Spark's
-    // counted-aggregate + generate shape with the final rollup riding
-    // the SAME hash partitioning (exactly one wide exchange — a second
-    // one, a sort, or a window appearing means the replicate plan
-    // regressed)
-    "e_retention_rate",
-    "set_except_all",
-    // the min(m,n) twin rides the identical counted-aggregate +
-    // replicate-rows machinery; pinning both means a Spark upgrade
-    // that replans ONE of the multiset ops shows up as a one-file diff
-    "set_intersect_all",
-    // fifth wave (r10): novelty must keep the hashed-shingle exchange
-    // (text never shuffles) and its first-owner groupBy (a Window over
-    // gh appearing is the dup-span regression); the histogram must keep
-    // its bounded broadcast self-join (an Exchange between the bucket
-    // agg and the running sum, or a Window, means the <= 63-row join
-    // went wide); epochs must stay a broadcast envelope chain over the
-    // one corpus shuffle inside sourceMixture
-    "ns_ngram_novelty",
-    "ns_token_histogram",
-    "ns_epochs_per_source",
-    // sixth wave (r10): the per-source gate must keep its sketch
-    // aggregate + broadcast-filter shape (an exact percentile or a
-    // Window appearing means the constant-state threshold regressed to
-    // a group-buffering plan); inflation pins the single (source, md5)
-    // exchange with count_distinct's partial dedup
-    "ns_quality_gate_source",
-    "ns_dup_inflation")
+  private val guarded = PlanGuardSpec.Guarded
+
 
   private def canonical(plan: SparkPlan): String = {
     val sb = new StringBuilder
@@ -217,4 +140,90 @@ class PlanGuardSpec extends SparkSpecBase {
       }
     }
   }
+}
+
+/** The guarded-name list lives on the companion so
+  * [[FloorConsistencySpec]] can cross-check goldens-on-disk against it
+  * (an orphaned .plan file after a query rename would otherwise guard
+  * nothing, silently). */
+object PlanGuardSpec {
+  /** Queries under guard — the bench headline families plus the plans
+    * r10 specifically reshaped (dup-span gram counting, w_ntile_approx).
+    * Keep construction-cheap entries only: each capture builds the
+    * DataFrame at sf0.001 (training collects run; the guarded artifact
+    * is the final plan). */
+  val Guarded: Seq[String] = Seq(
+    "q1_agg",
+    "join_broadcast_star",
+    "join_inner_agg",
+    "ns_dedup_exact",
+    "ns_dedup_jaccard",
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_dup_ngram_spans",
+    "ns_dup_span_removal",
+    "ns_cosine_dup_pairs_banded",
+    "ns_similarity_topk",
+    "ns_similarity_ivf",
+    "ns_lm_perplexity",
+    "w_topk_heap",
+    "w_ntile_approx",
+    "t_tumbling_window",
+    "f13_url_pipeline",
+    // second wave (r10): the skew-mitigation plans (salting must stay
+    // pre-aggregating), the as-of join's single-shuffle union shape,
+    // the six-stage composed training mix, a snaplake read through the
+    // stats/bloom file index, and the streaming-shaped enrich join
+    "ns_dedup_minhash_salted",
+    "agg_salted_sum",
+    "join_asof",
+    "ns_training_mix",
+    "l_snaplake_skipping",
+    "e_funnel",
+    "t_stream_static_enrich",
+    // the DOCUMENTED exception, pinned as such: w_ntile's golden
+    // contains the one sanctioned empty-partition Window (SCALE.md).
+    // Pinning it means a second global window can't hide behind "ntile
+    // was always like that" — the golden diff shows exactly one.
+    "w_ntile",
+    // third wave (r10): the struct-max mode (partial/final SortAggregate
+    // over the bounded count frame — a Window appearing here is the
+    // regression), last-touch attribution (all user-keyed, no window),
+    // and the chunker (map-side only: any Exchange beyond the canonical
+    // sort is drift)
+    "agg_mode",
+    "e_attribution",
+    "ns_chunk_overlap",
+    // fourth wave (r10): rate-normalized retention must stay
+    // window-free with the cohort-size side broadcast (its golden pins
+    // the pruned recompute: Catalyst strips collect_set from that
+    // branch, so it's a cheap min-only agg, not a second set
+    // materialization), and the multiset set-op pins Spark's
+    // counted-aggregate + generate shape with the final rollup riding
+    // the SAME hash partitioning (exactly one wide exchange — a second
+    // one, a sort, or a window appearing means the replicate plan
+    // regressed)
+    "e_retention_rate",
+    "set_except_all",
+    // the min(m,n) twin rides the identical counted-aggregate +
+    // replicate-rows machinery; pinning both means a Spark upgrade
+    // that replans ONE of the multiset ops shows up as a one-file diff
+    "set_intersect_all",
+    // fifth wave (r10): novelty must keep the hashed-shingle exchange
+    // (text never shuffles) and its first-owner groupBy (a Window over
+    // gh appearing is the dup-span regression); the histogram must keep
+    // its bounded broadcast self-join (an Exchange between the bucket
+    // agg and the running sum, or a Window, means the <= 63-row join
+    // went wide); epochs must stay a broadcast envelope chain over the
+    // one corpus shuffle inside sourceMixture
+    "ns_ngram_novelty",
+    "ns_token_histogram",
+    "ns_epochs_per_source",
+    // sixth wave (r10): the per-source gate must keep its sketch
+    // aggregate + broadcast-filter shape (an exact percentile or a
+    // Window appearing means the constant-state threshold regressed to
+    // a group-buffering plan); inflation pins the single (source, md5)
+    // exchange with count_distinct's partial dedup
+    "ns_quality_gate_source",
+    "ns_dup_inflation")
 }

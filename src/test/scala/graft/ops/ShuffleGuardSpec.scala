@@ -48,13 +48,7 @@ class ShuffleGuardSpec extends SparkSpecBase {
     * shows up as record growth). Scalar/projection packs shuffle only
     * for their canonical ORDER BY, so guarding them would pin sort
     * exchanges, not plan shape. */
-  private val GuardedPrefixes =
-    Seq("ns_", "join_", "w_", "agg_", "j1_", "j2_", "j3_", "sub_", "q1_",
-      "e_", "t_", "l_",
-      // r10: the multiset set-ops plan as a counted aggregate + generate
-      // — losing the partial-agg collapse or gaining a second wide
-      // exchange is exactly a record-count regression
-      "set_")
+  private val GuardedPrefixes = ShuffleGuardSpec.GuardedPrefixes
 
   test("scored-family shuffle volumes stay within committed floors") {
     graft.plans.TopK.ensurePlanning(spark)
@@ -92,4 +86,17 @@ class ShuffleGuardSpec extends SparkSpecBase {
         s"shuffle volume regressions:\n${violations.mkString("\n")}")
     }
   }
+}
+
+/** Prefix list on the companion so [[FloorConsistencySpec]] checks the
+  * SAME families this guard measures — a prefix added here is
+  * automatically required to have committed volume floors. */
+object ShuffleGuardSpec {
+  val GuardedPrefixes: Seq[String] =
+    Seq("ns_", "join_", "w_", "agg_", "j1_", "j2_", "j3_", "sub_", "q1_",
+      "e_", "t_", "l_",
+      // r10: the multiset set-ops plan as a counted aggregate + generate
+      // — losing the partial-agg collapse or gaining a second wide
+      // exchange is exactly a record-count regression
+      "set_")
 }
