@@ -96,6 +96,18 @@ object MlPack extends QueryPack {
         .orderBy(col("cluster_id"))
     }),
 
+    // Threshold sensitivity sweep: the 0.5-threshold exact-Jaccard pairs
+    // banded by floor(jaccard*10)/10 in ONE pass — how many pairs a
+    // stricter cutoff would keep, read off the same inverted-index join
+    // instead of re-running per threshold (jaccard is round-6, so the
+    // band boundary is ulp-safe in both engines).
+    "ns_dedup_threshold_sweep" -> ((s, d) => {
+      Dedup.jaccardPairsCapped(Tables.documents(s, d), 0.5, Dedup.ScoredDfCap)
+        .groupBy((floor(col("jaccard") * 10) / 10).as("band"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("band"))
+    }),
+
     // Per-source duplication inflation: raw vs distinct contents and the
     // multiplier — where the dedup budget should go.
     "ns_dup_inflation" -> ((s, d) => {
@@ -1232,6 +1244,12 @@ object MlPack extends QueryPack {
          |WHERE d.doc_id NOT IN
          |  (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "ns_dedup_threshold_sweep" ->
+      s"""WITH $jaccardCtes
+         |SELECT floor(jaccard * 10) / 10 AS band,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM jp GROUP BY 1 ORDER BY band""".stripMargin,
 
     "ns_dup_inflation" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -106,6 +106,28 @@ object Aggregates extends QueryPack {
         .orderBy(col("k"))
     }),
 
+    // Boolean/conditional aggregate pack — the §2.4 family rows Spark
+    // ships as first-class aggregates: count_if (filtered count without
+    // a CASE), bool_and/bool_or (universal/existential per group), and
+    // min_by/max_by over a (price, key) struct so ties break on the key
+    // — the same total-order discipline as agg_mode, replayed in the
+    // oracle via row_number. All partial-aggregating hash aggregates on
+    // one group-key exchange.
+    "agg_bool_pack" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey")))
+            .as("cheapest_key"),
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey")))
+            .as("priciest_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // A6: union-all (frontier accumulation, app.js:181) — no dedup.
     "a6_union_all" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -334,6 +356,27 @@ object Aggregates extends QueryPack {
         |  SELECT c_nationkey AS k FROM customer
         |  INTERSECT ALL SELECT s_nationkey AS k FROM supplier)
         |GROUP BY k ORDER BY k""".stripMargin,
+
+    // min_by/max_by replay: row_number with the identical struct total
+    // order ((price, key) ASC for min, DESC for max).
+    "agg_bool_pack" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rn_min,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max
+        |  FROM orders),
+        |a AS (SELECT o_orderstatus,
+        |    CAST(count(*) FILTER (o_totalprice > 100000) AS BIGINT) AS n_big,
+        |    bool_and(o_totalprice > 1000) AS all_over_1k,
+        |    bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+        |  FROM orders GROUP BY 1)
+        |SELECT a.o_orderstatus, n_big, all_over_1k, any_urgent,
+        |  mn.o_orderkey AS cheapest_key, mx.o_orderkey AS priciest_key
+        |FROM a
+        |  JOIN r mn ON a.o_orderstatus = mn.o_orderstatus AND mn.rn_min = 1
+        |  JOIN r mx ON a.o_orderstatus = mx.o_orderstatus AND mx.rn_max = 1
+        |ORDER BY a.o_orderstatus""".stripMargin,
 
     "a6_union_all" ->
       """SELECT o_orderkey AS k, 'high' AS src FROM orders WHERE o_totalprice > 100000

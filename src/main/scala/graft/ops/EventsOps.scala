@@ -280,6 +280,48 @@ object EventsOps extends QueryPack {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Sessionization ROLLUP: the w_session_number gaps-and-islands
+    // sessions (30-min inactivity, (ts, event_id) total order) reduced
+    // to the per-user engagement stats a product dashboard reports —
+    // session count, events, mean events/session, mean session seconds,
+    // longest session. Durations stay exact BIGINT micros until the one
+    // final division (round-6); the windows are user-keyed (bounded
+    // frames), both rollups are partial-aggregating hash aggregates on
+    // the same user_id shuffle key.
+    "e_session_stats" -> ((s, d) => {
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord)))
+        .withColumn("new_session",
+          when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_ev"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("dur_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          // UN-rounded on purpose: each average is ONE correctly-rounded
+          // IEEE division of exact BIGINTs, bit-identical in both
+          // engines — r6 here would INTRODUCE the half-boundary hazard
+          // (Spark rounds the shortest decimal rendering, DuckDB the
+          // binary value; caught at the sf0.1 gate on a .xxx0175 secs
+          // value)
+          (sum(col("n_ev")).cast("double") / count(lit(1)))
+            .as("avg_session_events"),
+          (sum(col("dur_us")).cast("double") /
+            (count(lit(1)) * lit(1000000.0))).as("avg_session_secs"),
+          max(col("n_ev")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Datetime-extraction pack (the §2.6 F10 family widened): every
     // field in both engines' shared semantics — Spark dayofweek is
     // Sunday=1 (DuckDB's dayofweek+1); Spark weekday()+1 is ISO dow
@@ -555,6 +597,30 @@ object EventsOps extends QueryPack {
         |  round(CAST(n_users AS DOUBLE) / cohort_n, 6) + 0 AS retention
         |FROM r JOIN sz ON r.cohort_day = sz.cohort_day
         |ORDER BY r.cohort_day, day_offset""".stripMargin,
+
+    // Session-stats replay: identical 30-min gaps-and-islands window,
+    // durations exact BIGINT micros until the final round-6 divisions.
+    "e_session_stats" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events),
+        |sn AS (SELECT user_id, event_id, ts,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM g),
+        |p AS (SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_ev,
+        |    epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM sn GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(sum(n_ev) AS DOUBLE) / count(*) AS avg_session_events,
+        |  CAST(sum(dur_us) AS DOUBLE) / (count(*) * 1000000.0)
+        |    AS avg_session_secs,
+        |  CAST(max(n_ev) AS BIGINT) AS max_session_events
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "f_datetime_pack" ->
       """SELECT event_id,

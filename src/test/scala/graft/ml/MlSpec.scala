@@ -844,6 +844,46 @@ class MlSpec extends SparkSpecBase {
     assert(rows.exists(_.getAs[Double]("epochs") < 3.0))
   }
 
+  test("sliding chunker invariants across random lengths and strides") {
+    // invariant-based sweep of the REAL Column arithmetic (not a Scala
+    // re-derivation of the ceil formula): 200 random token counts x 4
+    // (window, stride) shapes, asserting coverage, contiguous indices,
+    // full-before-last, and the no-suffix-duplicate property
+    val rnd = new scala.util.Random(42)
+    val docsIn = (1 to 200).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(60))).map(t => s"t$t").mkString(" "))
+    }
+    val df = docsIn.toDF("doc_id", "text")
+    val lens = docsIn.map { case (id, s) => id -> s.split(" ").length }.toMap
+    for ((w, st) <- Seq((8, 3), (8, 8), (5, 1), (12, 7))) {
+      val byDoc = Corpus.chunkSliding(df, w, st).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      assert(byDoc.keySet == lens.keySet) // every doc emits >= 1 chunk
+      byDoc.foreach { case (id, ch) =>
+        val n = lens(id)
+        val idxs = ch.map(_.getAs[Long]("chunk_idx")).sorted.toSeq
+        assert(idxs == (0L until idxs.length.toLong), s"gap in $id")
+        val covered = ch.flatMap { r =>
+          val i = r.getAs[Long]("chunk_idx").toInt
+          i * st until (i * st + r.getAs[Long]("n_tokens").toInt)
+        }.toSet
+        assert(covered == (0 until n).toSet, s"coverage hole in $id")
+        val last = idxs.max
+        ch.foreach { r =>
+          val i = r.getAs[Long]("chunk_idx")
+          val len = r.getAs[Long]("n_tokens")
+          if (i < last) assert(len == w, s"non-full interior chunk in $id")
+          else assert(len >= 1 && len <= w)
+        }
+        // no suffix-duplicate tail: the penultimate chunk must not
+        // already reach the doc's end (else the last chunk would be a
+        // pure suffix of it — duplicate content in a retrieval index)
+        if (idxs.length > 1)
+          assert((idxs.length - 2) * st + w < n, s"suffix-dup tail in $id")
+      }
+    }
+  }
+
   test("dup inflation: raw/distinct multiplier per source") {
     val df = Seq(
       (1L, "same text", "a"), (2L, "same text", "a"), (3L, "other", "a"),

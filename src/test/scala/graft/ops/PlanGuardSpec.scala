@@ -225,5 +225,9 @@ object PlanGuardSpec {
     // a group-buffering plan); inflation pins the single (source, md5)
     // exchange with count_distinct's partial dedup
     "ns_quality_gate_source",
-    "ns_dup_inflation")
+    "ns_dup_inflation",
+    // seventh wave (r10): the session rollup's windows must stay
+    // user-keyed (an unpartitioned Window = the w_ntile hazard) with
+    // both rollups riding the same user_id hash partitioning
+    "e_session_stats")
 }
