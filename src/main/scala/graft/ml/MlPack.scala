@@ -691,6 +691,46 @@ object MlPack extends QueryPack {
     // dependent and stay spec-side). Fixture bytes ride createDataFrame
     // as a 4-row local table — the same driver-literal shape as the
     // codebook tables; the decode itself is the production map-side UDF.
+    // REAL audio decode at the correctness gate — the javax.sound twin
+    // of ns_multimodal_decode: a deterministic in-code WAV (16-bit PCM
+    // mono 8 kHz, 64-sample ramp i*100-3200 -> peak 3200, mean_abs
+    // exactly 1600.0, duration 64/8000) plus the two corrupt shapes
+    // (unparseable bytes; a header promising 64 frames over truncated
+    // data — the mid-frame corruption branch). Oracle pins the PCM
+    // stats and the null-quarantine rows as literals.
+    "ns_multimodal_audio" -> ((s, _) => {
+      def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      val samples = (0 until 64).map(i => i * 100 - 3200)
+      val pcm = samples.flatMap(le16).toArray
+      def wav(data: Array[Byte], declaredLen: Int): Array[Byte] =
+        "RIFF".getBytes ++ le32(36 + declaredLen) ++ "WAVE".getBytes ++
+          "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes ++ le32(declaredLen) ++ data
+      val good = wav(pcm, pcm.length)
+      val truncated = wav(pcm.take(100), pcm.length) // header promises 128
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      Seq((1L, good), (2L, "not audio".getBytes("UTF-8")), (3L, truncated))
+        .foreach { case (id, b) =>
+          rows.add(org.apache.spark.sql.Row(id, "audio", b))
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("asset_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("modality",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType)))
+      Multimodal.decodeAudioMeta(s.createDataFrame(rows, schema))
+        .select(col("asset_id"), col("byte_len"), col("sample_rate"),
+          col("channels"), col("bits_per_sample"), col("n_frames"),
+          col("duration_sec"), col("peak_amp"), col("mean_abs"),
+          col("sample_rate").isNotNull.as("decoded"))
+        .orderBy(col("asset_id"))
+    }),
+
     "ns_multimodal_decode" -> ((s, _) => {
       val jpeg = {
         val in = getClass.getResourceAsStream("/graft/fixtures/photo.jpg")
@@ -1773,6 +1813,28 @@ object MlPack extends QueryPack {
     // corrupt rows' all-NULL metadata is the quarantine contract under
     // oracle check: a decoder change that starts throwing (task
     // failure) or returning partial metadata flips the hash.
+    // Audio literals: 44-byte canonical WAV header + 128 PCM bytes ->
+    // byte_len 172; ramp stats peak 3200 / mean_abs 1600.0 exactly;
+    // duration 64/8000 (one division, engine-identical); truncated =
+    // 44 + 100 = 144 bytes, quarantined null like the garbage row.
+    "ns_multimodal_audio" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(172 AS INTEGER), CAST(8000 AS INTEGER),
+        |   CAST(1 AS INTEGER), CAST(16 AS INTEGER), CAST(64 AS BIGINT),
+        |   CAST(0.008 AS DOUBLE), CAST(3200 AS INTEGER),
+        |   CAST(1600.0 AS DOUBLE), TRUE),
+        |  (CAST(2 AS BIGINT), CAST(9 AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), FALSE),
+        |  (CAST(3 AS BIGINT), CAST(144 AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), FALSE))
+        |  AS t(asset_id, byte_len, sample_rate, channels, bits_per_sample,
+        |       n_frames, duration_sec, peak_amp, mean_abs, decoded)
+        |ORDER BY asset_id""".stripMargin,
+
     "ns_multimodal_decode" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(661 AS INTEGER), CAST(16 AS INTEGER),
