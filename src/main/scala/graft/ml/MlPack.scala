@@ -691,6 +691,67 @@ object MlPack extends QueryPack {
     // dependent and stay spec-side). Fixture bytes ride createDataFrame
     // as a 4-row local table — the same driver-literal shape as the
     // codebook tables; the decode itself is the production map-side UDF.
+    // REAL video-container decode at the correctness gate — completes
+    // the multimodal trio (image/audio/video all oracle-scored): a
+    // deterministic in-code ISO-BMFF tree (isom brand, 7.5 s movie at
+    // timescale 1000, one 640x360 vide track + one soun track, moov in
+    // the 64-bit largesize form) built from the spec'd byte layout, so
+    // the oracle literals derive from ISO 14496-12, never from the
+    // parser under test; plus the two corrupt shapes (unparseable
+    // bytes; a truncated box tree).
+    "ns_multimodal_video" -> ((s, _) => {
+      import java.nio.ByteBuffer
+      def u16(v: Int) = ByteBuffer.allocate(2).putShort(v.toShort).array()
+      def u32(v: Long) = ByteBuffer.allocate(4).putInt(v.toInt).array()
+      def u64(v: Long) = ByteBuffer.allocate(8).putLong(v).array()
+      def fx(d: Double) = u32((d * 65536).toLong)
+      def cc(str: String) = str.getBytes("ISO-8859-1")
+      def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+        val content = parts.flatten.toArray
+        u32(8L + content.length) ++ cc(typ) ++ content
+      }
+      def bigBox(typ: String, parts: Array[Byte]*): Array[Byte] = {
+        val content = parts.flatten.toArray
+        u32(1L) ++ cc(typ) ++ u64(16L + content.length) ++ content
+      }
+      val matrix = Array.fill(36)(0.toByte)
+      def hdlr(handler: String) =
+        box("hdlr", u32(0), u32(0), cc(handler), Array.fill(12)(0.toByte))
+      def mvhdV0(timescale: Long, duration: Long) =
+        box("mvhd", u32(0), u32(0), u32(0), u32(timescale), u32(duration),
+          u32(0x00010000L), u16(0x0100), Array.fill(10)(0.toByte), matrix,
+          Array.fill(24)(0.toByte), u32(2))
+      def tkhdV0(w: Double, h: Double) =
+        box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0), u32(0),
+          u64(0), u16(0), u16(0), u16(0), u16(0), matrix, fx(w), fx(h))
+      val ftyp = box("ftyp", cc("isom"), u32(0), cc("mp42"))
+      val good = ftyp ++ bigBox("moov",
+        mvhdV0(1000, 7500),
+        box("trak", tkhdV0(640, 360), box("mdia", hdlr("vide"))),
+        box("trak", tkhdV0(0, 0), box("mdia", hdlr("soun")))) ++
+        box("mdat", cc("fake"))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      Seq((1L, good), (2L, "not a movie at all".getBytes("UTF-8")),
+          (3L, good.dropRight(10)))
+        .foreach { case (id, b) =>
+          rows.add(org.apache.spark.sql.Row(id, "video", b))
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("asset_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("modality",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bytes",
+          org.apache.spark.sql.types.BinaryType)))
+      Multimodal.decodeVideoMeta(s.createDataFrame(rows, schema))
+        .select(col("asset_id"), col("byte_len"), col("major_brand"),
+          col("timescale"), col("duration_units"), col("duration_sec"),
+          col("width"), col("height"), col("n_tracks"),
+          col("n_video_tracks"), col("n_audio_tracks"),
+          col("major_brand").isNotNull.as("decoded"))
+        .orderBy(col("asset_id"))
+    }),
+
     // REAL audio decode at the correctness gate — the javax.sound twin
     // of ns_multimodal_decode: a deterministic in-code WAV (16-bit PCM
     // mono 8 kHz, 64-sample ramp i*100-3200 -> peak 3200, mean_abs
@@ -1813,6 +1874,28 @@ object MlPack extends QueryPack {
     // corrupt rows' all-NULL metadata is the quarantine contract under
     // oracle check: a decoder change that starts throwing (task
     // failure) or returning partial metadata flips the hash.
+    // Video literals from the ISO 14496-12 layout: ftyp 20 B + largesize
+    // moov 16+388 B + mdat 12 B = 436; truncation drops 10 -> 426;
+    // 7500/1000 = 7.5 s; 16.16 fixed-point dims decode exactly.
+    "ns_multimodal_video" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(436 AS INTEGER), 'isom',
+        |   CAST(1000 AS BIGINT), CAST(7500 AS BIGINT), CAST(7.5 AS DOUBLE),
+        |   CAST(640.0 AS DOUBLE), CAST(360.0 AS DOUBLE), CAST(2 AS INTEGER),
+        |   CAST(1 AS INTEGER), CAST(1 AS INTEGER), TRUE),
+        |  (CAST(2 AS BIGINT), CAST(18 AS INTEGER), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), FALSE),
+        |  (CAST(3 AS BIGINT), CAST(426 AS INTEGER), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), FALSE))
+        |  AS t(asset_id, byte_len, major_brand, timescale, duration_units,
+        |       duration_sec, width, height, n_tracks, n_video_tracks,
+        |       n_audio_tracks, decoded)
+        |ORDER BY asset_id""".stripMargin,
+
     // Audio literals: 44-byte canonical WAV header + 128 PCM bytes ->
     // byte_len 172; ramp stats peak 3200 / mean_abs 1600.0 exactly;
     // duration 64/8000 (one division, engine-identical); truncated =
