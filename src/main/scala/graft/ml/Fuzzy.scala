@@ -82,19 +82,30 @@ object Fuzzy {
     * per distinct string exactly as before. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxEd: Int): DataFrame = {
-    // (id, s, rid): rid = min id over the string's dup group. One shuffle
-    // on s (the window); the filter to representatives reuses it.
-    // CACHE-LIFETIME CONTRACT: memb stays persisted for the
-    // lifetime of the returned (lazy) plan — a long-lived session
+    // (id, s, rid): rid = min id over the string's dup group, computed
+    // as a partial-aggregating groupBy("s").agg(min) + a probe join back
+    // — NEVER min(id).over(Window.partitionBy(s)): the operator's own
+    // premise is that real corpora are dup-heavy, so a boilerplate
+    // 24-char prefix shared by 1% of the corpus would buffer its whole
+    // dup group in ONE WindowExec task; the groupBy collapses it to one
+    // row per map partition and the join back streams
+    // (AQE-skew-splittable), carrying only (s, rid) on the small side.
+    // Null-safe join key (<=>) keeps the window's null-group semantics:
+    // null strings form one dup group, exactly as Window.partitionBy
+    // grouped them. CACHE-LIFETIME CONTRACT: memb stays persisted for
+    // the lifetime of the returned (lazy) plan — a long-lived session
     // calling this repeatedly should `spark.catalog.clearCache()` after
     // materializing each result, exactly as the streaming sinks document
     // for their per-batch persists. (An eager localCheckpoint would
     // self-release via the ContextCleaner, but costs a measured ~25% on
     // the query: row-serialized checkpoint blocks lose the columnar
     // cache's compressed scans across the five downstream reads.)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-    val memb = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .withColumn("rid", min(col("id")).over(w))
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val repTbl = base.groupBy(col("s"))
+      .agg(min(col("id")).as("rid"))
+      .withColumnRenamed("s", "s_r")
+    val memb = base.join(repTbl, col("s") <=> col("s_r"))
+      .select(col("id"), col("s"), col("rid"))
       .persist()
     memb.count()
     val reps = memb.filter(col("id") === col("rid"))

@@ -262,12 +262,20 @@ object TextAnalysis {
     *
     * Shape at scale: bigrams come from a codegen positional-shingle pass
     * (map-side, no lambda recompute); per-(doc, bigram) multiplicities
-    * aggregate FIRST so the corpus-wide bigram count is a window sum over
-    * the bigram partition (the tfidf df trick — one shuffle serves count
-    * + joinback, and shuffled rows are (doc, gram, tf), never raw text).
-    * The unigram-context count joins on the gram's first token and V
-    * broadcasts as a 1-row aggregate. avg_nlp is a tf-weighted mean so
-    * repeated bigrams never re-shuffle as duplicate rows.
+    * aggregate FIRST, and the corpus-wide bigram count is a
+    * partial-aggregating groupBy over tf + a probe join back — NEVER a
+    * sum over a Window.partitionBy(bg): the background count's whole
+    * point is that some bigrams ("of the") appear in nearly every
+    * document, and WindowExec would buffer that bigram's entire
+    * (doc, bg, tf) row set in ONE task, while the groupBy collapses it
+    * to one row per map partition and the join back streams
+    * (AQE-skew-splittable) — the [[graft.ml.Dedup.dupNgramSpans]]
+    * lesson applied to the text-stats tier. The tf exchange on
+    * (doc_id, bg) is planned identically under both consumers, so
+    * ReuseExchange computes the explode once. The unigram-context count
+    * joins on the gram's first token and V broadcasts as a 1-row
+    * aggregate. avg_nlp is a tf-weighted mean so repeated bigrams never
+    * re-shuffle as duplicate rows.
     */
   def lmPerplexity(docs: DataFrame): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
@@ -278,9 +286,11 @@ object TextAnalysis {
         explode(graft.functions.PosShingles.posShingles(toks, 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
-    val wBg = org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))
-    val scored = tf
-      .withColumn("cb", sum(col("tf")).over(wBg))
+    // corpus-wide bigram count: partial-agg groupBy (a Zipf-hot bigram
+    // collapses map-side) + probe join; exact same cb values as the
+    // window sum it replaces, streaming exchange shape
+    val cbTbl = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cb"))
+    val scored = tf.join(cbTbl, "bg")
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(uni.withColumnRenamed("w", "w1"), "w1")
       .crossJoin(broadcast(vocab))
@@ -295,10 +305,19 @@ object TextAnalysis {
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)).
     *
     * Shape at scale: tf is one shuffle on (doc_id, term); df is a
-    * map-side-combined agg over tf (already unique per pair); N joins in
-    * as a broadcast 1-row aggregate — no driver-side count. tfidf is
-    * rounded BEFORE ranking so the rank order (tfidf desc, term) is
-    * reproducible across engines.
+    * partial-aggregating groupBy over tf (already unique per pair) + a
+    * probe join back on term — NEVER a count over a
+    * Window.partitionBy(term): "the" appears in every document, so its
+    * entire (doc_id, term, tf) row set would buffer in ONE WindowExec
+    * task, while the groupBy collapses it to one row per map partition
+    * and the probe join streams (AQE-skew-splittable) — the
+    * [[graft.ml.Dedup.dupNgramSpans]] lesson; Zipf-hot terms are the
+    * signal here, not cappable noise. The tf subtree is planned
+    * identically under both consumers, so ReuseExchange computes the
+    * explode once; the extra exchange carries only the vocab-sized
+    * (term, df) table. N joins in as a broadcast 1-row aggregate — no
+    * driver-side count. tfidf is rounded BEFORE ranking so the rank
+    * order (tfidf desc, term) is reproducible across engines.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -306,13 +325,17 @@ object TextAnalysis {
       .filter(col("term") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // document frequency as a count over the term partition: one shuffle
-    // serves both the df computation and its "join" back to tf (the
-    // previous shape aggregated tf a second time and joined on term —
-    // a full recompute of the explode plus a vocab-sized join side)
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    // sum(least(tf, 1)), not count(1): tf >= 1 always, so the value IS
+    // the pair count — but a plain count lets Catalyst eliminate tf's
+    // aggregate from this branch entirely (it plans a bare distinct),
+    // forking the two tf subtrees and blocking ReuseExchange into a
+    // second corpus scan + explode. Genuinely consuming the tf value
+    // keeps both branches' tf plans canonical-equal, so the tokenize
+    // pass is planned ONCE (the ns_epochs_per_source inline lesson).
+    val dfTbl = tf.groupBy(col("term"))
+      .agg(sum(least(col("tf"), lit(1L))).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
+    val scored = tf.join(dfTbl, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)

@@ -224,10 +224,15 @@ class MlSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join fell back to all-pairs:\n${plan.take(600)}")
-    // and it runs over DISTINCT strings: the dup-group window (min id
-    // over s) that collapses duplicates must sit below the signature join
-    assert(plan.contains("Window"),
-      s"signature join input is not distinct-string reduced:\n${plan.take(600)}")
+    // and it runs over DISTINCT strings: the dup-group reduction (min id
+    // per s) that collapses duplicates must sit below the signature join
+    // — as a partial-aggregating groupBy, never a Window over s (r10
+    // verdict #2: a hot dup group would buffer whole in one task).
+    // The reduction sits inside the persisted membership fragment; the
+    // plan STRING prints the InMemoryRelation's cached plan inline, so
+    // assert there (AQE hides the cache scan from a plan walk).
+    assert(plan.contains("min(id") && !plan.contains("Window"),
+      s"dup-group reduction is not a windowless min-per-s aggregate:\n${plan.take(900)}")
     // the reduction really collapsed duplicates: representatives are the
     // distinct strings, so lev=0 pairs (2 dup ids of "spark streaming")
     // came from membership, not the signature join

@@ -229,5 +229,18 @@ object PlanGuardSpec {
     // seventh wave (r10): the session rollup's windows must stay
     // user-keyed (an unpartitioned Window = the w_ntile hazard) with
     // both rollups riding the same user_id hash partitioning
-    "e_session_stats")
+    "e_session_stats",
+    // r11: the text-stats tier's Zipf-hot counts reshaped from windows
+    // to partial-agg groupBy + probe join (r10 verdict #1/#2) — a
+    // Window over term/bg/s reappearing in these is the regression;
+    // fuzzy's golden also pins the null-safe rep join + cache boundary
+    "ns_tfidf_top_terms",
+    "ns_fuzzy_prefix_pairs",
+    // r11 (r10 verdict #4): rank-filter top-k scale-safety depends on
+    // Spark 4 planning WindowGroupLimit BELOW the exchange (partial
+    // mode) — these goldens pin that node, so a filter rewrite that
+    // breaks the row_number() <= k pattern match (silently turning
+    // per-key top-k into full-partition buffering) is a visible diff
+    "w_row_number_topk",
+    "ns_sample_stratified")
 }

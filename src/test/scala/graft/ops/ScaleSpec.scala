@@ -494,6 +494,133 @@ class ScaleSpec extends SparkSpecBase {
     spark.catalog.clearCache() // fuzzyPairs persists its signature table
   }
 
+  test("tf-idf df counting: a term in every document never buffers in a window") {
+    // the 100 TB property of ns_tfidf_top_terms (r10 verdict #1): document
+    // frequency comes from a partial-aggregating groupBy over tf + a probe
+    // join, NEVER count().over(Window.partitionBy(term)) — "the" appears
+    // in every document, so WindowExec would buffer its entire
+    // (doc_id, term, tf) row set in ONE task, and Zipf-hot terms are the
+    // signal, not cappable noise. Fixture: one term planted in ALL docs;
+    // every other term is doc-unique.
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"u${i}a u${i}b common u${i}c")).toDF("doc_id", "text")
+    // correctness: df(common)=40 → idf=0, so 'common' never outranks the
+    // doc-unique terms (idf=ln(40)); each doc's top-3 is its unique terms
+    val top = graft.ml.TextAnalysis.tfidfTopTerms(docs, 3)
+      .as[(Long, Int, String, Double)].collect()
+    assert(top.length == 40 * 3)
+    top.foreach { case (d, _, term, tfidf) =>
+      assert(term.startsWith(s"u$d") && math.abs(tfidf - math.log(40.0)) < 1e-6,
+        s"doc $d ranked ($term, $tfidf)")
+    }
+    // plan shape (AQE off so executedPlan is walkable): the ONLY window
+    // allowed is the per-doc rank (bounded by doc vocabulary — the same
+    // bound `text` itself imposes); no window may partition on term, and
+    // df must be a hash aggregate grouping on term
+    val (windows, aggs) = withForcedShufflePlanning {
+      val p = graft.ml.TextAnalysis.tfidfTopTerms(docs, 3)
+        .queryExecution.executedPlan
+      (p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w },
+       p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a })
+    }
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.toString.contains("doc_id")),
+        s"non-doc-keyed window survives: ${w.partitionSpec.mkString(", ")}")
+    }
+    assert(aggs.exists(a => a.groupingExpressions.size == 1 &&
+      a.groupingExpressions.head.toString.contains("term")),
+      "df is not a term-grouped hash aggregate")
+    // skewed-shape shuffle pricing (r10 verdict #6): the hot term's 40
+    // tf rows collapse map-side in the df branch; total records stay a
+    // small multiple of the 160 (doc, term) pairs — a window shape ships
+    // every pair into the term sort and back out again
+    val (_, recs) = graft.ShuffleMeter.shuffleMetrics(spark) {
+      graft.ml.TextAnalysis.tfidfTopTerms(docs, 3).collect()
+    }
+    assert(recs < 6L * 160,
+      s"tf-idf shuffle ships $recs records for 160 (doc, term) pairs")
+  }
+
+  test("lm-perplexity background counts: a corpus-common bigram never buffers in a window") {
+    // same property for ns_lm_perplexity's bigram background count
+    // (r10 verdict #1): cb comes from groupBy(bg).agg(sum) + probe join,
+    // never sum(tf).over(Window.partitionBy(bg)). Fixture: 'of the'
+    // planted in 75% of docs.
+    val docs = ((1 to 30).map(i => (i.toLong, s"u${i}x of the u${i}y")) ++
+      (31 to 40).map(i => (i.toLong, s"u${i}a u${i}b u${i}c")))
+      .toDF("doc_id", "text")
+    val ppl = graft.ml.TextAnalysis.lmPerplexity(docs)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(ppl.size == 40 && ppl.values.forall(_._2 > 0))
+    // hot-bigram docs share the high-count 'of the' background → lower
+    // avg_nlp than the all-unique-bigram docs
+    assert(ppl(1L)._3 < ppl(31L)._3,
+      s"hot-bigram doc not cheaper: ${ppl(1L)._3} vs ${ppl(31L)._3}")
+    val windows = withForcedShufflePlanning {
+      graft.ml.TextAnalysis.lmPerplexity(docs)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    }
+    assert(windows.isEmpty,
+      s"lm-perplexity plans a window: ${windows.mkString("; ").take(400)}")
+    val (_, recs) = graft.ShuffleMeter.shuffleMetrics(spark) {
+      graft.ml.TextAnalysis.lmPerplexity(docs).collect()
+    }
+    // 30*3 + 10*2 = 110 (doc, bigram) pairs + 140 token rows for uni
+    assert(recs < 6L * 250,
+      s"lm-perplexity shuffle ships $recs records for 250 base rows")
+  }
+
+  test("fuzzy dup-group reduction: a hot duplicate string never buffers in a window") {
+    // the 100 TB property of the distinct-string reduction itself
+    // (r10 verdict #2): each string's representative id comes from
+    // groupBy(s).agg(min(id)) + a probe join back, NEVER
+    // min(id).over(Window.partitionBy(s)) — the operator's premise is
+    // that corpora are dup-heavy, so a boilerplate prefix shared by 1%
+    // of rows would land its whole group in one WindowExec task.
+    // Fixture: one string duplicated across 60% of rows.
+    val rows = (1L to 60L).map(i => (i, "the quick brown fox")) ++
+      (61L to 100L).map(i => (i, s"unique string number $i"))
+    val df = rows.toDF("id", "s")
+    val pairs = graft.ml.Fuzzy.fuzzyPairs(df, "id", "s", 1)
+      .as[(Long, Long, Int)].collect()
+    // the hot group alone contributes C(60,2) zero-distance pairs
+    val zeros = pairs.filter(_._3 == 0)
+    assert(zeros.length == 60 * 59 / 2,
+      s"expected 1770 lev-0 pairs, got ${zeros.length}")
+    assert(zeros.forall(p => p._1 < p._2 && p._2 <= 60L))
+    // plan shape: NO window anywhere (fuzzyPairs is now windowless); the
+    // representative table must be a hash aggregate grouping on s. The
+    // membership table is persisted inside fuzzyPairs, so its
+    // construction plan sits BEHIND an InMemoryTableScan boundary —
+    // walk through cached relations or the assertions are vacuous.
+    spark.catalog.clearCache()
+    def deepNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s +: deepNodes(s.relation.cachedPlan)
+        case n => Seq(n)
+      }
+    val nodes = withForcedShufflePlanning {
+      deepNodes(graft.ml.Fuzzy.fuzzyPairs(df, "id", "s", 1)
+        .queryExecution.executedPlan)
+    }
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val aggs = nodes.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+    assert(windows.isEmpty,
+      s"fuzzy pairs plans a window: ${windows.mkString("; ").take(400)}")
+    assert(aggs.exists(a => a.groupingExpressions.size == 1 &&
+      a.groupingExpressions.head.toString.contains("s")),
+      "dup-group reduction is not an s-grouped hash aggregate")
+    spark.catalog.clearCache() // fuzzyPairs persists its membership table
+  }
+
   test("exact cosine dup pairs: tiled block join, no full-corpus broadcast") {
     // the 100 TB property of the SCORED exact all-pairs path
     // (ns_cosine_dup_pairs at τ=0.45, where no S-curve filters): O(n²)
