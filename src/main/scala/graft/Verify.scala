@@ -85,17 +85,28 @@ object Verify {
       .map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
     // prior entries are kept only for queries that still EXIST in
-    // SparkEntry: without the filter, a renamed/deleted query's stale
-    // oracle entry (plus its frozen parquet dump) would keep
-    // "validating" forever — green against its own old output, never
-    // able to go red, inflating the pass count the merge exists to keep
-    // honest.
-    val liveKeys = SparkEntry.oracleSql.keySet.map(jsonQuote)
+    // SparkEntry AND whose oracle SQL text still matches the current
+    // registry: a renamed/deleted query's stale entry (plus its frozen
+    // parquet dump) would keep "validating" forever, and — the subtler
+    // hazard — a query whose implementation AND oracle were both edited
+    // but which wasn't in this run's `only` filter would keep its OLD
+    // SQL validating its OLD parquet dump: green correctness certifying
+    // the previous build. Dropping text-mismatched entries forces those
+    // queries to be re-dumped before they count as validated.
+    val liveSql: Map[String, String] = SparkEntry.oracleSql
+      .map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
     val prior: Map[String, String] =
       if (only.isDefined && Files.exists(oraclePath)) {
-        stringLiterals(Files.readString(oraclePath))
-          .grouped(2).collect { case Seq(k, v) if liveKeys(k) => k -> v }
-          .toMap
+        val pairs = stringLiterals(Files.readString(oraclePath))
+          .grouped(2).collect { case Seq(k, v) => k -> v }.toSeq
+        val stale = pairs.collect {
+          case (k, v) if liveSql.get(k).exists(_ != v) => k }
+        if (stale.nonEmpty) System.err.println(
+          s"[verify] dropped ${stale.size} prior oracle entries whose SQL " +
+            s"no longer matches the registry (re-dump to revalidate): " +
+            stale.mkString(", "))
+        pairs.collect {
+          case (k, v) if liveSql.get(k).contains(v) => k -> v }.toMap
       } else Map.empty
     val json = (prior ++ fresh)
       .map { case (k, v) => s"$k: $v" }.mkString("{", ",", "}")

@@ -216,6 +216,33 @@ class SnapshotLake(root: String) {
     }.collectFirst { case Some(b) => b }
   }
 
+  /** Replay watermark for a writer WITHOUT a streaming query id: the
+    * newest batch marker among commits that ALSO lack one. The sinks
+    * use this (not [[lastStreamBatchId]](spark, None), which matches
+    * ANY query's marker) when the queryId local property is absent
+    * (direct addBatch invocation): an anonymous writer replaying its
+    * own batch is still suppressed, but a fresh anonymous writer whose
+    * batch ids start at 0 against a lake previously streamed by a REAL
+    * query is never silently swallowed by that query's watermark —
+    * that was silent data loss, not replay protection. Two DIFFERENT
+    * anonymous writers interleaving on one lake remain
+    * indistinguishable by construction; callers needing that must run
+    * as real queries (or set the local property themselves). */
+  private[graft] def lastAnonymousStreamBatchId(
+      spark: SparkSession): Option[Long] = {
+    val fs = hadoopFs(spark)
+    versions(spark).reverseIterator.map { v =>
+      val p = new org.apache.hadoop.fs.Path(f"$commitsDir/v$v%08d.json")
+      val in = fs.open(p)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      if (txt.contains(""""queryId":""")) None
+      else """"batchId":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }.collectFirst { case Some(b) => b }
+  }
+
   /** [[commit]] plus an optional streaming (queryId, batchId) marker
     * persisted in the commit JSON — the exactly-once handshake for the
     * streaming sink (a replayed micro-batch is detected by

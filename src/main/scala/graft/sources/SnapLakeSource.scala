@@ -237,12 +237,18 @@ private[sources] class SnapLakeSink(spark: SparkSession, root: String,
     // local property on the stream's driver thread — scoping the
     // replay watermark to THIS query so a fresh query (new checkpoint,
     // batch ids restarting at 0) is not mistaken for a replay of the
-    // previous writer. Absent (direct addBatch calls), fall back to
-    // the unscoped watermark.
+    // previous writer. Absent (direct addBatch calls), consult only
+    // ANONYMOUS markers: an unscoped watermark would let a real
+    // query's old marker silently swallow a new anonymous writer's
+    // whole batches — data loss dressed as replay protection.
     val queryId = Option(spark.sparkContext.getLocalProperty(
       "sql.streaming.queryId"))
-    if (lake.lastStreamBatchId(spark, queryId).exists(_ >= batchId))
-      return // replay of this query's own batch
+    val watermark = queryId match {
+      case some @ Some(_) => lake.lastStreamBatchId(spark, some)
+      case None => lake.lastAnonymousStreamBatchId(spark)
+    }
+    if (watermark.exists(_ >= batchId))
+      return // replay of this writer's own batch (same watermark scope)
     // Sink.addBatch hands a DataFrame over the batch's INCREMENTAL plan;
     // re-wrap its InternalRows as a plain batch frame (one execution —
     // re-running the incremental plan could double-apply stateful ops)

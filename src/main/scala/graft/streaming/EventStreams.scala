@@ -241,7 +241,12 @@ object EventStreams {
     * changefeed — a blind re-merge would publish a duplicate CDF
     * restatement even though the data rows converge). The watermark is
     * query-scoped exactly like the append sink's: a fresh query whose
-    * batch ids restart at 0 is not mistaken for a replay.
+    * batch ids restart at 0 is not mistaken for a replay. When the
+    * queryId local property is ABSENT (direct invocation), the guard
+    * consults only ANONYMOUS markers (commits that also lack a
+    * queryId): an anonymous caller's own replay is still suppressed,
+    * but its batches are never silently swallowed by some earlier real
+    * query's watermark.
     *
     * Batch shape contract: the caller collapses the batch to one row
     * per key (last-wins by (ts, event_id) for CDC) BEFORE the sink —
@@ -257,8 +262,12 @@ object EventStreams {
     val spark = batch.sparkSession
     val queryId = Option(spark.sparkContext.getLocalProperty(
       "sql.streaming.queryId"))
-    if (lake.lastStreamBatchId(spark, queryId).exists(_ >= batchId))
-      return // replay of this query's own batch
+    val watermark = queryId match {
+      case some @ Some(_) => lake.lastStreamBatchId(spark, some)
+      case None => lake.lastAnonymousStreamBatchId(spark)
+    }
+    if (watermark.exists(_ >= batchId))
+      return // replay of this writer's own batch (same watermark scope)
     if (lake.latestVersion(spark).isEmpty || batch.isEmpty)
       lake.commitTagged(batch, overwrite = false, Some(batchId), queryId)
     else

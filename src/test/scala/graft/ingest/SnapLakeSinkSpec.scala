@@ -57,6 +57,7 @@ class SnapLakeSinkSpec extends SparkSpecBase {
     val root = tmp("graft_umerge_lake") + "/lake"
     val ckpt = tmp("graft_umerge_ckpt")
     val lake = new SnapshotLake(root)
+    var qid: String = null // the stream's stable query id (checkpoint identity)
     def run(): Unit = {
       val q = spark.readStream.schema(srcSchema).parquet(src)
         .writeStream
@@ -64,7 +65,16 @@ class SnapLakeSinkSpec extends SparkSpecBase {
         .foreachBatch(
           graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id")) _)
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try { q.processAllAvailable(); qid = q.id.toString } finally q.stop()
+    }
+    // replays below must run UNDER THE QUERY'S OWN SCOPE: the watermark
+    // is queryId-scoped, and an anonymous caller is by contract never
+    // matched against a real query's markers (see the anonymous-writer
+    // test below)
+    def asQuery[A](body: => A): A = {
+      val key = "sql.streaming.queryId"
+      spark.sparkContext.setLocalProperty(key, qid)
+      try body finally spark.sparkContext.setLocalProperty(key, null)
     }
     // batch 0 creates the table (append path of the sink)
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
@@ -88,15 +98,19 @@ class SnapLakeSinkSpec extends SparkSpecBase {
       Set((1L, "a"), (2L, "b")))
     // exactly-once: a replay of batch 1 (same watermark scope) must
     // skip WHOLE -- no new version, its rows never applied
-    graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id"))(
-      Seq((9L, "X")).toDF("id", "v"), 1L)
+    asQuery {
+      graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id"))(
+        Seq((9L, "X")).toDF("id", "v"), 1L)
+    }
     assert(lake.versions(spark) == Seq(1L, 2L),
       "replayed batch id must not publish a new version")
     assert(spark.read.format("snaplake").load(root)
       .filter(col("id") === 9L).count() == 0L)
     // and the next REAL batch still lands
-    graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id"))(
-      Seq((1L, "A2")).toDF("id", "v"), 2L)
+    asQuery {
+      graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id"))(
+        Seq((1L, "A2")).toDF("id", "v"), 2L)
+    }
     assert(lake.versions(spark) == Seq(1L, 2L, 3L))
     assert(spark.read.format("snaplake").load(root)
       .as[(Long, String)].collect().toSet ==
@@ -220,6 +234,49 @@ class SnapLakeSinkSpec extends SparkSpecBase {
       sink.addBatch(0L, Seq((3L, "c")).toDF("id", "v"))
     }
     assert(lake.versions(spark) == Seq(1L, 2L, 3L))
+  }
+
+  test("anonymous writer: scoped markers never swallow it; its own replay still skips") {
+    // the r10-ADVICE data-loss hazard: a lake previously streamed by a
+    // REAL query (markers carry its queryId) is later written by a
+    // caller WITHOUT the queryId local property, batch ids restarting
+    // at 0. Under an unscoped watermark those batches were skipped
+    // whole — silent data loss. Contract now: an anonymous writer
+    // consults only anonymous markers.
+    val root = tmp("graft_sink_anon") + "/lake"
+    val lake = new SnapshotLake(root)
+    val sink = new SnapLakeSource().createSink(spark.sqlContext,
+      Map("path" -> root), Nil, OutputMode.Append())
+    val key = "sql.streaming.queryId"
+    spark.sparkContext.setLocalProperty(key, "query-A")
+    try {
+      sink.addBatch(0L, Seq((1L, "a")).toDF("id", "v"))
+      sink.addBatch(1L, Seq((2L, "b")).toDF("id", "v"))
+    } finally spark.sparkContext.setLocalProperty(key, null)
+    assert(lake.versions(spark) == Seq(1L, 2L))
+    // anonymous batch 0 against query-A's watermark (which sits at 1):
+    // must COMMIT, not be mistaken for a replay
+    sink.addBatch(0L, Seq((3L, "c")).toDF("id", "v"))
+    assert(lake.versions(spark) == Seq(1L, 2L, 3L),
+      "anonymous writer's batch swallowed by a scoped watermark")
+    // the anonymous writer's OWN replay is still suppressed
+    sink.addBatch(0L, Seq((3L, "c")).toDF("id", "v"))
+    assert(lake.versions(spark) == Seq(1L, 2L, 3L),
+      "anonymous replay committed a duplicate")
+    // and the merge sink honors the same scope split
+    graft.streaming.EventStreams.snaplakeUpsertSink(lake, Seq("id"))(
+      Seq((1L, "A2")).toDF("id", "v"), 1L)
+    assert(spark.read.format("snaplake").load(root)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "A2"), (2L, "b"), (3L, "c")),
+      "anonymous merge batch 1 swallowed (anonymous watermark is 0)")
+    spark.sparkContext.setLocalProperty(key, "query-A")
+    try {
+      // query-A replaying its own batch 1 is still a skip
+      sink.addBatch(1L, Seq((9L, "x")).toDF("id", "v"))
+    } finally spark.sparkContext.setLocalProperty(key, null)
+    assert(spark.read.format("snaplake").load(root)
+      .filter(col("id") === 9L).count() == 0L)
   }
 
   test("Complete mode: each trigger overwrite-commits the aggregate") {
