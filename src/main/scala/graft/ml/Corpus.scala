@@ -344,6 +344,14 @@ object Corpus {
     * (w_ntile stays the one sanctioned global window). Shares are
     * single-division doubles over exact BIGINTs, round-6 per the
     * cross-engine convention.
+    *
+    * CACHE-LIFETIME CONTRACT (public API): the 63-row bucket frame
+    * stays persisted for the lifetime of the returned lazy plan. A
+    * long-lived session calling this repeatedly should
+    * `spark.catalog.clearCache()` after materializing each result
+    * (exactly as [[graft.ml.Fuzzy.fuzzyPairs]] and the streaming sinks
+    * document) — the harness does so per query; a library caller owns
+    * the same responsibility.
     */
   def tokenHistogram(docs: DataFrame): DataFrame = {
     // persist + eager count, the shingled() pattern: the <= 63-row

@@ -627,4 +627,92 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Wave-sequential greedy admission — the BATCH TWIN of the streaming
+    * near-dedup ingest ledger ([[graft.streaming.NearDedupStreams]]):
+    * replay the corpus as `nWaves` ordered waves (wave = doc_id mod
+    * nWaves — the deterministic stand-in for arrival batches) and admit
+    * each document iff no already-admitted document is a near-duplicate,
+    * with within-wave ties resolved by greedy minimum-id — exactly the
+    * admission rule the streaming sink applies per micro-batch
+    * (lexicographically-first maximal independent set; processing the
+    * wave sequentially by doc_id gives the identical set). Output:
+    * (doc_id, wave) per admitted document.
+    *
+    * The near-dup decision is the scored minhash tier's
+    * ([[minhashDupPairs]]: banded LSH candidates, exact-Jaccard verify)
+    * so the admitted set is DuckDB-replicable — the oracle replays the
+    * identical sequential greedy as a recursive single-row fold over the
+    * (wave, doc_id) order with a list accumulator. The streaming sink
+    * itself decides on the signature ESTIMATE (bounded ledger state, no
+    * shingles retained — its contract); the replay/idempotence half of
+    * its semantics is spec-pinned (NearDedupSpec), while THIS scored row
+    * pins the wave-sequential admission semantics against an
+    * independent engine.
+    *
+    * Scale shape: the pair graph is built ONCE by the banded generator
+    * (never all-pairs; persisted for the loop — the shingled() pattern,
+    * same cache-lifetime contract) and every loop step is a key join on
+    * bare longs: cross-wave blocking is pairs ⋈ admitted (streaming,
+    * AQE-splittable), the within-wave frontier is the standard iterative
+    * MIS whose round count is bounded by the greedy dependency depth of
+    * the near-dup graph (shallow in practice — dup clusters are small
+    * and clique-like), and localCheckpoint caps lineage exactly as
+    * [[dupClusters]] does. Nothing ever buffers a hot group: the admit/
+    * reject frontier is computed with anti-joins, not windows. */
+  def sequentialAdmission(docs: DataFrame, tau: Double,
+      nWaves: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = minhashDupPairs(docs, tau)
+      .select(col("doc_a"), col("doc_b")).persist()
+    pairs.count()
+    val ids = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(nWaves.toLong)).as("wave"))
+    var admitted = spark.range(0)
+      .select(col("id").as("doc_id"), lit(0L).as("wave"))
+      .localCheckpoint()
+    for (w <- 0 until nWaves) {
+      val wave = ids.filter(col("wave") === w).select(col("doc_id"))
+      val adm = admitted.select(col("doc_id"))
+      // a wave doc near-dup to ANY admitted doc is rejected (the
+      // streaming sink's ledger rejection); rejected docs of EARLIER
+      // waves block nothing — only admitted content rejects
+      val blockedByAdmitted = pairs
+        .join(adm.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(col("doc_b").as("doc_id"))
+        .unionByName(pairs
+          .join(adm.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+          .select(col("doc_a").as("doc_id")))
+        .distinct()
+      var remaining = wave.join(blockedByAdmitted, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // within-wave greedy min-id MIS over the survivors' pair graph —
+      // the identical frontier loop the streaming sink runs per batch
+      var edges = pairs
+        .join(remaining.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(remaining.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .localCheckpoint()
+      var done = remaining.isEmpty
+      while (!done) {
+        val blocked = edges.select(col("doc_b").as("doc_id")).distinct()
+        val frontier = remaining.join(blocked, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        admitted = admitted.unionByName(
+          frontier.withColumn("wave", lit(w.toLong))).localCheckpoint()
+        val rejected = edges
+          .join(frontier.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .select(col("doc_b").as("doc_id")).distinct()
+        remaining = remaining
+          .join(frontier, Seq("doc_id"), "left_anti")
+          .join(rejected, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        edges = edges
+          .join(remaining.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .join(remaining.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+          .localCheckpoint()
+        done = remaining.isEmpty
+      }
+    }
+    admitted
+  }
 }

@@ -142,6 +142,16 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Wave-sequential greedy admission — the batch twin of the streaming
+    // near-dedup ingest ledger (NearDedupStreams): 3 arrival waves
+    // (doc_id mod 3), admit iff no already-admitted near-dup, greedy
+    // min-id within a wave. The oracle replays the identical sequential
+    // greedy as a DuckDB recursive single-row fold over (wave, doc_id).
+    "ns_near_dedup_replay" -> ((s, d) => {
+      Dedup.sequentialAdmission(Tables.documents(s, d), 0.5, 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental dedup: new-arrival batch (doc_id % 5 = 4) against the
     // already-ingested corpus — cross-set pairs only.
     "ns_incremental_dedup" -> ((s, d) => {
@@ -323,8 +333,10 @@ object MlPack extends QueryPack {
       // recompute hazard). embC re-presents the cached doubles under
       // the original schema so the emb-taking helpers scan the cache
       // too (their internal array<double> cast is a no-op on it —
-      // values identical); released by the harness's per-query
-      // clearCache.
+      // values identical). CACHE-LIFETIME CONTRACT: released by the
+      // harness's per-query clearCache; a library caller invoking this
+      // query function directly owns the same clearCache-after-
+      // materialize responsibility (the Fuzzy.fuzzyPairs contract).
       val allVecs = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v")).persist()
       val embC = allVecs.select(col("vec_id"), col("v").as("embedding"))
@@ -1001,6 +1013,47 @@ object MlPack extends QueryPack {
          |SELECT b.cluster_id, kept_id, kept_n_chars, n_members
          |FROM best b JOIN cnt USING (cluster_id)
          |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+    // Sequential-greedy replay over the exact-jaccard pair graph: a
+    // recursive SINGLE-ROW fold (one row per step, list accumulator)
+    // walks the (wave, doc_id) order and admits a doc iff no neighbor
+    // is already in the admitted list — the lexicographically-first MIS
+    // the streaming admission rule defines, computed by an engine with
+    // no notion of the Spark frontier loop. UNION ALL recursion is
+    // legal because each step emits exactly one row. The fold walks
+    // only EDGE-INCIDENT docs: an isolated doc has no neighbor in
+    // either direction, so greedy always admits it and it never affects
+    // another doc's decision — restricting the sequence preserves every
+    // decision while cutting the recursion from |corpus| steps to
+    // |incident docs| (the full-corpus fold was minutes at sf0.1).
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+    // recursive step would otherwise re-evaluate the whole shingle
+    // self-join behind `edges` on EVERY iteration (measured >300 s at
+    // sf0.1; 2 s materialized).
+    "ns_near_dedup_replay" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |inc AS MATERIALIZED (SELECT DISTINCT u AS doc_id FROM edges),
+         |seq AS MATERIALIZED (SELECT doc_id, doc_id % 3 AS wave,
+         |          row_number() OVER (ORDER BY doc_id % 3, doc_id) AS rn
+         |        FROM inc),
+         |fold AS (
+         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS adm
+         |  UNION ALL
+         |  SELECT s.rn,
+         |    CASE WHEN EXISTS (SELECT 1 FROM edges e
+         |                      WHERE e.v = s.doc_id
+         |                        AND list_contains(f.adm, e.u))
+         |         THEN f.adm ELSE list_append(f.adm, s.doc_id) END
+         |  FROM fold f JOIN seq s ON s.rn = f.rn + 1),
+         |final AS (SELECT adm FROM fold ORDER BY rn DESC LIMIT 1)
+         |SELECT d.doc_id, d.doc_id % 3 AS wave FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM inc)
+         |UNION ALL
+         |SELECT s.doc_id, s.wave
+         |FROM seq s, final f WHERE list_contains(f.adm, s.doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Cross-set (batch vs corpus) variant of the jaccard CTE chain.
     "ns_incremental_dedup" ->

@@ -47,6 +47,14 @@ object QualityPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher rule gate (Rae et al. 2021 §A1.1): word count, mean word
+    // length, symbol ratio, alphabetic-word fraction, stopword hits +
+    // the conjunctive pass verdict — one map-side codegen projection.
+    "ns_gopher_rules" -> ((s, d) => {
+      TextAnalysis.gopherRules(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence-length profile: power-of-two token-count buckets with
     // doc/token counts and cumulative token share — the histogram a
     // packing/curriculum planner reads before fixing a context length.
@@ -113,6 +121,37 @@ object QualityPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // Full replay of the Gopher rule metrics over the same single-space
+    // split; every ratio/mean is ONE division of exact integers
+    // (unrounded — bit-identical across engines), so the threshold
+    // booleans replay exactly.
+    "ns_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') w
+        |          FROM documents),
+        |m AS (SELECT doc_id, source,
+        |        CAST(len(w) AS BIGINT) AS n_words,
+        |        CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+        |          AS char_sum,
+        |        CAST(len(list_filter(w, x -> contains(x, '#')
+        |              OR contains(x, '...'))) AS BIGINT) AS symbol_words,
+        |        CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |          AS BIGINT) AS alpha_words,
+        |        CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','be','to','of','and','that','have','with'],
+        |            lower(x)))) AS BIGINT) AS stopword_hits
+        |      FROM t)
+        |SELECT doc_id, source, n_words,
+        |  char_sum * 1.0 / n_words AS mean_word_len,
+        |  symbol_words * 1.0 / n_words AS symbol_ratio,
+        |  alpha_words * 1.0 / n_words AS alpha_ratio,
+        |  stopword_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND char_sum * 1.0 / n_words BETWEEN 3.0 AND 10.0
+        |    AND symbol_words * 1.0 / n_words <= 0.1
+        |    AND alpha_words * 1.0 / n_words >= 0.8
+        |    AND stopword_hits >= 2) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // Full replay: same posexplode/lead-window gram construction, same
     // inner-join semantics (docs shorter than n tokens drop out of the
     // gram stats — none exist in the test data, mirrored regardless).

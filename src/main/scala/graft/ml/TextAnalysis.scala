@@ -49,13 +49,74 @@ object TextAnalysis {
     val r = docs.select(col("doc_id"), col("source"),
       round(stopwordCount(toks, Stopwords("en")).cast("double") /
         size(toks), 6).as("stopword_ratio"))
+    // per-source n rides the same sketch aggregate: the oracle's
+    // ceil(0.5·n)-order-statistic claim holds only inside the GK
+    // rank-exactness envelope (n <= accuracy/2 per source) — checked in
+    // the plan itself so an sf bump fails loudly instead of as a
+    // confusing oracle-hash red (the w_ntile_approx discipline). The
+    // always-0 term is woven into the filter because a free-standing
+    // check column would be pruned away.
     val thr = r.groupBy(col("source"))
       .agg(expr("approx_percentile(stopword_ratio, 0.5, 1000000)")
-        .as("source_median"))
+        .as("source_median"),
+        count(lit(1)).as("n_src"))
+    val envelopeZero = when(col("n_src") > lit(500000L),
+      raise_error(concat(lit("perSourceQualityGate: rank-exact envelope " +
+        "exceeded for a source (n="), col("n_src"),
+        lit(" > accuracy/2 = 500000); raise accuracy in lockstep")))
+        .cast("double")).otherwise(lit(0.0))
     r.join(broadcast(thr), "source")
-      .filter(col("stopword_ratio") > col("source_median"))
+      .filter(col("stopword_ratio") > col("source_median") + envelopeZero)
       .select(col("doc_id"), col("source"), col("stopword_ratio"),
         col("source_median"))
+  }
+
+  /** Gopher quality rules (Rae et al. 2021 §A1.1, the publicly
+    * documented filter set) — the rule gate a production corpus runs
+    * BEFORE model-based scoring: per document, word count, mean word
+    * length, symbol-to-word ratio, alphabetic-word fraction, and
+    * stopword hits, plus the conjunctive pass verdict. Thresholds are
+    * the paper's: 50 <= words <= 100000, 3 <= mean_word_len <= 10,
+    * symbol_ratio <= 0.1, alpha_ratio >= 0.8, >= 2 stopword hits from
+    * the 8-word indicator set.
+    *
+    * Shape at scale: ONE map-side projection over a single-space token
+    * split (the jaccardCtes convention) — array HOFs inside whole-stage
+    * codegen, zero exchanges before the canonical ORDER BY. Ratios and
+    * the mean are SINGLE divisions of exact integers, left unrounded
+    * per the cross-engine determinism rule (rounding a lone IEEE
+    * division is what CREATES decimal-half divergence — NOTES r10
+    * wave 6), so the threshold booleans are engine-identical.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val gopherStops = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val t = split(col("text"), " ")
+    docs.select(col("doc_id"), col("source"),
+        size(t).cast("long").as("n_words"),
+        aggregate(transform(t, w => length(w)), lit(0L),
+          (acc, x) => acc + x).as("char_sum"),
+        size(filter(t, w =>
+          w.contains("#") || w.contains("..."))).cast("long")
+          .as("symbol_words"),
+        size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
+          .as("alpha_words"),
+        size(filter(t, w => array_contains(gopherStops, lower(w))))
+          .cast("long").as("stopword_hits"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        (col("char_sum").cast("double") / col("n_words"))
+          .as("mean_word_len"),
+        (col("symbol_words").cast("double") / col("n_words"))
+          .as("symbol_ratio"),
+        (col("alpha_words").cast("double") / col("n_words"))
+          .as("alpha_ratio"),
+        col("stopword_hits"))
+      .withColumn("pass",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_ratio") >= 0.8 &&
+          col("stopword_hits") >= 2L)
   }
 
   /** Shannon character entropy per document — a classic low-quality-text

@@ -191,11 +191,26 @@ object Windows extends QueryPack {
     // which is what a quantile-bucket user actually wants.
     "w_ntile_approx" -> ((s, d) => {
       val o = Tables.orders(s, d)
+      // n rides the same 1-row aggregate so the rank-exactness envelope
+      // (n <= accuracy/2 — the GK sketch stays effectively uncompressed;
+      // see the oracle comment) is MACHINE-CHECKED: past it the sketch
+      // may return a neighboring order statistic, and an sf bump must
+      // fail loudly here, not surface as an inexplicable oracle-hash red.
+      // The guard is woven into `quartile` (an always-0 term) because a
+      // free-standing check column would be pruned away.
       val cuts = o.agg(percentile_approx(col("o_totalprice"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000000)).as("cuts"))
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000000)).as("cuts"),
+        count(lit(1)).as("n_rows"))
+      val envelopeZero = when(col("n_rows") > lit(500000L),
+        raise_error(concat(lit("w_ntile_approx: rank-exact envelope " +
+          "exceeded (n="), col("n_rows"),
+          lit(" > accuracy/2 = 500000); raise accuracy in lockstep or " +
+            "relax the oracle to a ±1-rank band"))).cast("int"))
+        .otherwise(lit(0))
       o.crossJoin(broadcast(cuts))
         .withColumn("quartile",
-          lit(1) + when(col("o_totalprice") > col("cuts")(0), 1).otherwise(0)
+          lit(1) + envelopeZero
+                 + when(col("o_totalprice") > col("cuts")(0), 1).otherwise(0)
                  + when(col("o_totalprice") > col("cuts")(1), 1).otherwise(0)
                  + when(col("o_totalprice") > col("cuts")(2), 1).otherwise(0))
         .groupBy(col("quartile"))

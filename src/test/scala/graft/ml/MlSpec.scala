@@ -713,6 +713,40 @@ class MlSpec extends SparkSpecBase {
     id.foreach(r => assert(r.getAs[Int]("resized_len") == r.getAs[Int]("orig_len")))
   }
 
+  test("sequential admission: wave order, ledger rejection, greedy min-id MIS") {
+    // ids land in waves by doc_id mod 3. Planted relations:
+    //  - wave-0 verbatim TRIPLE (6, 9, 12): greedy admits 6 only;
+    //  - doc 4 (wave 1) copies the triple's text: rejected by ADMITTED 6
+    //    (cross-wave ledger rejection);
+    //  - docs 1 (wave 1) and 2 (wave 2) share text B: 1 admitted first,
+    //    2 rejected a wave later;
+    //  - 3, 5, 7, 8 unique: admitted unconditionally.
+    val A = "alpha beta gamma delta epsilon zeta"
+    val B = "one two three four five six seven"
+    val rows = Seq(
+      (6L, A), (9L, A), (12L, A), (4L, A),
+      (1L, B), (2L, B),
+      (3L, "u3a u3b u3c u3d u3e u3f"), (5L, "u5a u5b u5c u5d u5e u5f"),
+      (7L, "u7a u7b u7c u7d u7e u7f"), (8L, "u8a u8b u8c u8d u8e u8f"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.sequentialAdmission(df, 0.5, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((6L, 0L), (3L, 0L), (1L, 1L), (7L, 1L),
+      (5L, 2L), (8L, 2L)), s"admitted $got")
+    // parity with a plain sequential fold over the same pair graph —
+    // the oracle's definition, computed in-JVM
+    val pairs = Dedup.minhashDupPairs(df, 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val nbr = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val order = rows.map(_._1).sortBy(id => (id % 3, id))
+    val admitted = order.foldLeft(Set.empty[Long]) { (adm, id) =>
+      if (nbr.getOrElse(id, Set.empty).exists(adm)) adm else adm + id
+    }
+    assert(got.map(_._1) == admitted, s"fold parity: $admitted")
+    spark.catalog.clearCache() // sequentialAdmission persists its pair graph
+  }
+
   test("incremental dedup reports only cross-set (batch x corpus) pairs") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val df = Seq(
