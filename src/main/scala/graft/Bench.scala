@@ -129,8 +129,8 @@ object Bench {
       "ns_similarity_ivfpq", "ns_similarity_ivfpq_res",
       "ns_similarity_rebuild", "ns_cosine_dup_pairs",
       "ns_cosine_dup_pairs_banded", "ns_fuzzy_prefix_pairs",
-      "ns_dup_ngram_spans", "ns_lm_perplexity",
-      "ns_token_count_bpe", "join_broadcast_star",
+      "ns_dup_ngram_spans", "ns_lm_perplexity", "ns_near_dedup_replay",
+      "ns_gopher_rules", "ns_token_count_bpe", "join_broadcast_star",
       "w_row_number_topk", "w_topk_heap", "w_topk_global", "w_ntile_approx",
       "t_tumbling_window", "t_stream_static_enrich", "f13_url_pipeline")
     val head = headline.flatMap(h => results.get(h).map(h -> _))

@@ -45,6 +45,32 @@ object Verify {
     out.result()
   }
 
+  /** Prior oracle_sql.json entries (still-escaped key/value literals)
+    * that may survive a targeted-run merge: the query must still EXIST
+    * in the registry AND its oracle SQL text must still MATCH it. A
+    * renamed/deleted query's stale entry (plus its frozen parquet dump)
+    * would keep "validating" forever, and — the subtler hazard — a
+    * query whose implementation AND oracle were both edited but which
+    * wasn't in this run's `only` filter would keep its OLD SQL
+    * validating its OLD parquet dump: green correctness certifying the
+    * previous build. Dropping text-mismatched entries (stderr-counted)
+    * forces those queries to be re-dumped before they count as
+    * validated. Exposed for VerifySpec. */
+  private[graft] def keepablePrior(priorJson: String,
+      registry: Map[String, String]): Map[String, String] = {
+    val liveSql = registry.map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
+    val pairs = stringLiterals(priorJson)
+      .grouped(2).collect { case Seq(k, v) => k -> v }.toSeq
+    val stale = pairs.collect {
+      case (k, v) if liveSql.get(k).exists(_ != v) => k }
+    if (stale.nonEmpty) System.err.println(
+      s"[verify] dropped ${stale.size} prior oracle entries whose SQL " +
+        s"no longer matches the registry (re-dump to revalidate): " +
+        stale.mkString(", "))
+    pairs.collect {
+      case (k, v) if liveSql.get(k).contains(v) => k -> v }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,30 +110,10 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
-    // prior entries are kept only for queries that still EXIST in
-    // SparkEntry AND whose oracle SQL text still matches the current
-    // registry: a renamed/deleted query's stale entry (plus its frozen
-    // parquet dump) would keep "validating" forever, and — the subtler
-    // hazard — a query whose implementation AND oracle were both edited
-    // but which wasn't in this run's `only` filter would keep its OLD
-    // SQL validating its OLD parquet dump: green correctness certifying
-    // the previous build. Dropping text-mismatched entries forces those
-    // queries to be re-dumped before they count as validated.
-    val liveSql: Map[String, String] = SparkEntry.oracleSql
-      .map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
     val prior: Map[String, String] =
-      if (only.isDefined && Files.exists(oraclePath)) {
-        val pairs = stringLiterals(Files.readString(oraclePath))
-          .grouped(2).collect { case Seq(k, v) => k -> v }.toSeq
-        val stale = pairs.collect {
-          case (k, v) if liveSql.get(k).exists(_ != v) => k }
-        if (stale.nonEmpty) System.err.println(
-          s"[verify] dropped ${stale.size} prior oracle entries whose SQL " +
-            s"no longer matches the registry (re-dump to revalidate): " +
-            stale.mkString(", "))
-        pairs.collect {
-          case (k, v) if liveSql.get(k).contains(v) => k -> v }.toMap
-      } else Map.empty
+      if (only.isDefined && Files.exists(oraclePath))
+        keepablePrior(Files.readString(oraclePath), SparkEntry.oracleSql)
+      else Map.empty
     val json = (prior ++ fresh)
       .map { case (k, v) => s"$k: $v" }.mkString("{", ",", "}")
     Files.writeString(oraclePath, json)

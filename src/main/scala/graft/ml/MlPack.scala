@@ -628,6 +628,14 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style per-language perplexity tertiles: head/middle/tail
+    // buckets from sketch cutpoints (rank-exact at this scale, envelope
+    // machine-checked), fixed-point bucket means.
+    "ns_ppl_buckets" -> ((s, d) => {
+      TextAnalysis.pplBuckets(Tables.documents(s, d))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Exact duplicated 8-gram spans per document (substring-level dedup):
     // longest consecutive run of corpus-duplicated grams + totals.
     "ns_dup_ngram_spans" -> ((s, d) => {
@@ -1823,6 +1831,44 @@ object MlPack extends QueryPack {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(nlp), 6) AS avg_nlp, round(exp(avg(nlp)), 4) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // lm replay extended with per-lang rank-exact tertile cutpoints
+    // (ceil(q·n)-th order statistics — the w_ntile_approx convention)
+    // and the fixed-point bucket mean.
+    "ns_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        |bg AS (SELECT doc_id, unnest(list_filter(list_zip(ws, ws[2:]),
+        |    p -> p[2] IS NOT NULL)) AS p FROM t),
+        |bgf AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bgf GROUP BY w1, w2),
+        |scored AS (SELECT bgf.doc_id, -ln((bc.cb + 1.0) / (uni.cu + v.vocab)) AS nlp
+        |  FROM bgf JOIN bc USING (w1, w2) JOIN uni ON bgf.w1 = uni.w CROSS JOIN v),
+        |ppl AS (SELECT doc_id, round(exp(avg(nlp)), 4) AS ppl
+        |  FROM scored GROUP BY doc_id),
+        |wl AS (SELECT p.doc_id, d.lang, p.ppl
+        |  FROM ppl p JOIN documents d USING (doc_id)),
+        |ranked AS (SELECT lang, ppl,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt FROM wl),
+        |cuts AS (SELECT lang,
+        |    max(CASE WHEN rn = CAST(ceil(cnt * (1.0/3)) AS BIGINT)
+        |        THEN ppl END) AS c1,
+        |    max(CASE WHEN rn = CAST(ceil(cnt * (2.0/3)) AS BIGINT)
+        |        THEN ppl END) AS c2
+        |  FROM ranked GROUP BY lang),
+        |b AS (SELECT wl.lang,
+        |    1 + CAST(wl.ppl > c.c1 AS INT) + CAST(wl.ppl > c.c2 AS INT)
+        |      AS bucket,
+        |    wl.ppl FROM wl JOIN cuts c USING (lang))
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(ppl) AS lo_ppl, max(ppl) AS hi_ppl,
+        |  CAST(sum(CAST(round(ppl * 10000) AS BIGINT)) AS DOUBLE)
+        |    / (10000.0 * count(*)) AS avg_ppl
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "ns_dup_ngram_spans" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws

@@ -342,7 +342,12 @@ object TextAnalysis {
     val toks = split(trim(lower(col("text"))), "\\s+")
     val tok = docs.select(col("doc_id"), explode(toks).as("w"))
     val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
-    val vocab = uni.agg(count(lit(1)).as("vocab"))
+    // count(cu), not count(1): cu is never null so the value IS the
+    // vocab size, but referencing it keeps this branch's uni subtree
+    // identical to the w1-join probe's, so ReuseExchange plans the
+    // token explode once (the tfidf df lesson — count(1) lets Catalyst
+    // strip the aggregate and fork the scans)
+    val vocab = uni.agg(count(col("cu")).as("vocab"))
     val tf = docs.select(col("doc_id"),
         explode(graft.functions.PosShingles.posShingles(toks, 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
@@ -361,6 +366,67 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("n_bigrams"),
         round(sum(col("tf") * col("nlp")) / sum(col("tf")), 6).as("avg_nlp"),
         round(exp(sum(col("tf") * col("nlp")) / sum(col("tf"))), 4).as("ppl"))
+  }
+
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    * the public pipeline): score every document with the corpus bigram
+    * LM ([[lmPerplexity]]) and split each language into HEAD / MIDDLE /
+    * TAIL tertiles by perplexity — the standard "keep the head, sample
+    * the middle, drop the tail" curation gate, per language so one
+    * language's prose style never drains another's budget. Output:
+    * (lang, bucket 1..3, n_docs, lo/hi/avg ppl).
+    *
+    * Shape at scale: tertile CUTPOINTS come from approx_percentile per
+    * language (constant sketch state, map-side combine — the
+    * w_ntile_approx convention, rank-exact inside the n <= accuracy/2
+    * envelope, which the plan itself machine-checks via the woven
+    * raise_error guard); the tiny (lang, cuts) table broadcasts onto a
+    * map-side bucket assignment. No global or per-lang sort ever runs.
+    * avg_ppl is a FIXED-POINT mean: ppl is round-4, so summing
+    * round(ppl·10⁴) longs is exact under any partition order and the
+    * final single division of exact integers is bit-identical across
+    * engines (the charEntropy/dsirScore discipline — a double sum here
+    * would be addition-order-dependent).
+    *
+    * The scored frame (doc_id, lang, ppl — ~20 B/row) is materialized
+    * ONCE via an eager localCheckpoint: its two consumers (cutpoint
+    * sketch + bucket assignment) would otherwise each recompute the
+    * ENTIRE three-exchange LM pipeline over the raw text.
+    * localCheckpoint, NOT persist: compiling a cached plan loses the
+    * lm-internal ReusedExchange (measured: the cache materialization
+    * itself ran the tokenize subtree twice, 54k records vs 28k), while
+    * the checkpoint runs a normal QueryExecution where reuse fires —
+    * and its blocks self-release via the ContextCleaner, so no
+    * cache-lifetime contract is imposed on the caller.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    // LEFT join, deliberately: an inner join on doc_id infers
+    // isnotnull(doc_id) into the lm side only (the cb branch groups by
+    // bg and never sees it), forking the tf subtrees and killing the
+    // lm-internal ReusedExchange — measured 58.6k vs 32k records. A
+    // left join infers nothing on the left keys; doc_id is never null
+    // and always matches, so the rows are identical.
+    val wl = lmPerplexity(docs).select(col("doc_id"), col("ppl"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"), "left")
+      .localCheckpoint()
+    val cuts = wl.groupBy(col("lang"))
+      .agg(percentile_approx(col("ppl"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("cuts"),
+        count(lit(1)).as("n_lang"))
+    val envelopeZero = when(col("n_lang") > lit(500000L),
+      raise_error(concat(lit("pplBuckets: rank-exact envelope exceeded " +
+        "for a language (n="), col("n_lang"),
+        lit(" > accuracy/2 = 500000); raise accuracy in lockstep")))
+        .cast("int")).otherwise(lit(0))
+    wl.join(broadcast(cuts), "lang")
+      .withColumn("bucket", lit(1) + envelopeZero
+        + when(col("ppl") > col("cuts")(0), 1).otherwise(0)
+        + when(col("ppl") > col("cuts")(1), 1).otherwise(0))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ppl")).as("lo_ppl"), max(col("ppl")).as("hi_ppl"),
+        (sum(round(col("ppl") * lit(10000.0), 0).cast("long")).cast("double")
+          / (lit(10000.0) * count(lit(1)))).as("avg_ppl"))
   }
 
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)).

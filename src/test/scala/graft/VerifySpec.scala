@@ -68,4 +68,30 @@ class VerifySpec extends AnyFunSuite {
     assert(merged(Verify.jsonQuote("a")) == Verify.jsonQuote("new"))
     assert(merged(Verify.jsonQuote("b")) == Verify.jsonQuote("keep"))
   }
+
+  test("stale prior oracles are dropped: dead keys AND text-drifted SQL") {
+    // the r10-ADVICE hazard: a query edited (impl + oracle) but absent
+    // from the targeted run's `only` filter must NOT keep its old SQL
+    // validating its old parquet dump. keepablePrior keeps a prior
+    // entry only when the key is live AND the SQL text still matches.
+    val prior = render(Seq(
+      "alive_same" -> "SELECT 1",
+      "alive_drifted" -> "SELECT old",
+      "dead_key" -> "SELECT 2"))
+    val registry = Map(
+      "alive_same" -> "SELECT 1",
+      "alive_drifted" -> "SELECT new")
+    val kept = Verify.keepablePrior(prior, registry)
+    assert(kept == Map(
+      Verify.jsonQuote("alive_same") -> Verify.jsonQuote("SELECT 1")),
+      s"kept $kept")
+    // hostile content flows through unchanged (still-escaped splice)
+    check(Prop.forAll(hostile, hostile) { (k, v) =>
+      val p = render(Seq(k -> v))
+      Verify.keepablePrior(p, Map(k -> v)) ==
+        Map(Verify.jsonQuote(k) -> Verify.jsonQuote(v)) &&
+      Verify.keepablePrior(p, Map(k -> (v + "x"))).isEmpty &&
+      Verify.keepablePrior(p, Map.empty).isEmpty
+    })
+  }
 }

@@ -621,6 +621,56 @@ class ScaleSpec extends SparkSpecBase {
     spark.catalog.clearCache() // fuzzyPairs persists its membership table
   }
 
+  test("sequential admission survives a hot dup cluster: min-id only, no window, 3 actions/wave") {
+    // the boilerplate-corpus shape for the admission batch twin: ONE
+    // text duplicated across 60% of the corpus (a 60-doc clique in the
+    // pair graph spanning all 3 waves) + isolated docs. Greedy must
+    // admit exactly the clique's min id plus every isolated doc, the
+    // plan must stay window-free (the loop is anti/semi-joins), and the
+    // per-wave MIS loop must terminate in ONE round on a clique — a
+    // round count growing with cluster SIZE (rather than graph depth)
+    // would be the scale regression.
+    val hot = "the quick brown fox jumps over the lazy dog again"
+    val rows = (1L to 60L).map(i => (i, hot)) ++
+      (61L to 100L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"))
+    val df = rows.toDF("doc_id", "text")
+    val got = graft.ml.Dedup.sequentialAdmission(df, 0.5, 3)
+      .as[(Long, Long)].collect().toMap
+    // clique winner = the min id of the EARLIEST wave touching the
+    // clique: doc 3 (wave 0) precedes doc 1 (wave 1) in the
+    // (wave, doc_id) order — wave order outranks raw id, exactly the
+    // streaming semantics (earlier batches admit first). Isolated docs
+    // all admitted.
+    assert(got.keySet == (Set(3L) ++ (61L to 100L)),
+      s"admitted ${got.keySet.toSeq.sorted}")
+    assert(got(3L) == 0L)
+    spark.catalog.clearCache()
+    // action bound: each wave is (<=1 MIS round on a clique) -> the
+    // driver loop runs a constant number of localCheckpoint actions per
+    // wave regardless of cluster size (depth-bounded, not size-bounded)
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = actions.add(s"FAILED:$funcName")
+    }
+    spark.listenerManager.register(l)
+    try {
+      graft.ml.Dedup.sequentialAdmission(df, 0.5, 3).collect()
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
+    } finally spark.listenerManager.unregister(l)
+    val checkpoints = actions.toArray(Array.empty[String])
+      .count(_ == "localCheckpoint")
+    // 1 seed + per wave: 1 remaining + 1 edges + (1 round x 4) = 6 ->
+    // <= 19 for 3 waves; a size-coupled loop would blow well past this
+    assert(checkpoints <= 19,
+      s"admission loop ran $checkpoints checkpoint actions on a 1-round graph")
+    spark.catalog.clearCache()
+  }
+
   test("exact cosine dup pairs: tiled block join, no full-corpus broadcast") {
     // the 100 TB property of the SCORED exact all-pairs path
     // (ns_cosine_dup_pairs at τ=0.45, where no S-curve filters): O(n²)
