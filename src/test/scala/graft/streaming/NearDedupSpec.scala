@@ -143,6 +143,46 @@ class NearDedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("batch twin parity: streamed admission == Dedup.sequentialAdmission on decisive fixtures") {
+    // the scored batch twin (ns_near_dedup_replay) claims to replay the
+    // STREAM's admission rule; this ties the two implementations
+    // together on a fixture where their decision statistics coincide:
+    // verbatim duplicates estimate 1.0 (est-Jaccard == exact Jaccard),
+    // unrelated docs ~0, so the stream's signature estimate and the
+    // twin's exact-verify decide identically. Waves are doc_id mod 3 on
+    // both sides (the twin's definition; fed to the sink as batches
+    // 0/1/2 in order).
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight nine"
+    val rows = Seq(
+      (6L, A), (9L, A), (4L, A), (2L, A), // group A: waves 0,0,1,2
+      (1L, B), (5L, B), // group B: waves 1,2
+      (3L, "u3a u3b u3c u3d u3e u3f"), (7L, "u7a u7b u7c u7d u7e u7f"),
+      (8L, "u8a u8b u8c u8d u8e u8f"), (10L, "uXa uXb uXc uXd uXe uXf"),
+      (11L, "uYa uYb uYc uYd uYe uYf"), (12L, "uZa uZb uZc uZd uZe uZf"))
+    val docs = rows.map { case (id, t) => (id, t, "en", "synthetic", 8L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ledger = Files.createTempDirectory("graft_tw_ledger").toString + "/l"
+    val out = Files.createTempDirectory("graft_tw_out").toString + "/o"
+    (0 until 3).foreach { w =>
+      NearDedupStreams.nearDedupIngestSink(spark, ledger, out, 0.5)(
+        docs.filter($"doc_id" % 3 === w), w.toLong)
+    }
+    val streamed = spark.read.parquet(out).select($"doc_id")
+      .as[Long].collect().toSet
+    val twin = Dedup.sequentialAdmission(docs, 0.5, 3)
+      .as[(Long, Long)].collect()
+    spark.catalog.clearCache() // sequentialAdmission persists its pair graph
+    assert(twin.map(_._1).toSet == streamed,
+      s"batch twin diverged from the stream: twin=${twin.map(_._1).toSet} " +
+        s"stream=$streamed")
+    // and the expected set itself: group winners are the earliest
+    // wave's min id (6 for A — wave 0; 1 for B — wave 1), isolated all in
+    assert(streamed == Set(6L, 1L, 3L, 7L, 8L, 10L, 11L, 12L))
+    // the twin's wave tags match doc_id mod 3
+    twin.foreach { case (id, w) => assert(w == id % 3) }
+  }
+
   test("long run: 21 batches + crash replays, compaction bounds files and rows") {
     // the unbounded-growth question VERDICT flagged: over a long stream
     // with crash-healing re-appends, do bucket duplicates and small
