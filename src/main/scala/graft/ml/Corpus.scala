@@ -488,4 +488,32 @@ object Corpus {
         Window.orderBy(col("freq").desc, col("token"))))
       .select(col("rank"), col("token"), col("freq"), col("n_docs"))
   }
+
+  /** The r11 curation pipeline as ONE lazy plan — the composed form of
+    * the round's quality tier, the way [[trainingMix]] composes the
+    * r7 tier: Gopher rule gate ∧ CCNet head+middle perplexity buckets
+    * (independent signals, each computed over the FULL corpus so one
+    * filter's selectivity never skews the other's thresholds) →
+    * exact-dedup keep among the survivors (min doc_id per md5 — the
+    * keep set is filter-dependent by design: dedup what you are about
+    * to train on) → per-source document/token budget report.
+    *
+    * Scale shape: both gates are the operators' own plans (map-side
+    * Gopher projection; one localCheckpointed LM pass + broadcast
+    * cutpoints); the dedup keep is one (md5, doc_id) exchange over
+    * survivors, never text; the rollup is a partial-aggregating
+    * groupBy(source). Joins are all on doc_id longs.
+    */
+  def curationPipeline(docs: DataFrame): DataFrame = {
+    val gate = TextAnalysis.gopherRules(docs).filter(col("pass"))
+      .select(col("doc_id"), col("source"), col("n_words"))
+    val headMid = TextAnalysis.pplBucketed(docs)
+      .filter(col("bucket") <= 2).select(col("doc_id"))
+    val surv = gate.join(headMid, "doc_id")
+      .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "doc_id")
+    val canon = surv.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    surv.join(canon.select(col("doc_id")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+  }
 }

@@ -564,6 +564,29 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID confusion matrix: labeled x predicted doc counts with
+    // per-labeled-language recall share — the eval rollup of ns_lang_id.
+    "ns_lang_confusion" -> ((s, d) => {
+      val cells = TextAnalysis.langId(Tables.documents(s, d))
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = cells.groupBy(col("labeled_lang"))
+        .agg(sum(col("n_docs")).as("n_labeled"))
+      cells.join(broadcast(totals), "labeled_lang")
+        .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+          (col("n_docs").cast("double") / col("n_labeled")).as("share"))
+        .orderBy(col("labeled_lang"), col("predicted_lang"))
+    }),
+
+    // The r11 curation pipeline composed as ONE lazy plan: Gopher gate
+    // AND CCNet head+middle buckets, exact-dedup keep among survivors,
+    // per-source budget report (the trainingMix discipline for the
+    // quality tier).
+    "ns_curation_pipeline" -> ((s, d) => {
+      Corpus.curationPipeline(Tables.documents(s, d))
+        .orderBy(col("source"))
+    }),
+
     // Top-3 TF-IDF terms per document.
     "ns_tfidf_top_terms" -> ((s, d) => {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)
@@ -1831,6 +1854,96 @@ object MlPack extends QueryPack {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(nlp), 6) AS avg_nlp, round(exp(avg(nlp)), 4) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // lang-id replay rolled up to the confusion matrix; share is one
+    // division of exact longs (unrounded — bit-identical).
+    "ns_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, labeled_lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','mit'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','que','pour'))) AS INT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','不'))) AS INT) AS s_zh
+        |  FROM t),
+        |p AS (SELECT labeled_lang,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_es AND s_zh >= s_fr THEN 'zh'
+        |    ELSE 'und' END AS predicted_lang
+        |  FROM s),
+        |cells AS (SELECT labeled_lang, predicted_lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2),
+        |tot AS (SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_labeled
+        |  FROM cells GROUP BY 1)
+        |SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+        |  c.n_docs * 1.0 / t.n_labeled AS share
+        |FROM cells c JOIN tot t USING (labeled_lang)
+        |ORDER BY c.labeled_lang, c.predicted_lang""".stripMargin,
+
+    // the composed r11 pipeline: lm chain -> per-lang cutpoints ->
+    // doc-level buckets, Gopher metrics -> pass filter, md5 min-id keep
+    // among survivors, per-source rollup — each stage the committed
+    // oracle shape of its scored standalone query.
+    "ns_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        |bg AS (SELECT doc_id, unnest(list_filter(list_zip(ws, ws[2:]),
+        |    p -> p[2] IS NOT NULL)) AS p FROM t),
+        |bgf AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bgf GROUP BY w1, w2),
+        |scored AS (SELECT bgf.doc_id, -ln((bc.cb + 1.0) / (uni.cu + v.vocab)) AS nlp
+        |  FROM bgf JOIN bc USING (w1, w2) JOIN uni ON bgf.w1 = uni.w CROSS JOIN v),
+        |ppl AS (SELECT doc_id, round(exp(avg(nlp)), 4) AS ppl
+        |  FROM scored GROUP BY doc_id),
+        |wl AS (SELECT p.doc_id, d.lang, p.ppl
+        |  FROM ppl p JOIN documents d USING (doc_id)),
+        |ranked AS (SELECT lang, ppl,
+        |    row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt FROM wl),
+        |cuts AS (SELECT lang,
+        |    max(CASE WHEN rn = CAST(ceil(cnt * (1.0/3)) AS BIGINT)
+        |        THEN ppl END) AS c1,
+        |    max(CASE WHEN rn = CAST(ceil(cnt * (2.0/3)) AS BIGINT)
+        |        THEN ppl END) AS c2
+        |  FROM ranked GROUP BY lang),
+        |bkt AS (SELECT wl.doc_id,
+        |    1 + CAST(wl.ppl > c.c1 AS INT) + CAST(wl.ppl > c.c2 AS INT)
+        |      AS bucket
+        |  FROM wl JOIN cuts c USING (lang)),
+        |gw AS (SELECT doc_id, source, string_split(text, ' ') w FROM documents),
+        |gm AS (SELECT doc_id, source,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS char_sum,
+        |    CAST(len(list_filter(w, x -> contains(x, '#')
+        |        OR contains(x, '...'))) AS BIGINT) AS symbol_words,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(w, x -> list_contains(
+        |        ['the','be','to','of','and','that','have','with'],
+        |        lower(x)))) AS BIGINT) AS stopword_hits
+        |  FROM gw),
+        |gp AS (SELECT doc_id, source, n_words FROM gm
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND char_sum * 1.0 / n_words BETWEEN 3.0 AND 10.0
+        |    AND symbol_words * 1.0 / n_words <= 0.1
+        |    AND alpha_words * 1.0 / n_words >= 0.8
+        |    AND stopword_hits >= 2),
+        |surv AS (SELECT gp.doc_id, gp.source, gp.n_words, md5(d.text) AS h
+        |  FROM gp JOIN bkt USING (doc_id) JOIN documents d USING (doc_id)
+        |  WHERE bkt.bucket <= 2),
+        |canon AS (SELECT h, min(doc_id) AS doc_id FROM surv GROUP BY h)
+        |SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(s.n_words) AS BIGINT) AS n_tokens
+        |FROM surv s JOIN canon USING (doc_id)
+        |GROUP BY s.source ORDER BY s.source""".stripMargin,
 
     // lm replay extended with per-lang rank-exact tertile cutpoints
     // (ceil(q·n)-th order statistics — the w_ntile_approx convention)

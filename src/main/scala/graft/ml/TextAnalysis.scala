@@ -399,7 +399,12 @@ object TextAnalysis {
     * and its blocks self-release via the ContextCleaner, so no
     * cache-lifetime contract is imposed on the caller.
     */
-  def pplBuckets(docs: DataFrame): DataFrame = {
+  /** Doc-level form of [[pplBuckets]]: (doc_id, lang, ppl, bucket) per
+    * document — the frame a curation pipeline FILTERS on ("keep head +
+    * middle"), where [[pplBuckets]] is its reporting rollup. Same plan
+    * properties (one localCheckpointed LM pass, broadcast sketch
+    * cutpoints, machine-checked rank-exactness envelope). */
+  def pplBucketed(docs: DataFrame): DataFrame = {
     // LEFT join, deliberately: an inner join on doc_id infers
     // isnotnull(doc_id) into the lm side only (the cb branch groups by
     // bg and never sees it), forking the tf subtrees and killing the
@@ -422,12 +427,16 @@ object TextAnalysis {
       .withColumn("bucket", lit(1) + envelopeZero
         + when(col("ppl") > col("cuts")(0), 1).otherwise(0)
         + when(col("ppl") > col("cuts")(1), 1).otherwise(0))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
+  }
+
+  def pplBuckets(docs: DataFrame): DataFrame =
+    pplBucketed(docs)
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("ppl")).as("lo_ppl"), max(col("ppl")).as("hi_ppl"),
         (sum(round(col("ppl") * lit(10000.0), 0).cast("long")).cast("double")
           / (lit(10000.0) * count(lit(1)))).as("avg_ppl"))
-  }
 
   /** Top-k terms per document by TF-IDF (tf · ln(N/df)).
     *
