@@ -23,6 +23,68 @@ class QualitySpec extends SparkSpecBase {
     assert(d2.getAs[Double]("top_token_frac") == 0.25)
   }
 
+  test("gopher rules: hand-computed metrics, each rule rejects independently") {
+    import spark.implicits._
+    // passing doc: 50 words of the form 'wordNN' + 2 stopwords
+    val ok = ((1 to 48).map(i => f"word$i%02d") ++ Seq("the", "with")).mkString(" ")
+    val rows = Seq(
+      (1L, ok, "a"),                                     // passes all five
+      (2L, "short doc the with", "a"),                   // n_words = 4 < 50
+      (3L, ((1 to 48).map(i => f"####$i%02d") ++ Seq("the", "with")).mkString(" "), "a"), // symbol ratio 48/50
+      (4L, ((1 to 48).map(i => f"word$i%02d") ++ Seq("zz", "yy")).mkString(" "), "a"),    // 0 stopword hits
+      (5L, ((1 to 48).map(_ => "ab") ++ Seq("the", "with")).mkString(" "), "a"))          // mean len (2*48+3+4)/50 = 2.06 < 3
+    val df = rows.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.gopherRules(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("pass"))
+    assert(!got(2L).getAs[Boolean]("pass") && got(2L).getAs[Long]("n_words") == 4)
+    assert(!got(3L).getAs[Boolean]("pass") &&
+      math.abs(got(3L).getAs[Double]("symbol_ratio") - 48.0 / 50) < 1e-12)
+    assert(!got(4L).getAs[Boolean]("pass") &&
+      got(4L).getAs[Long]("stopword_hits") == 0)
+    assert(!got(5L).getAs[Boolean]("pass") &&
+      math.abs(got(5L).getAs[Double]("mean_word_len") - 103.0 / 50) < 1e-12)
+    // doc 1 exact metrics: 48x6-char words + 'the'(3) + 'with'(4)
+    assert(got(1L).getAs[Long]("n_words") == 50 &&
+      got(1L).getAs[Double]("mean_word_len") == (48 * 6 + 3 + 4) / 50.0 &&
+      got(1L).getAs[Double]("alpha_ratio") == 1.0 &&
+      got(1L).getAs[Long]("stopword_hits") == 2)
+  }
+
+  test("ppl buckets: per-lang partition, monotone ranges, roughly balanced") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val bucketed = TextAnalysis.pplBucketed(docs)
+      .as[(Long, String, Double, Int)].collect()
+    val scoredDocs = bucketed.map(_._1).toSet
+    // partition: every scored (>= 2-token) doc in exactly one bucket 1..3
+    assert(bucketed.length == scoredDocs.size)
+    assert(bucketed.forall(r => r._4 >= 1 && r._4 <= 3))
+    bucketed.groupBy(_._2).foreach { case (lang, rows) =>
+      val byB = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // monotone: bucket ranges never overlap (ties stay in the lower
+      // bucket by the strict > cut)
+      (1 to 2).foreach { b =>
+        for (lo <- byB.get(b); hi <- byB.get(b + 1))
+          assert(lo.max <= hi.min, s"$lang bucket $b overlaps ${b + 1}")
+      }
+      // roughly balanced tertiles (exact thirds modulo ties — the real
+      // corpus has distinct round-4 ppl values almost everywhere)
+      val n = rows.length
+      (1 to 3).foreach { b =>
+        val share = byB.getOrElse(b, Array.empty[Double]).length.toDouble / n
+        assert(share > 0.2 && share < 0.47, s"$lang bucket $b share $share")
+      }
+    }
+    // and the reporting rollup agrees with the doc-level frame
+    val rollup = TextAnalysis.pplBuckets(docs)
+      .select($"lang", $"bucket", $"n_docs").as[(String, Int, Long)]
+      .collect().map { case (l, b, n) => (l, b) -> n }.toMap
+    bucketed.groupBy(r => (r._2, r._4)).foreach { case (k, rs) =>
+      assert(rollup(k) == rs.length)
+    }
+  }
+
   test("boilerplate coverage: shared 6-gram counted, unique doc at zero") {
     val shared = "one two three four five six"
     val df = Seq(

@@ -242,5 +242,15 @@ object PlanGuardSpec {
     // breaks the row_number() <= k pattern match (silently turning
     // per-key top-k into full-partition buffering) is a visible diff
     "w_row_number_topk",
-    "ns_sample_stratified")
+    "ns_sample_stratified",
+    // r11 second wave: the Gopher gate must stay ONE map-side codegen
+    // projection (any Exchange beyond the canonical sort = a HOF fell
+    // out of codegen into a shuffle-bearing rewrite); the composed
+    // curation pipeline pins the gate->buckets->keep->rollup join
+    // shape (the checkpoint boundary shows as the bucket side's scan);
+    // the buckets rollup pins broadcast-cutpoint + fixed-point agg
+    "ns_gopher_rules",
+    "ns_ppl_buckets",
+    "ns_lang_confusion",
+    "ns_curation_pipeline")
 }
