@@ -509,8 +509,15 @@ object Corpus {
       .select(col("doc_id"), col("source"), col("n_words"))
     val headMid = TextAnalysis.pplBucketed(docs)
       .filter(col("bucket") <= 2).select(col("doc_id"))
+    // the narrow survivor frame (doc_id, source, n_words, h — ~50 B/row)
+    // materializes ONCE: its two consumers (the md5 min-id keep and the
+    // join-back) would otherwise each re-scan the corpus and re-run the
+    // Gopher projection. localCheckpoint, not persist, per the
+    // pplBuckets lesson (cached-plan compilation loses exchange reuse;
+    // checkpoint blocks self-release via the ContextCleaner).
     val surv = gate.join(headMid, "doc_id")
       .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "doc_id")
+      .localCheckpoint()
     val canon = surv.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     surv.join(canon.select(col("doc_id")), "doc_id")
       .groupBy(col("source"))
