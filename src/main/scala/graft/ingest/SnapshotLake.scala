@@ -201,7 +201,16 @@ class SnapshotLake(root: String) {
     * The scan normally stops within a few commits: a live stream
     * writer's marker is always near the log tail. */
   def lastStreamBatchId(spark: SparkSession,
-      queryId: Option[String] = None): Option[Long] = {
+      queryId: Option[String] = None): Option[Long] =
+    newestBatchMarker(spark) { txt =>
+      queryId.forall(q => txt.contains(s""""queryId":"$q""""))
+    }
+
+  /** Newest→oldest commit-log scan shared by the two watermark lookups:
+    * the first commit whose JSON both satisfies `eligible` and carries a
+    * batch marker wins. */
+  private def newestBatchMarker(spark: SparkSession)(
+      eligible: String => Boolean): Option[Long] = {
     val fs = hadoopFs(spark)
     versions(spark).reverseIterator.map { v =>
       val p = new org.apache.hadoop.fs.Path(f"$commitsDir/v$v%08d.json")
@@ -210,8 +219,7 @@ class SnapshotLake(root: String) {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      val idOk = queryId.forall(q => txt.contains(s""""queryId":"$q""""))
-      if (!idOk) None
+      if (!eligible(txt)) None
       else """"batchId":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
     }.collectFirst { case Some(b) => b }
   }
@@ -229,19 +237,8 @@ class SnapshotLake(root: String) {
     * indistinguishable by construction; callers needing that must run
     * as real queries (or set the local property themselves). */
   private[graft] def lastAnonymousStreamBatchId(
-      spark: SparkSession): Option[Long] = {
-    val fs = hadoopFs(spark)
-    versions(spark).reverseIterator.map { v =>
-      val p = new org.apache.hadoop.fs.Path(f"$commitsDir/v$v%08d.json")
-      val in = fs.open(p)
-      val txt =
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      if (txt.contains(""""queryId":""")) None
-      else """"batchId":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-    }.collectFirst { case Some(b) => b }
-  }
+      spark: SparkSession): Option[Long] =
+    newestBatchMarker(spark)(txt => !txt.contains(""""queryId":"""))
 
   /** [[commit]] plus an optional streaming (queryId, batchId) marker
     * persisted in the commit JSON — the exactly-once handshake for the

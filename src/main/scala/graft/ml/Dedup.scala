@@ -650,18 +650,43 @@ object Dedup {
     * pins the wave-sequential admission semantics against an
     * independent engine.
     *
+    * RECALL ASSUMPTION, amplified: the oracle computes exact Jaccard
+    * over ALL pairs while the pair graph here comes from banded LSH, so
+    * a banding false negative would not merely drop one pair row — it
+    * cascades through every downstream admission decision (a missed
+    * edge can admit a doc that then blocks different docs). The
+    * assumption is machine-checked, not hoped for: ns_dedup_minhash
+    * shares the EXACT-pairs oracle verbatim, so banded == exact is
+    * hash-gated at every driver SF before this query's oracle even
+    * runs, and the miss probability at the scored τ=0.5 is
+    * (1-0.25)^64 ≈ 1e-8 per pair ([[NumBands]]). A recall miss
+    * therefore surfaces first as a named ns_dedup_minhash red, never as
+    * an opaque replay divergence.
+    *
     * Scale shape: the pair graph is built ONCE by the banded generator
-    * (never all-pairs; persisted for the loop — the shingled() pattern,
-    * same cache-lifetime contract) and every loop step is a key join on
-    * bare longs: cross-wave blocking is pairs ⋈ admitted (streaming,
-    * AQE-splittable), the within-wave frontier is the standard iterative
-    * MIS whose round count is bounded by the greedy dependency depth of
-    * the near-dup graph (shallow in practice — dup clusters are small
-    * and clique-like), and localCheckpoint caps lineage exactly as
+    * (never all-pairs; persisted for the loop and unpersisted on exit —
+    * every consumer materializes through localCheckpoint, so no live
+    * plan references the cache after return) and every loop step is a
+    * key join on bare longs: cross-wave blocking is pairs ⋈ admitted
+    * (streaming, AQE-splittable), the within-wave frontier is the
+    * standard iterative MIS whose round count is the greedy dependency
+    * DEPTH of the near-dup graph (shallow in practice — dup clusters
+    * are small and clique-like; a clique resolves in ONE round,
+    * ScaleSpec-pinned), and localCheckpoint caps lineage exactly as
     * [[dupClusters]] does. Nothing ever buffers a hot group: the admit/
-    * reject frontier is computed with anti-joins, not windows. */
+    * reject frontier is computed with anti-joins, not windows.
+    *
+    * `maxMisRounds` bounds the one shape that CANNOT be parallelized
+    * away: a CHAIN of near-dups (1-2, 2-3, …) makes the greedy
+    * dependency depth — and hence the round count — linear in chain
+    * length (lexicographically-first MIS is P-complete; the sequential
+    * fold is the semantics, not a plan choice). Each round costs ~4
+    * driver-blocking localCheckpoint actions, so a pathological corpus
+    * must degrade as a LOUD error naming the knob, not as a silent
+    * driver hang; 256 rounds ≈ a dependency chain of 512 near-identical
+    * docs, far past any observed real corpus. */
   def sequentialAdmission(docs: DataFrame, tau: Double,
-      nWaves: Int = 3): DataFrame = {
+      nWaves: Int = 3, maxMisRounds: Int = 256): DataFrame = {
     val spark = docs.sparkSession
     val pairs = minhashDupPairs(docs, tau)
       .select(col("doc_a"), col("doc_b")).persist()
@@ -671,6 +696,7 @@ object Dedup {
     var admitted = spark.range(0)
       .select(col("id").as("doc_id"), lit(0L).as("wave"))
       .localCheckpoint()
+    try {
     for (w <- 0 until nWaves) {
       val wave = ids.filter(col("wave") === w).select(col("doc_id"))
       val adm = admitted.select(col("doc_id"))
@@ -693,7 +719,17 @@ object Dedup {
         .join(remaining.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .localCheckpoint()
       var done = remaining.isEmpty
+      var rounds = 0
       while (!done) {
+        rounds += 1
+        if (rounds > maxMisRounds)
+          throw new IllegalStateException(
+            s"sequentialAdmission: wave $w exceeded maxMisRounds=" +
+              s"$maxMisRounds MIS rounds — the near-dup graph's greedy " +
+              "dependency depth (a chain of near-identical docs) is " +
+              "pathological for sequential-greedy semantics; raise " +
+              "maxMisRounds deliberately or pre-collapse the chain " +
+              "(e.g. exact dedup / dupClusters) before admission")
         val blocked = edges.select(col("doc_b").as("doc_id")).distinct()
         val frontier = remaining.join(blocked, Seq("doc_id"), "left_anti")
           .localCheckpoint()
@@ -713,6 +749,11 @@ object Dedup {
         done = remaining.isEmpty
       }
     }
+    } finally
+      // safe to release (and mandatory on the budget-exceeded throw
+      // path): admitted and every loop frame materialized via
+      // localCheckpoint, so no surviving plan references the pair cache
+      pairs.unpersist()
     admitted
   }
 }

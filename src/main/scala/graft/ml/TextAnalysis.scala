@@ -44,7 +44,8 @@ object TextAnalysis {
     * round-6 on both sides, and the median is one of the ratios, so the
     * strict compare is ulp-safe.
     */
-  def perSourceQualityGate(docs: DataFrame): DataFrame = {
+  def perSourceQualityGate(docs: DataFrame,
+      accuracy: Long = 1000000L): DataFrame = {
     val toks = wsTokens(col("text"))
     val r = docs.select(col("doc_id"), col("source"),
       round(stopwordCount(toks, Stopwords("en")).cast("double") /
@@ -55,15 +56,18 @@ object TextAnalysis {
     // the plan itself so an sf bump fails loudly instead of as a
     // confusing oracle-hash red (the w_ntile_approx discipline). The
     // always-0 term is woven into the filter because a free-standing
-    // check column would be pruned away.
+    // check column would be pruned away. `accuracy` is parameterized so
+    // QualitySpec can force the guard to FIRE on a small frame — proof
+    // the raise_error survives optimization rather than being pruned as
+    // dead code (the scored query always passes the 1e6 default).
     val thr = r.groupBy(col("source"))
-      .agg(expr("approx_percentile(stopword_ratio, 0.5, 1000000)")
+      .agg(expr(s"approx_percentile(stopword_ratio, 0.5, $accuracy)")
         .as("source_median"),
         count(lit(1)).as("n_src"))
-    val envelopeZero = when(col("n_src") > lit(500000L),
+    val envelopeZero = when(col("n_src") > lit(accuracy / 2),
       raise_error(concat(lit("perSourceQualityGate: rank-exact envelope " +
         "exceeded for a source (n="), col("n_src"),
-        lit(" > accuracy/2 = 500000); raise accuracy in lockstep")))
+        lit(s" > accuracy/2 = ${accuracy / 2}); raise accuracy in lockstep")))
         .cast("double")).otherwise(lit(0.0))
     r.join(broadcast(thr), "source")
       .filter(col("stopword_ratio") > col("source_median") + envelopeZero)
@@ -368,13 +372,9 @@ object TextAnalysis {
         round(exp(sum(col("tf") * col("nlp")) / sum(col("tf"))), 4).as("ppl"))
   }
 
-  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
-    * the public pipeline): score every document with the corpus bigram
-    * LM ([[lmPerplexity]]) and split each language into HEAD / MIDDLE /
-    * TAIL tertiles by perplexity — the standard "keep the head, sample
-    * the middle, drop the tail" curation gate, per language so one
-    * language's prose style never drains another's budget. Output:
-    * (lang, bucket 1..3, n_docs, lo/hi/avg ppl).
+  /** Doc-level form of [[pplBuckets]]: (doc_id, lang, ppl, bucket) per
+    * document — the frame a curation pipeline FILTERS on ("keep head +
+    * middle"), where [[pplBuckets]] is its reporting rollup.
     *
     * Shape at scale: tertile CUTPOINTS come from approx_percentile per
     * language (constant sketch state, map-side combine — the
@@ -382,11 +382,6 @@ object TextAnalysis {
     * envelope, which the plan itself machine-checks via the woven
     * raise_error guard); the tiny (lang, cuts) table broadcasts onto a
     * map-side bucket assignment. No global or per-lang sort ever runs.
-    * avg_ppl is a FIXED-POINT mean: ppl is round-4, so summing
-    * round(ppl·10⁴) longs is exact under any partition order and the
-    * final single division of exact integers is bit-identical across
-    * engines (the charEntropy/dsirScore discipline — a double sum here
-    * would be addition-order-dependent).
     *
     * The scored frame (doc_id, lang, ppl — ~20 B/row) is materialized
     * ONCE via an eager localCheckpoint: its two consumers (cutpoint
@@ -399,12 +394,7 @@ object TextAnalysis {
     * and its blocks self-release via the ContextCleaner, so no
     * cache-lifetime contract is imposed on the caller.
     */
-  /** Doc-level form of [[pplBuckets]]: (doc_id, lang, ppl, bucket) per
-    * document — the frame a curation pipeline FILTERS on ("keep head +
-    * middle"), where [[pplBuckets]] is its reporting rollup. Same plan
-    * properties (one localCheckpointed LM pass, broadcast sketch
-    * cutpoints, machine-checked rank-exactness envelope). */
-  def pplBucketed(docs: DataFrame): DataFrame = {
+  def pplBucketed(docs: DataFrame, accuracy: Long = 1000000L): DataFrame = {
     // LEFT join, deliberately: an inner join on doc_id infers
     // isnotnull(doc_id) into the lm side only (the cb branch groups by
     // bg and never sees it), forking the tf subtrees and killing the
@@ -414,14 +404,16 @@ object TextAnalysis {
     val wl = lmPerplexity(docs).select(col("doc_id"), col("ppl"))
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"), "left")
       .localCheckpoint()
+    // `accuracy` parameterized for the same reason as
+    // [[perSourceQualityGate]]: QualitySpec fires this guard for real.
     val cuts = wl.groupBy(col("lang"))
       .agg(percentile_approx(col("ppl"),
-        array(lit(1.0 / 3), lit(2.0 / 3)), lit(1000000)).as("cuts"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy.toInt)).as("cuts"),
         count(lit(1)).as("n_lang"))
-    val envelopeZero = when(col("n_lang") > lit(500000L),
+    val envelopeZero = when(col("n_lang") > lit(accuracy / 2),
       raise_error(concat(lit("pplBuckets: rank-exact envelope exceeded " +
         "for a language (n="), col("n_lang"),
-        lit(" > accuracy/2 = 500000); raise accuracy in lockstep")))
+        lit(s" > accuracy/2 = ${accuracy / 2}); raise accuracy in lockstep")))
         .cast("int")).otherwise(lit(0))
     wl.join(broadcast(cuts), "lang")
       .withColumn("bucket", lit(1) + envelopeZero
@@ -430,6 +422,20 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
   }
 
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    * the public pipeline): score every document with the corpus bigram
+    * LM ([[lmPerplexity]]) and split each language into HEAD / MIDDLE /
+    * TAIL tertiles by perplexity — the standard "keep the head, sample
+    * the middle, drop the tail" curation gate, per language so one
+    * language's prose style never drains another's budget. Output:
+    * (lang, bucket 1..3, n_docs, lo/hi/avg ppl) — the reporting rollup
+    * of [[pplBucketed]], which carries the plan-shape contract.
+    *
+    * avg_ppl is a FIXED-POINT mean: ppl is round-4, so summing
+    * round(ppl·10⁴) longs is exact under any partition order and the
+    * final single division of exact integers is bit-identical across
+    * engines (the charEntropy/dsirScore discipline — a double sum here
+    * would be addition-order-dependent). */
   def pplBuckets(docs: DataFrame): DataFrame =
     pplBucketed(docs)
       .groupBy(col("lang"), col("bucket"))

@@ -21,6 +21,45 @@ object Windows extends QueryPack {
 
   private val byCust = Window.partitionBy(col("o_custkey"))
 
+  /** The SCALE-SAFE sibling of w_ntile: quantile buckets from
+    * approx_percentile CUTPOINTS (one ordinary partial/final aggregate,
+    * state bounded by the accuracy parameter) broadcast onto a map-side
+    * bucket assignment — no global-sort window anywhere.
+    *
+    * n rides the same 1-row aggregate so the rank-exactness envelope
+    * (n <= accuracy/2 — the GK sketch stays effectively uncompressed;
+    * see the oracle comment) is MACHINE-CHECKED: past it the sketch
+    * may return a neighboring order statistic, and an sf bump must
+    * fail loudly here, not surface as an inexplicable oracle-hash red.
+    * The guard is woven into `quartile` (an always-0 term) because a
+    * free-standing check column would be pruned away. `accuracy` is
+    * parameterized so WindowsSpec can force the guard to FIRE — proof
+    * the raise_error survives optimization (the scored query always
+    * passes at the 1e6 default). */
+  def ntileApprox(orders: DataFrame, accuracy: Long = 1000000L): DataFrame = {
+    val o = orders
+    val cuts = o.agg(percentile_approx(col("o_totalprice"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy.toInt)).as("cuts"),
+      count(lit(1)).as("n_rows"))
+    val envelopeZero = when(col("n_rows") > lit(accuracy / 2),
+      raise_error(concat(lit("w_ntile_approx: rank-exact envelope " +
+        "exceeded (n="), col("n_rows"),
+        lit(s" > accuracy/2 = ${accuracy / 2}); raise accuracy in " +
+          "lockstep or relax the oracle to a ±1-rank band"))).cast("int"))
+      .otherwise(lit(0))
+    o.crossJoin(broadcast(cuts))
+      .withColumn("quartile",
+        lit(1) + envelopeZero
+               + when(col("o_totalprice") > col("cuts")(0), 1).otherwise(0)
+               + when(col("o_totalprice") > col("cuts")(1), 1).otherwise(0)
+               + when(col("o_totalprice") > col("cuts")(2), 1).otherwise(0))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        moneyRound(sum(decMoney(col("o_totalprice")))).as("total"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("quartile"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // row_number top-k per group (the general form of the reference's
     // sort+pop top-1, app.js:342).
@@ -178,10 +217,7 @@ object Windows extends QueryPack {
         .orderBy(col("quartile"))
     }),
 
-    // The SCALE-SAFE sibling of w_ntile: quantile buckets from
-    // approx_percentile CUTPOINTS (one ordinary partial/final aggregate,
-    // state bounded by the accuracy parameter) broadcast onto a map-side
-    // bucket assignment — no global-sort window anywhere. At test scale
+    // [[ntileApprox]] at the default rank-exact accuracy. At test scale
     // accuracy=1e6 makes the GK sketch rank-exact (rank error n/accuracy
     // < 1), so the cutpoints ARE the ceil(q·n) order statistics and the
     // oracle can pin them; at 100 TB the same plan runs with accuracy
@@ -189,36 +225,7 @@ object Windows extends QueryPack {
     // (SCALE.md). Semantics differ from ntile on TIES (equal values
     // share a bucket instead of splitting on the o_orderkey tiebreak),
     // which is what a quantile-bucket user actually wants.
-    "w_ntile_approx" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      // n rides the same 1-row aggregate so the rank-exactness envelope
-      // (n <= accuracy/2 — the GK sketch stays effectively uncompressed;
-      // see the oracle comment) is MACHINE-CHECKED: past it the sketch
-      // may return a neighboring order statistic, and an sf bump must
-      // fail loudly here, not surface as an inexplicable oracle-hash red.
-      // The guard is woven into `quartile` (an always-0 term) because a
-      // free-standing check column would be pruned away.
-      val cuts = o.agg(percentile_approx(col("o_totalprice"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000000)).as("cuts"),
-        count(lit(1)).as("n_rows"))
-      val envelopeZero = when(col("n_rows") > lit(500000L),
-        raise_error(concat(lit("w_ntile_approx: rank-exact envelope " +
-          "exceeded (n="), col("n_rows"),
-          lit(" > accuracy/2 = 500000); raise accuracy in lockstep or " +
-            "relax the oracle to a ±1-rank band"))).cast("int"))
-        .otherwise(lit(0))
-      o.crossJoin(broadcast(cuts))
-        .withColumn("quartile",
-          lit(1) + envelopeZero
-                 + when(col("o_totalprice") > col("cuts")(0), 1).otherwise(0)
-                 + when(col("o_totalprice") > col("cuts")(1), 1).otherwise(0)
-                 + when(col("o_totalprice") > col("cuts")(2), 1).otherwise(0))
-        .groupBy(col("quartile"))
-        .agg(count(lit(1)).as("n"),
-          moneyRound(sum(decMoney(col("o_totalprice")))).as("total"),
-          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
-        .orderBy(col("quartile"))
-    }),
+    "w_ntile_approx" -> ((s, d) => ntileApprox(Tables.orders(s, d))),
 
     // Relative-position analytics: percent_rank ((rank-1)/(n-1)) and
     // cume_dist (peers/n) per customer over a TOTAL order (the orderkey

@@ -205,4 +205,39 @@ class QualitySpec extends SparkSpecBase {
     assert(agree >= (total * 0.9).toLong,
       s"trained model agrees on only $agree/$total teacher labels")
   }
+
+  test("rank-exactness envelope guards FIRE past accuracy/2 — not dead code") {
+    // r11 verdict "What's missing #1": the three raise_error guards had
+    // never been observed to fire — if the optimizer pruned the woven
+    // always-0 term as dead code, an sf>=1 run would silently produce
+    // the confusing oracle reds the guard exists to prevent. Shrinking
+    // `accuracy` drives the IDENTICAL production plan past its envelope
+    // on a small frame; the error must surface with the documented
+    // message through every wrapping layer.
+    import spark.implicits._
+    def guardFires(label: String)(body: => Unit): Unit = {
+      val e = intercept[Throwable](body)
+      val chain = Iterator.iterate(e)(_.getCause)
+        .takeWhile(_ != null).take(10).toSeq
+      assert(chain.exists(t => Option(t.getMessage).exists(_.contains(label))),
+        s"guard '$label' did not fire; got: ${e.toString.take(300)}")
+    }
+    val docs = (1 to 12).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon w$i", "en", "src0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    guardFires("pplBuckets: rank-exact envelope exceeded") {
+      TextAnalysis.pplBucketed(docs, accuracy = 10L).collect()
+    }
+    guardFires("perSourceQualityGate: rank-exact envelope exceeded") {
+      TextAnalysis.perSourceQualityGate(docs, accuracy = 10L).collect()
+    }
+    guardFires("w_ntile_approx: rank-exact envelope exceeded") {
+      graft.ops.Windows.ntileApprox(
+        graft.Tables.orders(spark, sf0001), accuracy = 10L).collect()
+    }
+    // inside the envelope the same frames pass untouched (the scored
+    // queries' everyday path at the 1e6 default)
+    assert(TextAnalysis.pplBucketed(docs).count() == 12)
+    assert(TextAnalysis.perSourceQualityGate(docs).count() == 0) // all ratios tie
+  }
 }

@@ -671,6 +671,76 @@ class ScaleSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("sequential admission on a CHAIN: odd ids admitted, depth-linear rounds, budget fails loudly") {
+    // the worst-case twin of the clique test above (r11 verdict #3): a
+    // PATH-shaped dup graph 1-2, 2-3, ..., 9-10 has greedy dependency
+    // depth n/2 — the MIS loop's round count is linear in chain length,
+    // the one admission shape that cannot be parallelized away
+    // (lexicographically-first MIS is P-complete). This pins (a) the
+    // admitted set (odd ids — greedy walks the chain), (b) that the
+    // round count really is depth-shaped (action count grows with n,
+    // documented, not accidental), and (c) that maxMisRounds converts a
+    // pathological corpus into a LOUD error naming the knob instead of
+    // an unbounded driver loop.
+    //
+    // Fixture: doc i = 24 consecutive words from a shared word stream
+    // (sliding window, step 1). Distinct 5-shingles per doc = 20;
+    // adjacent docs share 19 -> J = 19/21 ≈ 0.905 >= τ; distance-2 share
+    // 18 -> J = 18/22 ≈ 0.818 < τ = 0.85. So the exact-verified pair
+    // graph is exactly the path.
+    val words = (1 to 33).map(i => f"w$i%03d")
+    val rows = (1 to 10).map(i =>
+      (i.toLong, words.slice(i - 1, i + 23).mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val tau = 0.85
+    // precondition: the pair graph IS the path (banded candidates +
+    // exact verify found every adjacent pair and nothing else)
+    val graph = graft.ml.Dedup.minhashDupPairs(df, tau)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(graph == (1L to 9L).map(i => (i, i + 1)).toSet,
+      s"pair graph is not the chain: $graph")
+    // one wave -> the whole chain hits a single MIS loop; greedy min-id
+    // admits the odd ids in ceil(n/2) rounds
+    val got = graft.ml.Dedup.sequentialAdmission(df, tau, nWaves = 1)
+      .select($"doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    assert(got == Set(1L, 3L, 5L, 7L, 9L), s"admitted $got")
+    // depth shape: count localCheckpoint actions — 5 rounds x 4 + 3
+    // fixed = 23-ish; assert a band that a clique-shaped (1-round, ~7)
+    // or size-coupled (hundreds) loop would both violate
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      graft.ml.Dedup.sequentialAdmission(df, tau, nWaves = 1).collect()
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
+    } finally spark.listenerManager.unregister(l)
+    spark.catalog.clearCache()
+    val checkpoints = actions.toArray(Array.empty[String])
+      .count(_ == "localCheckpoint")
+    assert(checkpoints >= 20 && checkpoints <= 26,
+      s"chain of depth 5 ran $checkpoints checkpoint actions — not the " +
+        "documented 4-per-round depth shape")
+    // the budget: 3 rounds cannot finish a depth-5 chain — must throw
+    // the documented error, not hang or return a partial set
+    val e = intercept[IllegalStateException] {
+      graft.ml.Dedup.sequentialAdmission(df, tau, nWaves = 1,
+        maxMisRounds = 3).collect()
+    }
+    spark.catalog.clearCache()
+    assert(e.getMessage.contains("maxMisRounds=3") &&
+      e.getMessage.contains("dependency depth"),
+      s"budget error message drifted: ${e.getMessage}")
+  }
+
   test("exact cosine dup pairs: tiled block join, no full-corpus broadcast") {
     // the 100 TB property of the SCORED exact all-pairs path
     // (ns_cosine_dup_pairs at τ=0.45, where no S-curve filters): O(n²)
