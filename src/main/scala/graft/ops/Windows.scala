@@ -33,10 +33,21 @@ object Windows extends QueryPack {
     * fail loudly here, not surface as an inexplicable oracle-hash red.
     * The guard is woven into `quartile` (an always-0 term) because a
     * free-standing check column would be pruned away. `accuracy` is
-    * parameterized so WindowsSpec can force the guard to FIRE — proof
+    * parameterized so QualitySpec can force the guard to FIRE — proof
     * the raise_error survives optimization (the scored query always
-    * passes at the 1e6 default). */
-  def ntileApprox(orders: DataFrame, accuracy: Long = 1000000L): DataFrame = {
+    * passes at the default).
+    *
+    * Default raised 1e6 → 1e7 in lockstep with the r12 sf1 gate: the
+    * guard fired in anger at sf1 exactly as designed
+    * (n=1,500,000 > 500,000 — the first real trip of any envelope
+    * guard), and 1e7 re-covers the gated range (envelope 5e6 ≥ sf1's
+    * 1.5M orders; fires again near sf≈3, where the next lockstep bump
+    * or a ±1-rank oracle band is due). Cost of the wider sketch is a
+    * ~12 MB single-partition ObjectHashAggregate state at sf1 — the
+    * documented toy-scale price for a machine-checked exactness claim;
+    * at 100 TB production accuracy drops to ~1e4 and buckets go
+    * approximate (SCALE.md). */
+  def ntileApprox(orders: DataFrame, accuracy: Long = 10000000L): DataFrame = {
     val o = orders
     val cuts = o.agg(percentile_approx(col("o_totalprice"),
       array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy.toInt)).as("cuts"),
@@ -361,16 +372,17 @@ object Windows extends QueryPack {
     //
     // VALIDITY ENVELOPE: the exactness argument needs the sketch to
     // stay effectively uncompressed, which holds while n·(1/accuracy)
-    // ≪ 1 — comfortably true at every driver scale (orders: 1.5k /
-    // 15k / 150k rows → rank-error bound 0.0015 / 0.015 / 0.15). Past
-    // roughly n ≈ 5·10⁵ at accuracy=1e6 the GK summary begins merging
-    // samples and percentile_approx may return a NEIGHBORING order
-    // statistic; verifying this oracle at sf≥1 would need accuracy
-    // raised in lockstep (or the oracle relaxed to a ±1-rank band).
-    // That is the intended production semantics — the query's whole
-    // point is that buckets go approximate instead of the sort going
-    // global — but the BIT-EXACT gate is only claimed inside this
-    // envelope.
+    // ≪ 1 — comfortably true at every gated scale (orders: 1.5k /
+    // 15k / 150k / 1.5M rows). Past n ≈ accuracy/2 the GK summary
+    // begins merging samples and percentile_approx may return a
+    // NEIGHBORING order statistic; the plan's woven raise_error guard
+    // trips there. r12: the guard FIRED at the sf1 local gate
+    // (n=1.5M > 5·10⁵ at the old accuracy=1e6) and accuracy was raised
+    // in lockstep to 1e7 (envelope 5·10⁶; next trip near sf≈3, where
+    // the next bump or a ±1-rank oracle band is due). That firing is
+    // the intended production semantics — the query's whole point is
+    // that buckets go approximate instead of the sort going global —
+    // but the BIT-EXACT gate is only claimed inside the envelope.
     "w_ntile_approx" ->
       """WITH ranked AS (
         |  SELECT o_totalprice,
