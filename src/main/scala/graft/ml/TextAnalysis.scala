@@ -46,6 +46,13 @@ object TextAnalysis {
     */
   def perSourceQualityGate(docs: DataFrame,
       accuracy: Long = 1000000L): DataFrame = {
+    // Same loud Int-range check as pplBucketed/ntileApprox (ADVICE
+    // r12): the sketch takes an Int accuracy; past 2^31 the lockstep
+    // advice no longer applies — switch the oracle to a ±1-rank band.
+    require(accuracy > 0 && accuracy <= Int.MaxValue,
+      s"perSourceQualityGate: accuracy $accuracy outside (0, " +
+        s"${Int.MaxValue}] — past Int range relax the oracle to a " +
+        "±1-rank band instead of another lockstep bump")
     val toks = wsTokens(col("text"))
     val r = docs.select(col("doc_id"), col("source"),
       round(stopwordCount(toks, Stopwords("en")).cast("double") /
@@ -395,6 +402,17 @@ object TextAnalysis {
     * cache-lifetime contract is imposed on the caller.
     */
   def pplBucketed(docs: DataFrame, accuracy: Long = 1000000L): DataFrame = {
+    // Math.toIntExact below would throw anyway, but fail with the
+    // envelope vocabulary: percentile_approx takes an Int accuracy, so
+    // a Long above 2^31-1 would otherwise silently truncate (possibly
+    // to a tiny/negative sketch accuracy) while the guard still
+    // compared against the un-truncated accuracy/2 — following the
+    // guard's own "raise accuracy in lockstep" advice past 2^31 must
+    // fail loudly, not corrupt the plan (ADVICE r12).
+    require(accuracy > 0 && accuracy <= Int.MaxValue,
+      s"pplBuckets: accuracy $accuracy outside (0, ${Int.MaxValue}] — " +
+        "the GK sketch takes an Int; past 2^31 switch the oracle to a " +
+        "±1-rank band instead of another lockstep bump")
     // LEFT join, deliberately: an inner join on doc_id infers
     // isnotnull(doc_id) into the lm side only (the cb branch groups by
     // bg and never sees it), forking the tf subtrees and killing the
@@ -408,7 +426,8 @@ object TextAnalysis {
     // [[perSourceQualityGate]]: QualitySpec fires this guard for real.
     val cuts = wl.groupBy(col("lang"))
       .agg(percentile_approx(col("ppl"),
-        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy.toInt)).as("cuts"),
+        array(lit(1.0 / 3), lit(2.0 / 3)),
+        lit(Math.toIntExact(accuracy))).as("cuts"),
         count(lit(1)).as("n_lang"))
     val envelopeZero = when(col("n_lang") > lit(accuracy / 2),
       raise_error(concat(lit("pplBuckets: rank-exact envelope exceeded " +

@@ -94,7 +94,11 @@ object Scalars extends QueryPack {
             array(col("l_discount"), col("l_tax")))).as("flat"))
         .select(col("l_orderkey"), col("l_linenumber"),
           posexplode(col("flat")).as(Seq("pos", "val")))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("pos"))
+        // TOTAL canonical sort: val joins the key columns because driver
+        // lineitem repeats (l_orderkey, l_linenumber) with different
+        // payloads (NOTES r13); remaining ties are identical tuples.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("pos"),
+          col("val"))
     }),
 
     // F18: arithmetic family (ceil/floor/round/abs/mod/sqrt, app.js:345).
@@ -107,7 +111,14 @@ object Scalars extends QueryPack {
           (col("l_orderkey") % 7).as("key_mod7"),
           r6(abs(col("l_discount") - col("l_tax"))).as("disc_tax_gap"),
           r6(sqrt(col("l_quantity"))).as("qty_sqrt"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // TOTAL canonical sort over every projected column — the
+        // (l_orderkey, l_linenumber) prefix alone is non-total on the
+        // driver's PK-violating lineitem (NOTES r13). The computed
+        // doubles are bit-identical across engines (they are the
+        // hash-compared values), so both engines rank ties identically.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_ceil"),
+          col("price_floor"), col("price_round1"), col("key_mod7"),
+          col("disc_tax_gap"), col("qty_sqrt"))
     }),
 
     // ANSI-safe error handling: Spark 4 runs ANSI mode ON, where a bad
@@ -344,7 +355,7 @@ object Scalars extends QueryPack {
         |  SELECT l_orderkey, l_linenumber, 0 AS pos, l_quantity AS val FROM lineitem
         |  UNION ALL SELECT l_orderkey, l_linenumber, 1, l_discount FROM lineitem
         |  UNION ALL SELECT l_orderkey, l_linenumber, 2, l_tax FROM lineitem) t
-        |ORDER BY l_orderkey, l_linenumber, pos""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, pos, val""".stripMargin,
 
     "f18_math" ->
       """SELECT l_orderkey, l_linenumber,
@@ -354,7 +365,9 @@ object Scalars extends QueryPack {
         |  l_orderkey % 7 AS key_mod7,
         |  round(abs(l_discount - l_tax), 6) AS disc_tax_gap,
         |  round(sqrt(l_quantity), 6) AS qty_sqrt
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price_ceil, price_floor,
+        |  price_round1, key_mod7, disc_tax_gap, qty_sqrt""".stripMargin,
 
     "f_regexp" ->
       """SELECT c_custkey,

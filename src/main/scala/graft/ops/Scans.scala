@@ -30,11 +30,18 @@ object Scans extends QueryPack {
     }),
 
     // P2: drop "meta" columns (id/parent_id analog) from a wide scan.
+    // Canonical sort is TOTAL: every projected column participates
+    // (driver lineitem violates the (l_orderkey, l_linenumber) PK —
+    // 456,861 distinct pairs over 600,000 sf0.1 rows with DIFFERENT
+    // payloads — so a key-only sort would rest on accidental
+    // stable-sort agreement between engines; j3_zip_positional
+    // pattern, NOTES r13). Ties that remain are identical tuples.
     "p2_drop_meta" -> ((s, d) => {
       Tables.lineitem(s, d)
         .drop("l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
           "l_tax", "l_shipdate")
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_linestatus"))
     }),
 
     // P3: truthiness filter — drop null/empty strings like app.js:109.
@@ -126,7 +133,8 @@ object Scans extends QueryPack {
 
     "p2_drop_meta" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus""".stripMargin,
 
     "p3_filter_nonempty" ->
       """SELECT doc_id, lang, n_chars FROM documents

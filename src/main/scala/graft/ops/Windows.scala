@@ -41,16 +41,41 @@ object Windows extends QueryPack {
     * guard fired in anger at sf1 exactly as designed
     * (n=1,500,000 > 500,000 — the first real trip of any envelope
     * guard), and 1e7 re-covers the gated range (envelope 5e6 ≥ sf1's
-    * 1.5M orders; fires again near sf≈3, where the next lockstep bump
-    * or a ±1-rank oracle band is due). Cost of the wider sketch is a
-    * ~12 MB single-partition ObjectHashAggregate state at sf1 — the
+    * 1.5M orders). Cost of the wider sketch is a ~12 MB
+    * single-partition ObjectHashAggregate state at sf1 — the
     * documented toy-scale price for a machine-checked exactness claim;
     * at 100 TB production accuracy drops to ~1e4 and buckets go
-    * approximate (SCALE.md). */
+    * approximate (SCALE.md).
+    *
+    * DECISION for the NEXT trip (sf≈3.3, n > 5e6 — written down now so
+    * the next scale jump is a planned edit, not an incident; NOTES
+    * r13): NO further lockstep bump. 1e8 would mean ~120 MB of
+    * single-partition sketch state to keep buying an exactness claim
+    * the guard has already proven end-to-end twice (forced in
+    * QualitySpec, fired for real at sf1). Instead relax the ORACLE to
+    * the ±1-rank band: compute the oracle's exact cutpoints, accept a
+    * bucket assignment that differs only on rows whose o_totalprice
+    * ties a cutpoint's ±1 order-statistic neighborhood, and drop the
+    * envelopeZero guard term in the same edit. That is the operator's
+    * honest production contract (it exists as the approx, scale-safe
+    * sibling of w_ntile) — past the sketch's exact range the right
+    * move is to test the approximation's real guarantee, not to
+    * inflate the sketch until it is no longer approximate. */
   def ntileApprox(orders: DataFrame, accuracy: Long = 10000000L): DataFrame = {
+    // Loud Int-range check: percentile_approx takes an Int accuracy, so
+    // a Long past 2^31-1 would silently truncate (possibly to a
+    // tiny/negative sketch) while the envelope guard still compared
+    // against the un-truncated accuracy/2 (ADVICE r12). The decision
+    // scaladoc above makes this unreachable by policy; the require
+    // makes it unreachable in fact.
+    require(accuracy > 0 && accuracy <= Int.MaxValue,
+      s"ntileApprox: accuracy $accuracy outside (0, ${Int.MaxValue}] — " +
+        "per the next-trip decision, relax the oracle to the ±1-rank " +
+        "band instead of bumping past Int range")
     val o = orders
     val cuts = o.agg(percentile_approx(col("o_totalprice"),
-      array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy.toInt)).as("cuts"),
+      array(lit(0.25), lit(0.5), lit(0.75)),
+      lit(Math.toIntExact(accuracy))).as("cuts"),
       count(lit(1)).as("n_rows"))
     val envelopeZero = when(col("n_rows") > lit(accuracy / 2),
       raise_error(concat(lit("w_ntile_approx: rank-exact envelope " +

@@ -239,5 +239,25 @@ class QualitySpec extends SparkSpecBase {
     // queries' everyday path at the 1e6 default)
     assert(TextAnalysis.pplBucketed(docs).count() == 12)
     assert(TextAnalysis.perSourceQualityGate(docs).count() == 0) // all ratios tie
+
+    // ADVICE r12: accuracy is a Long but the GK sketch takes an Int —
+    // before r13, a value past 2^31-1 silently truncated (possibly to a
+    // tiny/negative sketch accuracy) while the envelope guard still
+    // compared against the un-truncated accuracy/2, so following the
+    // guard's own "raise in lockstep" advice past Int range corrupted
+    // the plan with no loud failure. Now it must throw AT CONSTRUCTION
+    // (before any job runs), naming the ±1-rank-band decision.
+    for (bad <- Seq(Int.MaxValue.toLong + 1, 0L, -5L)) {
+      val e1 = intercept[IllegalArgumentException](
+        TextAnalysis.pplBucketed(docs, accuracy = bad))
+      assert(e1.getMessage.contains("accuracy"))
+      val e2 = intercept[IllegalArgumentException](
+        TextAnalysis.perSourceQualityGate(docs, accuracy = bad))
+      assert(e2.getMessage.contains("accuracy"))
+      val e3 = intercept[IllegalArgumentException](
+        graft.ops.Windows.ntileApprox(
+          graft.Tables.orders(spark, sf0001), accuracy = bad))
+      assert(e3.getMessage.contains("accuracy"))
+    }
   }
 }

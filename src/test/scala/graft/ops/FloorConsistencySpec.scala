@@ -103,4 +103,39 @@ class FloorConsistencySpec extends AnyFunSuite {
       s"oracle entries with no matching query: " +
         orphanOracles.toSeq.sorted.mkString(", "))
   }
+
+  test("every scored query has an sf1-capable oracle (committed or overridden)") {
+    // The sf1 gate (tools/gen_sf1.py + tools/selfcheck.py, a per-round
+    // protocol step since r13) runs every committed oracle against 10x
+    // the driver's largest SF. An oracle whose cost is super-linear in
+    // rows (the brute O(n²)-levenshtein fuzzy oracle: 89 s at sf0.1,
+    // hours at sf1) must carry an equivalence-proved override in
+    // tools/oracle_overrides_sf1.json — and conversely, an override
+    // appearing WITHOUT a declared super-linear cause would silently
+    // swap the oracle a green line is judged against. Keep the two
+    // sets identical so both drifts fail here, not as a mystery at sf1.
+    val superLinearOracles = Set(
+      // pigeonhole-blocked override proved tuple-identical at sf0.1
+      // (6,118 rows, 88.8 s brute vs 0.5 s blocked — NOTES r12/r13),
+      // self-guarding via error() on its length precondition
+      "ns_fuzzy_prefix_pairs")
+    val overridePath = root.resolve("tools/oracle_overrides_sf1.json")
+    assert(Files.exists(overridePath),
+      "tools/oracle_overrides_sf1.json missing — the sf1 gate cannot run")
+    val txt = new String(Files.readAllBytes(overridePath))
+    // keys of a flat {name: sql} JSON object (same extraction style as
+    // the shuffle-floor check; the values are opaque SQL)
+    val overrideKeys = """"([A-Za-z0-9_]+)"\s*:\s*"""".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    assert((overrideKeys -- queryNames).isEmpty,
+      "sf1 oracle overrides with no matching query: " +
+        (overrideKeys -- queryNames).toSeq.sorted.mkString(", "))
+    assert((superLinearOracles -- overrideKeys).isEmpty,
+      "queries declared super-linear without an sf1 override oracle: " +
+        (superLinearOracles -- overrideKeys).toSeq.sorted.mkString(", "))
+    assert((overrideKeys -- superLinearOracles).isEmpty,
+      "sf1 override oracles without a declared super-linear cause " +
+        "(add to superLinearOracles with the equivalence proof cited): " +
+        (overrideKeys -- superLinearOracles).toSeq.sorted.mkString(", "))
+  }
 }

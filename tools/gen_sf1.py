@@ -77,26 +77,17 @@ def gen_relational(outdir):
     write(outdir, "part", replicate(read("part"), {"p_partkey": NP}))
     write(outdir, "orders", replicate(read("orders"),
                                       {"o_orderkey": NO, "o_custkey": NC}))
-    # sf0.1's lineitem violates the TPC-H PK: (l_orderkey, l_linenumber)
-    # repeats with DIFFERENT payloads, so the canonical
-    # ORDER BY (l_orderkey, l_linenumber) of f16/f18/p2 is non-total and
-    # the driver gate passes only because both engines happen to
-    # stable-sort small single-file inputs identically. At sf1 Spark's
-    # multi-split unstable sort breaks the tie agreement (first r12 sf1
-    # run: exactly those 3 queries red, all others green). Renumber
-    # l_linenumber to the row's 1-based occurrence within its order —
-    # the real TPC-H invariant — so every lineitem ORDER BY is total.
-    li = read("lineitem")
-    ok = li.column("l_orderkey").to_numpy()
-    seen = {}
-    ln = np.empty(len(ok), dtype=np.int32)
-    for i, k in enumerate(ok):
-        n = seen.get(k, 0) + 1
-        seen[k] = n
-        ln[i] = n
-    li = li.set_column(li.column_names.index("l_linenumber"),
-                       "l_linenumber", pa.array(ln, type=pa.int32()))
-    write(outdir, "lineitem", replicate(li,
+    # History (r12): sf0.1's lineitem violates the TPC-H PK —
+    # (l_orderkey, l_linenumber) repeats with DIFFERENT payloads — and
+    # the first sf1 run turned exactly f16/f18/p2 red because their
+    # canonical ORDER BY was non-total and Spark's multi-split sort
+    # broke the accidental stable-sort tie agreement. r12 worked around
+    # it HERE by renumbering l_linenumber; r13 fixed it where it
+    # belonged — the three queries now sort by EVERY projected column
+    # (ops/Scans.scala p2_drop_meta, ops/Scalars.scala f16/f18), so the
+    # generator replicates lineitem verbatim and the sf1 gate
+    # deliberately stresses PK-violating data (NOTES r13).
+    write(outdir, "lineitem", replicate(read("lineitem"),
         {"l_orderkey": NO, "l_partkey": NP, "l_suppkey": NS}))
     write(outdir, "events", replicate(read("events"),
                                       {"event_id": NE, "user_id": NU}))

@@ -61,19 +61,31 @@ def main():
             exp_cols = exp.columns
             exp_rows = exp.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: oracle error: {e}{tag}")
             n_fail += 1
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{vout}/{name}/*.parquet'")
+            # Deterministic read of the Spark dump: DuckDB's parallel
+            # parquet scan returns row groups in nondeterministic order on
+            # large results (invisible at driver SFs — single small row
+            # group per file — but it produced 3 phantom FAILs on sf1's
+            # 6M/18M-row results in r12). Spark wrote the dump already
+            # totally ordered (range-partitioned across part files, sorted
+            # within), so filename + file_row_number reconstructs exactly
+            # the order Spark emitted (NOTES r13).
+            got = con.sql(
+                f"SELECT * EXCLUDE (filename, file_row_number) "
+                f"FROM read_parquet('{vout}/{name}/*.parquet', "
+                f"filename=true, file_row_number=true) "
+                f"ORDER BY filename, file_row_number")
             got_cols = got.columns
             got_rows = got.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: spark result unreadable: {e}")
+            print(f"FAIL {name}: spark result unreadable: {e}{tag}")
             n_fail += 1
             continue
         if sorted(exp_cols) != sorted(got_cols):
-            print(f"FAIL {name}: columns {sorted(got_cols)} != oracle {sorted(exp_cols)}")
+            print(f"FAIL {name}: columns {sorted(got_cols)} != oracle {sorted(exp_cols)}{tag}")
             n_fail += 1
             continue
         # Type drift the value-compare can't see: DuckDB promotes integer
@@ -88,14 +100,14 @@ def main():
                  or ("DECIMAL" in exp_types[c]) != ("DECIMAL" in got_types[c])]
         if drift:
             print(f"FAIL {name}: oracle type drift "
-                  f"{[(c, exp_types[c], got_types[c]) for c in drift]}")
+                  f"{[(c, exp_types[c], got_types[c]) for c in drift]}{tag}")
             n_fail += 1
             continue
         # driver compares columns sorted by name
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
         if len(exp_rows) != len(got_rows):
-            print(f"FAIL {name}: rowcount {len(got_rows)} != oracle {len(exp_rows)}")
+            print(f"FAIL {name}: rowcount {len(got_rows)} != oracle {len(exp_rows)}{tag}")
             n_fail += 1
             continue
         bad = None
@@ -109,7 +121,7 @@ def main():
                 break
         if bad:
             i, c, ev, gv = bad
-            print(f"FAIL {name}: row {i} col {c}: spark={gv!r} oracle={ev!r}")
+            print(f"FAIL {name}: row {i} col {c}: spark={gv!r} oracle={ev!r}{tag}")
             n_fail += 1
         else:
             print(f"PASS {name}: {len(got_rows)} rows{tag}")
