@@ -69,10 +69,12 @@ def main():
             # parquet scan returns row groups in nondeterministic order on
             # large results (invisible at driver SFs — single small row
             # group per file — but it produced 3 phantom FAILs on sf1's
-            # 6M/18M-row results in r12). Spark wrote the dump already
-            # totally ordered (range-partitioned across part files, sorted
-            # within), so filename + file_row_number reconstructs exactly
-            # the order Spark emitted (NOTES r13).
+            # 6M/18M-row results in r12). Verify writes each dump
+            # coalesce(1) after the canonical total sort (Verify.scala:95)
+            # — one part file, globally ordered — so file_row_number alone
+            # reconstructs exactly the order Spark emitted; filename is
+            # kept in the key for safety should the writer ever go
+            # multi-file (NOTES r13).
             got = con.sql(
                 f"SELECT * EXCLUDE (filename, file_row_number) "
                 f"FROM read_parquet('{vout}/{name}/*.parquet', "
