@@ -690,13 +690,17 @@ object Dedup {
     val spark = docs.sparkSession
     val pairs = minhashDupPairs(docs, tau)
       .select(col("doc_a"), col("doc_b")).persist()
+    // the try opens BEFORE the materializing count: a failure while
+    // building the pair graph (executor loss, OOM, cancellation) must
+    // release the cache too, or "released on every exit path" is a lie
+    // on exactly the path most likely to fail at scale
+    try {
     pairs.count()
     val ids = docs.select(col("doc_id"),
       pmod(col("doc_id"), lit(nWaves.toLong)).as("wave"))
     var admitted = spark.range(0)
       .select(col("id").as("doc_id"), lit(0L).as("wave"))
       .localCheckpoint()
-    try {
     for (w <- 0 until nWaves) {
       val wave = ids.filter(col("wave") === w).select(col("doc_id"))
       val adm = admitted.select(col("doc_id"))
@@ -749,11 +753,11 @@ object Dedup {
         done = remaining.isEmpty
       }
     }
+    admitted
     } finally
       // safe to release (and mandatory on the budget-exceeded throw
       // path): admitted and every loop frame materialized via
       // localCheckpoint, so no surviving plan references the pair cache
       pairs.unpersist()
-    admitted
   }
 }

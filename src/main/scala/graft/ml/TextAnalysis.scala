@@ -46,13 +46,11 @@ object TextAnalysis {
     */
   def perSourceQualityGate(docs: DataFrame,
       accuracy: Long = 1000000L): DataFrame = {
-    // Same loud Int-range check as pplBucketed/ntileApprox (ADVICE
-    // r12): the sketch takes an Int accuracy; past 2^31 the lockstep
-    // advice no longer applies — switch the oracle to a ±1-rank band.
-    require(accuracy > 0 && accuracy <= Int.MaxValue,
-      s"perSourceQualityGate: accuracy $accuracy outside (0, " +
-        s"${Int.MaxValue}] — past Int range relax the oracle to a " +
-        "±1-rank band instead of another lockstep bump")
+    // Shared construction-time Int-range check (SketchGuards, ADVICE
+    // r12): past 2^31 the lockstep advice no longer applies — switch
+    // the oracle to a ±1-rank band.
+    graft.functions.SketchGuards.requireSketchAccuracy(
+      "perSourceQualityGate", accuracy)
     val toks = wsTokens(col("text"))
     val r = docs.select(col("doc_id"), col("source"),
       round(stopwordCount(toks, Stopwords("en")).cast("double") /
@@ -68,14 +66,12 @@ object TextAnalysis {
     // the raise_error survives optimization rather than being pruned as
     // dead code (the scored query always passes the 1e6 default).
     val thr = r.groupBy(col("source"))
-      .agg(expr(s"approx_percentile(stopword_ratio, 0.5, $accuracy)")
-        .as("source_median"),
+      .agg(percentile_approx(col("stopword_ratio"), lit(0.5),
+        lit(Math.toIntExact(accuracy))).as("source_median"),
         count(lit(1)).as("n_src"))
-    val envelopeZero = when(col("n_src") > lit(accuracy / 2),
-      raise_error(concat(lit("perSourceQualityGate: rank-exact envelope " +
-        "exceeded for a source (n="), col("n_src"),
-        lit(s" > accuracy/2 = ${accuracy / 2}); raise accuracy in lockstep")))
-        .cast("double")).otherwise(lit(0.0))
+    val envelopeZero = graft.functions.SketchGuards.rankExactEnvelope(
+      "perSourceQualityGate", " for a source", col("n_src"), accuracy,
+      "raise accuracy in lockstep", "double")
     r.join(broadcast(thr), "source")
       .filter(col("stopword_ratio") > col("source_median") + envelopeZero)
       .select(col("doc_id"), col("source"), col("stopword_ratio"),
@@ -402,17 +398,11 @@ object TextAnalysis {
     * cache-lifetime contract is imposed on the caller.
     */
   def pplBucketed(docs: DataFrame, accuracy: Long = 1000000L): DataFrame = {
-    // Math.toIntExact below would throw anyway, but fail with the
-    // envelope vocabulary: percentile_approx takes an Int accuracy, so
-    // a Long above 2^31-1 would otherwise silently truncate (possibly
-    // to a tiny/negative sketch accuracy) while the guard still
-    // compared against the un-truncated accuracy/2 — following the
-    // guard's own "raise accuracy in lockstep" advice past 2^31 must
-    // fail loudly, not corrupt the plan (ADVICE r12).
-    require(accuracy > 0 && accuracy <= Int.MaxValue,
-      s"pplBuckets: accuracy $accuracy outside (0, ${Int.MaxValue}] — " +
-        "the GK sketch takes an Int; past 2^31 switch the oracle to a " +
-        "±1-rank band instead of another lockstep bump")
+    // Shared construction-time Int-range check (SketchGuards, ADVICE
+    // r12): Math.toIntExact below would throw anyway, but fail with the
+    // envelope vocabulary, before any job runs.
+    graft.functions.SketchGuards.requireSketchAccuracy(
+      "pplBuckets", accuracy)
     // LEFT join, deliberately: an inner join on doc_id infers
     // isnotnull(doc_id) into the lm side only (the cb branch groups by
     // bg and never sees it), forking the tf subtrees and killing the
@@ -429,11 +419,9 @@ object TextAnalysis {
         array(lit(1.0 / 3), lit(2.0 / 3)),
         lit(Math.toIntExact(accuracy))).as("cuts"),
         count(lit(1)).as("n_lang"))
-    val envelopeZero = when(col("n_lang") > lit(accuracy / 2),
-      raise_error(concat(lit("pplBuckets: rank-exact envelope exceeded " +
-        "for a language (n="), col("n_lang"),
-        lit(s" > accuracy/2 = ${accuracy / 2}); raise accuracy in lockstep")))
-        .cast("int")).otherwise(lit(0))
+    val envelopeZero = graft.functions.SketchGuards.rankExactEnvelope(
+      "pplBuckets", " for a language", col("n_lang"), accuracy,
+      "raise accuracy in lockstep", "int")
     wl.join(broadcast(cuts), "lang")
       .withColumn("bucket", lit(1) + envelopeZero
         + when(col("ppl") > col("cuts")(0), 1).otherwise(0)

@@ -62,27 +62,21 @@ object Windows extends QueryPack {
     * move is to test the approximation's real guarantee, not to
     * inflate the sketch until it is no longer approximate. */
   def ntileApprox(orders: DataFrame, accuracy: Long = 10000000L): DataFrame = {
-    // Loud Int-range check: percentile_approx takes an Int accuracy, so
-    // a Long past 2^31-1 would silently truncate (possibly to a
-    // tiny/negative sketch) while the envelope guard still compared
-    // against the un-truncated accuracy/2 (ADVICE r12). The decision
-    // scaladoc above makes this unreachable by policy; the require
-    // makes it unreachable in fact.
-    require(accuracy > 0 && accuracy <= Int.MaxValue,
-      s"ntileApprox: accuracy $accuracy outside (0, ${Int.MaxValue}] — " +
-        "per the next-trip decision, relax the oracle to the ±1-rank " +
-        "band instead of bumping past Int range")
+    // Shared guard pair (functions.SketchGuards, r13): construction-time
+    // Int-range check (ADVICE r12 — the decision scaladoc above makes
+    // oversized accuracy unreachable by policy; the require makes it
+    // unreachable in fact) + the woven runtime envelope check.
+    graft.functions.SketchGuards.requireSketchAccuracy(
+      "w_ntile_approx", accuracy)
     val o = orders
     val cuts = o.agg(percentile_approx(col("o_totalprice"),
       array(lit(0.25), lit(0.5), lit(0.75)),
       lit(Math.toIntExact(accuracy))).as("cuts"),
       count(lit(1)).as("n_rows"))
-    val envelopeZero = when(col("n_rows") > lit(accuracy / 2),
-      raise_error(concat(lit("w_ntile_approx: rank-exact envelope " +
-        "exceeded (n="), col("n_rows"),
-        lit(s" > accuracy/2 = ${accuracy / 2}); raise accuracy in " +
-          "lockstep or relax the oracle to a ±1-rank band"))).cast("int"))
-      .otherwise(lit(0))
+    val envelopeZero = graft.functions.SketchGuards.rankExactEnvelope(
+      "w_ntile_approx", "", col("n_rows"), accuracy,
+      "raise accuracy in lockstep or relax the oracle to a ±1-rank band",
+      "int")
     o.crossJoin(broadcast(cuts))
       .withColumn("quartile",
         lit(1) + envelopeZero

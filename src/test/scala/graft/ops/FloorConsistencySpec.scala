@@ -122,11 +122,14 @@ class FloorConsistencySpec extends AnyFunSuite {
     val overridePath = root.resolve("tools/oracle_overrides_sf1.json")
     assert(Files.exists(overridePath),
       "tools/oracle_overrides_sf1.json missing — the sf1 gate cannot run")
-    val txt = new String(Files.readAllBytes(overridePath))
-    // keys of a flat {name: sql} JSON object (same extraction style as
-    // the shuffle-floor check; the values are opaque SQL)
-    val overrideKeys = """"([A-Za-z0-9_]+)"\s*:\s*"""".r
-      .findAllMatchIn(txt).map(_.group(1)).toSet
+    // top-level keys of the flat {name: sql} object, via a real JSON
+    // parse (Jackson rides in on the Spark classpath) — a text regex
+    // would also match name-colon shapes INSIDE an override's SQL value
+    // (e.g. a LIKE pattern over commit-log JSON) and fail the suite
+    // with a phantom "override with no matching query"
+    val overrideKeys = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(overridePath))
+      .fieldNames().asScala.toSet
     assert((overrideKeys -- queryNames).isEmpty,
       "sf1 oracle overrides with no matching query: " +
         (overrideKeys -- queryNames).toSeq.sorted.mkString(", "))

@@ -116,8 +116,18 @@ def gen_documents(outdir, rng):
         texts.append(" ".join(base))
         for _ in range(size - 1):
             v = list(base)
-            for p in rng.randint(0, len(v), rng.randint(1, 3)):
-                v[p] = vocab[rng.randint(0, len(vocab))]
+            # distinct positions, and resample until the replacement
+            # actually differs: the naive draw no-ops with prob 1/|vocab|
+            # per substitution (and can hit the same position twice),
+            # which silently promoted ~3% of intended near-dups to exact
+            # dups — drifting the documented dup structure (r13 review)
+            n_sub = rng.randint(1, 3)
+            for p in rng.choice(len(v), size=min(n_sub, len(v)),
+                                replace=False):
+                w = vocab[rng.randint(0, len(vocab))]
+                while w == v[p]:
+                    w = vocab[rng.randint(0, len(vocab))]
+                v[p] = w
             texts.append(" ".join(v))
     # 80 exact-dup pairs
     for _ in range(80):
