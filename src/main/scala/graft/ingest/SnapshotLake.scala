@@ -240,6 +240,34 @@ class SnapshotLake(root: String) {
       spark: SparkSession): Option[Long] =
     newestBatchMarker(spark)(txt => !txt.contains(""""queryId":"""))
 
+  /** The (queryId, replay watermark) pair for a streaming writer into
+    * this lake — THE one implementation of the replay-guard scoping
+    * rule, shared by [[graft.sources]]' SnapLakeSink and
+    * [[graft.streaming.EventStreams.snaplakeUpsertSink]] (r13 review:
+    * it had drifted into two verbatim copies, and the r12
+    * watermark-scoping fix had to be applied to both).
+    *
+    * queryId is the stable streaming-query id (checkpoint identity),
+    * set as a local property on the stream's driver thread — scoping
+    * the watermark to THIS query so a fresh query (new checkpoint,
+    * batch ids restarting at 0) is not mistaken for a replay of the
+    * previous writer. Absent (direct addBatch calls), only ANONYMOUS
+    * markers are consulted: an unscoped watermark would let a real
+    * query's old marker silently swallow a new anonymous writer's
+    * whole batches — data loss dressed as replay protection.
+    * A batch whose id is <= the returned watermark is a replay of this
+    * same writer and must no-op. */
+  def streamWriterScope(
+      spark: SparkSession): (Option[String], Option[Long]) = {
+    val queryId = Option(spark.sparkContext.getLocalProperty(
+      "sql.streaming.queryId"))
+    val watermark = queryId match {
+      case some @ Some(_) => lastStreamBatchId(spark, some)
+      case None => lastAnonymousStreamBatchId(spark)
+    }
+    (queryId, watermark)
+  }
+
   /** [[commit]] plus an optional streaming (queryId, batchId) marker
     * persisted in the commit JSON — the exactly-once handshake for the
     * streaming sink (a replayed micro-batch is detected by

@@ -233,20 +233,10 @@ private[sources] class SnapLakeSink(spark: SparkSession, root: String,
   private val lake = new graft.ingest.SnapshotLake(root)
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    // the stable streaming-query id (checkpoint identity), set as a
-    // local property on the stream's driver thread — scoping the
-    // replay watermark to THIS query so a fresh query (new checkpoint,
-    // batch ids restarting at 0) is not mistaken for a replay of the
-    // previous writer. Absent (direct addBatch calls), consult only
-    // ANONYMOUS markers: an unscoped watermark would let a real
-    // query's old marker silently swallow a new anonymous writer's
-    // whole batches — data loss dressed as replay protection.
-    val queryId = Option(spark.sparkContext.getLocalProperty(
-      "sql.streaming.queryId"))
-    val watermark = queryId match {
-      case some @ Some(_) => lake.lastStreamBatchId(spark, some)
-      case None => lake.lastAnonymousStreamBatchId(spark)
-    }
+    // shared replay-guard scoping rule (query-scoped vs anonymous
+    // watermarks) — THE implementation and its rationale live in
+    // SnapshotLake.streamWriterScope
+    val (queryId, watermark) = lake.streamWriterScope(spark)
     if (watermark.exists(_ >= batchId))
       return // replay of this writer's own batch (same watermark scope)
     // Sink.addBatch hands a DataFrame over the batch's INCREMENTAL plan;

@@ -105,10 +105,17 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
         col(SnapshotLake.ChangeTypeCol): _*)
         .withColumn(SnapshotLake.CommitVersionCol, lit(v))
     // the shared tier walker — only frame construction (streaming
-    // relations) and missing-manifest policy are this source's own
+    // relations) and missing-manifest policy are this source's own.
+    // dirsAt re-reads and re-parses the commit JSON on every call, and
+    // walkChanges consults v AND v-1 of every version in the range —
+    // memoized, a catch-up batch spanning N versions does N+1 manifest
+    // reads instead of ~2N (at object-store latencies the difference is
+    // tens of seconds on a long catch-up; r13 review)
+    val manifestCache = collection.mutable.Map.empty[Long, Seq[String]]
     val frames = lake.walkChanges(spark, startV, endV,
       manifestAt = v =>
-        if (committed.contains(v)) lake.dirsAt(spark, v)
+        if (committed.contains(v))
+          manifestCache.getOrElseUpdate(v, lake.dirsAt(spark, v))
         else throw new IllegalStateException(
           s"changefeed needs version $v of $root but it has been vacuumed"),
       readRows = paths => streamingParquet(paths, tableSchema),

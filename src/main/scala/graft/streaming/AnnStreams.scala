@@ -122,6 +122,22 @@ object AnnStreams {
     }
     fs.mkdirs(new Path(markerDir))
     fs.create(marker, true).close()
+    // sweep dead markers: once addBatch(B) runs, every batch < B is
+    // committed in the stream's checkpoint and can never be re-queried
+    // (replay is only ever of the newest uncommitted batch), so their
+    // markers are dead weight — without a sweep the dir grows one file
+    // per micro-batch forever (a year at one batch/minute ≈ 500k
+    // zero-byte files: namenode object pressure on HDFS, ever-slower
+    // listings on object stores). Keeping only the newest marker is the
+    // same bounded-metadata discipline as the ledger compaction
+    // (r13 review).
+    fs.listStatus(new Path(markerDir)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("batch-") &&
+          scala.util.Try(name.stripPrefix("batch-").toLong)
+            .toOption.exists(_ < batchId))
+        fs.delete(st.getPath, false)
+    }
   }
 
   /** The grown code table: the lake's latest snapshot with replayed

@@ -57,33 +57,14 @@ object DocStreams {
     spark.readStream.schema(DocSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir)
 
+  // CURRENT-pointer chassis shared with the package's other
+  // read-merge-swap sinks — one implementation in [[GenPointer]]
   private def readPtr(fs: org.apache.hadoop.fs.FileSystem,
-      ledgerDir: String): Option[String] = {
-    val ptr = new org.apache.hadoop.fs.Path(s"$ledgerDir/CURRENT")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-      finally in.close()
-    }
-  }
+      ledgerDir: String): Option[String] = GenPointer.readPtr(fs, ledgerDir)
 
-  /** Atomic pointer swap: write CURRENT.tmp, rename over CURRENT — readers
-    * see the old or the new generation, never a partial write. */
   private def swapPtr(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, ledgerDir: String,
-      gen: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tmp = new Path(s"$ledgerDir/CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(s"$ledgerDir/CURRENT"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      gen: String): Unit = GenPointer.swapPtr(spark, fs, ledgerDir, gen)
 
   /** All fingerprints currently in the ledger (reader view). */
   def ledgerFingerprints(spark: SparkSession, ledgerDir: String): DataFrame = {
@@ -118,8 +99,19 @@ object DocStreams {
     val genPath = s"$ledgerDir/$gen"
     // persist: the fingerprinted batch feeds the prefix collection, the
     // anti-join, and (via `fresh`) two writes — uncached each consumer
-    // would re-hash the batch text
-    val fingerprinted = batch.withColumn("fp", md5(col("text")))
+    // would re-hash the batch text.
+    // Null text gets a SENTINEL fp, not NULL: md5(NULL)=NULL made the
+    // two dedup tiers disagree — the within-batch window groups NULL
+    // keys as equal (dropping all but one null-text doc) while the
+    // cross-batch anti-join on fp treats NULL as never-equal (so the
+    // survivor was re-admitted every batch, never ledgered). The
+    // sentinel collapses null texts together in BOTH tiers, matching
+    // the batch twin's groupBy(md5(text)) null-key semantics
+    // (Dedup.exactDupGroups); "null" is 4 chars, so it cannot collide
+    // with a 32-hex md5 and its pfx "nu" is a disjoint partition
+    // (r13 review).
+    val fingerprinted = batch
+      .withColumn("fp", coalesce(md5(col("text")), lit("null")))
       .withColumn("pfx", substring(col("fp"), 1, 2)).persist()
     try {
       // ≤256 distinct 2-hex prefixes: pruning METADATA for the ledger

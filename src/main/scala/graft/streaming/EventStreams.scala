@@ -182,14 +182,8 @@ object EventStreams {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ptr = new Path(s"$dir/CURRENT")
-    val current: Option[String] =
-      if (fs.exists(ptr)) {
-        val in = fs.open(ptr)
-        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-        finally in.close()
-      } else None
+    // shared CURRENT-pointer chassis (one implementation: [[GenPointer]])
+    val current: Option[String] = GenPointer.readPtr(fs, dir)
     val next = s"gen_$batchId"
     // The pointer swap IS the commit: if CURRENT already names this
     // batch's generation, the batch completed before a crash and the
@@ -207,13 +201,7 @@ object EventStreams {
       .write.mode("overwrite").parquet(s"$dir/$next")
     // atomic pointer swap: write CURRENT.tmp, rename over CURRENT —
     // readers see the old or the new generation, never a partial write
-    val tmp = new Path(s"$dir/CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(next.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    GenPointer.swapPtr(spark, fs, dir, next)
     // bound storage: drop superseded generations, keeping the new
     // current and its predecessor (rollback margin)
     val keep = Set(next) ++ current
@@ -260,12 +248,8 @@ object EventStreams {
   def snaplakeUpsertSink(lake: graft.ingest.SnapshotLake,
       keyCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val queryId = Option(spark.sparkContext.getLocalProperty(
-      "sql.streaming.queryId"))
-    val watermark = queryId match {
-      case some @ Some(_) => lake.lastStreamBatchId(spark, some)
-      case None => lake.lastAnonymousStreamBatchId(spark)
-    }
+    // shared replay-guard scoping rule — see SnapshotLake.streamWriterScope
+    val (queryId, watermark) = lake.streamWriterScope(spark)
     if (watermark.exists(_ >= batchId))
       return // replay of this writer's own batch (same watermark scope)
     if (lake.latestVersion(spark).isEmpty || batch.isEmpty)

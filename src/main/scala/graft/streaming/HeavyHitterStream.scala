@@ -44,6 +44,13 @@ object HeavyHitterStream {
 
   class SpaceSavingProcessor(capacity: Int)
       extends StatefulProcessor[Int, ShardedToken, HitterEmit] {
+    // fail at construction, not as a NoSuchElementException("empty
+    // TreeSet") inside an executor task on the first token: with
+    // capacity <= 0 the summary-full eviction branch fires immediately
+    // on an empty byEst index (r13 review)
+    require(capacity > 0,
+      s"SpaceSavingProcessor: capacity $capacity must be positive — " +
+        "the summary holds the top `capacity` token counters per shard")
     @transient private var counters: MapState[String, CountPair] = _
     @transient private var emitSeq: ValueState[Long] = _
 

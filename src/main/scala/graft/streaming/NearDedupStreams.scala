@@ -83,38 +83,15 @@ object NearDedupStreams {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x).cast("double") / graft.ml.Dedup.NumHashes
 
+  // thin forwarders to the shared chassis (NearDedupSpec pins the swap
+  // contract through these names; the one implementation lives in
+  // [[GenPointer]])
   private[streaming] def readPtr(fs: org.apache.hadoop.fs.FileSystem,
-      ledgerDir: String): Option[String] = {
-    val ptr = new org.apache.hadoop.fs.Path(s"$ledgerDir/CURRENT")
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-      finally in.close()
-    }
-  }
+      ledgerDir: String): Option[String] = GenPointer.readPtr(fs, ledgerDir)
 
-  /** Publish `gen` as the current generation: write CURRENT.tmp, then
-    * FileContext.rename(OVERWRITE) onto CURRENT. The rename is the
-    * atomicity point (all-or-nothing on HDFS/POSIX — the class-doc
-    * contract; S3A callers front this with a metadata layer such as
-    * [[graft.ingest.SnapshotLake]]'s commit log on a rename-atomic
-    * store). NearDedupSpec pins the observable half: the pointer flips
-    * whole and no tmp residue survives a swap. */
   private[streaming] def swapPtr(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, ledgerDir: String,
-      gen: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tmp = new Path(s"$ledgerDir/CURRENT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(s"$ledgerDir/CURRENT"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      gen: String): Unit = GenPointer.swapPtr(spark, fs, ledgerDir, gen)
 
   private def readOrEmpty(spark: SparkSession, path: String, schema: String,
       fs: org.apache.hadoop.fs.FileSystem): DataFrame =
@@ -139,7 +116,8 @@ object NearDedupStreams {
   /** foreachBatch body: near-dedup `batch` against the ledger and itself,
     * write admitted docs, extend the ledger. */
   def nearDedupIngestSink(spark: SparkSession, ledgerDir: String,
-      outDir: String, tau: Double, compactEvery: Int = 16)(
+      outDir: String, tau: Double, compactEvery: Int = 16,
+      maxMisRounds: Int = 256)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     import graft.ml.Dedup
@@ -183,6 +161,11 @@ object NearDedupStreams {
             .select(col("doc_id").as("old_id"), col("band"), col("bucket")),
             Seq("band", "bucket"))
           .select(col("new_id"), col("old_id")).distinct()
+          // materialized once: both the spfx-prune collect below and the
+          // simRejected join consume cands — unmaterialized, the pruned
+          // ledger-bucket scan and the band join would run TWICE per
+          // micro-batch on the hot ingest path (r13 review)
+          .localCheckpoint()
         val candPfx = cands.select(
             format_string("%02x", pmod(col("old_id"), lit(256L))).as("spfx"))
           .distinct().collect().map(_.getString(0)).toSeq
@@ -259,7 +242,25 @@ object NearDedupStreams {
           .localCheckpoint()
         var admitted = spark.range(0).select(col("id").as("doc_id"))
         var done = remaining.isEmpty
+        var rounds = 0
         while (!done) {
+          // the same round budget as the batch twin
+          // (Dedup.sequentialAdmission, NOTES r12): a chain of
+          // near-duplicates inside ONE micro-batch makes the greedy
+          // dependency depth — and the round count, at ~4
+          // driver-blocking localCheckpoint actions each — linear in
+          // chain length. A pathological batch must fail the query
+          // LOUDLY naming the knob, not stall the stream for hours
+          // inside foreachBatch.
+          rounds += 1
+          if (rounds > maxMisRounds)
+            throw new IllegalStateException(
+              s"nearDedupIngestSink: batch $batchId exceeded " +
+                s"maxMisRounds=$maxMisRounds MIS rounds — the batch's " +
+                "near-dup graph has a pathological greedy dependency " +
+                "chain; raise maxMisRounds deliberately, shrink the " +
+                "trigger so chains split across batches, or pre-collapse " +
+                "with exact dedup upstream")
           // frontier: no surviving smaller-id neighbor
           val blocked = edges.select(col("doc_b").as("doc_id")).distinct()
           val frontier = remaining.join(blocked, Seq("doc_id"), "left_anti")
@@ -344,12 +345,13 @@ object NearDedupStreams {
   /** Drain a bounded doc stream through the near-dedup ingest sink. */
   def runOnce(spark: SparkSession, srcDir: String, ledgerDir: String,
       outDir: String, tau: Double, checkpoint: String,
-      compactEvery: Int = 16): Unit = {
+      compactEvery: Int = 16, maxMisRounds: Int = 256): Unit = {
     val q = DocStreams.fromParquetDir(spark, srcDir).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch(
-        nearDedupIngestSink(spark, ledgerDir, outDir, tau, compactEvery) _)
+        nearDedupIngestSink(spark, ledgerDir, outDir, tau, compactEvery,
+          maxMisRounds) _)
       .start()
     q.awaitTermination()
   }

@@ -126,20 +126,29 @@ class AnnStreamsSpec extends SparkSpecBase {
     assert(top.contains(900001L),
       s"planted twin not retrieved from the grown index: ${top.mkString(",")}")
 
-    // checkpoint-replay of batch 0: the marker detects it and the sink
-    // skips whole — version history stays the batch history
+    // marker sweep: after the run only the NEWEST batch's marker
+    // survives (earlier batches are committed in the checkpoint and can
+    // never be re-queried — their markers are dead and must not
+    // accumulate one file per batch forever)
+    val fs = new org.apache.hadoop.fs.Path(markers)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(markers))
+      .map(_.getPath.getName).toSet == Set("batch-1"),
+      "dead batch markers were not swept")
+
+    // checkpoint-replay of the newest batch (the only batch Structured
+    // Streaming can actually replay): the marker detects it and the
+    // sink skips whole — version history stays the batch history
     AnnStreams.indexAppendSink(index, lake, markers)(
-      arrivals.filter($"vec_id" === 900001L), 0L)
+      arrivals.filter($"vec_id" === 900002L), 1L)
     assert(lake.versions(spark) == Seq(1L, 2L),
       "marker did not suppress a replayed batch's duplicate commit")
 
     // crash window (commit landed, marker lost): the re-append writes
     // byte-identical rows and the collapsed code table is unchanged
-    val fs = new org.apache.hadoop.fs.Path(markers)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$markers/batch-0"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$markers/batch-1"), false)
     AnnStreams.indexAppendSink(index, lake, markers)(
-      arrivals.filter($"vec_id" === 900001L), 0L)
+      arrivals.filter($"vec_id" === 900002L), 1L)
     assert(lake.versions(spark).size == 3)
     assert(AnnStreams.grownCodes(spark, lake)
       .as[(Long, Long, Int, Int)].collect().toSet == batchCodes,

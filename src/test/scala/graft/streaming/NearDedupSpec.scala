@@ -324,4 +324,48 @@ class NearDedupSpec extends SparkSpecBase {
       .select($"doc_id").distinct().count() == corpus.size)
     spark.catalog.clearCache()
   }
+
+  test("maxMisRounds bounds the per-batch MIS loop — LOUD error, not a stalled stream") {
+    // the streaming twin of ScaleSpec's sequentialAdmission budget test
+    // (r13 review: the sink's loop was unbounded even after the batch
+    // path gained the knob): one micro-batch carrying a near-dup CHAIN
+    // 1-2, 2-3, ..., 9-10 (same 24-token sliding-window fixture — J =
+    // 19/21 adjacent, 18/22 at distance 2, τ = 0.85 keeps exactly the
+    // path) has greedy dependency depth 5, so maxMisRounds = 1 must
+    // throw naming the knob instead of silently stalling foreachBatch.
+    val words = (1 to 33).map(i => f"w$i%03d")
+    val chain = (1 to 10).map(i =>
+      (i.toLong, words.slice(i - 1, i + 23).mkString(" "), "en",
+        "synthetic", 120L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tau = 0.85
+    val ledger = Files.createTempDirectory("graft_nd_mis").toString + "/l"
+    val out = Files.createTempDirectory("graft_nd_mis_out").toString + "/o"
+    val e = intercept[IllegalStateException] {
+      NearDedupStreams.nearDedupIngestSink(spark, ledger, out, tau,
+        compactEvery = 0, maxMisRounds = 1)(chain, 0L)
+    }
+    assert(e.getMessage.contains("maxMisRounds"),
+      s"budget error must name the knob: ${e.getMessage}")
+    spark.catalog.clearCache()
+    // the error is the BUDGET, not the fixture: the same batch under the
+    // default budget completes (fresh ledger — the budgeted attempt
+    // wrote nothing before the loop). NOT pinned to the exact odd-id
+    // set here: the sink decides on the SIGNATURE ESTIMATE (its
+    // contract — the τ-boundary test above owns that), and at τ = 0.85
+    // this chain's margins (J 0.905 adjacent / 0.818 at distance 2) sit
+    // ~1.5σ from a 128-hash estimate, so individual edges may flip;
+    // exact-set admission is pinned on exact-verified pairs by
+    // ScaleSpec's batch-twin chain test.
+    val ledger2 = Files.createTempDirectory("graft_nd_mis2").toString + "/l"
+    val out2 = Files.createTempDirectory("graft_nd_mis_out2").toString + "/o"
+    NearDedupStreams.nearDedupIngestSink(spark, ledger2, out2, tau,
+      compactEvery = 0)(chain, 0L)
+    val admitted = spark.read.parquet(out2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted.contains(1L) && admitted.size >= 3 &&
+        admitted.size <= 6,
+      s"default-budget admission not a plausible chain MIS: $admitted")
+    spark.catalog.clearCache()
+  }
 }

@@ -264,6 +264,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == before)
   }
 
+  test("doc ledger: null-text docs dedup consistently across both tiers") {
+    // r13 review: md5(NULL) = NULL made the tiers disagree — the
+    // within-batch window collapsed NULL keys (groupBy semantics) while
+    // the cross-batch anti-join on a NULL fp never matched, so the one
+    // survivor was re-admitted every batch and never ledgered. The
+    // sentinel fp must make both tiers treat null texts as one content
+    // (the batch twin Dedup.exactDupGroups groupBy(md5(text)) collapses
+    // NULL keys the same way).
+    val ledger = Files.createTempDirectory("graft_docs_nl").toString + "/l"
+    val out = Files.createTempDirectory("graft_docs_nl_out").toString + "/o"
+    val nulls = Seq(
+      (910001L, null.asInstanceOf[String], "en", "synthetic", 0L),
+      (910002L, null.asInstanceOf[String], "en", "synthetic", 0L),
+      (910003L, "", "en", "synthetic", 0L)) // empty ≠ null: distinct content
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    DocStreams.dedupIngestSink(spark, ledger, out)(nulls, 0L)
+    val wave1 = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet
+    // within-batch: first id wins among the null texts; the
+    // empty-string doc is different content and survives alongside
+    assert(wave1 == Set(910001L, 910003L), s"admitted $wave1")
+    // cross-batch: a RESENT null-text doc must hit the ledger, not be
+    // re-admitted (the pre-fix behavior re-admitted it every batch)
+    DocStreams.dedupIngestSink(spark, ledger, out)(
+      nulls.filter($"doc_id" === 910002L), 1L)
+    val wave2 = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSet
+    assert(wave2 == Set(910001L, 910003L),
+      s"null-text doc escaped the ledger: $wave2")
+  }
+
   test("doc ledger: pruned prefix reads, bounded file count, replay-safe writes") {
     import org.apache.hadoop.fs.Path
     val ledger = Files.createTempDirectory("graft_docs_ledger2").toString + "/l"
