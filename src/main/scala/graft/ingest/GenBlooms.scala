@@ -33,6 +33,15 @@ object GenBlooms {
 
   val BloomsFileName = "_blooms.json"
 
+  /** Control-plane FS unwrap (same helper shape as GenStats.rawOf): a
+    * ChecksumFileSystem's .crc sidecar moves in a separate step from
+    * the data file, so publish/read of the sidecar must go raw. */
+  private def rawOf(fs: org.apache.hadoop.fs.FileSystem)
+      : org.apache.hadoop.fs.FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   /** Sidecar format version, embedded as the `_v` key. Bumped whenever
     * the VALUE CANONICALIZATION changes (e.g. the ±0.0 fold): a bloom
     * built under an older hash answers "definitely absent" for values
@@ -238,10 +247,7 @@ object GenBlooms {
     // and a reader racing load() in that window throws ChecksumException
     // — the same hazard the _constraints.json path closes this way
     val fsAll = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fs = fsAll match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
+    val fs = rawOf(fsAll)
     val tmp = new Path(dir, s".$BloomsFileName.tmp")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsString(rootNode).getBytes(UTF_8))
@@ -276,10 +282,7 @@ object GenBlooms {
     val p = new Path(genPath, BloomsFileName)
     // raw fs: see the write-side note — a .crc written by an earlier
     // build must never fail a control-plane read mid-publish
-    val fs = p.getFileSystem(conf) match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
+    val fs = rawOf(p.getFileSystem(conf))
     if (!fs.exists(p)) return None
     // exists→open is a TOCTOU pair: computeBlooms' republish delete can
     // land between them, making the sidecar momentarily absent — the

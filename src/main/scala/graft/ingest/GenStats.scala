@@ -264,10 +264,9 @@ object GenStats {
 
   // ------------------------------------------------------------------ json
 
-  private def mapper = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    m
-  }
+  // ObjectMapper is thread-safe after configuration; one instance, not
+  // one allocation per render/parse call (r13 review)
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def render(perFile: Seq[(String, FileStats)]): String = {
     val root = mapper.createObjectNode()
@@ -304,9 +303,12 @@ object GenStats {
 
   private def parse(txt: String): Option[Map[String, FileStats]] = {
     val root = mapper.readTree(txt)
-    // Unversioned (pre-v2) sidecars are DROPPED, not trusted — see
-    // [[render]]. Absent stats only cost pruning, never correctness.
-    if (root.path("v").asInt(0) < FormatVersion) return None
+    // Sidecars from any OTHER format version are DROPPED, not trusted —
+    // see [[render]]. != (not <), matching GenBlooms.load: a FUTURE
+    // version's value space may mean something different, and pruning
+    // against it with this version's semantics could wrongly skip files
+    // (r13 review). Absent stats only cost pruning, never correctness.
+    if (root.path("v").asInt(0) != FormatVersion) return None
     val files = root.path("files")
     Some(files.properties().asScala.map { e =>
       val name = e.getKey

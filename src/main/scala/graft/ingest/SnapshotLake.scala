@@ -83,8 +83,13 @@ class SnapshotLake(root: String) {
     val fs = hadoopFs(spark)
     val dir = new org.apache.hadoop.fs.Path(commitsDir)
     if (!fs.exists(dir)) Seq.empty
+    // \d{8,}, not \d{8}: the writer's %08d pads to AT LEAST 8 digits,
+    // so version 100,000,000 writes a 9-digit filename — an exact-8
+    // match would publish the commit yet leave it invisible, wedging
+    // every later claim on the same "next" version forever (the sort
+    // below is numeric, so longer filenames order correctly; r13 review)
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{8}\\.json"))
+      .filter(_.matches("v\\d{8,}\\.json"))
       .map(_.drop(1).dropRight(5).toLong).sorted
   }
 
@@ -542,25 +547,14 @@ class SnapshotLake(root: String) {
     * the expression is NULL passes). Administrative, not versioned:
     * they gate writes from the moment they are set. */
   def constraints(spark: SparkSession): Map[String, String] = {
-    // read through the RAW filesystem: on the local ChecksumFileSystem an
-    // overwriting rename replaces the data file atomically but its .crc
-    // sidecar in a second step, and a checksummed read in that window
-    // throws ChecksumException. The data-file rename is the atomicity
-    // contract; the sidecar is a local-FS artifact (HDFS checksums are
-    // inline, object stores have none), so control-plane reads skip it.
-    val fs = hadoopFs(spark) match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
-    if (!fs.exists(constraintsPath)) return Map.empty
-    val in = fs.open(constraintsPath)
-    val txt =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    // control-file read goes through readControlJson — the shared pair
+    // that owns the raw-filesystem (.crc hygiene) rationale; this method
+    // had kept a hand-rolled copy of it (r13 review)
     import scala.jdk.CollectionConverters._
-    m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    readControlJson(spark, constraintsPath)
+      .map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
   }
 
   def addConstraint(spark: SparkSession, name: String, sqlExpr: String): Unit =
@@ -806,12 +800,36 @@ class SnapshotLake(root: String) {
               }
           }
         }
+      // A key tuple containing NULL matches no target row (equi-join
+      // semantics), so a source with NO fully-non-null key tuple —
+      // empty frame, or every key null — provably touches nothing:
+      // scope to zero generations and the merge degrades to a plain
+      // append of the source. Without this, srcEnv comes back empty,
+      // genMayContainKeys answers a conservative true for EVERY
+      // generation, and an empty upstream frame triggers a silent
+      // 100%-of-table rewrite to apply zero changes (r13 review). The
+      // probe job only runs when the envelope is already empty (the
+      // common path pays nothing: a non-empty envelope implies
+      // non-null keys exist).
+      val hasMatchableKey = srcEnv.size == keyCols.size || srcKeys
+        .filter(keyCols.map(k => col(k).isNotNull)
+          .reduce((a, b) => a && b))
+        .limit(1).count() > 0
       def genInScope(gen: String): Boolean =
-        genMayContainKeys(spark, gen, keyCols, srcEnv) && bloomMayContain(gen)
+        hasMatchableKey &&
+          genMayContainKeys(spark, gen, keyCols, srcEnv) &&
+          bloomMayContain(gen)
       val (affected, untouched) = dirs.partition(genInScope)
       import org.apache.spark.sql.functions.lit
+      // affected generations read under the SNAPSHOT's full schema
+      // (missing columns null-filled), not bare mergeSchema over the
+      // affected subset: under schema evolution the subset can predate
+      // a key column entirely, and the key joins below would fail
+      // analysis on an unresolved column — null-filled, such rows
+      // simply match no source key, which is the correct semantics
+      // (r13 review)
       val affectedDf = if (affected.isEmpty) None
-        else Some(spark.read.option("mergeSchema", "true")
+        else Some(spark.read.schema(readAt(spark, base).schema)
           .parquet(affected.map(d => s"$root/$d"): _*))
       val keep = affectedDf.map(_.join(srcKeys, keyCols, "left_anti"))
       val rewritten = keep match {
@@ -885,8 +903,13 @@ class SnapshotLake(root: String) {
     if (affected.isEmpty) return base
     val untouched = dirs.filterNot(affected.contains)
     // SQL DELETE removes rows where the predicate is TRUE; NULL keeps
-    // the row — so the keep-filter is NOT(coalesce(p, false)), not !p
-    val affectedDf = spark.read.option("mergeSchema", "true")
+    // the row — so the keep-filter is NOT(coalesce(p, false)), not !p.
+    // Read under the snapshot's full schema (missing columns
+    // null-filled): under schema evolution the affected subset can
+    // predate a predicate column, and mergeSchema over the subset alone
+    // would make the filter fail analysis; null-filled, the predicate
+    // evaluates NULL there and the rows are kept — correct (r13 review)
+    val affectedDf = spark.read.schema(snapshot.schema)
       .parquet(affected.map(d => s"$root/$d"): _*)
     val hit = org.apache.spark.sql.functions.coalesce(predicate,
       org.apache.spark.sql.functions.lit(false))
@@ -1230,9 +1253,30 @@ class SnapshotLake(root: String) {
     * repair, same division of labor as a table format's CDF vs a
     * snapshot compare. */
   def diff(spark: SparkSession, v1: Long, v2: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val a = readAt(spark, v1)
-    val b = readAt(spark, v2)
+    import org.apache.spark.sql.functions.{col, lit}
+    // align both snapshots on the UNION schema (null-filled) before
+    // exceptAll: the lake's headline feature is schema-evolving appends,
+    // and exceptAll demands identical column counts — unaligned, the
+    // audit tool threw exactly when an evolved table needed reconciling
+    // (r13 review). Null-filling is also the honest diff semantics: a
+    // pre-evolution row equals its post-evolution null-extended self.
+    val (sa, sb) = (readAt(spark, v1).schema, readAt(spark, v2).schema)
+    val names = (sa.fieldNames ++
+      sb.fieldNames.filterNot(sa.fieldNames.contains)).toSeq
+    def aligned(df: DataFrame): DataFrame = {
+      val have = df.schema.fieldNames.toSet
+      val all = names.map { n =>
+        if (have.contains(n)) col(n)
+        else {
+          val f = sb.fields.find(_.name == n)
+            .getOrElse(sa.fields.find(_.name == n).get)
+          lit(null).cast(f.dataType).as(n)
+        }
+      }
+      df.select(all: _*)
+    }
+    val a = aligned(readAt(spark, v1))
+    val b = aligned(readAt(spark, v2))
     b.exceptAll(a).withColumn("op", lit("insert"))
       .unionByName(a.exceptAll(b).withColumn("op", lit("delete")))
   }

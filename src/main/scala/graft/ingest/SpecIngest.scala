@@ -42,7 +42,12 @@ object SpecIngest {
     * continuation fold + last-wins merge per document.
     */
   def fromSpecTable(raw: DataFrame): DataFrame = {
-    val parse = udf { rows: Seq[org.apache.spark.sql.Row] =>
+    val parse = udf { rowsIn: Seq[org.apache.spark.sql.Row] =>
+      // null rows (page with no spec table, or a cast that nulled the
+      // column) parse to the empty spec map — Spark passes null through
+      // to reference-typed UDF params, and an unguarded foreach would
+      // NPE the whole job on one such page (r13 review)
+      val rows = Option(rowsIn).getOrElse(Seq.empty)
       // The reference folds EACH spec table independently (one result
       // object per th, app.js:548-565), then merge_array_object merges
       // the per-table objects last-wins (app.js:585). The raw shape
@@ -88,9 +93,13 @@ object SpecIngest {
       k => ColFns.trimTrailingUnderscoresCol(ColFns.toKeyCol(k)))
     // try_element_at: ANSI mode (Spark 4 default) makes plain element_at
     // throw on the out-of-range indexes a key/value length mismatch hits;
-    // the reference backfills '' instead (app.js:627).
-    val padded = transform(sequence(lit(1), size(col("keys"))),
-      i => coalesce(try_element_at(col("values"), i), lit("")))
+    // the reference backfills '' instead (app.js:627). Indexes ride the
+    // keys array itself via transform's (elem, idx) lambda — NOT
+    // sequence(1, size(keys)): sequence infers step -1 when start >
+    // stop, so an EMPTY keys array would yield [1, 0] and a 2-element
+    // padded side against 0 keys (r13 review).
+    val padded = transform(col("keys"),
+      (_, i) => coalesce(try_element_at(col("values"), i + lit(1)), lit("")))
     val device = ColFns.deviceCol(col("url"))
     raw
       // JS object assignment is last-wins on duplicate keys (app.js:627).
@@ -124,9 +133,18 @@ object SpecIngest {
     * comma-joined values + unit (F9, app.js:702).
     */
   def fromNestedJson(raw: DataFrame): DataFrame = {
+    // explode_outer, both levels: a record whose props_json is
+    // null/malformed (from_json → null) or whose groups/reasons are
+    // empty must survive with an EMPTY spec map — the gsmarena and
+    // geekbench paths keep such records, and a plain explode would
+    // silently drop the whole product while the saved-URL ledger
+    // already marked it crawled (r13 review). The null placeholder
+    // rows these outer explodes add are filtered out of `entries`
+    // below (a null spec_key never becomes a map entry).
     val exploded = raw
-      .withColumn("pg", explode(from_json(col("props_json"), PropGroupsSchema)))
-      .withColumn("reason", explode(col("pg.reasons")))
+      .withColumn("pg",
+        explode_outer(from_json(col("props_json"), PropGroupsSchema)))
+      .withColumn("reason", explode_outer(col("pg.reasons")))
       .select(col("src_url"), col("model"),
         ColFns.trimTrailingUnderscoresCol(ColFns.toKeyCol(
           concat(col("pg.name"), lit("_"), col("reason.name")))).as("spec_key"),
@@ -136,8 +154,12 @@ object SpecIngest {
       .groupBy(col("src_url"), col("model"))
       // entries originate from a single exploded source row, so
       // collect_list order is the reason order; last-wins dedup before
-      // map_from_entries (no session-conf mutation, see lastWinsEntries)
-      .agg(collect_list(struct(col("spec_key").as("k"), col("spec_value").as("v")))
+      // map_from_entries (no session-conf mutation, see lastWinsEntries).
+      // collect_list skips NULL elements, so the when(...) turns the
+      // outer-explode placeholder rows into zero entries.
+      .agg(collect_list(when(col("spec_key").isNotNull,
+          struct(col("spec_key").as("k"),
+            coalesce(col("spec_value"), lit("")).as("v"))))
         .as("entries"))
       .withColumn("specs", map_from_entries(lastWinsEntries(col("entries"))))
       .drop("entries")

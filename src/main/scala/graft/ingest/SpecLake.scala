@@ -23,18 +23,37 @@ class SpecLake(root: String) {
 
   /** Land a batch of normalized records, then append its URLs to the
     * ledger (same data-then-ledger order as the reference; the read-side
-    * dedup makes the crash window harmless). */
+    * dedup makes the crash window harmless). Each row is stamped with
+    * its landing time — the arrival order [[read]]'s keep-FIRST
+    * resolution needs (without it, dropDuplicates picked an arbitrary
+    * row per srcUrl, so a crash-window re-crawl that landed DIFFERENT
+    * page content made successive reads nondeterministic; r13 review). */
   def append(records: DataFrame): Unit = {
-    records.write.mode(SaveMode.Append).parquet(dataPath)
+    records.withColumn("_landed_at", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(dataPath)
     records.select(col("srcUrl").as("url"))
       .write.mode(SaveMode.Append).parquet(ledgerPath)
   }
 
   /** Read back with schemas merged across appends and replay-duplicates
-    * collapsed (first write per srcUrl wins, like the ledger intends). */
-  def read(spark: SparkSession): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dataPath)
-      .dropDuplicates("srcUrl")
+    * collapsed — first write per srcUrl wins, like the ledger intends,
+    * DETERMINISTICALLY: earliest `_landed_at` (rows from before the
+    * stamp upgrade read as null = oldest), same-instant ties broken on
+    * the row's content hash. Window groups are per-srcUrl (a handful of
+    * replay rows at most — bounded, never Zipf-hot). */
+  def read(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = spark.read.option("mergeSchema", "true").parquet(dataPath)
+    val all =
+      if (raw.columns.contains("_landed_at")) raw
+      else raw.withColumn("_landed_at", lit(null).cast("timestamp"))
+    val payload = all.columns.filterNot(Set("_landed_at")).sorted
+    val w = Window.partitionBy(col("srcUrl"))
+      .orderBy(col("_landed_at").asc_nulls_first,
+        xxhash64(to_json(struct(payload.map(col): _*))))
+    all.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .drop("_rk", "_landed_at")
+  }
 
   /** The ledger probe goes through the Hadoop FileSystem API so the lake
     * root can live on any supported store (local, HDFS, s3a, ...) —
@@ -77,7 +96,15 @@ object SpecLake {
   def writeChunked(df: DataFrame, keyCol: String, root: String,
       width: Int = 150): Int = {
     val valueCols = df.columns.filter(_ != keyCol).toSeq
-    val parts = graft.functions.Normalize.chunkKeys(valueCols, width)
+    // a key-only frame still writes p0 (just the key column): zero
+    // parts would skip every write yet still run the stale-part sweep
+    // below, silently wiping an existing layout while persisting
+    // nothing — and readChunked would then find no parts at all
+    // (r13 review)
+    val parts = graft.functions.Normalize.chunkKeys(valueCols, width) match {
+      case Seq() => Seq(Seq.empty[String])
+      case ps => ps
+    }
     parts.zipWithIndex.foreach { case (cols, i) =>
       df.select((keyCol +: cols).map(col(_)): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/p$i")

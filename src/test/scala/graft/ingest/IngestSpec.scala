@@ -158,4 +158,73 @@ class IngestSpec extends SparkSpecBase {
       s"stale part columns leaked: ${back2.columns.mkString(",")}")
     assert(back2.count() == 10)
   }
+
+  test("ingest edge shapes: empty keys, null rows, null/empty props_json survive") {
+    // r13 review: three crash/drop paths on pages the crawler really
+    // produces (no spec table, empty key arrays, missing __data blob).
+    // Each must yield the record WITH AN EMPTY SPEC MAP — never a
+    // failed job (NPE / INVALID_INDEX_OF_ZERO) and never a silently
+    // vanished product whose URL the ledger already marked crawled.
+    // geekbench: empty parallel arrays — sequence(1, size) on an empty
+    // keys array counts DOWN to [1, 0]; the index-bearing transform
+    // yields the empty map instead
+    val gb = Seq(("http://g/e", "Acme One", Seq.empty[String],
+        Seq.empty[String], null.asInstanceOf[String]))
+      .toDF("url", "model", "keys", "values", "product_id")
+    val gbOut = SpecIngest.fromParallelArrays(gb).collect().head
+    assert(gbOut.getAs[Map[String, String]]("specs") == Map.empty)
+    assert(gbOut.getAs[String]("model") == "One")
+    // gsmarena: null rows column (page with no spec table)
+    val gs = Seq(("http://g/n", "Acme Two", "http://img/n",
+        null.asInstanceOf[Seq[SpecRowFixture]]))
+      .toDF("src_url", "model", "img_url", "rows")
+    val gsOut = SpecIngest.fromSpecTable(gs).collect().head
+    assert(gsOut.getAs[Map[String, String]]("specs") == Map.empty)
+    // versus: null / malformed / empty-array props_json all keep the row
+    val vs = Seq(
+        ("http://v/1", "Acme Three", null.asInstanceOf[String]),
+        ("http://v/2", "Acme Four", "not json at all"),
+        ("http://v/3", "Acme Five", "[]"))
+      .toDF("src_url", "model", "props_json")
+    val vsOut = SpecIngest.fromNestedJson(vs)
+    assert(vsOut.count() == 3, "records with no props must survive")
+    vsOut.collect().foreach { r =>
+      assert(r.getAs[Map[String, String]]("specs") == Map.empty,
+        s"expected empty specs for ${r.getAs[String]("srcUrl")}")
+    }
+  }
+
+  test("SpecLake.read resolves replay duplicates deterministically: first landing wins") {
+    // r13 review: dropDuplicates picked an ARBITRARY row per srcUrl, so
+    // a crash-window re-crawl that landed different page content made
+    // successive reads disagree. Landing order is now stamped at append
+    // and keep-first is deterministic.
+    val root = Files.createTempDirectory("graft_lake_det").toString
+    val lake = new SpecLake(root)
+    lake.append(Seq(("u1", "Apple", "original")).toDF("srcUrl", "brand", "spec_a"))
+    Thread.sleep(5) // distinct landing instants
+    lake.append(Seq(("u1", "Apple", "re-crawled")).toDF("srcUrl", "brand", "spec_a"))
+    (1 to 3).foreach { i =>
+      val got = lake.read(spark).filter($"srcUrl" === "u1")
+        .select($"spec_a").as[String].collect().toSeq
+      assert(got == Seq("original"), s"read $i returned $got")
+    }
+    // the stamp is an internal column, not part of the read schema
+    assert(!lake.read(spark).columns.contains("_landed_at"))
+  }
+
+  test("writeChunked on a key-only frame keeps the keys and sweeps cleanly") {
+    // r13 review: zero value columns wrote zero parts but still swept
+    // every existing pN — destroying the previous layout while
+    // persisting nothing. Now p0 carries the key column alone.
+    val dir = Files.createTempDirectory("graft_chunked_k").toString
+    val wide = spark.range(0, 5).select(col("id").as("key"),
+      (col("id") * 2).as("c0"))
+    assert(SpecLake.writeChunked(wide, "key", dir, width = 3) == 1)
+    val keyOnly = spark.range(0, 7).select(col("id").as("key"))
+    assert(SpecLake.writeChunked(keyOnly, "key", dir, width = 3) == 1)
+    val back = SpecLake.readChunked(spark, dir, "key")
+    assert(back.columns.toSeq == Seq("key"))
+    assert(back.as[Long].collect().toSet == (0L until 7L).toSet)
+  }
 }

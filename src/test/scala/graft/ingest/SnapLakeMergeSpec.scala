@@ -312,4 +312,65 @@ class SnapLakeMergeSpec extends SparkSpecBase {
       .groupBy(col("tag")).count().as[(String, Long)].collect().toMap
     assert(got == Map("base" -> 49L, "up" -> 1L, "ins" -> 1L))
   }
+
+  test("delete under schema evolution: predicate column absent from the affected subset") {
+    // gen1 predates column c; gen2 carries c with envelope [10, 20].
+    // delete(c === 99) prunes gen2 OUT of scope (99 misses its
+    // envelope) while gen1 — statless for c — stays conservatively
+    // affected. Pre-r13, the affected subset was read with bare
+    // mergeSchema over ITSELF, so c resolved nowhere and the filter
+    // threw AnalysisException exactly when stats had done their job;
+    // null-filled under the snapshot schema, gen1's rows evaluate the
+    // predicate to NULL and are all kept.
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((3L, "c", 10), (4L, "d", 20)).toDF("id", "v", "c"))
+    val v = lake.delete(spark, col("c") === 99)
+    assert(v == 3L)
+    assert(lake.read(spark).count() == 4, "no row matches c = 99")
+    // and a real cross-evolution delete still works end-to-end
+    val v2 = lake.delete(spark, col("c") === 10)
+    assert(lake.readAt(spark, v2).count() == 3)
+  }
+
+  test("merge under schema evolution: key column absent from the affected subset") {
+    // gen1 predates the merge key k; gen2 carries k in [100, 200]. A
+    // source keyed k = 999 scopes gen2 out, leaving only gen1 affected
+    // — whose merged-alone schema lacks k, so the pre-r13 key joins
+    // failed analysis. Null-filled, gen1 rows match no source key and
+    // all survive; the source row appends.
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((3L, "c", 100L), (4L, "d", 200L)).toDF("id", "v", "k"))
+    val v = lake.merge(Seq((9L, "i", 999L)).toDF("id", "v", "k"), Seq("k"))
+    val rows = lake.readAt(spark, v).select($"id").as[Long].collect().toSet
+    assert(rows == Set(1L, 2L, 3L, 4L, 9L), s"got $rows")
+  }
+
+  test("merge with an empty or all-null-key source never rewrites the table") {
+    // a NULL key tuple matches no target row, so a source with no
+    // fully-non-null key provably touches nothing — pre-r13 the empty
+    // source envelope scoped EVERY generation in (a silent full-table
+    // rewrite to apply zero changes); now all generations carry forward
+    // by reference.
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    lake.commit(spark.range(0, 100).toDF("id").withColumn("v", lit("x")),
+      overwrite = true)
+    lake.commit(spark.range(100, 200).toDF("id").withColumn("v", lit("x")))
+    val before = lake.dirsAt(spark, 2L).toSet
+    // empty source
+    val v1 = lake.merge(Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    assert(before.subsetOf(lake.dirsAt(spark, v1).toSet),
+      "empty-source merge rewrote carried generations")
+    // all-null-key source: rows still APPEND (they match nothing), but
+    // no existing generation rewrites
+    val v2 = lake.merge(Seq((null.asInstanceOf[java.lang.Long], "n"))
+      .toDF("id", "v"), Seq("id"))
+    assert(before.subsetOf(lake.dirsAt(spark, v2).toSet),
+      "all-null-key merge rewrote carried generations")
+    assert(lake.readAt(spark, v2).count() == 201)
+  }
 }

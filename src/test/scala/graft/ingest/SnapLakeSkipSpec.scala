@@ -566,4 +566,39 @@ class SnapLakeSkipSpec extends SparkSpecBase {
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       .contains("\"v\"")) finally in.close()
   }
+
+  test("_stats.json version gate: a FUTURE version reads as absent too") {
+    // != FormatVersion, not < : a future writer that bumped the version
+    // changed the stats VALUE SPACE's meaning, and pruning v(N+1)
+    // envelopes with vN semantics could wrongly skip files holding
+    // matching rows — the same hazard class as the unversioned case,
+    // in the other direction (GenBlooms.load always had the != gate;
+    // r13 review aligned GenStats).
+    val root = freshRoot()
+    spark.range(0, 100).toDF("id").coalesce(1)
+      .write.format("snaplake").mode(SaveMode.Overwrite).save(root)
+    val lake = new SnapshotLake(root)
+    val gen = lake.dirsAt(spark, 1L).head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$root/$gen/${GenStats.StatsFileName}")
+    val fs = p.getFileSystem(conf)
+    val txt = {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val future = txt.replaceFirst(""""v"\s*:\s*\d+""",
+      s""""v" : ${GenStats.FormatVersion + 1}""")
+    assert(future != txt, "test setup: version field not found")
+    val out = fs.create(p, true)
+    try out.write(future.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(GenStats.load(conf, s"$root/$gen").isEmpty,
+      "future-versioned _stats.json must read as absent, never trusted")
+    // conservative whole-read, correct answers
+    val r = runCounting(spark.read.format("snaplake").load(root)
+      .filter(col("id") === 5L))
+    assert(r == ((1L, 1L)), s"future-stats gen must be kept whole: $r")
+  }
 }

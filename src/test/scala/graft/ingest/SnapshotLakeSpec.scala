@@ -197,4 +197,43 @@ class SnapshotLakeSpec extends SparkSpecBase {
     // and time travel to an expired version fails fast
     intercept[IllegalArgumentException] { lake.readAt(spark, 1L) }
   }
+
+  test("diff aligns evolved schemas: appended-column versions still reconcile") {
+    // exceptAll demands equal column counts, but schema-evolving
+    // appends are the lake's headline feature — pre-r13 diff() threw
+    // exactly when an evolved table needed auditing. Aligned on the
+    // union schema (null-filled), a pre-evolution row equals its
+    // null-extended self, so the diff is precisely the appended rows.
+    val root = Files.createTempDirectory("graft_snap_diffev").toString + "/lake"
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), overwrite = true)
+    lake.commit(Seq((3L, "c", 30)).toDF("id", "v", "extra"))
+    val d = lake.diff(spark, 1L, 2L)
+    val ins = d.filter(col("op") === "insert")
+      .select(col("id"), col("extra")).as[(Long, Option[Int])].collect().toSet
+    assert(ins == Set((3L, Some(30))), s"got $ins")
+    assert(d.filter(col("op") === "delete").count() == 0)
+  }
+
+  test("commit filenames past 8 digits stay visible (version 100,000,000)") {
+    // %08d pads to AT LEAST 8 digits; an exact-8 listing regex would
+    // publish v100000000 yet never list it — latestVersion stuck below
+    // an existing commit wedges every later claim on the same "next"
+    // version forever. Simulated by republishing a real manifest under
+    // the 9-digit name.
+    val root = Files.createTempDirectory("graft_snap_digits").toString + "/lake"
+    val lake = new SnapshotLake(root)
+    lake.commit(Seq((1L, "a")).toDF("id", "v"), overwrite = true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(s"$root/_commits/v00000001.json")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/_commits/v100000000.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(lake.versions(spark) == Seq(1L, 100000000L),
+      s"9-digit commit invisible: ${lake.versions(spark)}")
+    // and the lake keeps committing PAST it instead of wedging
+    val v = lake.commit(Seq((2L, "b")).toDF("id", "v"))
+    assert(v == 100000001L, s"next version should clear the 9-digit mark: $v")
+  }
 }
