@@ -166,8 +166,19 @@ object Bpe {
     val out = new Array[Int](n)
     var i = 0
     var w = 0
+    // null slots: the internal train pipeline never produces them
+    // (Utf8Bytes emits containsNull=false), but the expression is a
+    // public building block and the type check admits nullable-element
+    // arrays — a blind getInt on a null slot reads garbage 0 that can
+    // SILENTLY match a merge symbol (r13 review). A null token matches
+    // no pair and fails loudly instead of corrupting the sequence.
     while (i < n) {
-      if (i + 1 < n && arr.getInt(i) == a && arr.getInt(i + 1) == b) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          "bpe_merge_pass: null token id at position " + i +
+            " — token-id arrays must not contain nulls")
+      if (i + 1 < n && !arr.isNullAt(i + 1) &&
+          arr.getInt(i) == a && arr.getInt(i + 1) == b) {
         out(w) = newId; i += 2
       } else {
         out(w) = arr.getInt(i); i += 1

@@ -39,9 +39,12 @@ object ColFns {
   def normalizeUrlCol(url: Column): Column =
     regexp_replace(url, "[?#].*$", "")
 
-  /** F9: comma-join values, append optional unit, trim (app.js:702). */
+  /** F9: comma-join values, append optional unit, trim (app.js:702).
+    * nullReplacement "" keeps a null element's comma ("a,,b"), matching
+    * JS Array.toString — without it array_join DROPS the element and
+    * the Scala twin disagreed on null-bearing rows (r13 review). */
   def valuesWithUnitCol(values: Column, unit: Column): Column =
-    trim(concat(array_join(values, ","), coalesce(unit, lit(""))))
+    trim(concat(array_join(values, ",", ""), coalesce(unit, lit(""))))
 
   /** Keep only the LAST entry per key of an array<struct> of map entries —
     * the expression-level equivalent of mapKeyDedupPolicy=LAST_WIN (JS

@@ -23,6 +23,11 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable beyond the inputs' own nullability: a null ELEMENT or a
+  // length mismatch yields NULL (see compute) even when both array
+  // columns are non-nullable
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -36,8 +41,11 @@ case class CosineSim(left: Expression, right: Expression)
     CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.CosineSim.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.CosineSim.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -49,14 +57,25 @@ case class CosineSim(left: Expression, right: Expression)
 object CosineSim {
 
   /** Static so generated code calls it directly. Sequential accumulation
-    * (same order as the HOF aggregate chains this replaces). */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * (same order as the HOF aggregate chains this replaces).
+    *
+    * Returns NULL (boxed) on a length mismatch or a null element —
+    * exactly what the aggregate(zip_with(...)) chain it claims
+    * bit-parity with produces there (zip_with pads the shorter array
+    * with null; the aggregate then propagates it). The pre-r13 version
+    * silently truncated to the shorter length and blind-read null
+    * slots (NPE on GenericArrayData, 0.0 on UnsafeArrayData) — i.e.
+    * the parity claim broke precisely on the malformed rows an oracle
+    * diff exists to catch. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       dot += x * y

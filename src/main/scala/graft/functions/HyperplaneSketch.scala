@@ -83,8 +83,13 @@ object HyperplaneSketch {
       var dot = 0.0
       var i = 0
       while (i < n) {
-        val x = vec.getDouble(i)
-        if (plane(i)) dot += x else dot -= x
+        // a null element contributes 0 to the projection (the total
+        // semantics; blind getDouble NPE'd on GenericArrayData-backed
+        // inputs — r13 review)
+        if (!vec.isNullAt(i)) {
+          val x = vec.getDouble(i)
+          if (plane(i)) dot += x else dot -= x
+        }
         i += 1
       }
       if (dot >= 0) out |= (1L << b)
@@ -151,8 +156,11 @@ object HyperplaneBands {
         var dot = 0.0
         var i = 0
         while (i < n) {
-          val x = vec.getDouble(i)
-          if (plane(i)) dot += x else dot -= x
+          // same null-element-as-0 rule as HyperplaneSketch.compute
+          if (!vec.isNullAt(i)) {
+            val x = vec.getDouble(i)
+            if (plane(i)) dot += x else dot -= x
+          }
           i += 1
         }
         if (dot >= 0) bucket |= (1L << j)

@@ -55,17 +55,30 @@ object Normalize {
     * — the quarantine path in the reference logs-and-skips such rows).
     */
   def deviceFromUrl(url: String): String = {
-    val i = url.indexOf("com/")
-    if (i < 0) ""
-    else url.substring(i + 4).split("_", -1).head
+    // split, not substring-after-first: JS split('com/')[1] is the
+    // segment BETWEEN the first and second "com/" — a URL like
+    // "cdn.com/x.com/ios_1" yields "x.", and ColFns.deviceCol's
+    // split_part agrees; substring(i+4) kept everything after the
+    // first match and diverged row-for-row on such URLs (r13 review)
+    val parts = url.split("com/", -1)
+    if (parts.length < 2) ""
+    else parts(1).split("_", -1).head
   }
 
   def brandForDevice(device: String, default: String): String =
     if (device == "ios") "Apple" else default
 
-  /** F13 URL normalize (app.js:73): strip query string and fragment. */
-  def normalizeUrl(url: String): String =
-    url.split('?').head.split('#').head
+  /** F13 URL normalize (app.js:73): strip query string and fragment.
+    * indexOf-based, not split().head: Java split drops TRAILING empty
+    * strings, so "?" split on '?' is the empty array and .head threw —
+    * JS split keeps empties and returns "" there, as does the Column
+    * twin ColFns.normalizeUrlCol (r13 review). */
+  def normalizeUrl(url: String): String = {
+    val q = url.indexOf('?')
+    val noQuery = if (q >= 0) url.substring(0, q) else url
+    val h = noQuery.indexOf('#')
+    if (h >= 0) noQuery.substring(0, h) else noQuery
+  }
 
   /** F8 continuation merge (app.js:553-563): fold a spec table's
     * (title, subtitle, content) triples into key/value pairs. A 1-char
@@ -126,8 +139,13 @@ object Normalize {
     m.map(_.group(1).toInt)
   }
 
-  /** F9 values+unit concat (app.js:702): JS `Array.toString` = comma join,
-    * then append unit (empty when absent), then trim. */
+  /** F9 values+unit concat (app.js:702): JS `Array.toString` = comma join
+    * — null/undefined elements render EMPTY with the comma kept
+    * ("a,,b"), so nulls map to "" before the join (mkString would print
+    * "null"; the Column twin passes "" as array_join's nullReplacement
+    * for the same reason; r13 review) — then append unit (empty when
+    * absent), then trim. */
   def valuesWithUnit(values: Seq[String], unit: Option[String]): String =
-    (values.mkString(",") + unit.getOrElse("")).trim
+    (values.map(v => if (v == null) "" else v).mkString(",") +
+      unit.getOrElse("")).trim
 }

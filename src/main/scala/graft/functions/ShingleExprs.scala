@@ -204,12 +204,18 @@ object SimHash64 {
     val m = tokens.numElements()
     var j = 0
     while (j < m) {
-      val s = tokens.getUTF8String(j)
-      val h = md5Hash64(s.getBytes)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        b += 1
+      // null slots contribute nothing: the type check admits
+      // array<string> with containsNull=true (any array built over a
+      // nullable column), and an unguarded getBytes NPE'd mid-task on
+      // the first null element (r13 review)
+      if (!tokens.isNullAt(j)) {
+        val s = tokens.getUTF8String(j)
+        val h = md5Hash64(s.getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
       }
       j += 1
     }
@@ -249,13 +255,17 @@ object MinHashSig {
     val m = shingles.numElements()
     var j = 0
     while (j < m) {
-      val s = shingles.getUTF8String(j)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
-      var i = 0
-      while (i < k) {
-        val p = a(i) * h + b(i)
-        if (p < sig(i)) sig(i) = p
-        i += 1
+      // null slots contribute no permutation minimum — same guard (and
+      // reason) as SimHash64.compute (r13 review)
+      if (!shingles.isNullAt(j)) {
+        val s = shingles.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+        var i = 0
+        while (i < k) {
+          val p = a(i) * h + b(i)
+          if (p < sig(i)) sig(i) = p
+          i += 1
+        }
       }
       j += 1
     }

@@ -76,10 +76,14 @@ object Unigram {
       .map(p => vocab.getOrElse(p,
         if (p.length == 1) UnknownLogProb else Double.NegativeInfinity)).sum
 
+  // precompiled: String.split("\\s+") recompiles the Pattern per call —
+  // per ROW on the unigram_token_count codegen hot path (r13 review)
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   /** Whitespace pre-tokenization with the word marker — the shape both
     * the trainer and the encoder feed to [[segment]]. */
   def words(text: String): Array[String] =
-    text.split("\\s+").iterator.filter(_.nonEmpty).map(WordMarker + _).toArray
+    Whitespace.split(text).iterator.filter(_.nonEmpty).map(WordMarker + _).toArray
 
   // -------------------------------------------------- frozen-table encode
 

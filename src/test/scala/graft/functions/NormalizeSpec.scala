@@ -146,4 +146,38 @@ class NormalizeSpec extends AnyFunSuite {
       if (keys.nonEmpty) assert(ch.length == (keys.length + w - 1) / w)
     }
   }
+
+  test("normalizeUrl is total on delimiter-only URLs (JS split keeps empties)") {
+    // Java split drops TRAILING empty strings — "?".split('?') is the
+    // EMPTY array, and the pre-r13 .head threw NoSuchElementException
+    // on one malformed row. JS returns "" for all of these, as does
+    // ColFns.normalizeUrlCol's regexp_replace.
+    assert(normalizeUrl("?") == "")
+    assert(normalizeUrl("??") == "")
+    assert(normalizeUrl("#") == "")
+    assert(normalizeUrl("?#") == "")
+    assert(normalizeUrl("#?") == "")
+    assert(normalizeUrl("") == "")
+    assert(normalizeUrl("a?") == "a")
+    assert(normalizeUrl("a#b?c") == "a")
+  }
+
+  test("deviceFromUrl takes the segment BETWEEN com/ occurrences (JS split)") {
+    // url.split('com/')[1] is the piece up to the NEXT "com/", not
+    // everything after the first — the pre-r13 substring form disagreed
+    // with both the JS and ColFns.deviceCol on multi-"com/" URLs.
+    assert(deviceFromUrl("cdn.com/x.com/ios_1") == "x.")
+    assert(deviceFromUrl("https://b.com/ios_15") == "ios")
+    assert(deviceFromUrl("no-marker") == "")
+    // trailing "com/": JS [1] = "" — split with -1 keeps the empty
+    assert(deviceFromUrl("https://b.com/") == "")
+  }
+
+  test("valuesWithUnit renders null elements as empty WITH the comma (JS Array.toString)") {
+    // JS [\"a\", null, \"b\"].toString() === "a,,b"; mkString printed
+    // "a,null,b" and the Column twin's bare array_join DROPPED the
+    // element ("a,b") — three behaviors from one documented semantics.
+    assert(valuesWithUnit(Seq("a", null, "b"), None) == "a,,b")
+    assert(valuesWithUnit(Seq(null, null), Some(" GHz")) == ", GHz")
+  }
 }

@@ -1244,4 +1244,54 @@ class MlSpec extends SparkSpecBase {
       "SELECT bpe_token_count('the table scan') AS n").head().getInt(0)
     assert(viaSql == 3)
   }
+
+  test("codegen expressions are total on null-bearing / ragged arrays (r13 review)") {
+    import graft.functions.{CosineSim, SimHash64, MinHashSig, Bpe}
+    // CosineSim: null element or length mismatch -> NULL, exactly what
+    // the aggregate(zip_with(...)) HOF chain it claims bit-parity with
+    // returns there (pre-r13: NPE or a silently truncated dot).
+    val df = Seq((1L)).toDF("id")
+    val nullElem = df.select(CosineSim.cosine(
+      array(lit(1.0), lit(null).cast("double")),
+      array(lit(1.0), lit(2.0))).as("c"))
+    assert(nullElem.head().isNullAt(0), "null element must yield NULL")
+    val ragged = df.select(CosineSim.cosine(
+      array(lit(1.0), lit(2.0), lit(3.0)),
+      array(lit(1.0), lit(2.0))).as("c"))
+    assert(ragged.head().isNullAt(0), "length mismatch must yield NULL")
+    // parity with the HOF form where both are defined
+    val hof = df.select((aggregate(zip_with(
+        array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0)),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+      sqrt(aggregate(transform(array(lit(1.0), lit(2.0)), x => x * x),
+          lit(0.0), (acc, x) => acc + x) *
+        aggregate(transform(array(lit(3.0), lit(4.0)), x => x * x),
+          lit(0.0), (acc, x) => acc + x))).as("c")).head().getDouble(0)
+    val got = df.select(CosineSim.cosine(
+      array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("c"))
+      .head().getDouble(0)
+    assert(got == hof, s"bit parity broke: $got vs $hof")
+    // SimHash64 / MinHashSig: null slots contribute nothing — equal to
+    // the same array with nulls removed (pre-r13: executor NPE).
+    val sh = df.select(
+      SimHash64.simhash64(array(lit("a"), lit(null).cast("string"),
+        lit("b"))).as("h1"),
+      SimHash64.simhash64(array(lit("a"), lit("b"))).as("h2")).head()
+    assert(sh.getLong(0) == sh.getLong(1))
+    val mh = df.select(
+      MinHashSig.minhashSig(array(lit("a"), lit(null).cast("string"),
+        lit("b")), 16).as("s1"),
+      MinHashSig.minhashSig(array(lit("a"), lit("b")), 16).as("s2")).head()
+    assert(mh.getSeq[Long](0) == mh.getSeq[Long](1))
+    // BpeMergePass: a null token id fails LOUDLY instead of blind-
+    // reading garbage 0 that could silently match a merge symbol
+    import org.apache.spark.sql.GraftBridge
+    val mergeCol = GraftBridge.column(graft.functions.BpeMergePass(
+      GraftBridge.expression(array(lit(1), lit(null).cast("int"), lit(2))),
+      1, 2, 300))
+    val e = intercept[Exception] { df.select(mergeCol).head() }
+    assert(e.getMessage.contains("null token id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null token id")),
+      s"expected the loud null-token error, got: $e")
+  }
 }
