@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, Column}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic distributed k-means over the embedding corpus, plus the
@@ -29,17 +28,25 @@ object Clustering {
     graft.functions.CosineSim.cosine(a, b)
 
   /** (vec_id, v, cid): nearest centroid by rounded cosine, ties to the
-    * lowest cid. */
-  private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("cid"))
+    * lowest cid.
+    *
+    * The argmin is a max_by AGGREGATION, not a row_number window: the
+    * window form shuffled the full n×k crossjoin (every vector
+    * replicated k times through the exchange) per Lloyd round,
+    * contradicting the scaladoc's map-side claim; max_by partial-
+    * aggregates map-side, so the exchange carries ~n rows (r13 review).
+    * Identical tie-break by construction: max over
+    * (cos_sim, -cid) = highest similarity, then LOWEST cid — and the
+    * struct comparison is total, so the result is deterministic. */
+  private def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"),
         round(cosine(col("v"), col("cv")), 6).as("cos_sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cid"), col("cos_sim"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cid"), col("cos_sim")),
+        struct(col("cos_sim"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.cid").as("cid"), col("best.cos_sim").as("cos_sim"))
 
   /** New centroids: exact fixed-point mean per (cid, dimension). */
   private def recompute(assigned: DataFrame): DataFrame = {
@@ -59,7 +66,12 @@ object Clustering {
     * silently desynchronize. */
   private def finalAssignment(corpus: DataFrame, k: Int,
       iters: Int): DataFrame = {
-    val seeds = corpus.orderBy(col("vec_id")).limit(k)
+    // Similarity.seedVectors, not a bare orderBy-limit: a corpus
+    // smaller than k must FAIL FAST (truncated centroid set → cid gaps
+    // and garbage downstream scores), and the collected LocalRelation
+    // means the Lloyd fold reads literal seed rows instead of
+    // re-scanning the corpus per round (r13 review).
+    val seeds = Similarity.seedVectors(corpus, k, "kmeans")
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val finalCentroids = (1 until iters).foldLeft(seeds) { (c, _) =>
       recompute(assign(corpus, c))

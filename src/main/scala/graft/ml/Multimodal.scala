@@ -117,7 +117,15 @@ object Multimodal {
           val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
           val bits = fmt.getSampleSizeInBits
           val nFrames = in.getFrameLength
-          if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+          // 16-bit UNSIGNED is rejected, not accepted-and-misdecoded:
+          // decodePcmStats honors unsignedness only in its 8-bit branch
+          // and would sign-extend 16-bit unsigned samples (digital
+          // silence at midpoint 0x8000 reading as peak -32768). Only
+          // reachable via a third-party AudioSystem SPI, but the
+          // contract is null for unsupported encodings, not garbage
+          // stats (r13 review).
+          if (!(signed || (unsigned && bits == 8)) ||
+              (bits != 8 && bits != 16) ||
               nFrames < 0 || fmt.getChannels < 1) null
           else {
             val data = in.readAllBytes()
@@ -293,15 +301,26 @@ object Multimodal {
         // 88/92 (v1) (§8.3.2); a vide tkhd too short for those fields is
         // a truncation and must null the row, never yield partial
         // metadata (another track's dims posing as the first's)
-        if (handler == "vide" && !haveDims) tk.collectFirst {
-          case ("tkhd", hs, he) =>
-            if (he - hs < 4) throw new IllegalArgumentException("truncated tkhd")
-            val off = if ((b(hs) & 0xFF) == 1) hs + 88 else hs + 76
-            if (he - off < 8)
-              throw new IllegalArgumentException("tkhd too short for dimensions")
-            width = be32(b, off) / 65536.0
-            height = be32(b, off + 4) / 65536.0
-            haveDims = true
+        if (handler == "vide" && !haveDims) {
+          val tkhd = tk.collectFirst { case ("tkhd", hs, he) => (hs, he) }
+          tkhd match {
+            case Some((hs, he)) =>
+              if (he - hs < 4) throw new IllegalArgumentException("truncated tkhd")
+              val off = if ((b(hs) & 0xFF) == 1) hs + 88 else hs + 76
+              if (he - off < 8)
+                throw new IllegalArgumentException("tkhd too short for dimensions")
+              width = be32(b, off) / 65536.0
+              height = be32(b, off + 4) / 65536.0
+              haveDims = true
+            case None =>
+              // a vide trak with NO tkhd at all is the same malformation
+              // as a truncated one: proceeding would let the NEXT video
+              // track's dimensions pose as the first's (exactly the
+              // partial-metadata case the comment above contracts
+              // against; r13 review)
+              throw new IllegalArgumentException(
+                "vide trak missing its mandatory tkhd box")
+          }
         }
       case _ => ()
     }
@@ -399,6 +418,12 @@ object Multimodal {
     * slicing/batching shape; a codec would decode each window. */
   def frameSample(assetsDf: DataFrame, frameLen: Int, nFrames: Int): DataFrame =
     assetsDf
+      // empty payloads sample ZERO frames: without the filter,
+      // floor((0-1)/frameLen) = -1 makes sequence(0, -1) count DOWN to
+      // [0, -1] (Spark infers step -1 when start > stop), emitting two
+      // phantom zero-length frames — violating the frame_len > 0
+      // invariant MlSpec pins (r13 review)
+      .filter(length(col("bytes")) > 0)
       .select(col("asset_id"), col("modality"), col("bytes"),
         posexplode(expr(
           s"transform(sequence(0, least($nFrames - 1, " +

@@ -60,11 +60,7 @@ object Similarity {
     val scored = corpus.crossJoin(queries)
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    rankTopK(scored, k, "cos_sim")
   }
 
   /** nBits-bit random-hyperplane sketch of an array<double> column — a
@@ -79,9 +75,14 @@ object Similarity {
     * bucket (plus all 1-bit-flip probes for recall). nBits sizes the
     * bucket space — pick ~log2(corpus)-3 so buckets hold a few dozen
     * vectors (16 bits ≈ a corpus of millions). */
-  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nBits: Int = 16): DataFrame = {
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, nBits: Int = 16,
+      dim: Int = 64): DataFrame = {
+    // dim is threadable like every other tier's (pqTopK, ivfpqIndex,
+    // cosineDupPairsBanded): hardcoding the sketch's 64-component
+    // default would silently bucket only a PREFIX of wider vectors —
+    // recall degrades with no error (r13 review)
     val withSketch = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", sketch(col("v"), nBits))
+      .withColumn("bucket", sketch(col("v"), nBits, dim))
     val corpus = withSketch.filter(!col("vec_id").isin(queryIds: _*))
     require(nBits >= 1 && nBits <= 32, s"nBits out of range: $nBits")
     // multiprobe: query bucket + each single-bit flip (17 probes)
@@ -92,11 +93,7 @@ object Similarity {
     val scored = corpus.join(queries, "bucket")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    rankTopK(scored, k, "cos_sim")
   }
 
   /** IVF-Flat approximate top-k — the inverted-file ANN tier: corpus
@@ -118,13 +115,19 @@ object Similarity {
     val corpus = all.filter(!col("vec_id").isin(queryIds: _*))
     val centroids = broadcast(seedVectors(corpus, nlist, "IVF coarse quantizer")
       .select(col("vec_id").as("cid"), col("v").as("cv")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cid"))
+    // per-vector argmin as a map-side max_by aggregation, not a
+    // row_number window: the window shuffled the full n×nlist crossjoin
+    // (every vector nlist times through the exchange); max_by
+    // partial-aggregates, so the exchange carries ~n rows. Tie-break
+    // identical: max over (cos_c, -cid) = best similarity, lowest cid
+    // (r13 review — same shape fixed in Clustering.assign,
+    // encodeVectors, l2CoarseAssign).
     val assigned = corpus.crossJoin(centroids)
       .withColumn("cos_c", round(cosine(col("v"), col("cv")), 6))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cid")),
+        struct(col("cos_c"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.cid").as("cid"))
     val queries = broadcast(all.filter(col("vec_id").isin(queryIds: _*))
       .crossJoin(centroids)
       .withColumn("cos_c", round(cosine(col("v"), col("cv")), 6))
@@ -135,11 +138,7 @@ object Similarity {
     val scored = assigned.join(queries, "cid")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    rankTopK(scored, k, "cos_sim")
   }
 
   /** PQ-ADC approximate top-k — the memory-compressed ANN tier: each
@@ -320,12 +319,17 @@ object Similarity {
   /** Per-query rank over a scored (query_id, vec_id, adc_dot) frame —
     * the ONE ranking tail every ADC tier ends with (tie-break contract
     * lives here and nowhere else). */
-  private[ml] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ml] def rankTopK(scored: DataFrame, k: Int,
+      scoreCol: String = "adc_dot"): DataFrame = {
+    // parameterized on the score column (r13 review): the cosine tiers
+    // (bruteForceTopK/lshTopK/ivfTopK/exactRerank) repeated this exact
+    // tail with "cos_sim" — the tie-break contract lives HERE and
+    // nowhere else, for every tier
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dot").desc, col("vec_id"))
+      .orderBy(col(scoreCol).desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dot"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col(scoreCol))
   }
 
   /** Fixed-point ADC sum per (query, vec) + per-query rank/top-k. */
@@ -455,13 +459,12 @@ object Similarity {
     * built ones. */
   private def encodeVectors(centroids: DataFrame, codebook: DataFrame,
       m: Int, dsub: Int)(vecs: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("lid"))
+    // map-side max_by argmin, same rationale and identical tie-break
+    // as ivfTopK's assignment (r13 review)
     val lists = vecs.crossJoin(centroids)
       .withColumn("cos_c", round(cosine(col("v"), col("lv")), 6))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("lid"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("lid"), struct(col("cos_c"), -col("lid"))).as("lid"))
     lists.join(pqCodes(vecs, codebook, m, dsub), "vec_id")
       .select(col("lid"), col("vec_id"), col("sub"), col("cid"))
   }
@@ -543,11 +546,7 @@ object Similarity {
       .join(broadcast(queries), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    rankTopK(scored, k, "cos_sim")
   }
 
   /** L2 Lloyd coarse quantizer for the residual tier: seeds from the
@@ -559,14 +558,17 @@ object Similarity {
     * fixture corpus), which is why [[ivfTopK]]'s cosine sample
     * quantizer is not reused here. */
   private[ml] def l2CoarseAssign(corpus: DataFrame,
-      centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("lid"))
+      centroids: DataFrame): DataFrame =
+    // map-side min_by argmin (lowest distance, then lowest lid) — the
+    // window form shuffled the n×nlist crossjoin with the FULL vector
+    // and centroid payloads replicated per candidate (r13 review)
     corpus.crossJoin(broadcast(centroids))
       .withColumn("d", pqL2sq(col("v"), col("lv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("lid"), col("lv"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("v"), col("lid"), col("lv")),
+        struct(col("d"), col("lid"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.lid").as("lid"), col("best.lv").as("lv"))
 
   private[ml] def l2CoarseCentroids(corpus: DataFrame, nlist: Int,
       iters: Int): DataFrame = {
@@ -640,8 +642,20 @@ object Similarity {
       codebook, m, dsub)
     val queries = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .filter(col("vec_id").isin(queryIds: _*))
-    // probed lists by L2 (the trained quantizer's metric), coarse term
-    // ⟨q, lv⟩ fixed-point like the LUT entries
+    residualScore(assigned, codes, centroids, codebook, queries,
+      k, nprobe, m, dsub)
+  }
+
+  /** Shared residual scoring tail — probed lists by L2 (the trained
+    * quantizer's metric) with the fixed-point coarse term ⟨q, lv⟩, the
+    * global ADC LUT, candidate join, fixed-point sum, rank. ONE
+    * implementation so the spec-tested trained tier and the
+    * oracle-scored frozen tier cannot drift (r13 review — they had
+    * diverged into two verbatim copies; a tie-break or fixed-point
+    * change landing in one would silently desynchronize the other). */
+  private def residualScore(assigned: DataFrame, codes: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, m: Int, dsub: Int): DataFrame = {
     val probes = broadcast(queries.crossJoin(broadcast(centroids))
       .withColumn("d", pqL2sq(col("v"), col("lv")))
       .withColumn("rk", row_number().over(
@@ -700,22 +714,8 @@ object Similarity {
     val codes = pqCodes(assigned.select(col("vec_id"), col("r").as("v")),
       codebook, m, dsub)
     val queries = all.filter(col("vec_id").isin(queryIds: _*))
-    val probes = broadcast(queries.crossJoin(centroids)
-      .withColumn("d", pqL2sq(col("v"), col("lv")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d"), col("lid"))))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("lid"),
-        round(pqDot(col("v"), col("lv")) * 1e6).cast("long").as("coarse_fix")))
-    val lut = broadcast(pqAdcLut(queries, codebook, m, dsub))
-    val cands = assigned.select(col("vec_id"), col("lid")).join(probes, "lid")
-    val scored = cands.join(codes, "vec_id")
-      .join(lut, Seq("query_id", "sub", "cid"))
-      .groupBy(col("query_id"), col("vec_id"), col("coarse_fix"))
-      .agg(sum(col("pfix")).as("res_fix"))
-      .select(col("query_id"), col("vec_id"),
-        round((col("coarse_fix") + col("res_fix")) / 1e6, 6).as("adc_dot"))
-    rankTopK(scored, k)
+    residualScore(assigned, codes, centroids, codebook, queries,
+      k, nprobe, m, dsub)
   }
 
   /** Reconstruction distortion of the RESIDUAL encoding: total squared
@@ -826,17 +826,20 @@ object Similarity {
     */
   def cosineDupPairsBanded(emb: DataFrame, threshold: Double,
       nBands: Int = 128, rowsPerBand: Int = 16, dim: Int = 64): DataFrame = {
-    // persist: the sketch side feeds the two-sided band join and the
-    // verify lookups re-read `v`. No eager count() barrier — the first
-    // stage that scans the plan populates the cache in-line, and the
-    // sketch expression is deterministic, so a concurrent map stage
-    // racing the cache at worst recomputes a partition (never diverges).
-    // Dropping the barrier saves one full scheduling round + data pass,
-    // which dominates at small SF and is pure overhead at any SF.
+    // localCheckpoint, not persist: the sketch side feeds the two-sided
+    // band join and the verify lookups re-read `v`, so it must
+    // materialize once — but the result OUTLIVES this call, and a
+    // persist() here had no unpersist and no handle to release it, so
+    // every invocation pinned a corpus-sized CacheManager entry for the
+    // session's lifetime (r13 review). Checkpoint blocks are reclaimed
+    // by the ContextCleaner once the result is garbage — the same
+    // lifetime argument residualParts documents. The eager barrier is
+    // one extra scheduling round over the embedding scan; the sketch
+    // compute itself runs exactly once either way.
     val withSketch = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bands",
         graft.functions.HyperplaneBands.bands(col("v"), nBands, rowsPerBand, dim))
-      .persist()
+      .localCheckpoint()
     val banded = withSketch.select(col("vec_id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
     val l = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
