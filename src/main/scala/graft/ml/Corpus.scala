@@ -38,11 +38,19 @@ object Corpus {
     * broadcast, so the corpus side never shuffles — each task streams its
     * shingles past the in-memory eval index.
     */
-  def contamination(docs: DataFrame, isEval: Column, n: Int = 8): DataFrame = {
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
     val sh = docs.select(col("doc_id"), isEval.as("is_eval"),
       WordShingles.wordShingles(split(col("text"), " "), n).as("s"))
-    val ev = broadcast(sh.filter(col("is_eval"))
-      .select(col("doc_id").as("eval_id"), explode(col("s")).as("g")))
+    // broadcastEval = the KB-sized-eval-suite precondition made a
+    // PARAMETER: a caller whose eval side is corpus-sized (trainingMix's
+    // 10% shard) must pass false — forcing the hint there would exceed
+    // Spark's 8 GB broadcast cap (or OOM the driver) at any real corpus
+    // size, despite working at toy SF (r13 review). false = an ordinary
+    // gram-hash shuffle join, identical results.
+    val evRaw = sh.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), explode(col("s")).as("g"))
+    val ev = if (broadcastEval) broadcast(evRaw) else evRaw
     val corpus = sh.filter(!col("is_eval"))
       .select(col("doc_id"), explode(col("s")).as("g"))
     corpus.join(ev, "g")
@@ -231,7 +239,8 @@ object Corpus {
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val kept2 = kept1.join(reps, Seq("doc_id"))
-    val contaminated = contamination(docs, col("doc_id") % 10 === 0, 8)
+    val contaminated = contamination(docs, col("doc_id") % 10 === 0, 8,
+        broadcastEval = false) // the eval SHARD is corpus-sized: shuffle join
       .select("doc_id")
     val kept3 = kept2.filter(col("doc_id") % 10 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -249,7 +258,14 @@ object Corpus {
     val kept5 = kept4.join(broadcast(rates), "source")
       .filter((md5Key(col("doc_id").cast("string")) % 1000000L) <
         round(col("keep_rate") * 1e6).cast("long"))
-    val bucket = md5Key(col("doc_id").cast("string")) % 100L
+    // the split key is SALTED (':split') so it is independent of the
+    // sampling key above: both were md5Key(doc_id), and since 100
+    // divides 1e6 the split bucket was a deterministic function of the
+    // sampling residue — at keep_rate <= 8e-5 every survivor had
+    // key%1e6 < 80, hence bucket < 80 = 100% 'train', zero val/test
+    // (r13 review; trainOrder already salts with its seed).
+    val bucket =
+      md5Key(concat(col("doc_id").cast("string"), lit(":split"))) % 100L
     kept5.select(col("doc_id"), col("source"), col("lang"),
       when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))

@@ -348,6 +348,21 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    // every loop frame is localCheckpointed, so no surviving plan
+    // references the cache — release it (the unreleased-persist class
+    // fixed in cosineDupPairsBanded this round; r13 review)
+    edges.unpersist()
+    // non-convergence must be LOUD (the sequentialAdmission rule): a
+    // pair graph with diameter > maxIter would otherwise return
+    // non-minimal labels — one duplicate cluster reported as several,
+    // and keepCanonical/keepBest silently RETAINING duplicates
+    // (r13 review)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters: min-label propagation did not converge within " +
+          s"maxIter=$maxIter rounds — the pair graph has a dependency " +
+          "chain (diameter) longer than the budget; raise maxIter " +
+          "deliberately or pre-collapse chains with exact dedup")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -610,8 +625,11 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxDist (<= 3 is
     * guaranteed found: 4 16-bit bands, pigeonhole). */
   def simhashDupPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sh = simhashed(docs)
-    sh.persist().count() // two-sided band join below
+    // localCheckpoint, not persist: the result outlives this call with
+    // no handle to release a cache entry (the cosineDupPairsBanded
+    // lifetime argument; r13 review). The frame is two longs per doc —
+    // checkpoint cost is trivial next to the band join it feeds twice.
+    val sh = simhashed(docs).localCheckpoint()
     val banded = sh.select(col("doc_id"), col("simhash"),
         // shiftright(), not `>>`: Spark 4's parser rejects `>>` inside an
         // aliased struct field (fine elsewhere).

@@ -1702,12 +1702,12 @@ object MlPack extends QueryPack {
         |    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_ws
         |  FROM documents)
         |SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tokens,
-        |  round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS chars_per_token,
-        |  round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-        |  round(CAST(n_upper AS DOUBLE) / n_chars, 6) AS upper_ratio,
-        |  round(CAST(n_ws AS DOUBLE) / n_chars, 6) AS ws_ratio,
+        |  round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 6) AS chars_per_token,
+        |  round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+        |  round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS upper_ratio,
+        |  round(CAST(n_ws AS DOUBLE) / greatest(n_chars, 1), 6) AS ws_ratio,
         |  round(CAST(len(list_filter(toks, t -> t IN
-        |    ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks), 6)
+        |    ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / greatest(len(toks), 1), 6)
         |    AS stopword_ratio
         |FROM f ORDER BY doc_id""".stripMargin,
 
@@ -1722,11 +1722,11 @@ object MlPack extends QueryPack {
         |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
         |  FROM documents),
         |g AS (SELECT doc_id,
-        |    round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS cpt,
-        |    round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct,
-        |    round(CAST(n_upper AS DOUBLE) / n_chars, 6) AS upper_r,
+        |    round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 6) AS cpt,
+        |    round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct,
+        |    round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS upper_r,
         |    round(CAST(len(list_filter(toks, t -> t IN
-        |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks), 6)
+        |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / greatest(len(toks), 1), 6)
         |      AS stop
         |  FROM f),
         |s AS (SELECT doc_id,
@@ -1832,9 +1832,9 @@ object MlPack extends QueryPack {
         |       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
         |             % 1000000 < CAST(round(keep_rate * 1e6) AS BIGINT))
         |SELECT doc_id, source, lang,
-        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::UINTEGER
         |         % 100 < 80 THEN 'train'
-        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::UINTEGER
         |         % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM s5 ORDER BY doc_id""".stripMargin,

@@ -212,14 +212,22 @@ object TextAnalysis {
       length(regexp_replace(col("text"), "[A-Z]", ""))
     val nWs = length(col("text")) -
       length(regexp_replace(col("text"), "\\s", ""))
+    // greatest(x, 1) denominators, mirrored verbatim in the DuckDB
+    // oracle CTEs: an empty-text (or all-whitespace) doc has
+    // n_chars = 0 / zero tokens, and under Spark 4's default ANSI mode
+    // a bare division throws DIVIDE_BY_ZERO mid-job — one such row
+    // crashed qualityFilter, classifierScore, trainQualityModel, and
+    // trainingMix (r13 review). Ratios of an empty doc are 0.
+    val nCharsSafe = greatest(nChars, lit(1))
+    val nToksSafe = greatest(size(toks), lit(1))
     docs.select(col("doc_id"),
       nChars.as("n_chars"),
       size(toks).as("n_tokens"),
-      round(nChars.cast("double") / size(toks), 6).as("chars_per_token"),
-      round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
-      round(nUpper.cast("double") / nChars, 6).as("upper_ratio"),
-      round(nWs.cast("double") / nChars, 6).as("ws_ratio"),
-      round(stopwordCount(toks, Stopwords("en")).cast("double") / size(toks), 6)
+      round(nChars.cast("double") / nToksSafe, 6).as("chars_per_token"),
+      round(nPunct.cast("double") / nCharsSafe, 6).as("punct_ratio"),
+      round(nUpper.cast("double") / nCharsSafe, 6).as("upper_ratio"),
+      round(nWs.cast("double") / nCharsSafe, 6).as("ws_ratio"),
+      round(stopwordCount(toks, Stopwords("en")).cast("double") / nToksSafe, 6)
         .as("stopword_ratio"))
   }
 
