@@ -55,14 +55,26 @@ object Bench {
     // Warm the session (codegen, parquet footer reads, JIT) before timing.
     try SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // None = the query THREW: a failed rep must never produce a number —
+    // a broken query exits in milliseconds, and since BENCH_FLOOR.json is
+    // a min-over-rounds, one such "measurement" would become the
+    // permanent floor (every later healthy run reads as a regression) and
+    // the breakage itself would look like a speedup (r13 review).
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"WARN Bench: query '$name' FAILED " +
+            s"(${t.getClass.getSimpleName}: ${t.getMessage}); rep discarded")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches a query may have persisted so later queries aren't
       // timed under another query's GC/storage pressure
       spark.catalog.clearCache()
-      dt
+      if (ok) Some(dt) else None
     }
     // floor loaded up front: queries with a heavy committed floor get extra
     // reps (see below) so their min-of-N is co-tenant-burst-proof in the
@@ -81,12 +93,14 @@ object Bench {
     // the ones where a single unlucky rep shows up as a >2x "regression"
     // worth seconds — give those min-of-3 minimum.
     val repCounts = scala.collection.mutable.Map.empty[String, Int]
+    val failedQueries = scala.collection.mutable.SortedSet.empty[String]
     val firstPass = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
         val f = floor.get(name)
         val r = if (f.exists(_ > 0.5)) math.max(reps, 3) else reps
-        var times = Seq.fill(r)(timeOnce(fn))
+        var attempts = r
+        var times = Seq.fill(r)(timeOnce(name, fn)).flatten
         // ADAPTIVE reps: if the min still exceeds 1.5x the committed
         // floor, it is either a real regression or a co-tenant burst that
         // outlasted the fixed reps (r6's worst-10 was dominated by
@@ -97,12 +111,17 @@ object Bench {
         var extra = 0
         // fl > 0 guards a zero/corrupt floor entry from reading as an
         // infinite ratio and always burning the maximum extra reps
-        while (extra < 3 && f.exists(fl => fl > 0 && times.min / fl > 1.5)) {
-          times = times :+ timeOnce(fn)
+        while (extra < 3 && times.nonEmpty &&
+            f.exists(fl => fl > 0 && times.min / fl > 1.5)) {
+          times = times ++ timeOnce(name, fn)
+          attempts += 1
           extra += 1
         }
-        repCounts(name) = times.size
-        name -> times.min
+        repCounts(name) = attempts
+        // every rep threw → the query is BROKEN: report it in `failed`
+        // on the summary line instead of a bogus near-zero time
+        if (times.isEmpty) { failedQueries += name; None }
+        else Some(name -> times.min)
       }
     // SECOND-PASS retry (r8 verdict): the in-place adaptive reps above
     // cannot outlast a co-tenant burst — the retries run immediately
@@ -116,7 +135,8 @@ object Bench {
       if floor.get(q).exists(fl => fl > 0 && v / fl > 1.5) => q }.toSeq
     val results = firstPass ++ flagged.map { q =>
       repCounts(q) = repCounts.getOrElse(q, 0) + 1
-      q -> math.min(firstPass(q), timeOnce(SparkEntry.queries(q)))
+      q -> timeOnce(q, SparkEntry.queries(q))
+        .fold(firstPass(q))(math.min(firstPass(q), _))
     }
     def toJson(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -173,7 +193,11 @@ object Bench {
     // the driver keeps only the tail of stdout.
     val extraReps = repCounts.toSeq.filter(_._2 > reps).sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"config":{"master":"local[$cpus]","shuffle_partitions":$cpus,"base_reps":$reps},"reps":$extraReps,"queries":${toJson(head)},"vs_floor_worst10":${toJson(worst10)},"sf":"$sfDir"}""")
+    // `failed` names queries whose every rep THREW (no time recorded) —
+    // normally empty; any entry is a build-level red the totals above
+    // deliberately do not absorb
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"config":{"master":"local[$cpus]","shuffle_partitions":$cpus,"base_reps":$reps},"reps":$extraReps,"queries":${toJson(head)},"vs_floor_worst10":${toJson(worst10)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,6 +89,13 @@ object Verify {
     // nothing, so its runs dump every query): comma-separated names
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Queries whose dump THREW: their oracle SQL must not be written and
+    // any stale dump dir from a previous run must go — otherwise the
+    // unchanged SQL validates the previous build's parquet and the
+    // breakage reads GREEN (the same hazard keepablePrior closes for
+    // text-drifted entries; r13 review). Deleting the dir makes the
+    // driver's compare fail loudly on the missing dump instead.
+    val failed = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -96,6 +103,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(stale)
       }
       finally spark.catalog.clearCache() // free per-query persisted intermediates
     }
@@ -107,14 +118,18 @@ object Verify {
     // existing file is this writer's own flat `"k": "v"` format, so the
     // still-escaped pairs splice through verbatim (no unescape cycle).
     val fresh = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) =>
+        only.forall(_.contains(k)) && !failed.contains(k) }
       .map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
     val prior: Map[String, String] =
       if (only.isDefined && Files.exists(oraclePath))
         keepablePrior(Files.readString(oraclePath), SparkEntry.oracleSql)
       else Map.empty
-    val json = (prior ++ fresh)
+    // `-- failed` also covers the prior-merge side: a failed query's
+    // surviving prior entry would otherwise keep validating its deleted
+    // (or worse, not-yet-deleted previous) dump
+    val json = (prior ++ fresh -- failed.map(jsonQuote))
       .map { case (k, v) => s"$k: $v" }.mkString("{", ",", "}")
     Files.writeString(oraclePath, json)
     spark.stop()

@@ -118,6 +118,20 @@ class SnapshotLake(root: String) {
     GenDirPattern
       .findAllMatchIn(commitJson(spark, version)).map(_.group(1)).toSeq
 
+  /** Manifest dirs PLUS whether the commit was a RESTORE, in one JSON
+    * read. The streaming source needs both for every version it walks
+    * (a restore is the one commit kind that re-references generations
+    * the stream may have already emitted — see
+    * [[graft.sources.SnapLakeStreamSource]]), and reading the commit
+    * file twice per version would double the batch's control-plane I/O
+    * at object-store latencies. */
+  private[graft] def dirsAndRestoreAt(spark: SparkSession,
+      version: Long): (Seq[String], Boolean) = {
+    val txt = commitJson(spark, version)
+    (GenDirPattern.findAllMatchIn(txt).map(_.group(1)).toSeq,
+      txt.contains("\"op\":\"restore\""))
+  }
+
   /** Was `version` published by a mutation that MATERIALIZED its
     * changefeed (merge/delete/optimize/compact)? Only those commits may
     * read a generation's `_cdf/` as the version's changes: a RESTORE

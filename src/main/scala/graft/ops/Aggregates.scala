@@ -199,16 +199,20 @@ object Aggregates extends QueryPack {
         .orderBy(col("status"), col("priority"))
     }),
 
-    // GROUPING SETS via the SQL API (DSL has no direct form).
+    // GROUPING SETS via the SQL API (DSL has no direct form). Temp view
+    // name is per-invocation (QueryPack.freshView) — a fixed name races
+    // under a shared session, the exact hazard Extras' subquery views
+    // already guard against.
     "agg_grouping_sets" -> ((s, d) => {
-      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+      val v = QueryPack.freshView("graft_li_gs")
+      Tables.lineitem(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-          |  coalesce(l_linestatus, 'ALL') AS linestatus,
-          |  sum(l_quantity) AS sum_qty, count(*) AS n
-          |FROM graft_li_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY returnflag, linestatus""".stripMargin)
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           |  coalesce(l_linestatus, 'ALL') AS linestatus,
+           |  sum(l_quantity) AS sum_qty, count(*) AS n
+           |FROM $v
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY returnflag, linestatus""".stripMargin)
     }),
 
     // Stats aggregates per group. avg/stddev are derived from decimal-exact

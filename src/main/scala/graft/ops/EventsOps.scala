@@ -289,18 +289,7 @@ object EventsOps extends QueryPack {
     // frames), both rollups are partial-aggregating hash aggregates on
     // the same user_id shuffle key.
     "e_session_stats" -> ((s, d) => {
-      val ord = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run = ord.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("gap_us",
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord)))
-        .withColumn("new_session",
-          when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq", sum(col("new_session")).over(run))
+      Windows.sessionNumbered(Tables.events(s, d))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_ev"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))

@@ -11,11 +11,11 @@ import QueryPack._
   */
 object Extras extends QueryPack {
 
-  // Unique temp-view names per invocation: a fixed name would race if two
-  // queries (or two concurrent runs of one query) shared a session.
-  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def freshView(prefix: String): String =
-    s"${prefix}_${viewSeq.incrementAndGet()}"
+  // Unique temp-view names per invocation (shared helper — Aggregates'
+  // GROUPING SETS query needs the same discipline): a fixed name would
+  // race if two queries (or two concurrent runs of one query) shared a
+  // session.
+  private def freshView(prefix: String): String = QueryPack.freshView(prefix)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scalar subquery: orders above the (decimal-exact) global average.

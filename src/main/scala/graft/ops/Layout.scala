@@ -58,7 +58,12 @@ object Layout {
         ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(maxCode.toDouble))
           .cast("long"))
     val scaled = keys.zipWithIndex.map { case (k, i) =>
-      scale(k, bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      // null bounds = zero rows (e.g. OPTIMIZE after a full delete) or an
+      // all-null key column: no envelope to tighten on that key — degrade
+      // to the same constant code the hi<=lo branch uses instead of
+      // crashing the compaction on getDouble(null)
+      if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0L)
+      else scale(k, bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
     }
     val z =
       if (keys.size == 2) ZOrder2.zorder(scaled(0), scaled(1), bitsPerKey)

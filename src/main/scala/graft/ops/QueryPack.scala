@@ -49,6 +49,15 @@ object QueryPack {
   /** round(exact-decimal-agg, 2) → double. */
   def moneyRound(c: Column): Column = round(c, 2).cast("double")
 
+  /** Unique temp-view name per invocation, for queries that must go
+    * through the SQL parser (GROUPING SETS, subqueries): a fixed view
+    * name races when two queries — or two concurrent runs of one
+    * query — share a session, with one run's sql() resolving the other
+    * run's just-replaced view over a different dataset snapshot. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+  def freshView(prefix: String): String =
+    s"${prefix}_${viewSeq.incrementAndGet()}"
+
   /** Canonical timestamp rendering (second precision, UTC). */
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 

@@ -21,6 +21,26 @@ object Windows extends QueryPack {
 
   private val byCust = Window.partitionBy(col("o_custkey"))
 
+  /** Shared gaps-and-islands sessionization core: `events` plus a
+    * per-user `session_seq` (30-minute inactivity rule, (ts, event_id)
+    * total order; intermediates `gap_us`/`new_session` left in place).
+    * Both `w_session_number` and EventsOps' `e_session_stats` derive
+    * from THIS frame so the session rule — threshold and tiebreak — has
+    * exactly one spelling (they duplicated it verbatim, magic 1.8e9
+    * constant included, until the r13 review). */
+  private[ops] def sessionNumbered(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord)))
+      .withColumn("new_session",
+        when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(run))
+  }
+
   /** The SCALE-SAFE sibling of w_ntile: quantile buckets from
     * approx_percentile CUTPOINTS (one ordinary partial/final aggregate,
     * state bounded by the accuracy parameter) broadcast onto a map-side
@@ -219,16 +239,7 @@ object Windows extends QueryPack {
     // sessions — the classic two-window composition, microsecond
     // arithmetic in integer space so both engines compare exactly.
     "w_session_number" -> ((s, d) => {
-      val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
-        .withColumn("gap_us",
-          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(ord)))
-        .withColumn("new_session",
-          when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq", sum(col("new_session")).over(run))
+      sessionNumbered(Tables.events(s, d))
         .select(col("user_id"), col("event_id"), tsStrUs(col("ts")).as("ts"),
           col("session_seq"))
         .orderBy(col("user_id"), col("event_id"))

@@ -128,9 +128,29 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
     * VERSION — diffing only the endpoint manifests would silently drop a
     * generation that was appended and then overwritten away inside one
     * batch window (committed rows whose delivery would depend on trigger
-    * cadence). The cumulative seen-set also keeps a generation dropped by
-    * an overwrite and re-referenced later from re-emitting: its rows went
-    * out once, and emitted rows are never retracted.
+    * cadence). The seen-set keeps a generation dropped and re-referenced
+    * WITHIN the window from re-emitting; re-references that cross batch
+    * boundaries (only a RESTORE produces them) get the history check
+    * below — either way its rows went out once, and emitted rows are
+    * never retracted.
+    *
+    * RESTORE commits are the one kind that re-references generations
+    * from manifests OLDER than the batch window, so their unseen dirs
+    * get a history check: a backward walk over the committed manifests
+    * of (earliest retained, startV] decides per dir whether this stream
+    * already delivered it (skip — emitted rows are never retracted and
+    * never re-sent) or never saw it (emit: e.g. a `startingVersion`
+    * stream whose base postdates the drop). The walk early-exits the
+    * moment every candidate resolves and runs ONLY for restore commits
+    * with unseen dirs — appends/overwrites/rewrites introduce their own
+    * generations (anything carried forward is in manifest(v-1) ⊆ seen),
+    * so the normal path stays O(window) manifest reads. getBatch stays a
+    * pure function of the offsets (the Source replay contract), which is
+    * why the check re-derives history instead of remembering emissions.
+    * A restore re-referencing a generation whose entire manifest history
+    * has been vacuumed fails open to EMIT — the retention edge cannot
+    * distinguish "delivered long ago" from "never delivered", and
+    * restore+vacuum are already a single-maintainer pair.
     *
     * Vacuumed manifests: a missing START manifest on a CHECKPOINT restart
     * is fatal (resuming without the base would re-emit the whole snapshot
@@ -143,7 +163,8 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
     * retained manifest's diff against the seen-set. */
   private def deltaDirs(startV: Long, endV: Long,
       checkpointed: Boolean): List[String] = {
-    val committed = lake.versions(spark).toSet // one listing per batch
+    val committedAll = lake.versions(spark) // one listing per batch, sorted
+    val committed = committedAll.toSet
     def manifestAt(v: Long): Option[Seq[String]] =
       if (committed.contains(v)) Some(lake.dirsAt(spark, v)) else None
     val seen = scala.collection.mutable.Set.empty[String]
@@ -154,12 +175,36 @@ class SnapLakeStreamSource(spark: SparkSession, root: String,
           "cannot resume without re-emitting — start a fresh stream")
       case None => () // startingVersion at the retention edge
     }
+    // Which of `cands` appeared in a committed manifest of
+    // [base, startV]? Those were already delivered by this stream (or
+    // are pre-history the stream starts after — same answer: don't
+    // re-emit). Backward from startV so the common re-reference (a
+    // recent version) resolves in a read or two.
+    def deliveredBefore(cands: Set[String]): Set[String] = {
+      val unresolved = scala.collection.mutable.Set.empty[String] ++ cands
+      val delivered = Set.newBuilder[String]
+      val lo = math.max(baseVersion,
+        committedAll.headOption.getOrElse(Long.MaxValue))
+      var u = startV
+      while (u >= lo && unresolved.nonEmpty) {
+        manifestAt(u).foreach(_.foreach { d =>
+          if (unresolved.remove(d)) delivered += d
+        })
+        u -= 1
+      }
+      delivered.result()
+    }
     val out = scala.collection.mutable.ListBuffer.empty[String]
     var v = startV + 1
     while (v <= endV) {
-      manifestAt(v).foreach(_.foreach { d =>
-        if (!seen.contains(d)) { seen += d; out += d }
-      })
+      if (committed.contains(v)) {
+        val (ds, isRestore) = lake.dirsAndRestoreAt(spark, v)
+        val fresh = ds.filterNot(seen.contains)
+        val skip: Set[String] =
+          if (isRestore && fresh.nonEmpty) deliveredBefore(fresh.toSet)
+          else Set.empty
+        fresh.foreach { d => seen += d; if (!skip.contains(d)) out += d }
+      }
       v += 1
     }
     out.toList

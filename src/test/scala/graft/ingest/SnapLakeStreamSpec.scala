@@ -109,6 +109,54 @@ class SnapLakeStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a restore never re-emits a generation this stream already delivered") {
+    val root = freshRoot()
+    // v1 gen A, delivered in batch (0,1]; v2 overwrites to gen B,
+    // delivered in batch (1,2]; v3 RESTOREs to v1, re-referencing A.
+    // Each commit lands in its OWN trigger window — the cross-batch
+    // case where the per-batch seen-set (seeded only from the start
+    // offset's manifest) cannot know A went out two batches ago. The
+    // restore history check must skip it: emitted rows are never
+    // re-sent, regardless of trigger cadence.
+    commit(root, SaveMode.Overwrite, (1L, "a"))
+    val q = spark.readStream.format("snaplake").load(root)
+      .writeStream.format("memory").queryName("snapstream_restore").start()
+    try {
+      q.processAllAvailable()
+      commit(root, SaveMode.Overwrite, (9L, "z"))
+      q.processAllAvailable()
+      assert(spark.table("snapstream_restore").count() == 2)
+      new SnapshotLake(root).restore(spark, 1L)
+      q.processAllAvailable()
+      assert(spark.table("snapstream_restore").as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (9L, "z")),
+        "restore re-emitted a generation already delivered in an " +
+          "earlier batch (duplicate rows)")
+    } finally q.stop()
+  }
+
+  test("a restore re-referencing history the stream never saw emits it") {
+    val root = freshRoot()
+    // v1 gen A, v2 overwrites to gen B, v3 restores to v1. A stream
+    // with startingVersion=3 never delivered A (its base is v2's
+    // snapshot), so the restore's re-reference IS new data for this
+    // stream and must be emitted — the history check distinguishes
+    // "delivered before" from "predates my start but never delivered".
+    commit(root, SaveMode.Overwrite, (1L, "a"))
+    commit(root, SaveMode.Overwrite, (9L, "z"))
+    new SnapshotLake(root).restore(spark, 1L)
+    val q = spark.readStream.format("snaplake")
+      .option("startingVersion", "3").load(root)
+      .writeStream.format("memory").queryName("snapstream_restore2").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snapstream_restore2").as[(Long, String)]
+        .collect().toSet == Set((1L, "a")),
+        "restore of never-delivered history was wrongly skipped (or " +
+          "base-version content leaked)")
+    } finally q.stop()
+  }
+
   test("overwrite commits emit the rewritten content (ignore-changes)") {
     val root = freshRoot()
     commit(root, SaveMode.Overwrite, (1L, "a"), (2L, "b"))

@@ -80,6 +80,21 @@ class LayoutSpec extends SparkSpecBase {
       s"avg suppkey envelope ${env._2} not tighter than global ${sMax - sMin}")
   }
 
+  test("zOrderClusterN degrades on empty input and all-null keys instead of crashing") {
+    // zero rows: min/max aggregates return NULL — getDouble on them threw
+    // NullPointerException, aborting e.g. an OPTIMIZE ZORDER on a table
+    // whose rows were all deleted (r13 review); must yield an empty frame
+    val empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    assert(Layout.zOrderCluster(empty, col("a"), col("b"), 2).count() == 0)
+    // an all-null key column: no envelope to tighten on that key — the
+    // OTHER key must still cluster, and no row may be dropped
+    val halfNull = spark.range(100).selectExpr(
+      "CAST(NULL AS BIGINT) AS a", "id AS b")
+    val out = Layout.zOrderCluster(halfNull, col("a"), col("b"), 2)
+    assert(out.count() == 100)
+    assert(out.schema.fieldNames.toSeq == Seq("a", "b"), "helper column leaked")
+  }
+
   test("compact merges many small files into the requested count, sorted") {
     val src = tmpDir("small-files")
     Tables.orders(spark, sf0001).repartition(32).write.mode("overwrite").parquet(src)
