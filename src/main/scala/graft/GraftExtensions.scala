@@ -62,6 +62,7 @@ object GraftExtensions {
     },
     "deletion_sigs" -> (c =>
       DeletionSigs(c(0), intArg(c(1), "deletion_sigs", "maxEd"))),
+    "cdc_chunks" -> (c => CdcChunks(c.head)),
     "bpe_token_count" -> (c => BpeTokenCount(c.head)),
     "unigram_token_count" -> (c => UnigramTokenCount(c.head)),
     "utf8_bytes" -> (c => Utf8Bytes(c.head)),

@@ -345,6 +345,51 @@ object Corpus {
           " ")).as("chunk_hash"))
   }
 
+  /** Content-defined chunking (the LBFS/FastCDC idea as a query):
+    * chunk boundaries are placed where the CONTENT says so — after
+    * character position i (i ≥ 8) iff the md5 of the 8-char window
+    * ending at i starts with hex nibble '0' (P = 1/16 → mean chunk ≈ 16
+    * chars) — so an insertion early in a document shifts only the one
+    * chunk it lands in, and every later chunk re-aligns and dedups
+    * against the original (fixed-size chunking loses ALL alignment past
+    * an edit; [[chunkSliding]] is that fixed-size sibling). Output per
+    * doc: chunk count, total/max chunk chars, and `n_shared_chunks` —
+    * this doc's chunk instances whose content hash also appears in
+    * ANOTHER doc, i.e. the storage/dedup win CDC exists to expose.
+    *
+    * Scale shape: boundary detection + chunk split are ONE map-side
+    * codegen expression ([[graft.functions.CdcChunks]] — the
+    * interpreted HOF formulation was ~7× slower end-to-end; the
+    * expression's body IS the oracle's formulation) over each doc (no
+    * shuffle; work linear in corpus chars); the only exchanges are the
+    * chunk-hash aggregate and the hash join back — both keyed on md5
+    * hex, uniformly distributed by construction (no hot key can
+    * exist). Empty texts chunk to nothing and drop out, mirrored by
+    * the oracle. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunks.cdcChunks(col("text"))).as("chunk"))
+      .withColumn("chash", md5(col("chunk")))
+      // barrier: the aggregate branch AND the join probe both consume
+      // this frame — without it each re-runs the chunk scan (measured
+      // at sf0.1: 0.79 s with the barrier vs 1.04 s recomputing, and
+      // the gap widens with corpus size since the recompute is the
+      // corpus-linear half). Narrow frame (id + ~16-char chunk + hash),
+      // ContextCleaner-released — the cosineDupPairsBanded precedent.
+      .localCheckpoint()
+    val docsPerChunk = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    chunks.join(docsPerChunk, "chash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(length(col("chunk"))).cast("bigint").as("chunk_chars"),
+        max(length(col("chunk"))).cast("int").as("max_chunk_len"),
+        sum(when(col("ndocs") >= 2, 1).otherwise(0)).cast("int")
+          .as("n_shared_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-length histogram over power-of-two buckets — the sequence-
     * length profile a packing/curriculum planner reads before choosing a
     * context length (what fraction of documents — and of TOKENS — fit in

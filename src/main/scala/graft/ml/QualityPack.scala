@@ -117,6 +117,27 @@ object QualityPack extends QueryPack {
     "ns_dsir_score" -> ((s, d) => {
       Corpus.dsirScore(Tables.documents(s, d), col("lang") === "en", 1024)
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source Zipf exponent (least-squares ln freq vs ln rank) —
+    // the corpus-health statistic: natural text ≈ −1, template spam
+    // flat, boilerplate cliffed. Exact fixed-point regression sums; see
+    // TextAnalysis.zipfSlope for the determinism/scale contract.
+    "ns_zipf_slope" -> ((s, d) => {
+      TextAnalysis.zipfSlope(Tables.documents(s, d))
+    }),
+
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the redundancy/drift metric behind mixture
+    // decisions. One corpus shuffle; everything else vocab-sized.
+    "ns_source_divergence" -> ((s, d) => {
+      TextAnalysis.sourceDivergence(Tables.documents(s, d))
+    }),
+
+    // Content-defined chunking + cross-doc chunk dedup stats — the CDC
+    // storage/dedup win as a query; see Corpus.cdcChunks.
+    "ns_cdc_chunks" -> ((s, d) => {
+      Corpus.cdcChunks(Tables.documents(s, d))
     })
   )
 
@@ -373,6 +394,99 @@ object QualityPack extends QueryPack {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(CAST(round(contrib * 1e6) AS BIGINT)) AS BIGINT)
         |    / 1e6, 6) AS dsir_score
-        |FROM tb JOIN ctr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM tb JOIN ctr USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Zipf regression replay: same round-6 ln values, same ×1e6
+    // fixed-point sums (exact longs — order-independent), numerator/
+    // denominator in HUGEINT (DuckDB's exact integer ≥ Spark's
+    // DECIMAL(38,0)), one final IEEE division.
+    "ns_zipf_slope" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |rk AS (SELECT source, freq, row_number() OVER (PARTITION BY source
+        |    ORDER BY freq DESC, term) AS rank FROM tc),
+        |xy AS (SELECT source, round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+        |    round(ln(CAST(freq AS DOUBLE)), 6) AS y FROM rk),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round((x) * 1000000) AS BIGINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(round((y) * 1000000) AS BIGINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(round((x * y) * 1000000) AS BIGINT)) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(round((x * x) * 1000000) AS BIGINT)) AS HUGEINT) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT source, CAST(n AS INT) AS n_terms,
+        |  CASE WHEN n * sxx * 1000000 - sx * sx = 0 THEN 0.0
+        |       ELSE round(CAST(n * sxy * 1000000 - sx * sy AS DOUBLE)
+        |              / CAST(n * sxx * 1000000 - sx * sx AS DOUBLE), 6) + 0
+        |  END AS zipf_slope
+        |FROM s ORDER BY source""".stripMargin,
+
+    // JS replay: per-term probabilities are exact long/long divisions,
+    // the contribution expression mirrors the Spark side token-for-token
+    // (bit-identical doubles into the ×1e6 quantization), per-pair sums
+    // are exact longs.
+    "ns_source_divergence" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM tc GROUP BY 1),
+        |p AS (SELECT tc.source, tc.term, CAST(c AS DOUBLE) / nt AS p
+        |  FROM tc JOIN tot ON tc.source = tot.source),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+        |  FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+        |support AS (SELECT DISTINCT src_a, src_b, term FROM (
+        |    SELECT src_a, src_b, p.term AS term
+        |    FROM pairs JOIN p ON p.source = pairs.src_a
+        |    UNION ALL
+        |    SELECT src_a, src_b, p.term AS term
+        |    FROM pairs JOIN p ON p.source = pairs.src_b)),
+        |pq AS (SELECT support.src_a, support.src_b,
+        |    coalesce(pa.p, 0.0) AS p, coalesce(pb.p, 0.0) AS q
+        |  FROM support
+        |  LEFT JOIN p pa ON pa.source = support.src_a AND pa.term = support.term
+        |  LEFT JOIN p pb ON pb.source = support.src_b AND pb.term = support.term),
+        |contrib AS (SELECT src_a, src_b,
+        |    CAST(round((
+        |      CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END +
+        |      CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END)
+        |      * 0.5 * 1000000) AS BIGINT) AS fp
+        |  FROM pq)
+        |SELECT src_a, src_b,
+        |  round(CAST(sum(fp) AS DOUBLE) / 1000000, 6) + 0 AS js_div,
+        |  CAST(count(*) AS INT) AS n_terms
+        |FROM contrib GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // CDC replay: identical md5-window boundary rule (range end is
+    // exclusive in DuckDB = Spark's inclusive sequence bound), zipped
+    // unnest reconstructs the spans, chunk hashes via the same md5.
+    "ns_cdc_chunks" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CASE WHEN length(text) >= 8 THEN
+        |      list_filter(range(8, length(text) + 1),
+        |        i -> substr(md5(substr(text, CAST(i - 7 AS INT), 8)), 1, 1) = '0')
+        |    ELSE CAST([] AS BIGINT[]) END AS bpos
+        |  FROM documents),
+        |spans AS (SELECT doc_id, text,
+        |    list_prepend(CAST(0 AS BIGINT), bpos) AS starts,
+        |    list_append(bpos, CAST(length(text) AS BIGINT)) AS ends FROM b),
+        |chunks AS (SELECT doc_id,
+        |    substr(text, CAST(s + 1 AS INT), CAST(e - s AS INT)) AS chunk
+        |  FROM (SELECT doc_id, text, unnest(starts) AS s, unnest(ends) AS e
+        |        FROM spans)
+        |  WHERE e > s),
+        |hx AS (SELECT doc_id, chunk, md5(chunk) AS chash FROM chunks),
+        |nd AS (SELECT chash, count(DISTINCT doc_id) AS ndocs
+        |  FROM hx GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+        |  CAST(sum(length(chunk)) AS BIGINT) AS chunk_chars,
+        |  CAST(max(length(chunk)) AS INT) AS max_chunk_len,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS INT)
+        |    AS n_shared_chunks
+        |FROM hx JOIN nd USING (chash)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -503,4 +503,126 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** Fixed-point (×1e6) quantization of a non-negative double for
+    * ORDER-INDEPENDENT summation: float sums reassociate across
+    * partitions, so any statistic built from Σ over corpus terms must
+    * sum exact longs, not doubles (the lm_perplexity / PQ precedent).
+    * Inputs here are already round-6'd (ulp-absorbed), so ×1e6 lands
+    * within ~1e-7 of an integer and round() snaps deterministically. */
+  private def fp6(c: Column): Column = round(c * lit(1000000)).cast("long")
+
+  /** Per-source Zipf exponent: least-squares slope of ln(freq) on
+    * ln(rank) over the source's term-frequency table (rank = position
+    * under the TOTAL order (freq desc, term)). The canonical corpus
+    * health statistic — natural text sits near slope −1; a source that
+    * deviates hard (template spam: flat; boilerplate: cliff) is a
+    * curation signal no per-document feature sees.
+    *
+    * Determinism: x/y are round-6 ln values (libm ulp absorbed — the
+    * tfidf/lm precedent); all four regression sums are fixed-point
+    * longs ([[fp6]]); numerator/denominator assemble in DECIMAL(38,0)
+    * (exact integers — n·Sxy·1e6 would overflow a long on a large
+    * open vocabulary, and ANSI mode makes that a crash, not a wrap);
+    * the single final division is one IEEE op on bit-identical inputs.
+    *
+    * Scale shape: term counts are ONE partial-aggregating shuffle on
+    * (source, term); the rank window partitions by source over the
+    * vocab-sized aggregate (never the corpus — same shape as
+    * tfidfTopTerms' df); the regression reduces each source to one row
+    * map-side. A pathologically hot source's vocab is still its vocab:
+    * the window buffers |vocab(source)| rows, not |corpus|. */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dec(c: Column): Column = c.cast(dec38)
+    val tf = docs.select(col("source"),
+        explode(wsTokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("freq").desc, col("term"))
+    val xy = tf.withColumn("rank", row_number().over(w))
+      .select(col("source"),
+        round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+    val sums = xy.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(fp6(col("x"))).as("sx"), sum(fp6(col("y"))).as("sy"),
+      sum(fp6(col("x") * col("y"))).as("sxy"),
+      sum(fp6(col("x") * col("x"))).as("sxx"))
+    val num = dec(col("n")) * dec(col("sxy")) * dec(lit(1000000L)) -
+      dec(col("sx")) * dec(col("sy"))
+    val den = dec(col("n")) * dec(col("sxx")) * dec(lit(1000000L)) -
+      dec(col("sx")) * dec(col("sx"))
+    sums.select(col("source"), col("n").cast("int").as("n_terms"),
+      when(den === dec(lit(0L)), lit(0.0))
+        .otherwise(graft.ops.QueryPack.r6(
+          num.cast("double") / den.cast("double"))).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
+  /** Pairwise Jensen-Shannon divergence (nats) between the sources'
+    * unigram distributions — the statistic behind "which domains are
+    * redundant / which are distinct" mixture decisions (and the drift
+    * metric between a corpus snapshot and a reference). JS is chosen
+    * over KL because it is finite on disjoint support (absent terms are
+    * p=0, handled exactly) and symmetric, so one row per unordered
+    * pair suffices.
+    *
+    * Determinism: per-term probabilities are single exact long/long
+    * IEEE divisions; each term's contribution is quantized to 1e-6
+    * ([[fp6]] semantics, applied to the already-halved sum) so the
+    * per-pair Σ is an exact long sum — identical under any partition
+    * order; ln ulp drift is absorbed by the quantization exactly as in
+    * tfidf/lm (same round-6 class).
+    *
+    * Scale shape: term counts are the same ONE corpus shuffle as
+    * [[zipfSlope]] (sharing its (source, term) key); everything after
+    * operates on the vocab-sized aggregate. Pair enumeration is
+    * S²-quadratic BY SEMANTICS (every pair is an output row) — at
+    * thousands of sources, cap to the top-K sources by token mass
+    * first (ns_source_coverage's cut); the per-pair cost stays
+    * |vocab(a) ∪ vocab(b)|. The pair/probability frames broadcast
+    * (vocab-sized), so no corpus-sized exchange exists past the first. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val tc = docs.select(col("source"),
+        explode(wsTokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("nt"))
+    val p = tc.join(tot, "source").select(col("source"), col("term"),
+      (col("c").cast("double") / col("nt")).as("p"))
+    val pa = p.select(col("source").as("src_a"), col("term"),
+      col("p").as("pa"))
+    val pb = p.select(col("source").as("src_b"), col("term"),
+      col("p").as("pb"))
+    val pairs = tot.select(col("source").as("src_a"))
+      .crossJoin(broadcast(tot.select(col("source").as("src_b"))))
+      .filter(col("src_a") < col("src_b"))
+    val support = pairs.join(pa.select(col("src_a"), col("term")), "src_a")
+      .select(col("src_a"), col("src_b"), col("term"))
+      .union(pairs.join(pb.select(col("src_b"), col("term")), "src_b")
+        .select(col("src_a"), col("src_b"), col("term")))
+      .distinct()
+    val pq = support
+      .join(broadcast(pa), Seq("src_a", "term"), "left")
+      .join(broadcast(pb), Seq("src_b", "term"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("pa"), lit(0.0)).as("p"),
+        coalesce(col("pb"), lit(0.0)).as("q"))
+    // expression shape mirrors the oracle token-for-token so every
+    // intermediate double is bit-identical before the quantization
+    val contrib = round((
+      when(col("p") > 0,
+        col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+        .otherwise(lit(0.0)) +
+      when(col("q") > 0,
+        col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+        .otherwise(lit(0.0))) * lit(0.5) * lit(1000000)).cast("long")
+    pq.groupBy(col("src_a"), col("src_b"))
+      .agg(graft.ops.QueryPack.r6(
+          sum(contrib).cast("double") / lit(1000000)).as("js_div"),
+        count(lit(1)).cast("int").as("n_terms"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

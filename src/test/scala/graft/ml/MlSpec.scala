@@ -262,6 +262,49 @@ class MlSpec extends SparkSpecBase {
     assert(n15 == 1 + 15 + 15 * 14 / 2)
   }
 
+  test("CdcChunks expression == the HOF boundary formulation; chunks reconstruct") {
+    // the HOF form below IS the committed oracle's formulation
+    // (ns_cdc_chunks), so expression==HOF here plus oracle-green at the
+    // gate pins all three spellings together. Fixtures: long ASCII,
+    // multi-byte (code-point windows, not byte windows), sub-window
+    // lengths, empty, exactly window-sized.
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps going " +
+        "for a while so several content boundaries can fire"),
+      (2L, "héllo wörld ✓ multi byte windows must count code points not " +
+        "bytes across every rolling window position"),
+      (3L, "short"), (4L, ""), (5L, "exactly8")).toDF("id", "s")
+    val hof = {
+      val b = when(length($"s") >= 8,
+        filter(sequence(lit(8), length($"s")),
+          i => substring(md5(substr($"s", i - lit(7), lit(8))), 1, 1)
+            === lit("0")))
+        .otherwise(array().cast("array<int>"))
+      df.select($"id", $"s", b.as("bpos"))
+        .select($"id", $"s",
+          concat(array(lit(0)), $"bpos").as("starts"),
+          concat($"bpos", array(length($"s"))).as("ends"))
+        .select($"id", filter(zip_with($"starts", $"ends",
+            (st, e) => substr($"s", st + lit(1), e - st)),
+          c => length(c) > 0).as("cs"))
+    }.as[(Long, Seq[String])].collect().toMap
+    val expr = df.select($"id",
+        graft.functions.CdcChunks.cdcChunks($"s").as("cs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(expr == hof, "expression diverges from the oracle formulation")
+    assert(expr(4L).isEmpty && expr(3L) == Seq("short"))
+    assert(expr(1L).size > 1, "long fixture fired no boundary — weak fixture")
+    // lossless split: chunks concatenate back to the text, in order
+    val broken = df.select($"s", concat_ws("",
+        graft.functions.CdcChunks.cdcChunks($"s")).as("r"))
+      .filter($"r" =!= $"s").count()
+    assert(broken == 0, "chunks do not reconstruct the text")
+    // SQL registration smoke
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT size(cdc_chunks('abcdefgh plus more text here'))")
+      .head().getInt(0) >= 1)
+  }
+
   test("banded cosine dup pairs equal the brute-force pair set (non-trivially)") {
     val emb = Tables.embeddings(spark, sf0001)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
