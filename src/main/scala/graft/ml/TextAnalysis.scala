@@ -589,6 +589,13 @@ object TextAnalysis {
         explode(wsTokens(lower(col("text")))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      // barrier: five consumers (tot, pa/pb probes, both support arms)
+      // would otherwise each replan the tokenize+count subtree back to
+      // the parquet scan (ReuseExchange only caught some branches —
+      // the plan golden showed THREE corpus scans before this). The
+      // frame is the vocab-sized aggregate (S×V rows), so the
+      // checkpoint is pennies and the corpus is read ONCE.
+      .localCheckpoint()
     val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("nt"))
     val p = tc.join(tot, "source").select(col("source"), col("term"),
       (col("c").cast("double") / col("nt")).as("p"))

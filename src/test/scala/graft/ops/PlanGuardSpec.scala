@@ -252,5 +252,16 @@ object PlanGuardSpec {
     "ns_gopher_rules",
     "ns_ppl_buckets",
     "ns_lang_confusion",
-    "ns_curation_pipeline")
+    "ns_curation_pipeline",
+    // r13: corpus statistics. Zipf pins the ONE (source, term) corpus
+    // exchange with the rank window over the vocab-sized aggregate and
+    // the map-side regression reduction (a Window or Exchange over raw
+    // tokens = the tfidf regression class); divergence pins the same
+    // single corpus shuffle with broadcast pair/probability joins (a
+    // shuffled join over the vocab frames = the broadcast envelope
+    // regressed); cdc pins the checkpoint boundary (chunk scan runs
+    // ONCE) and exactly the chash aggregate + join-back exchanges
+    "ns_zipf_slope",
+    "ns_source_divergence",
+    "ns_cdc_chunks")
 }
