@@ -27,10 +27,16 @@ object MlPack extends QueryPack {
     // index (stop-shingle df cap, Dedup.ScoredDfCap): candidate volume per
     // shingle is bounded at C(cap,2) regardless of corpus size — the
     // 100-TB-safe form is the scored default, not a parity-tested spare.
-    // Output equals the exact pair set (near-dups share rare shingles;
-    // verification is exact array_intersect Jaccard), so the brute-force
-    // oracle applies unchanged; ScaleSpec pins corpus-common shingles out
-    // of the candidate exchange.
+    // Verification is exact array_intersect Jaccard over candidates that
+    // share a RARE (df <= cap) shingle — equal to the exact pair set
+    // whenever every qualifying pair shares one, which holds up to dup
+    // clusters of cap size; pairs whose EVERY shared shingle is hot (a
+    // >cap verbatim/near-verbatim cluster) are the cap's documented
+    // misses, and the minhash tier is their recall path (identical
+    // signatures bucket such clusters regardless of df — ScaleSpec pins
+    // both sides of this division). The oracle replays the SAME cap
+    // (jaccardCappedCtes), so scored parity holds on any data; ScaleSpec
+    // pins corpus-common shingles out of the candidate exchange.
     "ns_dedup_jaccard" -> ((s, d) => {
       Dedup.jaccardPairsCapped(Tables.documents(s, d), 0.5, Dedup.ScoredDfCap)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -420,8 +426,12 @@ object MlPack extends QueryPack {
     "ns_fuzzy_prefix_pairs" -> ((s, d) => {
       val pref = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 24).as("s"))
+      // twin-id offset 1e8, not 1e5: the old margin was only 2x above
+      // sf1's 50k max doc_id — a >=100k-doc corpus would alias twin ids
+      // with real docs, making pair identities ambiguous (r13 review);
+      // 1e8 matches the headroom class of the other augmentations
       val aug = pref.unionAll(pref.select(
-        (col("doc_id") + lit(100000L)).as("doc_id"),
+        (col("doc_id") + lit(100000000L)).as("doc_id"),
         concat(substring(col("s"), 1, 9), lit("x"),
           substring(col("s"), 11, 14)).as("s")))
       Fuzzy.fuzzyPairs(aug, "doc_id", "s", maxEd = 2)
@@ -773,20 +783,10 @@ object MlPack extends QueryPack {
         box("trak", tkhdV0(640, 360), box("mdia", hdlr("vide"))),
         box("trak", tkhdV0(0, 0), box("mdia", hdlr("soun")))) ++
         box("mdat", cc("fake"))
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      Seq((1L, good), (2L, "not a movie at all".getBytes("UTF-8")),
-          (3L, good.dropRight(10)))
-        .foreach { case (id, b) =>
-          rows.add(org.apache.spark.sql.Row(id, "video", b))
-        }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("asset_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("modality",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("bytes",
-          org.apache.spark.sql.types.BinaryType)))
-      Multimodal.decodeVideoMeta(s.createDataFrame(rows, schema))
+      Multimodal.decodeVideoMeta(assetFrame(s, Seq(
+          (1L, "video", good),
+          (2L, "video", "not a movie at all".getBytes("UTF-8")),
+          (3L, "video", good.dropRight(10)))))
         .select(col("asset_id"), col("byte_len"), col("major_brand"),
           col("timescale"), col("duration_units"), col("duration_sec"),
           col("width"), col("height"), col("n_tracks"),
@@ -815,19 +815,10 @@ object MlPack extends QueryPack {
           "data".getBytes ++ le32(declaredLen) ++ data
       val good = wav(pcm, pcm.length)
       val truncated = wav(pcm.take(100), pcm.length) // header promises 128
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      Seq((1L, good), (2L, "not audio".getBytes("UTF-8")), (3L, truncated))
-        .foreach { case (id, b) =>
-          rows.add(org.apache.spark.sql.Row(id, "audio", b))
-        }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("asset_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("modality",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("bytes",
-          org.apache.spark.sql.types.BinaryType)))
-      Multimodal.decodeAudioMeta(s.createDataFrame(rows, schema))
+      Multimodal.decodeAudioMeta(assetFrame(s, Seq(
+          (1L, "audio", good),
+          (2L, "audio", "not audio".getBytes("UTF-8")),
+          (3L, "audio", truncated))))
         .select(col("asset_id"), col("byte_len"), col("sample_rate"),
           col("channels"), col("bits_per_sample"), col("n_frames"),
           col("duration_sec"), col("peak_amp"), col("mean_abs"),
@@ -842,28 +833,35 @@ object MlPack extends QueryPack {
         try in.readAllBytes() finally in.close()
       }
       val truncated = jpeg.take(24) ++ Array.fill[Byte](40)(0x7F)
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      Seq(
-        (1L, "image", jpeg),
-        (2L, "image", "not an image".getBytes("UTF-8")),
-        (3L, "image", truncated)
-      ).foreach { case (id, m, b) =>
-        rows.add(org.apache.spark.sql.Row(id, m, b))
-      }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("asset_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("modality",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("bytes",
-          org.apache.spark.sql.types.BinaryType)))
-      Multimodal.decodeImageMeta(s.createDataFrame(rows, schema))
+      Multimodal.decodeImageMeta(assetFrame(s, Seq(
+          (1L, "image", jpeg),
+          (2L, "image", "not an image".getBytes("UTF-8")),
+          (3L, "image", truncated))))
         .select(col("asset_id"), col("byte_len"),
           col("width"), col("height"), col("channels"),
           col("width").isNotNull.as("decoded"))
         .orderBy(col("asset_id"))
     })
   )
+
+  /** The (asset_id, modality, bytes) local fixture frame the three
+    * decode queries commit their bytes through — ONE spelling of the
+    * schema + row assembly (was hand-rolled per query; r13 review). */
+  private def assetFrame(s: SparkSession,
+      rows: Seq[(Long, String, Array[Byte])]): DataFrame = {
+    val list = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach { case (id, m, b) =>
+      list.add(org.apache.spark.sql.Row(id, m, b))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("asset_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("modality",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType)))
+    s.createDataFrame(list, schema)
+  }
 
   /** ±1 plane-sign literals for the 10-bit LSH sketch, generated from the
     * same fixed-LCG stream the HyperplaneSketch expression uses — lets the
@@ -898,6 +896,45 @@ object MlPack extends QueryPack {
 
   private val jaccardPairsOracle: String =
     s"WITH $jaccardCtes\nSELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"
+
+  /** The df-CAPPED sibling of [[jaccardCtes]], replaying
+    * Dedup.cappedCandidates' semantics: candidate pairs must share at
+    * least one shingle with 2 <= df <= ScoredDfCap; the Jaccard itself
+    * is then computed over ALL shared shingles (the engine's exact
+    * array_intersect verify). The capped-family oracles ride THIS
+    * chain so scored parity holds on ANY data: with the exact chain, a
+    * duplicate cluster wider than the cap — every shared shingle hot —
+    * would be a phantom red even though the miss is the cap's
+    * DOCUMENTED 100-TB trade (r13 review; the minhash tier is the
+    * recall path for such clusters: verbatim copies carry identical
+    * signatures and bucket together regardless of df, which is why
+    * ns_dedup_minhash keeps the EXACT oracle). No committed dataset
+    * trips the divergence (max shingle df: 4 at sf0.1, 61 at sf1), so
+    * the swap changes no gate output — it removes the latent red. */
+  private val jaccardCappedCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
+      |         t[i+3]||' '||t[i+4] for i in range(1, len(t)-3)]) s
+      |       FROM w WHERE len(t) >= 5),
+      |tok AS (SELECT doc_id, unnest(s) g FROM sh),
+      |sz AS (SELECT doc_id, len(s) n FROM sh),
+      |dft AS (SELECT g, count(*) AS df FROM tok GROUP BY g),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      |         JOIN dft ON dft.g = a.g
+      |         WHERE dft.df BETWEEN 2 AND ${graft.ml.Dedup.ScoredDfCap}),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+      |      GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b,
+      |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |       FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+      |              JOIN sz sb ON p.doc_b = sb.doc_id
+      |       WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.5)""".stripMargin
+
+  private val jaccardCappedPairsOracle: String =
+    s"WITH $jaccardCappedCtes\nSELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"
 
   /** Residual IVF-ADC oracle generated FROM the committed quantizer:
     * the frozen fixed-point tables render as fix/1e6 double literals
@@ -1026,7 +1063,7 @@ object MlPack extends QueryPack {
     // Same recursive component labeling as ns_dedup_keep, then max-
     // n_chars canonical per cluster.
     "ns_dedup_best" ->
-      s"""WITH RECURSIVE $jaccardCtes,
+      s"""WITH RECURSIVE $jaccardCappedCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
          |          UNION ALL SELECT doc_b, doc_a FROM jp),
          |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
@@ -1193,7 +1230,7 @@ object MlPack extends QueryPack {
       """WITH p AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
         |aug AS (SELECT doc_id, s FROM p
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT doc_id + 100000000,
         |    substr(s, 1, 9) || 'x' || substr(s, 11, 14) FROM p)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist
@@ -1367,24 +1404,24 @@ object MlPack extends QueryPack {
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
-    "ns_dedup_jaccard" -> jaccardPairsOracle,
+    "ns_dedup_jaccard" -> jaccardCappedPairsOracle,
 
     // The Jaccard gram construction re-scored as ordered-pair
-    // containment i / |sh(a)|.
+    // containment i / |sh(a)|. Candidates ride the SAME df cap as the
+    // engine (cappedCandidates expanded to both orders) — see
+    // jaccardCappedCtes for why the oracle must replay the cap.
     "ns_dedup_containment" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||
-        |         t[i+3]||' '||t[i+4] for i in range(1, len(t)-3)]) s
-        |       FROM w WHERE len(t) >= 5),
-        |tok AS (SELECT doc_id, unnest(s) g FROM sh),
-        |sz AS (SELECT doc_id, len(s) n FROM sh),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id <> b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(i * 1.0 / sa.n, 6) AS containment
-        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
-        |WHERE round(i * 1.0 / sa.n, 6) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $jaccardCappedCtes,
+         |cando AS (SELECT doc_a, doc_b FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |po AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |      JOIN cando ON cando.doc_a = a.doc_id AND cando.doc_b = b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(i * 1.0 / sa.n, 6) AS containment
+         |FROM po JOIN sz sa ON po.doc_a = sa.doc_id
+         |WHERE round(i * 1.0 / sa.n, 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // ns_similarity_topk's oracle over list_slice(v, 1, 16) — the MRL
     // truncated-retrieval tier.
@@ -1406,7 +1443,7 @@ object MlPack extends QueryPack {
     // Connected components via transitive closure (WITH RECURSIVE) over
     // the same jaccard pair CTEs; cluster id = min reachable doc_id.
     "ns_dedup_clusters" ->
-      s"""WITH RECURSIVE $jaccardCtes,
+      s"""WITH RECURSIVE $jaccardCappedCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
          |          UNION ALL SELECT doc_b, doc_a FROM jp),
          |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
@@ -1418,7 +1455,7 @@ object MlPack extends QueryPack {
     // Same transitive closure; drop every member whose component min is
     // not itself, keep the rest of the corpus.
     "ns_dedup_keep" ->
-      s"""WITH RECURSIVE $jaccardCtes,
+      s"""WITH RECURSIVE $jaccardCappedCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
          |          UNION ALL SELECT doc_b, doc_a FROM jp),
          |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
@@ -1431,7 +1468,7 @@ object MlPack extends QueryPack {
          |ORDER BY doc_id""".stripMargin,
 
     "ns_dedup_threshold_sweep" ->
-      s"""WITH $jaccardCtes
+      s"""WITH $jaccardCappedCtes
          |SELECT floor(jaccard * 10) / 10 AS band,
          |  CAST(count(*) AS BIGINT) AS n_pairs
          |FROM jp GROUP BY 1 ORDER BY band""".stripMargin,
@@ -1448,7 +1485,7 @@ object MlPack extends QueryPack {
     // Matrix replay: the shared jaccard-pair CTEs joined to each side's
     // source, canonicalized unordered with least/greatest.
     "ns_dup_cross_source" ->
-      s"""WITH $jaccardCtes
+      s"""WITH $jaccardCappedCtes
          |SELECT least(da.source, db.source) AS source_a,
          |  greatest(da.source, db.source) AS source_b,
          |  CAST(count(*) AS BIGINT) AS n_pairs
@@ -1460,7 +1497,7 @@ object MlPack extends QueryPack {
     // Soft-dedup replay: the same transitive closure, cluster sizes, and
     // 1/|cluster| with non-members defaulting to a full weight of 1.
     "ns_dedup_soft" ->
-      s"""WITH RECURSIVE $jaccardCtes,
+      s"""WITH RECURSIVE $jaccardCappedCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
          |          UNION ALL SELECT doc_b, doc_a FROM jp),
          |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t

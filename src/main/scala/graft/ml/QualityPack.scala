@@ -89,7 +89,20 @@ object QualityPack extends QueryPack {
     "ns_sample_weighted" -> ((s, d) => {
       val u = (Corpus.md5Key(col("doc_id").cast("string")) + 1L)
         .cast("double") / lit(4294967296.0)
-      val key = round(pow(u, lit(1.0) / col("n_chars").cast("double")), 6)
+      // Efraimidis-Spirakis key in LOG domain: rank by ln(u)/w (the
+      // monotone-equivalent of u^(1/w); larger = better, max 0). The
+      // cross-engine quantization happens on ln(u) BEFORE the division:
+      // round-6 of u^(1/w) itself collapsed the whole top of the
+      // distribution into the 1.000000 bucket (key density near 1 is
+      // ~w ≈ 500 per unit, so 1e-6 buckets hold multiple docs and the
+      // doc_id tie-break — not the weights — decided the sample; r13
+      // review). ln(u)'s density near its top is ~1 per unit, so
+      // round-6 ties are ulp-absorption only, and the /w division is
+      // one IEEE op on bit-identical inputs. zf because ln(u) is tiny-
+      // NEGATIVE near u=1 — DuckDB's sign-preserving round emits -0.0
+      // where Spark emits +0.0 (the QueryPack.zf rule; caught by the
+      // sf1 gate, where one doc's hash lands exactly on u=1).
+      val key = QueryPack.zf(round(log(u), 6)) / col("n_chars").cast("double")
       // orderBy+limit plans as TakeOrderedAndProject (distributed
       // per-partition top-20 + driver merge) — a global row_number
       // window would drag the corpus into one task. The rank window
@@ -263,9 +276,9 @@ object QualityPack extends QueryPack {
     // and the round-6 + doc_id tie-break absorbs any last-ulp drift.
     "ns_sample_weighted" ->
       """WITH k AS (SELECT doc_id, source, n_chars,
-        |    round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |                 ::UINTEGER::BIGINT + 1) / 4294967296.0,
-        |              1.0 / CAST(n_chars AS DOUBLE)), 6) AS skey
+        |    (round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                 ::UINTEGER::BIGINT + 1) / 4294967296.0), 6) + 0)
+        |      / CAST(n_chars AS DOUBLE) AS skey
         |  FROM documents),
         |r AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id) AS rank
         |  FROM k)

@@ -11,6 +11,15 @@ import graft.functions.ZOrder2
   */
 object LayoutPack extends QueryPack {
 
+  /** Deterministic per-scale-factor lake root under java.io.tmpdir —
+    * the ONE spelling of the tag + sanitization rule every snaplake
+    * query's lifecycle comment references (re-used across bench reps /
+    * Verify / explain dumps so tables don't leak per invocation; was
+    * copy-pasted 11×, r13 review). */
+  private def snapRoot(tag: String, d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      tag + "_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Z-order (Morton) key over (l_partkey, l_suppkey) — the multi-column
     // clustering sort key — summarized as a per-z-range histogram with
@@ -27,12 +36,18 @@ object LayoutPack extends QueryPack {
     // Three-key Morton clustering key — ZOrderN composed purely from
     // Spark's own codegen bitwise functions (no custom expression
     // needed at arbitrary arity); same per-z-range envelope summary as
-    // l_zorder_key. 18 bits/key (54 result bits) covers l_orderkey's
-    // ~150k max at sf0.1 with headroom.
+    // l_zorder_key. 21 bits/key (the full 63) because the keys are RAW
+    // here (no min-max normalization): 18 bits covered sf0.1's ~150k
+    // max l_orderkey but silently dropped the high bits of sf1's ~1.5M
+    // keys — identical orderkey contributions for keys 2^18 apart, an
+    // unclusterable curve the oracle's mirrored truncation kept green
+    // (r13 review). 2^21 covers ~2.1M; beyond that, raw-key interleave
+    // is the wrong tool anyway — the WRITER path (Layout.zOrderClusterN)
+    // min-max normalizes and is scale-proof.
     "l_zorder_key3" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(graft.functions.ZOrderN.zorder(
-          Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")), 18)
+          Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")), 21)
           .as("z"))
         .groupBy(shiftright(col("z"), 12).as("z_bucket"))
         .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
@@ -50,8 +65,7 @@ object LayoutPack extends QueryPack {
     // commits — a fresh temp dir per call would leak a full table copy
     // per rep.
     "l_snaplake_timetravel" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapq_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapq", d)
       val docs = graft.Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
       docs.filter(col("doc_id") % 2 === 0)
@@ -73,8 +87,7 @@ object LayoutPack extends QueryPack {
     // never changes the answer). Deterministic reused root + vacuum, same
     // lifecycle discipline as l_snaplake_timetravel.
     "l_snaplake_skipping" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapsk_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapsk", d)
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .repartitionByRange(8, col("o_orderkey"))
@@ -97,8 +110,7 @@ object LayoutPack extends QueryPack {
     // the oracle pins the upsert ANSWER. Deterministic reused root +
     // vacuum, same lifecycle as the other snaplake queries.
     "l_snaplake_merge" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapm_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapm", d)
       val base = graft.Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).as("text_len"))
       base.write.format("snaplake").mode("overwrite").save(root)
@@ -117,8 +129,7 @@ object LayoutPack extends QueryPack {
     // and generation scoping are SnapLakeMergeSpec's; the oracle pins
     // the post-delete table.
     "l_snaplake_delete" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapdel_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapdel", d)
       graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .write.format("snaplake").mode("overwrite").save(root)
       val lake = new graft.ingest.SnapshotLake(root)
@@ -136,8 +147,7 @@ object LayoutPack extends QueryPack {
     // manifests equal). The answer is the good snapshot through the
     // restored head. Deterministic reused root + vacuum as the others.
     "l_snaplake_restore" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapr_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapr", d)
       val base = graft.Tables.documents(s, d)
         .select(col("doc_id"), col("lang"))
       base.write.format("snaplake").mode("overwrite").save(root)
@@ -159,8 +169,7 @@ object LayoutPack extends QueryPack {
     // form). _commit_version is dropped from the output because the
     // reused root's version counter grows across invocations.
     "l_snaplake_cdf" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapcdf_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapcdf", d)
       val base = graft.Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).as("text_len"))
       base.write.format("snaplake").mode("overwrite").save(root)
@@ -184,8 +193,7 @@ object LayoutPack extends QueryPack {
     // rows cancel under EXCEPT ALL. Deterministic reused root + vacuum,
     // same lifecycle discipline as l_snaplake_timetravel.
     "l_snaplake_diff" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapd_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapd", d)
       val base = graft.Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).as("text_len"))
       base.write.format("snaplake").mode("overwrite").save(root)
@@ -208,8 +216,7 @@ object LayoutPack extends QueryPack {
     // oracle pins the combined upsert answer, which only exists if
     // neither writer aborted nor clobbered the other.
     "l_snaplake_rebase" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snaprb_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snaprb", d)
       val base = graft.Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).as("text_len"))
       base.filter(col("doc_id") < 200)
@@ -241,8 +248,7 @@ object LayoutPack extends QueryPack {
     // stamps its operation into the commit log.
     "l_snaplake_history" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snaph_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snaph", d)
       val lake = new graft.ingest.SnapshotLake(root)
       graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .write.format("snaplake").mode("overwrite").save(root)
@@ -268,8 +274,7 @@ object LayoutPack extends QueryPack {
     // zero for the absent key (asserted plan-level in SnapLakeSkipSpec;
     // the oracle pins that bloom pruning never changes the answer).
     "l_snaplake_bloom" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapbl_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapbl", d)
       Tables.orders(s, d)
         .select((col("o_orderkey") * 7919L).as("okey"), col("o_orderpriority"))
         .repartition(6)
@@ -290,8 +295,7 @@ object LayoutPack extends QueryPack {
     // assertions in SnapLakeSkipSpec; the oracle pins answers never
     // change).
     "l_snaplake_autobloom" -> ((s, d) => {
-      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_snapab_" + d.replaceAll("[^A-Za-z0-9.]+", "_")).toString
+      val root = snapRoot("graft_snapab", d)
       def half(parity: Int) = Tables.orders(s, d)
         .filter(col("o_orderkey") % 2 === parity)
         .select((col("o_orderkey") * 7919L).as("okey"), col("o_orderpriority"))
@@ -319,7 +323,7 @@ object LayoutPack extends QueryPack {
 
     "l_zorder_key3" -> {
       val z = graft.functions.ZOrderN.sqlExpr(
-        Seq("l_partkey", "l_suppkey", "l_orderkey"), 18)
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), 21)
       s"""WITH zt AS (SELECT $z AS z FROM lineitem)
          |SELECT z >> 12 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
          |  min(z) AS min_z, max(z) AS max_z

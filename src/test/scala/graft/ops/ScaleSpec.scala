@@ -403,6 +403,41 @@ class ScaleSpec extends SparkSpecBase {
     spark.catalog.clearCache() // shingled() persists
   }
 
+  test("a duplicate cluster WIDER than the df cap: capped jaccard misses " +
+    "it BY DESIGN, the minhash tier catches it — both sides pinned") {
+    // The cap's documented miss class (r13 review): verbatim copies of
+    // otherwise-unique text, more of them than the cap — EVERY shared
+    // shingle has df = cluster size > cap, so cappedCandidates emits
+    // nothing for the cluster. That is the deliberate 100-TB trade (no
+    // quadratic hot-shingle join), NOT silent wrongness: the scored
+    // oracle replays the same cap (jaccardCappedCtes), and the recall
+    // path for such clusters is the minhash tier, whose identical
+    // signatures bucket verbatim copies regardless of df. A normal
+    // rare-shingle twin pair in the same corpus must be found by BOTH.
+    val cap = 10
+    val cluster = (1 to 14).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    val twinPair = Seq(
+      (100L, "one two three four five six seven eight"),
+      (101L, "one two three four five six seven eight"))
+    val filler = (200 to 215).map(i =>
+      (i.toLong, s"f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f"))
+    val docs = (cluster ++ twinPair ++ filler).toDF("doc_id", "text")
+    val clusterPairs = (for {
+      a <- 1 to 14; b <- (a + 1) to 14
+    } yield (a.toLong, b.toLong)).toSet
+    val capped = graft.ml.Dedup.jaccardPairsCapped(docs, 0.5, cap)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      s"capped path should find ONLY the rare-shingle twin pair: $capped")
+    spark.catalog.clearCache() // shingled() persists
+    val minhash = graft.ml.Dedup.minhashDupPairs(docs, 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(minhash == clusterPairs + ((100L, 101L)),
+      s"minhash tier must catch the >cap cluster: ${minhash.size} pairs")
+    spark.catalog.clearCache()
+  }
+
   test("dup-span gram counting: a hot boilerplate gram never buffers in a window") {
     // the 100 TB property of ns_dup_ngram_spans / ns_dup_span_removal:
     // gram occurrence counts come from a partial-aggregating groupBy
