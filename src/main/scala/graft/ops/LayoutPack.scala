@@ -168,6 +168,51 @@ object LayoutPack extends QueryPack {
     // not table-sized diffing (contrast l_snaplake_diff, the audit
     // form). _commit_version is dropped from the output because the
     // reused root's version counter grows across invocations.
+    // Incremental aggregate maintenance from the changefeed — the
+    // materialized-view refresh pattern a lakehouse table format exists
+    // to enable: the per-lang rollup is maintained by applying the
+    // CDF's insert/delete deltas (updates arrive as delete+insert
+    // pairs, so signed sums handle them for free) to the BASE-version
+    // aggregate; the base table is never rescanned after its mutation.
+    // The scored output IS the incrementally-maintained aggregate and
+    // the oracle recomputes the final state from scratch — equality is
+    // the MV-maintenance correctness claim, per driver run. Scale: the
+    // full scan happens once at the base version; each refresh costs
+    // O(changed rows) — the whole point of row-level CDF at 100 TB.
+    // Count and sum are the self-maintainable aggregates (min/max are
+    // not under deletes — they need the full-recompute fallback).
+    "l_snaplake_incr_agg" -> ((s, d) => {
+      val root = snapRoot("graft_snapia", d)
+      val base = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+      base.write.format("snaplake").mode("overwrite").save(root)
+      val lake = new graft.ingest.SnapshotLake(root)
+      val v = lake.latestVersion(s).get
+      // v+1: upsert (+7 len) every doc_id%4==0; v+2: delete every %10==0
+      lake.merge(base.filter(col("doc_id") % 4 === 0)
+        .withColumn("text_len", col("text_len") + 7), Seq("doc_id"))
+      lake.delete(s, col("doc_id") % 10 === 0)
+      lake.vacuum(s, retainLast = 3)
+      val agg0 = lake.readAt(s, v).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n0"), sum(col("text_len")).as("len0"))
+      val sgn = when(col(graft.ingest.SnapshotLake.ChangeTypeCol)
+        === "insert", 1L).otherwise(-1L)
+      val deltas = lake.changesBetween(s, v, v + 2)
+        .groupBy(col("lang"))
+        .agg(sum(sgn).as("dn"), sum(sgn * col("text_len")).as("dlen"))
+      // full outer: a lang introduced purely by post-base inserts (none
+      // in this mutation, but the maintenance rule must be total) has
+      // no base row; a fully-deleted lang nets to n = 0 and drops
+      agg0.join(deltas, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n"),
+          (coalesce(col("len0"), lit(0L)) + coalesce(col("dlen"), lit(0L)))
+            .as("len_sum"))
+        .filter(col("n") > 0)
+        .orderBy(col("lang"))
+    }),
+
     "l_snaplake_cdf" -> ((s, d) => {
       val root = snapRoot("graft_snapcdf", d)
       val base = graft.Tables.documents(s, d)
@@ -382,6 +427,17 @@ object LayoutPack extends QueryPack {
         |SELECT doc_id + 2000000 AS doc_id, text_len, 'insert' AS change_type
         |FROM b WHERE doc_id < 5
         |ORDER BY change_type, doc_id""".stripMargin,
+
+    // The MV-maintenance claim stated as plain SQL: the incrementally-
+    // maintained rollup must equal the from-scratch aggregate over the
+    // FINAL table state (base, +7 on every %4 survivor, %10 rows gone).
+    "l_snaplake_incr_agg" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(length(text) +
+        |    CASE WHEN doc_id % 4 = 0 THEN 7 ELSE 0 END) AS BIGINT)
+        |    AS len_sum
+        |FROM documents WHERE doc_id % 10 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // The diff of base vs mutated-copy versions: every fifth doc's
     // delete+insert pair, EXCEPT ALL multiplicity.
