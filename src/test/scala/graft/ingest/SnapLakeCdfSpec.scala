@@ -112,6 +112,57 @@ class SnapLakeCdfSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming changefeed maintains a rollup that tracks the table " +
+    "(the l_snaplake_incr_agg streaming twin)") {
+    // The MV-refresh pattern as a LIVE query: a streaming aggregation
+    // over readChangeFeed applies signed deltas (updates = delete+
+    // insert pairs) and must equal a from-scratch aggregate of the
+    // current table after EVERY kind of mutation — upsert, predicate
+    // delete, append of a brand-new group, and a full group deletion
+    // (which nets to n = 0 rather than disappearing: complete-mode
+    // state never forgets a key, the one divergence from the batch
+    // recompute, pinned here).
+    val root = freshRoot()
+    val lake = new SnapshotLake(root)
+    def frame(rows: (Long, String, Long)*) = rows.toDF("id", "grp", "len")
+    lake.commit(frame((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L),
+      (4L, "y", 40L)), overwrite = true)
+    val sgn = when(col(ChangeTypeCol) === "insert", 1L).otherwise(-1L)
+    val q = spark.readStream.format("snaplake")
+      .option("readChangeFeed", "true").load(root)
+      .groupBy(col("grp"))
+      .agg(sum(sgn).as("n"), sum(sgn * col("len")).as("len_sum"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("snapmv").start()
+    def mv(): Map[String, (Long, Long)] =
+      spark.table("snapmv").as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    def live(): Map[String, (Long, Long)] = mv().filter(_._2._1 > 0)
+    def full(): Map[String, (Long, Long)] =
+      lake.read(spark).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("len_sum"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    try {
+      q.processAllAvailable()
+      assert(live() == full(), "snapshot replay diverged")
+      lake.merge(frame((2L, "y", 25L)), Seq("id")) // update
+      q.processAllAvailable()
+      assert(live() == full(), "upsert delta diverged")
+      lake.delete(spark, col("id") === 1L) // predicate delete
+      q.processAllAvailable()
+      assert(live() == full(), "delete delta diverged")
+      lake.commit(frame((9L, "z", 5L))) // append, brand-new group
+      q.processAllAvailable()
+      assert(live() == full(), "new-group append diverged")
+      lake.delete(spark, col("grp") === "z") // full group deletion
+      q.processAllAvailable()
+      assert(live() == full(), "group-deletion delta diverged")
+      assert(mv().get("z").contains((0L, 0L)),
+        "fully-deleted group should net to zero in complete-mode state")
+    } finally q.stop()
+  }
+
   test("streaming readChangeFeed: mutations arrive as tagged rows") {
     val root = freshRoot()
     val lake = new SnapshotLake(root)
