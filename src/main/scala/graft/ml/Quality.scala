@@ -29,6 +29,12 @@ object Quality {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val tok = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      // barrier: THREE consumers (gram windows, top-token agg, token
+      // count) each replanned the tokenize back to the parquet scan
+      // (they shuffle on different keys, so ReuseExchange cannot help;
+      // measured 3 scans in the executed plan — r13 review). The frame
+      // is narrow (id + pos + token) and ContextCleaner-released.
+      .localCheckpoint()
     // concat_ws skips NULLs, so trailing positions (fewer than n tokens
     // left) would emit short grams — the lead(n-1) null check drops them.
     val grams = tok
@@ -59,19 +65,30 @@ object Quality {
     * High coverage flags a page as boilerplate-dominated.
     *
     * Shape: codegen WordShingles (distinct per doc, so a plain count per
-    * gram IS the document frequency), one groupBy on the gram, a semi-join
-    * back. The shuffle key is the n-gram — corpus-frequency-bounded, never
-    * quadratic; the semi-join drops the gram payload before the per-doc
-    * rollup. Documents shorter than n tokens have no grams and are
+    * gram IS the document frequency), one groupBy on the gram HASH, a
+    * semi-join back. The shuffle key is xxhash64 of the n-gram (strings
+    * drop before any exchange) — corpus-frequency-bounded, never
+    * quadratic. Documents shorter than n tokens have no grams and are
     * excluded (mirrored in the oracle).
     */
   def boilerplateCoverage(docs: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame = {
+    // The gram frame shuffles and checkpoints as (doc_id, xxhash64(ng))
+    // — 16 B/row instead of carrying the ~40-byte gram strings (the
+    // dup-span convention: the output is COUNTS, so the string can drop
+    // before any exchange; a hash collision would merge two grams'
+    // document frequencies, and the raw-string oracle would surface it
+    // as a red row — detected, not absorbed). The checkpoint is the
+    // three-consumer barrier: df table, semi-join probe, and per-doc
+    // totals each replanned the tokenize+shingle back to the parquet
+    // scan (3 scans measured in the executed plan — r13 review).
     val g = docs.select(col("doc_id"),
       explode(WordShingles.wordShingles(split(col("text"), " "), n)).as("ng"))
-    val boiler = g.groupBy(col("ng")).agg(count(lit(1)).as("n_docs"))
+      .select(col("doc_id"), xxhash64(col("ng")).as("gh"))
+      .localCheckpoint()
+    val boiler = g.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select(col("ng"))
-    val per = g.join(boiler, Seq("ng"), "left_semi")
+      .select(col("gh"))
+    val per = g.join(boiler, Seq("gh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
     val tot = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     tot.join(per, Seq("doc_id"), "left")
