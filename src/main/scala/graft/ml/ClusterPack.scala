@@ -29,6 +29,15 @@ object ClusterPack extends QueryPack {
     "ns_embedding_quantize" -> ((s, d) => {
       Quantize.int8Stats(Tables.embeddings(s, d))
         .orderBy(col("vec_id"))
+    }),
+
+    // Embedding distribution drift per label (reference = even vec_ids,
+    // current = odd): mean-vector L2 shift + worst per-dimension shift —
+    // the monitor that tells an ANN deployment its frozen quantizer
+    // needs the retrain-and-swap. See Similarity.embeddingDrift.
+    "ns_embedding_drift" -> ((s, d) => {
+      Similarity.embeddingDrift(Tables.embeddings(s, d),
+        col("vec_id") % 2 === 0)
     })
   )
 
@@ -70,6 +79,35 @@ object ClusterPack extends QueryPack {
          |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Drift replay: fixed-point per-dim sums, one IEEE division per
+    // mean, ×1e12 fixed-point Σdd² (a 64-term double sum would be
+    // order-dependent), IEEE-exact sqrt, round-6 outputs. The 1-based
+    // unnest d vs Spark's 0-based posexplode is grouping-key-only
+    // (bijective, never output).
+    "ns_embedding_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |x AS (SELECT label, vec_id % 2 = 0 AS is_ref,
+        |    unnest(range(1, len(v) + 1)) AS d, v FROM e),
+        |dx AS (SELECT label, is_ref, d, v[d] AS x FROM x),
+        |per AS (SELECT label, d,
+        |    sum(CASE WHEN is_ref THEN CAST(round(x * 1e6) AS BIGINT) END) AS sr,
+        |    sum(CASE WHEN is_ref THEN 1 END) AS nr,
+        |    sum(CASE WHEN NOT is_ref THEN CAST(round(x * 1e6) AS BIGINT) END)
+        |      AS sc,
+        |    sum(CASE WHEN NOT is_ref THEN 1 END) AS nc
+        |  FROM dx GROUP BY 1, 2),
+        |mu AS (SELECT label, nr, nc,
+        |    CAST(sr AS DOUBLE) / (1e6 * nr) - CAST(sc AS DOUBLE) / (1e6 * nc)
+        |      AS dd
+        |  FROM per WHERE nr IS NOT NULL AND nc IS NOT NULL)
+        |SELECT label,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(sqrt(CAST(sum(CAST(round((dd * dd) * 1e12) AS BIGINT))
+        |          AS BIGINT) / 1e12), 6) AS mean_shift_l2,
+        |  round(max(abs(dd)), 6) AS max_dim_shift
+        |FROM mu GROUP BY label ORDER BY label""".stripMargin,
 
     // Same affine quantizer, same expression shapes (left-assoc double
     // math), same 1e-12 fixed-point SSE — exact parity by construction.

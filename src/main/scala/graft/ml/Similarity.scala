@@ -879,4 +879,48 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         round(min(col("norm")), 6).as("min_norm"),
         round(max(col("norm")), 6).as("max_norm"))
+
+  /** Embedding DISTRIBUTION DRIFT between a reference batch and the
+    * current batch, per label: the L2 distance between the per-dimension
+    * mean vectors plus the worst single-dimension shift — the
+    * monitoring statistic that decides when a frozen ANN quantizer
+    * needs the offline retrain-and-swap
+    * ([[graft.streaming.AnnStreams.maybeRebuild]] gates on grown
+    * FRACTION; this is the principled drift signal a production
+    * monitor feeds it).
+    *
+    * Determinism: per-dimension sums are fixed-point longs (exact under
+    * any partitioning); each mean is one IEEE division of bit-identical
+    * inputs; the cross-dimension Σdd² is fixed-point again (×1e12)
+    * because a 64-term double sum is partition-order-dependent; sqrt is
+    * IEEE-correctly-rounded in both engines, so no ulp drift exists to
+    * absorb beyond the final round-6.
+    *
+    * Scale shape: ONE shuffle of (label, dim) fixed-point partial sums
+    * — map-side combine collapses each partition to |labels|·dim rows
+    * regardless of corpus size; everything after operates on that
+    * constant-size frame. Labels with an empty side drop (no drift is
+    * measurable), mirrored by the oracle. */
+  def embeddingDrift(emb: DataFrame, isRef: Column): DataFrame = {
+    val e = emb.select(col("label"), isRef.as("is_ref"),
+      posexplode(asDouble(col("embedding"))).as(Seq("d", "x")))
+    val fp = round(col("x") * lit(1e6)).cast("long")
+    val per = e.groupBy(col("label"), col("d"))
+      .agg(sum(when(col("is_ref"), fp)).as("sr"),
+        sum(when(col("is_ref"), 1L)).as("nr"),
+        sum(when(!col("is_ref"), fp)).as("sc"),
+        sum(when(!col("is_ref"), 1L)).as("nc"))
+      .filter(col("nr").isNotNull && col("nc").isNotNull)
+      .withColumn("dd",
+        col("sr").cast("double") / (lit(1e6) * col("nr")) -
+          col("sc").cast("double") / (lit(1e6) * col("nc")))
+    per.groupBy(col("label"))
+      .agg(max(col("nr")).cast("bigint").as("n_ref"),
+        max(col("nc")).cast("bigint").as("n_cur"),
+        round(sqrt(
+          sum(round((col("dd") * col("dd")) * lit(1e12)).cast("long"))
+            .cast("double") / lit(1e12)), 6).as("mean_shift_l2"),
+        round(max(abs(col("dd"))), 6).as("max_dim_shift"))
+      .orderBy(col("label"))
+  }
 }
