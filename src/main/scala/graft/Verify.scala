@@ -89,12 +89,15 @@ object Verify {
     // nothing, so its runs dump every query): comma-separated names
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Queries whose dump THREW: their oracle SQL must not be written and
-    // any stale dump dir from a previous run must go — otherwise the
-    // unchanged SQL validates the previous build's parquet and the
-    // breakage reads GREEN (the same hazard keepablePrior closes for
-    // text-drifted entries; r13 review). Deleting the dir makes the
-    // driver's compare fail loudly on the missing dump instead.
+    // Queries whose dump THREW: any stale dump dir from a previous run
+    // must go — otherwise the unchanged SQL validates the previous
+    // build's parquet and the breakage reads GREEN (the same hazard
+    // keepablePrior closes for text-drifted entries; r13 review). The
+    // oracle SQL entry is still WRITTEN (r14, ADVICE): selfcheck/the
+    // driver iterate oracle keys, so an entry pointing at the deleted
+    // dump fails loudly as "spark result unreadable" — dropping the
+    // entry too would make the broken query silently disappear from the
+    // gate (n_fail stays 0 over one fewer query).
     val failed = scala.collection.mutable.Set.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -118,20 +121,23 @@ object Verify {
     // existing file is this writer's own flat `"k": "v"` format, so the
     // still-escaped pairs splice through verbatim (no unescape cycle).
     val fresh = SparkEntry.oracleSql
-      .filter { case (k, _) =>
-        only.forall(_.contains(k)) && !failed.contains(k) }
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => jsonQuote(k) -> jsonQuote(v) }
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
     val prior: Map[String, String] =
       if (only.isDefined && Files.exists(oraclePath))
         keepablePrior(Files.readString(oraclePath), SparkEntry.oracleSql)
       else Map.empty
-    // `-- failed` also covers the prior-merge side: a failed query's
-    // surviving prior entry would otherwise keep validating its deleted
-    // (or worse, not-yet-deleted previous) dump
-    val json = (prior ++ fresh -- failed.map(jsonQuote))
+    // fresh overrides prior, so a failed query's entry is the CURRENT
+    // SQL pointing at its deleted dump — a guaranteed loud FAIL, never
+    // a stale green (its previous dump is gone and the prior entry is
+    // replaced, not merged around)
+    val json = (prior ++ fresh)
       .map { case (k, v) => s"$k: $v" }.mkString("{", ",", "}")
     Files.writeString(oraclePath, json)
+    if (failed.nonEmpty) System.err.println(
+      s"[verify] ${failed.size} dumps FAILED (oracle entries kept so the " +
+        s"compare reds them): ${failed.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }

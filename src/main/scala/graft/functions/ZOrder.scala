@@ -47,8 +47,19 @@ case class ZOrder2(left: Expression, right: Expression, bitsPerKey: Int)
 
 object ZOrder2 {
 
-  /** Static so generated code calls it directly. */
+  /** Static so generated code calls it directly.
+    *
+    * Loud on overflow (r14, ADVICE): a key with bits at/above
+    * `bitsPerKey` used to interleave IDENTICALLY to the key 2^bits
+    * below it — an unclusterable curve that a mirrored oracle keeps
+    * green (the exact latent class r13's 18→21-bit fix closed for sf1;
+    * without the guard the same bug re-arms at the next scale-up). The
+    * branch is one OR+shift on the hot path; the writer path
+    * (Layout.zOrderClusterN) min-max normalizes and never trips it. */
   def compute(a: Long, b: Long, bitsPerKey: Int): Long = {
+    if (((a | b) >>> bitsPerKey) != 0L) throw new IllegalArgumentException(
+      s"zorder2: key out of range for $bitsPerKey bits/key (a=$a, b=$b) — " +
+        "raise bitsPerKey or min-max normalize (Layout.zOrderClusterN)")
     var out = 0L
     var i = 0
     while (i < bitsPerKey) {
@@ -89,16 +100,37 @@ object ZOrder2 {
 object ZOrderN {
 
   def zorder(cols: Seq[Column], bitsPerKey: Int): Column = {
-    import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
+    import org.apache.spark.sql.functions.{concat, lit, raise_error,
+      shiftleft, shiftrightunsigned, when}
     val n = cols.size
     require(n >= 2, "zorderN needs at least two keys")
     require(n * bitsPerKey <= 63, s"$n keys × $bitsPerKey bits exceeds a long")
+    // Runtime overflow guard (r14, ADVICE — same latent class the r13
+    // 18→21-bit fix closed): a key with bits at/above bitsPerKey would
+    // silently interleave like the key 2^bits below it, and a mirrored
+    // oracle keeps the truncation green. The SketchGuards weave
+    // discipline: an always-0 term OR'd into the RESULT, so the
+    // optimizer cannot prune it and the happy-path value is unchanged
+    // (x | 0 = x) — one `when` per row instead of duplicating the
+    // guard into every interleave term. Negative keys trip it too
+    // (srl fills with the sign bits).
+    // coalesce: a null key nulls the whole z-value anyway (every term
+    // propagates it) — the guard must not turn null into a raise.
+    val overflow = org.apache.spark.sql.functions.coalesce(
+      cols.map(shiftrightunsigned(_, bitsPerKey)).reduce(_.bitwiseOR(_)),
+      lit(0L))
+    val guardZero = when(overflow === lit(0L), lit(0L))
+      .otherwise(raise_error(concat(
+        lit(s"zorderN: key out of range for $bitsPerKey bits/key ("),
+        cols.map(_.cast("string")).reduce((a, b) => concat(a, lit(","), b)),
+        lit(") — raise bitsPerKey or min-max normalize " +
+          "(Layout.zOrderClusterN)"))).cast("long"))
     val terms = for {
       (c, j) <- cols.zipWithIndex
       i <- 0 until bitsPerKey
     } yield shiftleft(
       shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j)
-    terms.reduce(_.bitwiseOR(_))
+    (terms :+ guardZero).reduce(_.bitwiseOR(_))
   }
 
   /** The identical interleave as SQL for the oracle (same

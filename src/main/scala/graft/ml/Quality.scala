@@ -65,30 +65,36 @@ object Quality {
     * High coverage flags a page as boilerplate-dominated.
     *
     * Shape: codegen WordShingles (distinct per doc, so a plain count per
-    * gram IS the document frequency), one groupBy on the gram HASH, a
-    * semi-join back. The shuffle key is xxhash64 of the n-gram (strings
-    * drop before any exchange) — corpus-frequency-bounded, never
-    * quadratic. Documents shorter than n tokens have no grams and are
+    * gram IS the document frequency), one groupBy on the gram HASH PAIR,
+    * a semi-join back. The shuffle key is (xxhash64, murmur3) of the
+    * n-gram (strings drop before any exchange) — corpus-frequency-
+    * bounded, never quadratic. Documents shorter than n tokens have no grams and are
     * excluded (mirrored in the oracle).
     */
   def boilerplateCoverage(docs: DataFrame, n: Int = 6, minDocs: Int = 2): DataFrame = {
-    // The gram frame shuffles and checkpoints as (doc_id, xxhash64(ng))
-    // — 16 B/row instead of carrying the ~40-byte gram strings (the
-    // dup-span convention: the output is COUNTS, so the string can drop
-    // before any exchange; a hash collision would merge two grams'
-    // document frequencies, and the raw-string oracle would surface it
-    // as a red row — detected, not absorbed). The checkpoint is the
+    // The gram frame shuffles and checkpoints as (doc_id, gram-hash
+    // PAIR) — 24 B/row instead of carrying the ~40-byte gram strings
+    // (the dup-span convention: the output is COUNTS, so the string can
+    // drop before any exchange). The key is TWO independent hashes
+    // (xxhash64 + murmur3 — ~96 bits; r14, ADVICE): a single 64-bit
+    // hash colliding would merge two distinct grams' document
+    // frequencies, and while the raw-string oracle reds that at gate
+    // SFs, LIBRARY use on another corpus would absorb it silently.
+    // The pair pushes the corpus size where a collision is even
+    // 1%-likely past 10^13 grams. The checkpoint is the
     // three-consumer barrier: df table, semi-join probe, and per-doc
     // totals each replanned the tokenize+shingle back to the parquet
     // scan (3 scans measured in the executed plan — r13 review).
     val g = docs.select(col("doc_id"),
       explode(WordShingles.wordShingles(split(col("text"), " "), n)).as("ng"))
-      .select(col("doc_id"), xxhash64(col("ng")).as("gh"))
+      .select(col("doc_id"), xxhash64(col("ng")).as("gh"),
+        hash(col("ng")).as("gh2"))
       .localCheckpoint()
-    val boiler = g.groupBy(col("gh")).agg(count(lit(1)).as("n_docs"))
+    val boiler = g.groupBy(col("gh"), col("gh2"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select(col("gh"))
-    val per = g.join(boiler, Seq("gh"), "left_semi")
+      .select(col("gh"), col("gh2"))
+    val per = g.join(boiler, Seq("gh", "gh2"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
     val tot = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     tot.join(per, Seq("doc_id"), "left")

@@ -582,8 +582,12 @@ object TextAnalysis {
     * S²-quadratic BY SEMANTICS (every pair is an output row) — at
     * thousands of sources, cap to the top-K sources by token mass
     * first (ns_source_coverage's cut); the per-pair cost stays
-    * |vocab(a) ∪ vocab(b)|. The pair/probability frames broadcast
-    * (vocab-sized), so no corpus-sized exchange exists past the first. */
+    * |vocab(a) ∪ vocab(b)|. Only the S-sized source list carries a
+    * broadcast HINT; the vocab-sized probability frames join unhinted —
+    * Catalyst broadcasts them at small SFs from stats and degrades to a
+    * shuffled join when the open vocabulary outgrows the cap, so no
+    * corpus-sized exchange exists past the first and nothing crashes at
+    * the 8 GB broadcast ceiling. */
   def sourceDivergence(docs: DataFrame): DataFrame = {
     val tc = docs.select(col("source"),
         explode(wsTokens(lower(col("text")))).as("term"))
@@ -611,9 +615,16 @@ object TextAnalysis {
       .union(pairs.join(pb.select(col("src_b"), col("term")), "src_b")
         .select(col("src_a"), col("src_b"), col("term")))
       .distinct()
+    // No broadcast hints on pa/pb (r14, the contamination precedent):
+    // the probability frames are S×V rows — vocab-sized, and open
+    // vocabulary grows with the corpus, so a forced hint would hit the
+    // 8 GB broadcast cap at scale and FAIL the query. Unhinted,
+    // Catalyst still picks broadcast at gate SFs from stats and
+    // degrades to a shuffled join at scale — the stats-driven shape
+    // the cross-SF plan audit certifies.
     val pq = support
-      .join(broadcast(pa), Seq("src_a", "term"), "left")
-      .join(broadcast(pb), Seq("src_b", "term"), "left")
+      .join(pa, Seq("src_a", "term"), "left")
+      .join(pb, Seq("src_b", "term"), "left")
       .select(col("src_a"), col("src_b"),
         coalesce(col("pa"), lit(0.0)).as("p"),
         coalesce(col("pb"), lit(0.0)).as("q"))

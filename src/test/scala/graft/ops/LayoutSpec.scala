@@ -51,6 +51,43 @@ class LayoutSpec extends SparkSpecBase {
     assert(got3 == triples.map { case (a, b, c) => naive3(a, b, c, 18) })
   }
 
+  test("raw-key interleave is LOUD on out-of-range keys; null keys stay null") {
+    // r14 (ADVICE): a key with bits at/above bitsPerKey used to
+    // interleave identically to the key 2^bits below it — silent
+    // unclusterable output a mirrored oracle keeps green. Both the
+    // 2-key expression and the composed N-key form must raise instead.
+    val bad = Seq(((1L << 21), 1L)).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      bad.select(ZOrder2.zorder(col("a"), col("b"), 21)).collect()
+    }
+    assert(e2.getMessage != null)
+    val eN = intercept[Exception] {
+      bad.select(graft.functions.ZOrderN.zorder(
+        Seq(col("a"), col("b")), 21)).collect()
+    }
+    assert(exceptionChain(eN).exists(_.contains("out of range")),
+      s"expected the zorderN guard message, got: ${eN.getMessage}")
+    // negative keys are out of range too (srl fills with sign bits)
+    val eNeg = intercept[Exception] {
+      Seq((-1L, 1L)).toDF("a", "b").select(graft.functions.ZOrderN.zorder(
+        Seq(col("a"), col("b")), 21)).collect()
+    }
+    assert(exceptionChain(eNeg).exists(_.contains("out of range")))
+    // in-range keys are untouched by the guard; a null key nulls the
+    // z-value (prior semantics) rather than raising
+    val ok = Seq((Some((1L << 21) - 1), Some(5L)), (None, Some(5L)))
+      .toDF("a", "b")
+      .select(graft.functions.ZOrderN.zorder(Seq(col("a"), col("b")), 21)
+        .as("z"))
+      .select(col("z")).collect()
+    assert(ok(0).getLong(0) == ZOrder2.compute((1L << 21) - 1, 5L, 21))
+    assert(ok(1).isNullAt(0), "null key must stay null, not raise")
+  }
+
+  private def exceptionChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
   test("writeZOrdered preserves data and tightens per-file envelopes on BOTH keys") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
