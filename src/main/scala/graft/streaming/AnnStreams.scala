@@ -249,19 +249,64 @@ object AnnStreams {
       .select(col("lid"), col("vec_id"), col("sub"), col("cid"))), v)
   }
 
-  /** Rebuild iff the appended fraction exceeds `threshold`; otherwise
-    * return the composed grown index unchanged. The maintenance loop a
-    * probe service runs between ingest waves. */
+  /** DISTRIBUTION drift of the streamed arrivals against the population
+    * the frozen quantizer was trained on: [[Similarity.embeddingDrift]]
+    * with reference = vectors the index already probes and current =
+    * everything else in `corpus` (the arrivals), collapsed to one
+    * population. This is the principled retrain trigger — a stream can
+    * drift without growing (few arrivals, far from the codebook) and
+    * grow without drifting (many arrivals, same geometry), so
+    * [[maybeRebuild]] gates on BOTH signals. Returns 0.0 when either
+    * side is empty (no drift measurable — embeddingDrift's drop rule,
+    * which also makes the post-rebuild state read as zero drift: after
+    * re-encoding, every corpus id is reference).
+    *
+    * Scale: the membership tag is one vec_id equi-join; the statistic
+    * itself is the ONE (label, dim) partial-sum shuffle embeddingDrift
+    * documents — |dim| rows reach the driver, never vectors. */
+  def indexDrift(spark: SparkSession, index: IvfPqIndex,
+      corpus: DataFrame): Double = {
+    val known = index.codes.select(col("vec_id")).distinct()
+      .withColumn("is_ref", lit(true))
+    val tagged = corpus.join(known, Seq("vec_id"), "left")
+      .select(lit("index").as("label"), col("embedding"),
+        coalesce(col("is_ref"), lit(false)).as("is_ref"))
+    val row = Similarity.embeddingDrift(tagged, col("is_ref"))
+      .select(col("mean_shift_l2")).collect()
+    if (row.isEmpty) 0.0 else row(0).getDouble(0)
+  }
+
+  /** Rebuild iff the appended fraction exceeds `threshold` OR the
+    * arrivals' distribution drift ([[indexDrift]]) exceeds
+    * `driftThreshold`; otherwise return the composed grown index
+    * unchanged. The maintenance loop a probe service runs between
+    * ingest waves.
+    *
+    * `driftThreshold` defaults to +∞ (gate off): a meaningful cut is
+    * corpus-dependent — mean-shift L2 is in embedding units, so pick it
+    * from the reference batch's own norm scale (e.g. a fraction of
+    * [[Similarity.normStats]]' min_norm). The drift statistic is only
+    * computed when the grown gate did not already fire and the
+    * threshold is finite, so the default adds zero cost. */
   def maybeRebuild(spark: SparkSession, lake: graft.ingest.SnapshotLake,
       index: IvfPqIndex, corpus: DataFrame, threshold: Double = 0.3,
       nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64,
-      coarseIters: Int = 5, pqIters: Int = 3)
-      : (IvfPqIndex, Option[Long]) =
-    if (grownFraction(spark, lake, index) > threshold) {
+      coarseIters: Int = 5, pqIters: Int = 3,
+      driftThreshold: Double = Double.PositiveInfinity)
+      : (IvfPqIndex, Option[Long]) = {
+    val composed = grownIndex(spark, lake, index)
+    val trip = grownFraction(spark, lake, index) > threshold ||
+      (driftThreshold.isFinite &&
+        // drift measured over the COMPOSED probe population vs the
+        // frozen training population: arrivals = ids the base index
+        // does not know
+        indexDrift(spark, index, corpus) > driftThreshold)
+    if (trip) {
       val (idx, v) = rebuildIndex(spark, lake, corpus, nlist, m, ksub, dim,
         coarseIters, pqIters)
       (idx, Some(v))
-    } else (grownIndex(spark, lake, index), None)
+    } else (composed, None)
+  }
 
   /** [[runOnce]] for the growing-index ingest ([[indexAppendSink]]). */
   def runOnceGrow(spark: SparkSession, srcDir: String, index: IvfPqIndex,

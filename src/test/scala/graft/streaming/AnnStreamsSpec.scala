@@ -334,6 +334,49 @@ class AnnStreamsSpec extends SparkSpecBase {
       s"one arrival over a 500-vector base should gauge 1/501, got $fr")
   }
 
+  test("drift gate: a drifted-but-NOT-grown stream triggers the rebuild") {
+    // r14 (r13 verdict #4): grownFraction alone misses the failure mode
+    // the recall spec demonstrates — few arrivals, far from the frozen
+    // codebook. The drift statistic (embeddingDrift over ref = index-
+    // known ids vs cur = arrivals) must be an actual maybeRebuild
+    // input: same −3× fixture as the recall spec, small enough to stay
+    // under the grown gate.
+    val emb = Tables.embeddings(spark, sf0001)
+    val index = Similarity.ivfpqIndex(emb, Seq.empty, eager = true)
+    val lake = new graft.ingest.SnapshotLake(
+      Files.createTempDirectory("graft_ann_drift").toString + "/lake")
+    val markers = Files.createTempDirectory("graft_ann_drift_mk").toString
+    val drifted = emb.filter($"vec_id".between(100L, 147L))
+      .select(($"vec_id" + 950000L).as("vec_id"),
+        transform($"embedding".cast("array<double>"), x => x * -3.0d)
+          .cast("array<float>").as("embedding"))
+    AnnStreams.indexAppendSink(index, lake, markers)(drifted, 0L)
+    val corpus = emb.select($"vec_id", $"embedding").unionByName(drifted)
+    // 48/548 ≈ 0.088 grown — under a 0.3 gate; but the arrivals sit at
+    // −3× the reference geometry, so the mean-shift is material
+    assert(AnnStreams.grownFraction(spark, lake, index) < 0.3)
+    val drift = AnnStreams.indexDrift(spark, index, corpus)
+    assert(drift > 0.1, s"−3× arrivals should register drift, got $drift")
+    // default (driftThreshold = +∞): grown-fraction-only behavior —
+    // composes, commits nothing
+    val (_, noV) = AnnStreams.maybeRebuild(spark, lake, index,
+      corpus = corpus, threshold = 0.3)
+    assert(noV.isEmpty, "drift gate fired at its +∞ default")
+    // finite gate below the measured drift: retrains even though the
+    // grown gate is silent
+    val (rebuilt, someV) = AnnStreams.maybeRebuild(spark, lake, index,
+      corpus = corpus, threshold = 0.3, driftThreshold = drift / 2)
+    assert(someV.isDefined, "drifted-but-not-grown stream did not rebuild")
+    assert(rebuilt.codes.select($"vec_id").distinct().count() == 548)
+    // post-rebuild: every corpus id is reference, so drift reads 0 and
+    // the same finite gate no longer fires (the loop converges)
+    assert(AnnStreams.indexDrift(spark, rebuilt, corpus) == 0.0,
+      "post-rebuild drift must read zero (no current side)")
+    val (_, again) = AnnStreams.maybeRebuild(spark, lake, rebuilt,
+      corpus = corpus, threshold = 0.3, driftThreshold = drift / 2)
+    assert(again.isEmpty, "drift gate re-fired after the rebuild")
+  }
+
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
     val emb = Tables.embeddings(spark, sf0001)
     val index = Similarity.ivfpqIndex(emb, qids, eager = true)
