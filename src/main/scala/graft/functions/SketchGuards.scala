@@ -54,4 +54,25 @@ object SketchGuards {
         lit(s" > accuracy/2 = ${accuracy / 2}); $advice")))
         .cast(castTo))
       .otherwise(lit(0).cast(castTo))
+
+  /** The ±1-RANK BAND's precondition (r14 — the documented next
+    * envelope, implemented cold rather than at the sf≈3.3 incident):
+    * GK with accuracy A has rank error ≤ n/A, so while n <= A the
+    * sketch's answer is the exact target order statistic or an
+    * immediate (±1 rank) neighbor — which a snap refinement pass
+    * (count-lt/count-le/prev/next against the sketch value, one
+    * map-side-combined aggregate) converts into the EXACT statistic.
+    * This guard is that band's boundary: past n = A the sketch may
+    * stray beyond the immediate neighbor and the snap's case analysis
+    * no longer holds. Same weave discipline as [[rankExactEnvelope]],
+    * which it replaces at call sites that adopt the snap (doubling
+    * their machine-checked range without growing sketch state). */
+  def oneRankBandEnvelope(site: String, scope: String, n: Column,
+      accuracy: Long, advice: String, castTo: String): Column =
+    when(n > lit(accuracy),
+      raise_error(concat(
+        lit(s"$site: ±1-rank band exceeded$scope (n="), n,
+        lit(s" > accuracy = $accuracy); $advice")))
+        .cast(castTo))
+      .otherwise(lit(0).cast(castTo))
 }

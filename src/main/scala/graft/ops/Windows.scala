@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -67,46 +67,80 @@ object Windows extends QueryPack {
     * at 100 TB production accuracy drops to ~1e4 and buckets go
     * approximate (SCALE.md).
     *
-    * DECISION for the NEXT trip (sf≈3.3, n > 5e6 — written down now so
-    * the next scale jump is a planned edit, not an incident; NOTES
-    * r13): NO further lockstep bump. 1e8 would mean ~120 MB of
-    * single-partition sketch state to keep buying an exactness claim
-    * the guard has already proven end-to-end twice (forced in
-    * QualitySpec, fired for real at sf1). Instead relax the ORACLE to
-    * the ±1-rank band: compute the oracle's exact cutpoints, accept a
-    * bucket assignment that differs only on rows whose o_totalprice
-    * ties a cutpoint's ±1 order-statistic neighborhood, and drop the
-    * envelopeZero guard term in the same edit. That is the operator's
-    * honest production contract (it exists as the approx, scale-safe
-    * sibling of w_ntile) — past the sketch's exact range the right
-    * move is to test the approximation's real guarantee, not to
-    * inflate the sketch until it is no longer approximate. */
+    * THE ±1-RANK BAND (r14 — the envelope decided in r13, implemented
+    * cold rather than at the sf≈3.3 incident): NO further lockstep
+    * accuracy bump (1e8 would mean ~120 MB of single-partition sketch
+    * state). Instead a SNAP refinement pass converts the sketch's
+    * ±1-rank freedom back into exactness: one extra map-side-combined
+    * aggregate computes, for each sketch cutpoint value v, its exact
+    * rank interval (count(x<v), count(x<=v)) and neighbors
+    * (max(x<v), min(x>v)); since GK with accuracy A guarantees rank
+    * error ≤ n/A, for n <= A the value v is the target statistic
+    * stat(ceil(q·n)) or its immediate neighbor, and the case analysis
+    * k∈(lt,le] → v; k<=lt → prev (then k=lt exactly); k>le → next
+    * (then k=le+1 exactly) recovers stat(k) EXACTLY. This is the
+    * classic sketch-guided two-pass exact selection — the oracle stays
+    * hash-exact with NO relaxation (strictly better for the driver's
+    * bit-compare than the r13-sketched "accept either neighbor" band,
+    * which a hash gate cannot express), the guard demotes to the
+    * band's precondition n <= accuracy (range DOUBLED to sf≈6.6 with
+    * zero sketch growth), and the deliberately-mis-snapped spec case
+    * proves the repair mechanically. At 100 TB production accuracy
+    * drops to ~1e4, the snap (whose validity needs n <= A) is dropped,
+    * and buckets go honestly approximate — the snap is the gate-range
+    * mechanism, priced at one extra linear scan, no shuffle, no sort. */
   def ntileApprox(orders: DataFrame, accuracy: Long = 10000000L): DataFrame = {
     // Shared guard pair (functions.SketchGuards, r13): construction-time
-    // Int-range check (ADVICE r12 — the decision scaladoc above makes
-    // oversized accuracy unreachable by policy; the require makes it
-    // unreachable in fact) + the woven runtime envelope check.
+    // Int-range check (ADVICE r12) + the woven runtime band check
+    // inside ntileApproxFrom.
     graft.functions.SketchGuards.requireSketchAccuracy(
       "w_ntile_approx", accuracy)
-    val o = orders
-    val cuts = o.agg(percentile_approx(col("o_totalprice"),
+    val sk = orders.agg(percentile_approx(col("o_totalprice"),
       array(lit(0.25), lit(0.5), lit(0.75)),
       lit(Math.toIntExact(accuracy))).as("cuts"),
       count(lit(1)).as("n_rows"))
-    val envelopeZero = graft.functions.SketchGuards.rankExactEnvelope(
+    ntileApproxFrom(orders, sk, accuracy)
+  }
+
+  /** The snap + bucket tail of [[ntileApprox]], parameterized on the
+    * sketch frame (`sk`: one row of `cuts` array + `n_rows`) so the
+    * spec can inject deliberately ±1-rank-off cutpoints and prove the
+    * snap repairs them to the exact ceil(q·n) statistics. */
+  private[graft] def ntileApproxFrom(o: DataFrame, sk: DataFrame,
+      accuracy: Long): DataFrame = {
+    val price = col("o_totalprice")
+    val snapAggs: Seq[Column] = (0 until 3).flatMap { i =>
+      val v = col("cuts")(i)
+      Seq(
+        sum(when(price < v, 1L).otherwise(0L)).as(s"lt_$i"),
+        sum(when(price <= v, 1L).otherwise(0L)).as(s"le_$i"),
+        max(when(price < v, price)).as(s"prev_$i"),
+        min(when(price > v, price)).as(s"next_$i"))
+    } ++ Seq(first(col("cuts")).as("cuts"), first(col("n_rows")).as("n_rows"))
+    val counted = o.crossJoin(broadcast(sk))
+      .agg(snapAggs.head, snapAggs.tail: _*)
+    val bandZero = graft.functions.SketchGuards.oneRankBandEnvelope(
       "w_ntile_approx", "", col("n_rows"), accuracy,
-      "raise accuracy in lockstep or relax the oracle to a ±1-rank band",
-      "int")
-    o.crossJoin(broadcast(cuts))
+      "the snap refinement only covers GK rank error <= 1; raise " +
+        "accuracy or accept approximate buckets", "int")
+    val qs = Seq(0.25, 0.50, 0.75)
+    val snapped = counted.select(
+      (0 until 3).map { i =>
+        val k = ceil(lit(qs(i)) * col("n_rows")).cast("long")
+        when(k > col(s"lt_$i") && k <= col(s"le_$i"), col("cuts")(i))
+          .when(k <= col(s"lt_$i"), col(s"prev_$i"))
+          .otherwise(col(s"next_$i")).as(s"c${i + 1}")
+      } :+ bandZero.as("band_zero"): _*)
+    o.crossJoin(broadcast(snapped))
       .withColumn("quartile",
-        lit(1) + envelopeZero
-               + when(col("o_totalprice") > col("cuts")(0), 1).otherwise(0)
-               + when(col("o_totalprice") > col("cuts")(1), 1).otherwise(0)
-               + when(col("o_totalprice") > col("cuts")(2), 1).otherwise(0))
+        lit(1) + col("band_zero")
+               + when(price > col("c1"), 1).otherwise(0)
+               + when(price > col("c2"), 1).otherwise(0)
+               + when(price > col("c3"), 1).otherwise(0))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
-        moneyRound(sum(decMoney(col("o_totalprice")))).as("total"),
-        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        moneyRound(sum(decMoney(price))).as("total"),
+        min(price).as("lo"), max(price).as("hi"))
       .orderBy(col("quartile"))
   }
 

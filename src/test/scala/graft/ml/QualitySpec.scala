@@ -231,7 +231,10 @@ class QualitySpec extends SparkSpecBase {
     guardFires("perSourceQualityGate: rank-exact envelope exceeded") {
       TextAnalysis.perSourceQualityGate(docs, accuracy = 10L).collect()
     }
-    guardFires("w_ntile_approx: rank-exact envelope exceeded") {
+    // r14: ntileApprox moved to the ±1-rank BAND (snap refinement) —
+    // its guard is now the band's precondition n <= accuracy, with the
+    // new message
+    guardFires("w_ntile_approx: ±1-rank band exceeded") {
       graft.ops.Windows.ntileApprox(
         graft.Tables.orders(spark, sf0001), accuracy = 10L).collect()
     }
@@ -259,5 +262,45 @@ class QualitySpec extends SparkSpecBase {
           graft.Tables.orders(spark, sf0001), accuracy = bad))
       assert(e3.getMessage.contains("accuracy"))
     }
+  }
+
+  test("ntileApprox ±1-rank band: snap repairs mis-ranked cutpoints exactly") {
+    // r14 (the r13-documented envelope, done cold): the proof the snap
+    // pass actually converts ±1-rank sketch freedom into exactness.
+    // ntileApproxFrom is fed DELIBERATELY off-by-one cutpoints — the
+    // worst case the GK bound permits inside the band — and must emit
+    // byte-identical buckets to the exact ceil(q·n) quartiles.
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sf0001)
+    val n = o.count()
+    val sorted = o.select($"o_totalprice").orderBy($"o_totalprice")
+      .as[Double].collect()
+    def stat(k: Long): Double = sorted((k - 1).toInt)
+    val ks = Seq(0.25, 0.50, 0.75).map(q => math.ceil(q * n).toLong)
+    val exactCuts = ks.map(stat)
+    // the reference output: exact cutpoints straight through
+    def run(cuts: Seq[Double]): Seq[(Int, Long, Double, Double, Double)] = {
+      val sk = Seq((cuts, n)).toDF("cuts", "n_rows")
+      graft.ops.Windows.ntileApproxFrom(o, sk, accuracy = 2 * n)
+        .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    }
+    val reference = run(exactCuts)
+    assert(reference.map(_._2).sum == n, "buckets must partition the rows")
+    // every ±1 neighbor combination the band permits (3^3, deduped —
+    // ties can make a neighbor equal the statistic itself)
+    for (d1 <- -1 to 1; d2 <- -1 to 1; d3 <- -1 to 1) {
+      val offCuts = Seq(stat(ks(0) + d1), stat(ks(1) + d2), stat(ks(2) + d3))
+      assert(run(offCuts) == reference,
+        s"snap failed to repair offsets ($d1,$d2,$d3)")
+    }
+    // and the production entry point agrees with the reference
+    val viaSketch = graft.ops.Windows.ntileApprox(o)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(viaSketch == reference, "sketch+snap diverged from exact quartiles")
+    // band regime (accuracy/2 < n <= accuracy): the old rank-exact
+    // guard would have fired here; the band runs and stays exact
+    val banded = graft.ops.Windows.ntileApprox(o, accuracy = n)
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(banded == reference, "band-regime run diverged from exact")
   }
 }
