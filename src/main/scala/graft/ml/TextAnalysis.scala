@@ -643,4 +643,55 @@ object TextAnalysis {
         count(lit(1)).cast("int").as("n_terms"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Divergence-weighted mixture plan (r14 — composing
+    * [[sourceDivergence]] into the decision it exists to feed): each
+    * source's redundancy is its MINIMUM JS divergence to any other
+    * source (a source that near-duplicates some other source has
+    * min-JS ≈ 0; a distinct one is far from everything), and the
+    * mixture share is that redundancy's share of the total — so
+    * near-duplicate sources are down-weighted toward zero and
+    * distinctive sources absorb their mass. Output per source:
+    * (source, nearest_source, min_js, weight), nearest_source being
+    * the argmin partner (the "who am I redundant with" pointer a
+    * curation reviewer reads first). Weights sum to ~1 (exactly 1 in
+    * fixed point before the final per-row rounding).
+    *
+    * Linear min-JS share rather than a softmax, deliberately: exp of
+    * an IEEE sum is partition-order-dependent and needs a temperature
+    * hyperparameter, while the linear share is exact in ×1e6 fixed
+    * point (min of round-6 values, one long/long-derived IEEE division
+    * per row) and preserves the same ordering; temperature shaping is
+    * downstream policy (ns_sample_temperature's machinery). All-zero
+    * redundancy (every source an exact distributional twin) degrades
+    * to the uniform 1/S mix instead of dividing by zero.
+    *
+    * Scale shape: everything beyond [[sourceDivergence]]'s one corpus
+    * shuffle operates on the S²-pair frame (S capped by the same
+    * top-K-source-mass cut documented there); the argmin is a
+    * min(struct) partial/final aggregate, no window. */
+  def divergenceWeightedMix(docs: DataFrame): DataFrame = {
+    val js = sourceDivergence(docs)
+    val sym = js.select(col("src_a").as("source"),
+        col("src_b").as("partner"), col("js_div"))
+      .unionAll(js.select(col("src_b").as("source"),
+        col("src_a").as("partner"), col("js_div")))
+    // min(struct): min js_div, ties to the lexicographically smallest
+    // partner — deterministic in both engines (binary string order)
+    val m = sym.groupBy(col("source"))
+      .agg(min(struct(col("js_div"), col("partner"))).as("mn"))
+      .select(col("source"), col("mn.js_div").as("min_js"),
+        col("mn.partner").as("nearest_source"))
+      .withColumn("fp", round(col("min_js") * lit(1000000)).cast("long"))
+    val tot = m.agg(sum(col("fp")).as("tot_fp"),
+      count(lit(1)).as("n_src"))
+    m.crossJoin(broadcast(tot)) // 1-row total — the S-sized hint class
+      .select(col("source"), col("nearest_source"), col("min_js"),
+        when(col("tot_fp") === 0,
+          graft.ops.QueryPack.r6(lit(1.0) / col("n_src")))
+          .otherwise(graft.ops.QueryPack.r6(
+            col("fp").cast("double") / col("tot_fp").cast("double")))
+          .as("weight"))
+      .orderBy(col("source"))
+  }
 }

@@ -264,6 +264,42 @@ class QualitySpec extends SparkSpecBase {
     }
   }
 
+  test("divergenceWeightedMix: twins near zero, distinct sources absorb mass") {
+    import spark.implicits._
+    // srcA and srcB are distributional TWINS (identical unigram
+    // distributions); srcC is disjoint vocabulary. The mix must push
+    // A/B toward zero weight and give C the mass; nearest_source must
+    // point A↔B (their min-JS partner), with C nearest to whichever
+    // twin sorts first on (js, partner).
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "en", "srcA", 20L),
+      (2L, "alpha beta gamma alpha", "en", "srcB", 20L),
+      (3L, "delta epsilon zeta eta theta iota", "en", "srcC", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mix = TextAnalysis.divergenceWeightedMix(docs)
+      .as[(String, String, Double, Double)].collect().toSeq
+    val byS = mix.map(r => r._1 -> r).toMap
+    assert(byS("srcA")._2 == "srcB" && byS("srcA")._3 == 0.0)
+    assert(byS("srcB")._2 == "srcA" && byS("srcB")._3 == 0.0)
+    assert(byS("srcA")._4 == 0.0 && byS("srcB")._4 == 0.0,
+      "distributional twins must carry zero mixture weight")
+    assert(byS("srcC")._4 == 1.0,
+      s"the only distinct source must absorb all mass, got ${byS("srcC")}")
+    assert(math.abs(mix.map(_._4).sum - 1.0) < 1e-9)
+
+    // all-twin degenerate corpus: min-JS is zero everywhere — uniform
+    // 1/S fallback instead of a division by zero
+    val twins = Seq(
+      (1L, "alpha beta", "en", "s1", 10L),
+      (2L, "alpha beta", "en", "s2", 10L),
+      (3L, "alpha beta", "en", "s3", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val uni = TextAnalysis.divergenceWeightedMix(twins)
+      .as[(String, String, Double, Double)].collect().toSeq
+    assert(uni.map(_._4).forall(w => math.abs(w - 1.0 / 3) < 1e-6),
+      s"all-twin corpus must fall back to uniform, got $uni")
+  }
+
   test("ntileApprox ±1-rank band: snap repairs mis-ranked cutpoints exactly") {
     // r14 (the r13-documented envelope, done cold): the proof the snap
     // pass actually converts ±1-rank sketch freedom into exactness.
