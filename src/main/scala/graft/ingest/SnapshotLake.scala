@@ -603,18 +603,11 @@ class SnapshotLake(root: String) {
     val out = raw.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    raw match {
-      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      case _ =>
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          dst.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
+    // the scheme-branched atomic move lives in AtomicOverwrite (r14) —
+    // it was duplicated into GenPointer.swapPtr WITHOUT the local-fs
+    // branch, which is exactly the drift a single implementation stops
+    AtomicOverwrite.rename(
+      spark.sparkContext.hadoopConfiguration, raw, tmp, dst)
     // a pre-raw writer may have left a checksum sidecar describing the
     // OLD content; it would poison any checksummed read of the new file
     fsAll match {

@@ -13,8 +13,11 @@ import org.apache.spark.sql.SparkSession
   * A ledger dir holds generation subdirs plus a CURRENT file naming the
   * live one. Readers resolve CURRENT once and scan that generation;
   * writers publish a new generation by [[swapPtr]] — write CURRENT.tmp,
-  * then FileContext.rename(OVERWRITE) onto CURRENT. The rename is the
-  * atomicity point: all-or-nothing on HDFS/POSIX. Object stores like
+  * then the shared [[graft.ingest.AtomicOverwrite]] rename onto CURRENT
+  * (FileContext on HDFS, POSIX ATOMIC_MOVE on local roots — the bare
+  * FileContext call is delete+rename locally and can crash into a
+  * missing pointer). The rename is the atomicity point:
+  * all-or-nothing on HDFS/POSIX. Object stores like
   * S3A do NOT guarantee it — a crash mid-swap there can leave a missing
   * or partial pointer; on such stores, front the pointer with a
   * consistent metadata layer (e.g. [[graft.ingest.SnapshotLake]]'s
@@ -38,7 +41,13 @@ object GenPointer {
   }
 
   /** Publish `gen` as the current generation (see class doc for the
-    * atomicity contract). */
+    * atomicity contract). The swap routes through
+    * [[graft.ingest.AtomicOverwrite]] (r14): the bare
+    * FileContext.rename(OVERWRITE) this used before is delete+rename on
+    * the LOCAL filesystem — a crash between the two left NO pointer,
+    * and the next micro-batch would silently re-create generation 0,
+    * forgetting every admitted document (the exact failure the class
+    * doc's "all-or-nothing on HDFS/POSIX" claim promised away). */
   private[streaming] def swapPtr(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, ledgerDir: String,
       gen: String): Unit = {
@@ -47,9 +56,8 @@ object GenPointer {
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(s"$ledgerDir/CURRENT"),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    graft.ingest.AtomicOverwrite.rename(
+      spark.sparkContext.hadoopConfiguration, fs, tmp,
+      new Path(s"$ledgerDir/CURRENT"))
   }
 }
