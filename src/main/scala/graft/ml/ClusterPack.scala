@@ -38,6 +38,14 @@ object ClusterPack extends QueryPack {
     "ns_embedding_drift" -> ((s, d) => {
       Similarity.embeddingDrift(Tables.embeddings(s, d),
         col("vec_id") % 2 === 0)
+    }),
+
+    // Per-dimension mean/variance + variance rank — the dimension-
+    // selection diagnostic behind the truncated-retrieval tier (does
+    // prefix truncation actually keep the high-variance dims?). See
+    // Quantize.dimVariance.
+    "ns_embedding_dim_stats" -> ((s, d) => {
+      Quantize.dimVariance(Tables.embeddings(s, d))
     })
   )
 
@@ -108,6 +116,30 @@ object ClusterPack extends QueryPack {
         |          AS BIGINT) / 1e12), 6) AS mean_shift_l2,
         |  round(max(abs(dd)), 6) AS max_dim_shift
         |FROM mu GROUP BY label ORDER BY label""".stripMargin,
+
+    // Variance replay: ×1e6 fixed-point sums (HUGEINT ≥ Spark's
+    // DECIMAL(38,0) — both exact), the same (n·Σxx − Sx²) integer
+    // assembly, one mirrored IEEE division per statistic, ranks over
+    // the ROUNDED variance. unnest d is 1-based → emitted as d-1 to
+    // match posexplode.
+    "ns_embedding_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |ix AS (SELECT unnest(range(1, len(v) + 1)) AS d, v FROM e),
+        |dx AS (SELECT d, v[d] AS x FROM ix),
+        |s AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(round(x * 1e6) AS BIGINT)
+        |           * CAST(round(x * 1e6) AS BIGINT)) AS HUGEINT) AS sxx
+        |  FROM dx GROUP BY d),
+        |v AS (SELECT CAST(d - 1 AS INT) AS d, n,
+        |    round(CAST(sx AS DOUBLE) / (1e6 * n), 6) + 0 AS mean,
+        |    round(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * n * 1e12), 6) + 0 AS variance
+        |  FROM s)
+        |SELECT d, n, mean, variance,
+        |  CAST(row_number() OVER (ORDER BY variance DESC, d) AS INT)
+        |    AS var_rank
+        |FROM v ORDER BY d""".stripMargin,
 
     // Same affine quantizer, same expression shapes (left-assoc double
     // math), same 1e-12 fixed-point SSE — exact parity by construction.

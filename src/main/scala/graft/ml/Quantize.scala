@@ -50,4 +50,44 @@ object Quantize {
           .as("mse"),
         col("qnorm2"))
   }
+
+  /** Per-dimension corpus statistics — mean, population variance, and
+    * the variance RANK (r14): the principled dimension-selection signal
+    * for the truncated-retrieval tier. Prefix truncation
+    * (`ns_embedding_truncate`, the MRL convention) assumes the encoder
+    * front-loaded information into the leading dimensions; this is the
+    * statistic that VERIFIES that assumption on an actual corpus (high
+    * var_rank concentrated at low d) or tells a pipeline to select
+    * dimensions by rank instead.
+    *
+    * Determinism (the zipfSlope device): per-dimension sums are ×1e6
+    * fixed-point longs (exact under any partitioning), Σx² rides
+    * DECIMAL(38,0) (a per-row long square is exact, the corpus-sized
+    * SUM of squares is not long-safe), the variance assembles as
+    * (n·Σxx − Sx²) in decimal and finishes with ONE IEEE division
+    * mirrored token-for-token; ranks order by the already-ROUNDED
+    * variance (ties to d) so no ulp can flip a rank.
+    *
+    * Scale shape: ONE shuffle of (d) fixed-point partials — map-side
+    * combine collapses every partition to |dims| rows regardless of
+    * corpus size; the rank window runs on the dim-sized aggregate. */
+  def dimVariance(emb: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dec(c: Column): Column = c.cast(dec38)
+    val dx = emb.select(
+      posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+    val fp = round(col("x") * lit(1e6)).cast("long")
+    val s = dx.groupBy(col("d")).agg(count(lit(1)).as("n"),
+      sum(fp).as("sx"), sum(dec(fp * fp)).as("sxx"))
+    val num = dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
+    val v = s.select(col("d").cast("int").as("d"), col("n"),
+      graft.ops.QueryPack.r6(
+        col("sx").cast("double") / (lit(1e6) * col("n"))).as("mean"),
+      graft.ops.QueryPack.r6(num.cast("double") /
+        (col("n").cast("double") * col("n") * lit(1e12))).as("variance"))
+    v.withColumn("var_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("variance").desc, col("d"))).cast("int"))
+      .orderBy(col("d"))
+  }
 }
