@@ -235,10 +235,22 @@ object Bpe {
     * whenever any batch exceeded one merge). */
   def trainBatched(docs: org.apache.spark.sql.DataFrame, textCol: String,
       nMerges: Int, maxBatch: Int = 16): (Seq[(Int, Int)], Int) = {
+    val (m, rounds) = trainWithCounts(docs, textCol, nMerges, maxBatch)
+    (m.map { case (a, b, _) => (a, b) }, rounds)
+  }
+
+  /** [[trainBatched]] additionally reporting each merge's pair count —
+    * exactly the count the SEQUENTIAL trainer's argmax sees at that
+    * rank (safety condition (1) of the batching proof: an accepted
+    * pair's count is unchanged while its batch applies), which is what
+    * lets a scored query emit (rank, a, b, n) against a sequential
+    * DuckDB replay. */
+  def trainWithCounts(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      nMerges: Int, maxBatch: Int = 16): (Seq[(Int, Int, Long)], Int) = {
     var toks = docs.select(
       GraftBridge.column(Utf8Bytes(GraftBridge.expression(col(textCol))))
         .as("t"))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
     var rounds = 0
     while (merges.length < nMerges) {
       // single-token and empty docs have no adjacent pairs — and slice()
@@ -271,7 +283,7 @@ object Bpe {
             (bounds.isEmpty ||
               (!used(a) && !used(b) && bounds.forall(n > _)))) {
           val rank = merges.length
-          merges += ((a, b))
+          merges += ((a, b, n))
           toks = toks.select(
             GraftBridge.column(BpeMergePass(
               GraftBridge.expression(col("t")), a, b, 256 + rank)).as("t"))

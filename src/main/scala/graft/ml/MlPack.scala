@@ -497,6 +497,40 @@ object MlPack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Distributed BPE VOCABULARY INDUCTION scored end-to-end (r14):
+    // learn the first 12 merges — the tokenizer TRAINING step the
+    // frozen BpeTable was produced by, run distributed (one pair-count
+    // scan per greedy-prefix BATCH, not per merge; see
+    // Bpe.trainBatched's safety proof). Trained on the FIXED-BUDGET
+    // deterministic sample doc_id < 500: tokenizer induction on a
+    // bounded sample IS the production shape (nobody trains merges on
+    // 100 TB — GPT-2's BPE came from a corpus subset), and it keeps
+    // the sequential DuckDB replay constant-cost at every gate SF
+    // (full-corpus replay measured 5.5 min at sf0.1 alone — the
+    // trainer itself handles any size; MlSpec runs it unsampled).
+    // Output is the learned merge table (rank, a, b, n); n is the
+    // sequential argmax's count at that rank (unchanged within a batch
+    // by proof condition (1)), so the SEQUENTIAL replay — 12 rounds of
+    // count-adjacent-pairs-with-overlaps, argmax with (n DESC, a, b)
+    // ties, replace() merge — pins the batched trainer rank-for-rank.
+    // The 12-row result is driver-built from the learned table (the
+    // bounded-metadata collect class; training itself is distributed).
+    "ns_bpe_train" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val (m, _) = graft.functions.Bpe.trainWithCounts(
+        Tables.documents(s, d).filter(col("doc_id") < 500)
+          .select(col("text")), "text", nMerges = 12)
+      val rows = m.zipWithIndex.map { case ((a, b, n), r) =>
+        Row(r, a, b, n)
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("rank", IntegerType),
+          StructField("a", IntegerType), StructField("b", IntegerType),
+          StructField("n", LongType))))
+        .orderBy(col("rank"))
+    }),
+
     // Model-based quality filtering: sigmoid of a FROZEN linear model
     // (TextAnalysis.QualityModel — versioned weights, the GPT-3-style
     // LR quality filter) over the quality features, with the keep
@@ -1686,6 +1720,42 @@ object MlPack extends QueryPack {
     "ns_token_count_bpe" ->
       graft.functions.Bpe.oracleSql("documents", "doc_id", "text",
         "n_bpe_tokens"),
+
+    // SEQUENTIAL BPE-training replay: 12 rounds, each counting adjacent
+    // pairs WITH overlaps (substr(s, i, 2) over every position), taking
+    // the (n DESC, pair) argmax — pair-string byte order is monotone in
+    // the (a, b) codepoint order the trainer tie-breaks by — and
+    // applying the merge as one left-to-right replace() pass. Pins the
+    // BATCHED distributed trainer rank-for-rank and count-for-count
+    // (the greedy-prefix safety proof says batching changes neither).
+    "ns_bpe_train" -> {
+      val rounds = 12
+      // MATERIALIZED, not plain CTEs: DuckDB inlines CTE references, so
+      // round r's tree would re-expand rounds 0..r-1 once per reference
+      // — t_r twice per level makes the replay EXPONENTIAL in rounds
+      // (measured: minutes for 12 rounds over 500 docs; materialized,
+      // sub-second)
+      val sb = new StringBuilder("WITH s0 AS MATERIALIZED " +
+        "(SELECT text AS s FROM documents WHERE doc_id < 500)")
+      for (r <- 0 until rounds) {
+        sb.append(s""",
+          |x$r AS (SELECT s, unnest(range(1, length(s))) AS i FROM s$r),
+          |p$r AS (SELECT substr(s, CAST(i AS INT), 2) AS pr,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM x$r GROUP BY 1),
+          |t$r AS MATERIALIZED (
+          |  SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
+          |s${r + 1} AS MATERIALIZED (SELECT
+          |    replace(s, (SELECT pr FROM t$r), chr(${256 + r})) AS s
+          |  FROM s$r)""".stripMargin)
+      }
+      sb.append("\n" + (0 until rounds).map(r =>
+        s"SELECT CAST($r AS INT) AS rank, " +
+          s"unicode(substr(pr, 1, 1)) AS a, " +
+          s"unicode(substr(pr, 2, 1)) AS b, n FROM t$r")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
+      sb.toString
+    },
 
     // The BPE replace-chain CTEs rolled up per language.
     "ns_tokenizer_fertility" -> {
