@@ -50,8 +50,15 @@ object GenStats {
 
   val StatsFileName = "_stats.json"
 
-  /** See [[render]] — bump when the stats VALUE SPACE changes meaning. */
-  val FormatVersion = 2
+  /** See [[render]] — bump when the stats VALUE SPACE changes meaning,
+    * OR when a harvest bug means existing sidecars cannot be trusted.
+    * v3 (r14): v2 harvesters merged AROUND statless-but-value-bearing
+    * row-group chunks (NaN doubles, oversized binaries), so a v2
+    * sidecar of a multi-group file can carry a PARTIAL envelope that
+    * wrongly prunes — the value space is unchanged, but v2 artifacts
+    * are not trustworthy; reading them as absent makes computeStats
+    * the clean re-harvest path. */
+  val FormatVersion = 3
 
   /** Harvest stats for every `*.parquet` under `genPath` and write
     * `_stats.json` there. Footer reads are driver-side metadata I/O
@@ -177,6 +184,20 @@ object GenStats {
     val tag = typeTag(prim).getOrElse(return None)
     val stats = ccs.map(_.getStatistics)
     if (stats.exists(s => s == null || !s.isNumNullsSet)) return None
+    // A chunk WITHOUT min/max may be excluded from the envelope only
+    // when it is provably ALL-NULL (nulls == value count). Parquet
+    // omits min/max — while still writing null counts — for
+    // NaN-bearing float/double chunks and oversized binary values, so
+    // a statless chunk of a MULTI-group file can hold real values the
+    // other groups' envelope does not cover; merging around it built a
+    // partial envelope that wrongly pruned those rows (r14 sweep; the
+    // single-chunk NaN case was already handled, this is the
+    // per-row-group form of the same omission rule). Refuse the whole
+    // envelope instead — absent stats only cost pruning.
+    if (ccs.exists { cc =>
+      val s = cc.getStatistics
+      !s.hasNonNullValue && s.getNumNulls != cc.getValueCount
+    }) return None
     val nulls = stats.map(_.getNumNulls).sum
     val valued = stats.filter(_.hasNonNullValue)
     if (valued.isEmpty) return Some(ColStats(tag, None, None, Some(nulls)))

@@ -309,6 +309,50 @@ class SnapLakeSkipSpec extends SparkSpecBase {
       "merge scoped away the NaN-statless generation")
   }
 
+  test("a statless row group with VALUES invalidates the whole file envelope") {
+    // r14 sweep: parquet omits min/max for a NaN-bearing double chunk
+    // while OTHER row groups of the same file keep theirs. Excluding the
+    // statless chunk from the merged envelope (instead of refusing to
+    // build one) yields a PARTIAL envelope — and a predicate matching
+    // only values that live in the statless group would wrongly prune
+    // the file. Force multiple row groups with a tiny block size; NaN
+    // and the out-of-envelope value 999.0 land in the LAST rows.
+    val dir = Files.createTempDirectory("graft_partial_env").toString + "/g"
+    val pad = "x" * 400
+    val rows = (0 until 600).map { i =>
+      val score =
+        if (i == 580) Double.NaN
+        else if (i == 590) 999.0
+        else (i % 10).toDouble
+      (i.toLong, score, pad)
+    }
+    rows.toDF("id", "score", "pad").coalesce(1)
+      .sortWithinPartitions(col("id"))
+      .write.option("parquet.block.size", "8192")
+      .option("parquet.page.size", "2048").parquet(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    GenStats.write(conf, dir)
+    val fileStats = GenStats.load(conf, dir).get.values.head
+    // precondition: the tiny block size really produced several groups —
+    // the id envelope (statful in every group) must still be complete
+    assert(fileStats.cols("id") ==
+      ColStats("l", Some(0L), Some(599L), Some(0L)))
+    fileStats.cols.get("score") match {
+      case None => () // correct: partial envelope refused
+      case Some(cs) =>
+        // if an envelope exists it must NOT prune score = 999.0 — the
+        // value lives in the NaN group whose stats parquet omitted
+        assert(StatsPruning.mayMatch(
+          org.apache.spark.sql.catalyst.expressions.EqualTo(
+            org.apache.spark.sql.catalyst.expressions.AttributeReference(
+              "score", org.apache.spark.sql.types.DoubleType)(),
+            org.apache.spark.sql.catalyst.expressions.Literal(999.0)),
+          fileStats),
+          s"partial envelope $cs wrongly prunes a value from the " +
+            "statless row group")
+    }
+  }
+
   test("millis-unit timestamps harvest no envelope and never mis-prune") {
     // Catalyst pushes TIMESTAMP literals as MICROSECOND longs; a table
     // written with outputTimestampType=TIMESTAMP_MILLIS stores millis in
