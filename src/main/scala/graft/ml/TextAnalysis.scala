@@ -671,7 +671,14 @@ object TextAnalysis {
     * top-K-source-mass cut documented there); the argmin is a
     * min(struct) partial/final aggregate, no window. */
   def divergenceWeightedMix(docs: DataFrame): DataFrame = {
-    val js = sourceDivergence(docs)
+    // barrier on the S²-row divergence table (r14, caught by its own
+    // plan golden at review): FOUR consumers — the sym union reads it
+    // twice, and the broadcast grand-total duplicates both again — each
+    // replayed the whole post-corpus JS aggregation (vocab-sized, so
+    // wasteful rather than corpus-fatal; the corpus scan itself was
+    // already behind sourceDivergence's internal checkpoint). The frame
+    // is S² rows of (src, src, double, int) — the checkpoint is free.
+    val js = sourceDivergence(docs).localCheckpoint()
     val sym = js.select(col("src_a").as("source"),
         col("src_b").as("partner"), col("js_div"))
       .unionAll(js.select(col("src_b").as("source"),

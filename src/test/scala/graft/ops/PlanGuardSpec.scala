@@ -263,5 +263,14 @@ object PlanGuardSpec {
     // ONCE) and exactly the chash aggregate + join-back exchanges
     "ns_zipf_slope",
     "ns_source_divergence",
-    "ns_cdc_chunks")
+    "ns_cdc_chunks",
+    // r14: divergence_mix pins divergence's single corpus shuffle plus
+    // the S²-sized argmin aggregate and the 1-row broadcast total (a
+    // Window over pairs or a second corpus exchange = regression);
+    // dim_stats pins the ONE (d) fixed-point exchange with the rank
+    // window on the dim-sized aggregate (an Exchange between the agg
+    // and the window = the partial-agg collapse broke). bpe_train is
+    // driver-composed (12-row local result) and has no plan to pin.
+    "ns_divergence_mix",
+    "ns_embedding_dim_stats")
 }
