@@ -158,8 +158,64 @@ object QualityPack extends QueryPack {
     // mixture decision ns_source_divergence's statistic exists to feed.
     "ns_divergence_mix" -> ((s, d) => {
       TextAnalysis.divergenceWeightedMix(Tables.documents(s, d))
+    }),
+
+    // EXACT token-budget apportionment from the divergence weights
+    // (largest-remainder in pure long arithmetic — allocations are
+    // integers and sum EXACTLY to the budget). The step after the mix
+    // in a mixture plan; see TextAnalysis.divergenceBudgetAlloc.
+    "ns_token_budget_alloc" -> ((s, d) => {
+      TextAnalysis.divergenceBudgetAlloc(Tables.documents(s, d),
+        budget = 1000000000L)
     })
   )
+
+  /** Shared CTE chain for the divergence-driven mixture surface: the
+    * full JS replay (identical arithmetic to ns_source_divergence's
+    * oracle) down to `m` (source, nearest_source, min_js, ×1e6 fp) and
+    * `t` (tot_fp, n_src) — one spelling for the mix and the budget
+    * apportionment, so the chain cannot drift between them. */
+  private val minJsCtes: String =
+    """toks AS (SELECT source,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM tc GROUP BY 1),
+      |p AS (SELECT tc.source, tc.term, CAST(c AS DOUBLE) / nt AS p
+      |  FROM tc JOIN tot ON tc.source = tot.source),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+      |  FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+      |support AS (SELECT DISTINCT src_a, src_b, term FROM (
+      |    SELECT src_a, src_b, p.term AS term
+      |    FROM pairs JOIN p ON p.source = pairs.src_a
+      |    UNION ALL
+      |    SELECT src_a, src_b, p.term AS term
+      |    FROM pairs JOIN p ON p.source = pairs.src_b)),
+      |pq AS (SELECT support.src_a, support.src_b,
+      |    coalesce(pa.p, 0.0) AS p, coalesce(pb.p, 0.0) AS q
+      |  FROM support
+      |  LEFT JOIN p pa ON pa.source = support.src_a AND pa.term = support.term
+      |  LEFT JOIN p pb ON pb.source = support.src_b AND pb.term = support.term),
+      |contrib AS (SELECT src_a, src_b,
+      |    CAST(round((
+      |      CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END +
+      |      CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END)
+      |      * 0.5 * 1000000) AS BIGINT) AS fp
+      |  FROM pq),
+      |js AS (SELECT src_a, src_b,
+      |    round(CAST(sum(fp) AS DOUBLE) / 1000000, 6) + 0 AS js_div
+      |  FROM contrib GROUP BY 1, 2),
+      |sym AS (SELECT src_a AS source, src_b AS partner, js_div FROM js
+      |  UNION ALL SELECT src_b AS source, src_a AS partner, js_div FROM js),
+      |mn AS (SELECT source, partner, js_div,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY js_div, partner) AS rn FROM sym),
+      |m AS (SELECT source, partner AS nearest_source, js_div AS min_js,
+      |    CAST(round(js_div * 1000000) AS BIGINT) AS fp
+      |  FROM mn WHERE rn = 1),
+      |t AS (SELECT CAST(sum(fp) AS BIGINT) AS tot_fp,
+      |    CAST(count(*) AS BIGINT) AS n_src FROM m)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     // Full replay of the Gopher rule metrics over the same single-space
@@ -480,56 +536,39 @@ object QualityPack extends QueryPack {
         |  CAST(count(*) AS INT) AS n_terms
         |FROM contrib GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
-    // Divergence-mix replay: the full JS chain (identical to
-    // ns_source_divergence's oracle), then argmin partner via a
-    // (js_div, partner) sort window, ×1e6 fixed-point share with the
-    // uniform-fallback CASE mirrored token-for-token.
+    // Divergence-mix replay: the shared min-JS chain (the full JS
+    // replay, then argmin partner via a (js_div, partner) sort window),
+    // ×1e6 fixed-point share with the uniform-fallback CASE mirrored
+    // token-for-token.
     "ns_divergence_mix" ->
-      """WITH toks AS (SELECT source,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents),
-        |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
-        |  FROM toks WHERE term <> '' GROUP BY 1, 2),
-        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM tc GROUP BY 1),
-        |p AS (SELECT tc.source, tc.term, CAST(c AS DOUBLE) / nt AS p
-        |  FROM tc JOIN tot ON tc.source = tot.source),
-        |pairs AS (SELECT a.source AS src_a, b.source AS src_b
-        |  FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
-        |support AS (SELECT DISTINCT src_a, src_b, term FROM (
-        |    SELECT src_a, src_b, p.term AS term
-        |    FROM pairs JOIN p ON p.source = pairs.src_a
-        |    UNION ALL
-        |    SELECT src_a, src_b, p.term AS term
-        |    FROM pairs JOIN p ON p.source = pairs.src_b)),
-        |pq AS (SELECT support.src_a, support.src_b,
-        |    coalesce(pa.p, 0.0) AS p, coalesce(pb.p, 0.0) AS q
-        |  FROM support
-        |  LEFT JOIN p pa ON pa.source = support.src_a AND pa.term = support.term
-        |  LEFT JOIN p pb ON pb.source = support.src_b AND pb.term = support.term),
-        |contrib AS (SELECT src_a, src_b,
-        |    CAST(round((
-        |      CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END +
-        |      CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END)
-        |      * 0.5 * 1000000) AS BIGINT) AS fp
-        |  FROM pq),
-        |js AS (SELECT src_a, src_b,
-        |    round(CAST(sum(fp) AS DOUBLE) / 1000000, 6) + 0 AS js_div
-        |  FROM contrib GROUP BY 1, 2),
-        |sym AS (SELECT src_a AS source, src_b AS partner, js_div FROM js
-        |  UNION ALL SELECT src_b AS source, src_a AS partner, js_div FROM js),
-        |mn AS (SELECT source, partner, js_div,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY js_div, partner) AS rn FROM sym),
-        |m AS (SELECT source, partner AS nearest_source, js_div AS min_js,
-        |    CAST(round(js_div * 1000000) AS BIGINT) AS fp
-        |  FROM mn WHERE rn = 1),
-        |t AS (SELECT CAST(sum(fp) AS BIGINT) AS tot_fp,
-        |    CAST(count(*) AS BIGINT) AS n_src FROM m)
-        |SELECT source, nearest_source, min_js,
-        |  CASE WHEN tot_fp = 0 THEN round(1.0 / n_src, 6) + 0
-        |       ELSE round(CAST(fp AS DOUBLE) / CAST(tot_fp AS DOUBLE), 6) + 0
-        |  END AS weight
-        |FROM m CROSS JOIN t ORDER BY source""".stripMargin,
+      s"""WITH $minJsCtes
+         |SELECT source, nearest_source, min_js,
+         |  CASE WHEN tot_fp = 0 THEN round(1.0 / n_src, 6) + 0
+         |       ELSE round(CAST(fp AS DOUBLE) / CAST(tot_fp AS DOUBLE), 6) + 0
+         |  END AS weight
+         |FROM m CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // Largest-remainder apportionment replay over the same chain: pure
+    // BIGINT floor division + modulo, shortfall to the (rem DESC,
+    // source) rank prefix — every step exact integer math, so the
+    // compare is bit-for-bit with no rounding discipline needed.
+    "ns_token_budget_alloc" ->
+      s"""WITH $minJsCtes,
+         |f2 AS (SELECT source, min_js,
+         |    CASE WHEN tot_fp = 0 THEN 1 ELSE fp END AS fpe,
+         |    CASE WHEN tot_fp = 0 THEN n_src ELSE tot_fp END AS tote
+         |  FROM m CROSS JOIN t),
+         |a AS (SELECT source, min_js, fpe, tote,
+         |    CAST(1000000000 AS BIGINT) * fpe // tote AS fl,
+         |    CAST(1000000000 AS BIGINT) * fpe % tote AS rem FROM f2),
+         |r AS (SELECT source, min_js, fl,
+         |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         |    (SELECT CAST(1000000000 AS BIGINT) - sum(fl) FROM a) AS short
+         |  FROM a)
+         |SELECT source, min_js,
+         |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc_tokens
+         |FROM r ORDER BY source""".stripMargin,
 
     // CDC replay: identical md5-window boundary rule (range end is
     // exclusive in DuckDB = Spark's inclusive sequence bound), zipped

@@ -670,14 +670,16 @@ object TextAnalysis {
     * shuffle operates on the S²-pair frame (S capped by the same
     * top-K-source-mass cut documented there); the argmin is a
     * min(struct) partial/final aggregate, no window. */
-  def divergenceWeightedMix(docs: DataFrame): DataFrame = {
-    // barrier on the S²-row divergence table (r14, caught by its own
-    // plan golden at review): FOUR consumers — the sym union reads it
-    // twice, and the broadcast grand-total duplicates both again — each
-    // replayed the whole post-corpus JS aggregation (vocab-sized, so
-    // wasteful rather than corpus-fatal; the corpus scan itself was
-    // already behind sourceDivergence's internal checkpoint). The frame
-    // is S² rows of (src, src, double, int) — the checkpoint is free.
+  /** Shared core of the divergence-driven mixture surface: per source,
+    * the min-JS redundancy (argmin partner, ×1e6 fixed point) with the
+    * 1-row grand total cross-joined on. The S²-row divergence table is
+    * an eager localCheckpoint (r14, caught by the mix's own plan golden
+    * at review): FOUR consumers — the sym union reads it twice, and
+    * the broadcast grand-total duplicates both again — each replayed
+    * the whole post-corpus JS aggregation (vocab-sized, so wasteful
+    * rather than corpus-fatal; the corpus scan itself was already
+    * behind sourceDivergence's internal checkpoint). */
+  private def minJsShares(docs: DataFrame): DataFrame = {
     val js = sourceDivergence(docs).localCheckpoint()
     val sym = js.select(col("src_a").as("source"),
         col("src_b").as("partner"), col("js_div"))
@@ -693,12 +695,53 @@ object TextAnalysis {
     val tot = m.agg(sum(col("fp")).as("tot_fp"),
       count(lit(1)).as("n_src"))
     m.crossJoin(broadcast(tot)) // 1-row total — the S-sized hint class
+  }
+
+  def divergenceWeightedMix(docs: DataFrame): DataFrame =
+    minJsShares(docs)
       .select(col("source"), col("nearest_source"), col("min_js"),
         when(col("tot_fp") === 0,
           graft.ops.QueryPack.r6(lit(1.0) / col("n_src")))
           .otherwise(graft.ops.QueryPack.r6(
             col("fp").cast("double") / col("tot_fp").cast("double")))
           .as("weight"))
+      .orderBy(col("source"))
+
+  /** EXACT token-budget allocation from the divergence weights — the
+    * step after [[divergenceWeightedMix]] in a mixture plan: split
+    * `budget` tokens across sources proportionally to min-JS redundancy
+    * such that the allocations are integers and SUM EXACTLY to the
+    * budget (a rounded-double split drifts by up to S tokens and a
+    * downstream packer then over/under-fills the final shard).
+    * Largest-remainder (Hamilton) apportionment in pure long
+    * arithmetic: floor(budget·fp / tot) per source, then the shortfall
+    * (< S by construction) goes to the S_short largest remainders
+    * (ties to the lexicographically first source). The all-twin corpus
+    * (every min-JS zero) degrades to the uniform apportionment by
+    * substituting fp=1 per source. Every step is exact integer math —
+    * products stay ≤ budget·ln(2)·1e6 ≈ 7e14·(budget/1e9), long-safe
+    * for budgets to ~10^13 — so the DuckDB oracle replays bit-exactly.
+    *
+    * Scale: S-row arithmetic after [[minJsShares]]'s one corpus
+    * shuffle; the remainder rank is a window over S rows. */
+  def divergenceBudgetAlloc(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "divergenceBudgetAlloc needs a positive budget")
+    val shares = minJsShares(docs)
+      .withColumn("fpe",
+        when(col("tot_fp") === 0, lit(1L)).otherwise(col("fp")))
+      .withColumn("tote",
+        when(col("tot_fp") === 0, col("n_src")).otherwise(col("tot_fp")))
+      .withColumn("prod", lit(budget) * col("fpe"))
+      .withColumn("fl", expr("prod DIV tote"))
+      .withColumn("rem", pmod(col("prod"), col("tote")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val totals = shares.agg(sum(col("fl")).as("fl_sum"))
+    shares.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("min_js"),
+        (col("fl") + when(col("rk") <= lit(budget) - col("fl_sum"), 1L)
+          .otherwise(0L)).as("alloc_tokens"))
       .orderBy(col("source"))
   }
 }
