@@ -366,6 +366,29 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Duplicate-cluster SIZE histogram — the dedup dashboard's shape
+    * statistic (how much of the corpus sits in pairs vs deep
+    * syndication chains decides which dedup tier gets budget).
+    * Size-1 row = documents untouched by the near-dup graph
+    * (corpus count minus graph members — dupClusters only contains
+    * docs with at least one pair), omitted when zero.
+    *
+    * Scale shape: two aggregations over the (already-checkpointed)
+    * cluster table — graph-sized, never corpus-sized — plus one
+    * corpus count; output is |distinct sizes| rows. */
+  def clusterSizeHistogram(docs: DataFrame,
+      clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(clusters.agg(count(lit(1)).as("n_in_graph"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_in_graph")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    sizes.unionByName(singles).orderBy(col("cluster_size"))
+  }
+
   /** Dedup RETENTION: the corpus a pipeline actually ships — every document
     * that is either untouched by the near-dup graph or the canonical
     * (min-doc_id) representative of its duplicate cluster. One left-anti

@@ -73,6 +73,16 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicate-cluster size histogram over the same capped pair tier —
+    // the dedup dashboard's shape statistic (pairs vs deep syndication
+    // chains); size 1 = docs untouched by the near-dup graph.
+    "ns_dedup_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.clusterSizeHistogram(docs,
+        Dedup.dupClusters(
+          Dedup.jaccardPairsCapped(docs, 0.5, Dedup.ScoredDfCap)))
+    }),
+
     // Asymmetric CONTAINMENT dedup (quote-inclusion / sub-document
     // detection): |sh(a) ∩ sh(b)| / |sh(a)| ≥ 0.8 over ordered pairs —
     // a short doc fully embedded in a long one scores 1.0 here but
@@ -1485,6 +1495,28 @@ object MlPack extends QueryPack {
          |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
          |ORDER BY doc_id""".stripMargin,
+
+    // Same transitive closure rolled up twice: members per component,
+    // then components per size; the size-1 branch is the corpus count
+    // minus the graph-member count (mirrored > 0 filter both sides).
+    "ns_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $jaccardCappedCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+         |          UNION
+         |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |csz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM cl GROUP BY 1),
+         |hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |      FROM csz GROUP BY 1
+         |      UNION ALL
+         |      SELECT CAST(1 AS BIGINT),
+         |        (SELECT CAST(count(*) AS BIGINT) FROM documents)
+         |          - (SELECT CAST(count(*) AS BIGINT) FROM cl))
+         |SELECT cluster_size, n_clusters FROM hist
+         |WHERE n_clusters > 0 ORDER BY cluster_size""".stripMargin,
 
     // Same transitive closure; drop every member whose component min is
     // not itself, keep the rest of the corpus.
