@@ -525,11 +525,20 @@ object MlPack extends QueryPack {
     // ties, replace() merge — pins the batched trainer rank-for-rank.
     // The 12-row result is driver-built from the learned table (the
     // bounded-metadata collect class; training itself is distributed).
+    // The sample is additionally pinned ASCII-only (octet_length =
+    // char length) in BOTH engines (r15, ADVICE): the trainer counts
+    // UTF-8 BYTE pairs while DuckDB's substr/length/unicode replay
+    // counts CHARACTER pairs — identical iff every sampled doc is pure
+    // ASCII. The filter is a no-op on the current corpus (verified:
+    // zero rows dropped at every SF) but keeps the parity contract
+    // true by construction if a regenerated corpus introduces
+    // multi-byte text, instead of silently diverging.
     "ns_bpe_train" -> ((s, d) => {
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       val (m, _) = graft.functions.Bpe.trainWithCounts(
-        Tables.documents(s, d).filter(col("doc_id") < 500)
+        Tables.documents(s, d).filter(col("doc_id") < 500 &&
+            octet_length(col("text")) === length(col("text")))
           .select(col("text")), "text", nMerges = 12)
       val rows = m.zipWithIndex.map { case ((a, b, n), r) =>
         Row(r, a, b, n)
@@ -1767,8 +1776,11 @@ object MlPack extends QueryPack {
       // — t_r twice per level makes the replay EXPONENTIAL in rounds
       // (measured: minutes for 12 rounds over 500 docs; materialized,
       // sub-second)
+      // strlen (bytes) = length (chars) ⇔ pure ASCII — the byte-level
+      // trainer and this character-level replay agree only there (r15)
       val sb = new StringBuilder("WITH s0 AS MATERIALIZED " +
-        "(SELECT text AS s FROM documents WHERE doc_id < 500)")
+        "(SELECT text AS s FROM documents WHERE doc_id < 500" +
+        " AND strlen(text) = length(text))")
       for (r <- 0 until rounds) {
         sb.append(s""",
           |x$r AS (SELECT s, unnest(range(1, length(s))) AS i FROM s$r),
