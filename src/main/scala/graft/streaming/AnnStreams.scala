@@ -266,33 +266,63 @@ object AnnStreams {
     * documents — |dim| rows reach the driver, never vectors. */
   def indexDrift(spark: SparkSession, index: IvfPqIndex,
       corpus: DataFrame): Double = {
-    val known = index.codes.select(col("vec_id")).distinct()
-      .withColumn("is_ref", lit(true))
-    val tagged = corpus.join(known, Seq("vec_id"), "left")
-      .select(lit("index").as("label"), col("embedding"),
-        coalesce(col("is_ref"), lit(false)).as("is_ref"))
-    val row = Similarity.embeddingDrift(tagged, col("is_ref"))
-      .select(col("mean_shift_l2")).collect()
+    val row = Similarity.embeddingDrift(tagIndexMembership(index, corpus),
+      col("is_ref")).select(col("mean_shift_l2")).collect()
     if (row.isEmpty) 0.0 else row(0).getDouble(0)
   }
 
+  /** [[indexDrift]] in DIMENSIONLESS units (r15):
+    * [[Similarity.embeddingDriftZ]]'s RMS two-sample z over the same
+    * membership split. Under no drift this reads ≈1.0 for ANY batch
+    * size (each per-dimension statistic is the mean shift over its own
+    * standard error), so — unlike the raw embedding-unit mean-shift —
+    * one finite threshold works for every corpus, and
+    * [[maybeRebuild]]'s drift gate can finally ship ON
+    * ([[DefaultDriftZ]] = 2.0, the two-sigma cut). Returns 0.0 when
+    * either side is empty, which keeps post-rebuild reads at zero. */
+  def indexDriftZ(spark: SparkSession, index: IvfPqIndex,
+      corpus: DataFrame): Double = {
+    val row = Similarity.embeddingDriftZ(tagIndexMembership(index, corpus),
+      col("is_ref")).select(col("drift_z")).collect()
+    if (row.isEmpty) 0.0 else row(0).getDouble(0)
+  }
+
+  private def tagIndexMembership(index: IvfPqIndex,
+      corpus: DataFrame): DataFrame = {
+    val known = index.codes.select(col("vec_id")).distinct()
+      .withColumn("is_ref", lit(true))
+    corpus.join(known, Seq("vec_id"), "left")
+      .select(lit("index").as("label"), col("embedding"),
+        coalesce(col("is_ref"), lit(false)).as("is_ref"))
+  }
+
+  /** The default drift gate: rebuild when the arrivals' RMS two-sample
+    * z ([[indexDriftZ]]) exceeds two sigma. No-drift streams read ≈1.0
+    * at any batch size; the AnnStreamsSpec −3× fixture reads ≈3.2. */
+  val DefaultDriftZ: Double = 2.0
+
   /** Rebuild iff the appended fraction exceeds `threshold` OR the
-    * arrivals' distribution drift ([[indexDrift]]) exceeds
-    * `driftThreshold`; otherwise return the composed grown index
-    * unchanged. The maintenance loop a probe service runs between
-    * ingest waves.
+    * arrivals' dimensionless distribution drift ([[indexDriftZ]])
+    * exceeds `driftThreshold`; otherwise return the composed grown
+    * index unchanged. The maintenance loop a probe service runs
+    * between ingest waves.
     *
-    * `driftThreshold` defaults to +∞ (gate off): a meaningful cut is
-    * corpus-dependent — mean-shift L2 is in embedding units, so pick it
-    * from the reference batch's own norm scale (e.g. a fraction of
-    * [[Similarity.normStats]]' min_norm). The drift statistic is only
-    * computed when the grown gate did not already fire and the
-    * threshold is finite, so the default adds zero cost. */
+    * `driftThreshold` defaults to [[DefaultDriftZ]] (2.0) — the gate
+    * ships ON (r15, verdict #2). Through r14 it defaulted to +∞
+    * because the statistic was the raw mean-shift L2 in embedding
+    * units, where no corpus-independent cut exists; the two-sample z
+    * normalization ([[Similarity.embeddingDriftZ]]) reads ≈1.0 under
+    * no drift at any batch size, so two sigma is meaningful
+    * everywhere. Pass +∞ to restore grown-fraction-only behavior. The
+    * drift statistic is computed only when the grown gate did not
+    * already fire and the threshold is finite; its cost is the one
+    * (label, dim) partial-sum shuffle embeddingDriftZ documents — a
+    * maintenance-cycle probe, not a hot-path cost. */
   def maybeRebuild(spark: SparkSession, lake: graft.ingest.SnapshotLake,
       index: IvfPqIndex, corpus: DataFrame, threshold: Double = 0.3,
       nlist: Int = 16, m: Int = 8, ksub: Int = 16, dim: Int = 64,
       coarseIters: Int = 5, pqIters: Int = 3,
-      driftThreshold: Double = Double.PositiveInfinity)
+      driftThreshold: Double = DefaultDriftZ)
       : (IvfPqIndex, Option[Long]) = {
     val composed = grownIndex(spark, lake, index)
     val trip = grownFraction(spark, lake, index) > threshold ||
@@ -300,7 +330,7 @@ object AnnStreams {
         // drift measured over the COMPOSED probe population vs the
         // frozen training population: arrivals = ids the base index
         // does not know
-        indexDrift(spark, index, corpus) > driftThreshold)
+        indexDriftZ(spark, index, corpus) > driftThreshold)
     if (trip) {
       val (idx, v) = rebuildIndex(spark, lake, corpus, nlist, m, ksub, dim,
         coarseIters, pqIters)

@@ -47,6 +47,33 @@ class FloorConsistencySpec extends AnyFunSuite {
         orphans.toSeq.sorted.mkString(", "))
   }
 
+  test("floor-context records pair with real floor entries") {
+    // BENCH_FLOOR_CONTEXT.json (r15, verdict #5): tools/floor_seed.py
+    // records load-avg + JVM-warmth context alongside every floor it
+    // seeds, so ambient-drift episodes are mechanically detectable
+    // instead of reconstructed from shell history (the r14 entry-5
+    // forensics). Context is OPTIONAL per floor (historical entries
+    // predate the tool) but every context key must name a live floor —
+    // an orphan means a rename or a hand-edit bypassed the tool.
+    val ctxPath = root.resolve("BENCH_FLOOR_CONTEXT.json")
+    if (Files.exists(ctxPath)) {
+      val txt = new String(Files.readAllBytes(ctxPath))
+      val keys = """"([A-Za-z0-9_]+)"\s*:\s*\[""".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet
+      val floors = graft.Bench.loadFloor(
+        root.resolve("BENCH_FLOOR.json").toString)
+      val orphans = keys -- floors.keySet
+      assert(orphans.isEmpty,
+        s"floor-context keys with no matching bench floor: " +
+          orphans.toSeq.sorted.mkString(", "))
+      // context records carry the fields the adjudication protocol
+      // reads; a tool regression that drops them would void the point
+      for (f <- Seq("load1_before", "sec", "reps"))
+        assert(txt.contains("\"" + f + "\""),
+          s"context records lack the '$f' field")
+    }
+  }
+
   test("shuffle floors cover exactly the guarded families") {
     val txt = new String(Files.readAllBytes(
       root.resolve("SHUFFLE_FLOOR.json")))

@@ -272,5 +272,11 @@ object PlanGuardSpec {
     // and the window = the partial-agg collapse broke). bpe_train is
     // driver-composed (12-row local result) and has no plan to pin.
     "ns_divergence_mix",
-    "ns_embedding_dim_stats")
+    "ns_embedding_dim_stats",
+    // r15: drift_z pins exactly TWO exchanges — the (label, d)
+    // fixed-point corpus shuffle, then the (label) rollup whose input
+    // is already the |labels|·dim aggregate — and no Window (a third
+    // Exchange or any Window = the map-side partial-agg collapse or
+    // the dim-sized-frame contract broke)
+    "ns_embedding_drift_z")
 }

@@ -238,10 +238,14 @@ class AnnStreamsSpec extends SparkSpecBase {
     val frozenRecall = recallAt5(AnnStreams.grownIndex(spark, lake, index))
     info(s"frozen reranked recall@5 on drifted queries: $frozenRecall")
 
-    // drift below threshold: maybeRebuild composes, commits nothing
+    // grown fraction below threshold: maybeRebuild composes, commits
+    // nothing. driftThreshold = +∞ isolates the grown gate — this
+    // fixture's arrivals ARE drifted (−3×), and the now-default z gate
+    // (r15) would correctly fire on them; the dedicated drift-gate
+    // test below owns that behavior.
     val (composed, noV) = AnnStreams.maybeRebuild(spark, lake, index,
       corpus = emb.select($"vec_id", $"embedding").unionByName(drifted),
-      threshold = 0.5)
+      threshold = 0.5, driftThreshold = Double.PositiveInfinity)
     assert(noV.isEmpty && lake.latestVersion(spark).contains(vPre),
       "maybeRebuild committed below threshold")
     // 492 base (500 minus the 8 excluded qids) + 48 drifted
@@ -357,24 +361,36 @@ class AnnStreamsSpec extends SparkSpecBase {
     assert(AnnStreams.grownFraction(spark, lake, index) < 0.3)
     val drift = AnnStreams.indexDrift(spark, index, corpus)
     assert(drift > 0.1, s"−3× arrivals should register drift, got $drift")
-    // default (driftThreshold = +∞): grown-fraction-only behavior —
-    // composes, commits nothing
-    val (_, noV) = AnnStreams.maybeRebuild(spark, lake, index,
-      corpus = corpus, threshold = 0.3)
-    assert(noV.isEmpty, "drift gate fired at its +∞ default")
-    // finite gate below the measured drift: retrains even though the
-    // grown gate is silent
+    // r15 (verdict #2): the gate ships ON. The dimensionless z reads
+    // ≈3.2 on this fixture — above the shipped two-sigma default —
+    // while a no-drift arrival batch (true twins of index-known
+    // vectors under fresh ids) reads ≈1.0, below it. Both sides at the
+    // DEFAULT threshold, nothing hand-picked.
+    val z = AnnStreams.indexDriftZ(spark, index, corpus)
+    assert(z > AnnStreams.DefaultDriftZ,
+      s"−3× arrivals must exceed the default two-sigma gate, got $z")
+    val calm = emb.filter($"vec_id".between(200L, 247L))
+      .select(($"vec_id" + 960000L).as("vec_id"), $"embedding")
+    val calmZ = AnnStreams.indexDriftZ(spark, index,
+      emb.select($"vec_id", $"embedding").unionByName(calm))
+    assert(calmZ < AnnStreams.DefaultDriftZ,
+      s"no-drift twins must stay under the default gate, got $calmZ")
+    // drifted-but-not-grown: DEFAULT maybeRebuild retrains even though
+    // the grown gate is silent
     val (rebuilt, someV) = AnnStreams.maybeRebuild(spark, lake, index,
-      corpus = corpus, threshold = 0.3, driftThreshold = drift / 2)
-    assert(someV.isDefined, "drifted-but-not-grown stream did not rebuild")
+      corpus = corpus, threshold = 0.3)
+    assert(someV.isDefined,
+      "drifted-but-not-grown stream did not rebuild at the default gate")
     assert(rebuilt.codes.select($"vec_id").distinct().count() == 548)
     // post-rebuild: every corpus id is reference, so drift reads 0 and
-    // the same finite gate no longer fires (the loop converges)
+    // the same default gate no longer fires (the loop converges)
     assert(AnnStreams.indexDrift(spark, rebuilt, corpus) == 0.0,
       "post-rebuild drift must read zero (no current side)")
+    assert(AnnStreams.indexDriftZ(spark, rebuilt, corpus) == 0.0,
+      "post-rebuild drift z must read zero (no current side)")
     val (_, again) = AnnStreams.maybeRebuild(spark, lake, rebuilt,
-      corpus = corpus, threshold = 0.3, driftThreshold = drift / 2)
-    assert(again.isEmpty, "drift gate re-fired after the rebuild")
+      corpus = corpus, threshold = 0.3)
+    assert(again.isEmpty, "default drift gate re-fired after the rebuild")
   }
 
   test("streamed refine == batch ivfpqTopKReranked on the same arrivals") {
