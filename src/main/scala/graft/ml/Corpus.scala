@@ -102,6 +102,85 @@ object Corpus {
         (col("start") % budget).as("seq_offset"))
   }
 
+  /** The training-SHARD PLAN a mixture pipeline actually ships (r15,
+    * verdict #8 — the final link after
+    * [[TextAnalysis.divergenceBudgetAlloc]]): consume each source's
+    * documents in doc_id order up to its allocated token budget, then
+    * lay the kept tokens out as fixed `seqBudget`-token training
+    * sequences and report, per source, the manifest a dataloader
+    * needs — docs used (full + the one boundary-truncated doc),
+    * tokens kept, the shortfall if the source ran DRY (fewer tokens
+    * available than allocated — a real planner re-allocates or
+    * upsamples on this signal), the sequence count
+    * ceil(tokens_kept / seqBudget), and the source's starting sequence
+    * id in the concatenated stream (exact S-row prefix sum, so shard
+    * boundaries are fixed before any worker reads a byte).
+    *
+    * `alloc` is ANY (source, alloc_tokens) plan — the divergence
+    * apportionment, a hand mix, a temperature mix — which is the
+    * composition point: signal → weights → allocation → shards.
+    * Because docs with start ≥ alloc are filtered BEFORE aggregation,
+    * a source's contribution is exactly min(available, alloc) tokens:
+    * `least(n_tokens, alloc − start)` truncates only the boundary doc.
+    *
+    * Scale shape: the running token total reuses [[packSequencesBy]]'s
+    * scan-style prefix sum — per-(source, bucket) windows over
+    * ≤ bucketSize docs, a KB-sized (source, bucket) offset frame
+    * broadcast back — so no corpus-sized single partition exists; the
+    * alloc join is S-row broadcast; the manifest itself is S rows and
+    * its seq_start window is the bounded single-partition class
+    * (EXPLAIN.md "Bounded single-partition windows"). All arithmetic
+    * is exact long math, so the DuckDB replay is bit-for-bit. */
+  def shardManifest(docs: DataFrame, alloc: DataFrame, seqBudget: Int,
+      bucketSize: Long = 1000L): DataFrame = {
+    require(seqBudget > 0, s"seqBudget must be positive, got $seqBudget")
+    // the S-row plan frame is consumed TWICE below (cap join + manifest
+    // base); without the cut each consumer replays the caller's entire
+    // allocator chain — the first golden capture showed SIX copies of
+    // the divergence aggregation in one plan (the ns_divergence_mix
+    // 4×-replay class, r14). S rows: the checkpoint is metadata-priced.
+    val al = alloc.select(col("source"), col("alloc_tokens"))
+      .localCheckpoint()
+    val toks = docs.select(col("source"), col("doc_id"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bucketSize))
+    val wInBucket = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+    val cum = toks.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(wInBucket))
+    val offsets = toks.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(
+          Window.partitionBy(col("source")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bucket"), col("bucket_offset"))
+    val started = cum.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("start",
+        col("bucket_offset") + col("cum_in_bucket") - col("n_tokens"))
+    val capped = started
+      .join(broadcast(al), Seq("source"))
+      .filter(col("start") < col("alloc_tokens"))
+      .withColumn("take",
+        least(col("n_tokens"), col("alloc_tokens") - col("start")))
+    val per = capped.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_used"),
+        sum(when(col("n_tokens") === col("take"), 1L).otherwise(0L))
+          .as("n_docs_full"),
+        sum(col("take")).as("tokens_kept"))
+    val manifest = al
+      .join(per, Seq("source"), "left")
+      .na.fill(0L, Seq("n_docs_used", "n_docs_full", "tokens_kept"))
+      .withColumn("shortfall", col("alloc_tokens") - col("tokens_kept"))
+      .withColumn("n_sequences",
+        expr(s"(tokens_kept + ${seqBudget - 1}) DIV $seqBudget"))
+    manifest.withColumn("seq_start",
+        coalesce(sum(col("n_sequences")).over(
+          Window.orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic TRAINING-ORDER shuffle + dataloader sharding — the
     * last hop of every pre-training pipeline: a reproducible global
     * permutation of the corpus, materialized as (shard, position) so N

@@ -167,6 +167,22 @@ object QualityPack extends QueryPack {
     "ns_token_budget_alloc" -> ((s, d) => {
       TextAnalysis.divergenceBudgetAlloc(Tables.documents(s, d),
         budget = 1000000000L)
+    }),
+
+    // The mixture story's last link (r15, verdict #8): alloc →
+    // per-source consumption cap → SHARD MANIFEST. Budget 40,000 (vs
+    // alloc's standalone 1e9) so the cap genuinely bites: at
+    // sf0.001/0.01 the ~2k-token per-source allocations EXCEED the
+    // ~1.4k available and sources run DRY (shortfall > 0, every doc
+    // kept); at sf0.1/sf1 (13k/136k available) the same plan
+    // TRUNCATES (shortfall = 0, boundary doc split) — both regimes
+    // are gate-covered by the same constants. See
+    // Corpus.shardManifest for the scan-style prefix-sum shape.
+    "ns_shard_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.shardManifest(docs,
+        TextAnalysis.divergenceBudgetAlloc(docs, budget = 40000L),
+        seqBudget = 512)
     })
   )
 
@@ -569,6 +585,59 @@ object QualityPack extends QueryPack {
          |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
          |    AS alloc_tokens
          |FROM r ORDER BY source""".stripMargin,
+
+    // Shard-manifest replay: the alloc chain at budget 40,000, then a
+    // per-source running token total (window sums promote to HUGEINT —
+    // cast back), the start < alloc cap with least() truncating the
+    // boundary doc, integer ceil via (x + 511) // 512, and the S-row
+    // seq_start prefix. Every step exact integer math.
+    "ns_shard_manifest" ->
+      s"""WITH $minJsCtes,
+         |f2 AS (SELECT source, min_js,
+         |    CASE WHEN tot_fp = 0 THEN 1 ELSE fp END AS fpe,
+         |    CASE WHEN tot_fp = 0 THEN n_src ELSE tot_fp END AS tote
+         |  FROM m CROSS JOIN t),
+         |a AS (SELECT source, fpe, tote,
+         |    CAST(40000 AS BIGINT) * fpe // tote AS fl,
+         |    CAST(40000 AS BIGINT) * fpe % tote AS rem FROM f2),
+         |r AS (SELECT source, fl,
+         |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+         |    (SELECT CAST(40000 AS BIGINT) - sum(fl) FROM a) AS short
+         |  FROM a),
+         |al AS (SELECT source,
+         |    CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+         |      AS alloc_tokens
+         |  FROM r),
+         |dt AS (SELECT source, doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+         |  FROM documents),
+         |cm AS (SELECT source, doc_id, n,
+         |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS start
+         |  FROM dt),
+         |cp AS (SELECT cm.source, n, start, alloc_tokens,
+         |    least(n, alloc_tokens - start) AS take
+         |  FROM cm JOIN al ON cm.source = al.source
+         |  WHERE start < alloc_tokens),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_used,
+         |    CAST(sum(CASE WHEN n = take THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_docs_full,
+         |    CAST(sum(take) AS BIGINT) AS tokens_kept
+         |  FROM cp GROUP BY 1),
+         |mf AS (SELECT al.source, alloc_tokens,
+         |    coalesce(n_docs_used, 0) AS n_docs_used,
+         |    coalesce(n_docs_full, 0) AS n_docs_full,
+         |    coalesce(tokens_kept, 0) AS tokens_kept,
+         |    alloc_tokens - coalesce(tokens_kept, 0) AS shortfall,
+         |    CAST((coalesce(tokens_kept, 0) + 511) // 512 AS BIGINT)
+         |      AS n_sequences
+         |  FROM al LEFT JOIN per ON al.source = per.source)
+         |SELECT source, alloc_tokens, n_docs_used, n_docs_full,
+         |  tokens_kept, shortfall, n_sequences,
+         |  CAST(coalesce(sum(n_sequences) OVER (ORDER BY source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS seq_start
+         |FROM mf ORDER BY source""".stripMargin,
 
     // CDC replay: identical md5-window boundary rule (range end is
     // exclusive in DuckDB = Spark's inclusive sequence bound), zipped

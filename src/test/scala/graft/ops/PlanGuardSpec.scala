@@ -273,6 +273,15 @@ object PlanGuardSpec {
     // driver-composed (12-row local result) and has no plan to pin.
     "ns_divergence_mix",
     "ns_embedding_dim_stats",
+    // r15: shard_manifest pins the composed alloc→cap→manifest shape:
+    // the divergence chain's single corpus exchange (checkpoint
+    // boundary), the scan-style per-(source,bucket) prefix windows
+    // with their KB-sized broadcast offset join, the S-row broadcast
+    // alloc join, and ONLY bounded single-partition windows (the S-row
+    // remainder rank + seq_start prefix — EXPLAIN.md's adjudicated
+    // list); a corpus-sized global Window or a shuffled alloc join =
+    // the packSequences scale lesson regressed
+    "ns_shard_manifest",
     // r15: drift_z pins exactly TWO exchanges — the (label, d)
     // fixed-point corpus shuffle, then the (label) rollup whose input
     // is already the |labels|·dim aggregate — and no Window (a third
