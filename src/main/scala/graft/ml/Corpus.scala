@@ -206,6 +206,59 @@ object Corpus {
   }
 
 
+  /** Quality-paced CURRICULUM training order (r15) — [[trainOrder]]
+    * upgraded from one flat permutation to quality PHASES: every doc is
+    * scored by the frozen LR quality model
+    * ([[TextAnalysis.classifierScore]]), the corpus splits into score
+    * TERTILES via sketch cutpoints (phase 1 = highest-quality tertile
+    * first — the standard curriculum-learning schedule; the
+    * anti-curriculum is just reading phases in reverse), and WITHIN
+    * each phase the deterministic md5(doc_id:seed) permutation shards
+    * the docs for N dataloader workers. Worker w reads (phase 1,
+    * shard w) sequentially, then (phase 2, shard w), … — reproducible,
+    * resumable, auditable per seed, exactly like trainOrder.
+    *
+    * Composition point: score → phases → per-phase shuffle — the same
+    * signal→decision chain discipline as divergence→alloc→manifest.
+    *
+    * Scale shape: the score is map-side (one corpus scan,
+    * localCheckpoint'd because the cutpoint aggregate and the output
+    * both consume it — the pplBucketed device); the cutpoints are ONE
+    * sketch aggregate row broadcast back (rank-exact for n ≤ accuracy,
+    * machine-checked by the woven [[graft.functions.SketchGuards]]
+    * envelope — the w_ntile/pplBuckets discipline); the only windows
+    * run per (phase, shard) — 3·nShards independent partitions, never
+    * a corpus-sized single partition. */
+  def curriculumOrder(docs: DataFrame, seed: Long, nShards: Int,
+      accuracy: Long = 10000000L): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    graft.functions.SketchGuards.requireSketchAccuracy(
+      "curriculumOrder", accuracy)
+    val scored = TextAnalysis.classifierScore(docs)
+      .select(col("doc_id"), col("lr_score")).localCheckpoint()
+    val cuts = scored.agg(percentile_approx(col("lr_score"),
+        array(lit(1.0 / 3), lit(2.0 / 3)),
+        lit(Math.toIntExact(accuracy))).as("cuts"),
+      count(lit(1)).as("n_rows"))
+    val envelopeZero = graft.functions.SketchGuards.rankExactEnvelope(
+      "curriculumOrder", "", col("n_rows"), accuracy,
+      "raise accuracy in lockstep", "int")
+    // phase 1 = scores ABOVE the 2/3 cut (the clean tertile), phase 3 =
+    // at/below the 1/3 cut; boundary semantics mirror the oracle's
+    // exact ceil(q·n)-element cutpoints token-for-token
+    val w = Window.partitionBy(col("phase"), col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("phase", lit(1) + envelopeZero
+        + when(col("lr_score") <= col("cuts")(1), 1).otherwise(0)
+        + when(col("lr_score") <= col("cuts")(0), 1).otherwise(0))
+      .withColumn("shuffle_key",
+        md5Key(concat_ws(":", col("doc_id"), lit(seed))))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+      .select(col("doc_id"), col("lr_score"), col("phase"), col("shard"),
+        row_number().over(w).as("position"))
+  }
+
   /** Training-mixture weights per source: token counts and the
     * temperature-scaled sampling weight `tokens^alpha / Σ tokens^alpha`
     * (alpha<1 upsamples small sources — the standard multilingual/

@@ -585,6 +585,15 @@ object MlPack extends QueryPack {
         .orderBy(col("shard"), col("position"))
     }),
 
+    // Quality-paced curriculum order (r15): frozen-LR score → tertile
+    // phases (sketch cutpoints, rank-exact envelope machine-checked) →
+    // per-(phase, shard) deterministic md5 shuffle — trainOrder with a
+    // curriculum schedule on top. See Corpus.curriculumOrder.
+    "ns_curriculum_order" -> ((s, d) => {
+      Corpus.curriculumOrder(Tables.documents(s, d), seed = 42, nShards = 8)
+        .orderBy(col("phase"), col("shard"), col("position"))
+    }),
+
     "ns_sample_hash_rate" -> ((s, d) => {
       Tables.documents(s, d)
         .filter((Corpus.md5Key(col("doc_id").cast("string")) % 1000000L) <
@@ -1631,6 +1640,54 @@ object MlPack extends QueryPack {
         |  CAST(row_number() OVER (PARTITION BY shard
         |    ORDER BY shuffle_key, doc_id) AS INT) AS position, shuffle_key
         |FROM s ORDER BY shard, position""".stripMargin,
+
+    // Curriculum replay: the ns_quality_lr logit fold, exact
+    // ceil(q·n)-element tertile cutpoints in (lr_score, doc_id) rank
+    // order (the sketch is rank-exact for n ≤ accuracy — the
+    // ns_ppl_buckets device), DESCENDING phase rule mirrored
+    // token-for-token (1 + (score ≤ c2) + (score ≤ c1)), and the
+    // ns_train_order md5(doc_id:seed) shuffle within (phase, shard).
+    "ns_curriculum_order" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+        |      AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 6) AS cpt,
+        |    round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct,
+        |    round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS upper_r,
+        |    round(CAST(len(list_filter(toks, t -> t IN
+        |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |      / greatest(len(toks), 1), 6) AS stop
+        |  FROM f),
+        |s AS (SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(-6.5 + 20.0*stop + 1.0*cpt
+        |      + -12.0*punct + -8.0*upper_r))), 6) AS lr_score
+        |  FROM g),
+        |ranked AS (SELECT doc_id, lr_score,
+        |    row_number() OVER (ORDER BY lr_score, doc_id) AS rn,
+        |    count(*) OVER () AS cnt FROM s),
+        |cuts AS (SELECT
+        |    max(CASE WHEN rn = CAST(ceil(cnt * (1.0/3)) AS BIGINT)
+        |        THEN lr_score END) AS c1,
+        |    max(CASE WHEN rn = CAST(ceil(cnt * (2.0/3)) AS BIGINT)
+        |        THEN lr_score END) AS c2
+        |  FROM ranked),
+        |p AS (SELECT doc_id, lr_score,
+        |    1 + CAST(lr_score <= c.c2 AS INT) + CAST(lr_score <= c.c1 AS INT)
+        |      AS phase,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+        |      ::UINTEGER AS BIGINT) AS shuffle_key
+        |  FROM s CROSS JOIN cuts c)
+        |SELECT doc_id, lr_score, phase, shard,
+        |  CAST(row_number() OVER (PARTITION BY phase, shard
+        |    ORDER BY shuffle_key, doc_id) AS INT) AS position
+        |FROM (SELECT doc_id, lr_score, phase, shuffle_key,
+        |        CAST(shuffle_key % 8 AS INT) AS shard FROM p)
+        |ORDER BY phase, shard, position""".stripMargin,
 
     "ns_sample_hash_rate" ->
       """SELECT doc_id, source, lang FROM documents

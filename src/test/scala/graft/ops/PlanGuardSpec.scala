@@ -282,6 +282,12 @@ object PlanGuardSpec {
     // list); a corpus-sized global Window or a shuffled alloc join =
     // the packSequences scale lesson regressed
     "ns_shard_manifest",
+    // r15: curriculum pins the score scan behind a checkpoint (the
+    // cutpoint aggregate and the output share ONE quality-feature
+    // pass), the 1-row broadcast cutpoint join, and windows partitioned
+    // by (phase, shard) — a SinglePartition exchange before the rank =
+    // the corpus-sized-window anti-pattern regressed
+    "ns_curriculum_order",
     // r15: drift_z pins exactly TWO exchanges — the (label, d)
     // fixed-point corpus shuffle, then the (label) rollup whose input
     // is already the |labels|·dim aggregate — and no Window (a third
