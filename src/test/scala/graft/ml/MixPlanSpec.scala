@@ -1,0 +1,126 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpecBase, Tables}
+
+/** Library-level invariants for the r15 mixture-plan operators — the
+  * properties the hash oracle implies but does not STATE, pinned here so
+  * a refactor that preserves some other fixed point cannot drift them:
+  *
+  *  - [[Corpus.shardManifest]]: per-source conservation (tokens_kept =
+  *    min(available, alloc) EXACTLY), truncation-vs-dry accounting (at
+  *    most ONE partial doc, only when the cap bit), ceil-division and
+  *    prefix-sum arithmetic, and composability with a hand-written
+  *    allocation (the operator's contract is ANY (source, alloc_tokens)
+  *    plan, not just the divergence apportionment).
+  *  - [[Corpus.curriculumOrder]]: the phases PARTITION the corpus into
+  *    rank-tertiles (every doc exactly once, sizes within 1), scores
+  *    are monotone across phases (max of phase p+1 ≤ min of phase p —
+  *    the curriculum property), per-(phase, shard) positions are
+  *    contiguous from 1, and the rank-exact envelope guard FIRES when
+  *    accuracy is driven below the corpus size (the QualitySpec
+  *    guard-not-dead-code discipline).
+  */
+class MixPlanSpec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sf0001)
+
+  test("shardManifest: exact conservation, boundary accounting, prefix arithmetic") {
+    import spark.implicits._
+    val alloc = TextAnalysis.divergenceBudgetAlloc(docs, budget = 40000L)
+    val m = Corpus.shardManifest(docs, alloc, seqBudget = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (source, alloc, used, full, kept, shortfall, nseq, seqStart)
+    val avail = docs.groupBy(col("source"))
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("t"),
+        count(lit(1)).as("nd"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m.map(_._1).toSeq == m.map(_._1).toSeq.sorted, "not source-ordered")
+    var expectedStart = 0L
+    m.foreach { case (src, al, used, full, kept, short, nseq, start) =>
+      val (av, nd) = avail(src)
+      assert(kept == math.min(av, al),
+        s"$src: kept $kept != min(available $av, alloc $al) — conservation broke")
+      assert(short == al - kept && short >= 0, s"$src: shortfall arithmetic")
+      assert(nseq == (kept + 511) / 512, s"$src: ceil division")
+      assert(start == expectedStart, s"$src: seq_start prefix broke")
+      expectedStart += nseq
+      assert(full <= used && used <= nd, s"$src: doc accounting")
+      // at most one partial (the boundary doc), and only when truncating
+      assert(used - full <= 1, s"$src: more than one partial doc")
+      if (av <= al) assert(used == full && used == nd,
+        s"$src: dry source must keep every doc whole")
+      else assert(used - full == 1,
+        s"$src: truncating source must split exactly the boundary doc")
+    }
+  }
+
+  test("shardManifest composes with ANY allocation plan (uniform hand alloc)") {
+    import spark.implicits._
+    val sources = docs.select(col("source")).distinct()
+      .as[String].collect().sorted
+    val uniform = spark.createDataFrame(sources.map(s => (s, 700L)).toSeq)
+      .toDF("source", "alloc_tokens")
+    val m = Corpus.shardManifest(docs, uniform, seqBudget = 100)
+      .collect()
+    assert(m.length == sources.length)
+    m.foreach { r =>
+      assert(r.getLong(1) == 700L)
+      // 700 < every source's ~1.2k+ available tokens: all truncate
+      assert(r.getLong(4) == 700L,
+        s"${r.getString(0)}: uniform cap did not bite exactly")
+      assert(r.getLong(6) == 7L, "ceil(700/100)")
+    }
+  }
+
+  test("curriculumOrder: rank-tertile partition, monotone phases, contiguous positions") {
+    val out = Corpus.curriculumOrder(docs, seed = 42, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    val n = docs.count()
+    assert(out.length == n && out.map(_._1).distinct.length == n,
+      "phases must PARTITION the corpus — every doc exactly once")
+    val byPhase = out.groupBy(_._3)
+    assert(byPhase.keySet == Set(1, 2, 3))
+    // rank-tertiles: sizes within 1 of n/3 (ceil-rank cutpoints)
+    byPhase.values.foreach(g =>
+      assert(math.abs(g.length - n / 3.0) <= 1.0, s"tertile size ${g.length}"))
+    // curriculum property: phase 1 holds the HIGHEST scores
+    val mins = byPhase.map { case (p, g) => p -> g.map(_._2).min }
+    val maxs = byPhase.map { case (p, g) => p -> g.map(_._2).max }
+    assert(maxs(2) <= mins(1) && maxs(3) <= mins(2),
+      s"phases not score-monotone: ${mins}, ${maxs}")
+    // per-(phase, shard) positions contiguous from 1
+    out.groupBy(t => (t._3, t._4)).foreach { case (ps, g) =>
+      assert(g.map(_._5).sorted.toSeq == (1 to g.length),
+        s"positions not contiguous in $ps")
+    }
+    // determinism: identical on a second invocation
+    val again = Corpus.curriculumOrder(docs, seed = 42, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(again.toSet == out.map(t => (t._1, t._3, t._4, t._5)).toSet,
+      "curriculum order not deterministic")
+  }
+
+  test("curriculumOrder: the rank-exact envelope guard fires past accuracy/2") {
+    val e = intercept[Throwable] {
+      Corpus.curriculumOrder(docs, seed = 42, nShards = 4, accuracy = 10L)
+        .collect()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(10).toSeq
+    assert(chain.exists(t => Option(t.getMessage)
+        .exists(_.contains("curriculumOrder: rank-exact envelope exceeded"))),
+      s"guard did not fire; got ${e.toString.take(300)}")
+  }
+
+  test("shardManifest: seqBudget must be positive (loud, at construction)") {
+    val alloc = TextAnalysis.divergenceBudgetAlloc(docs, budget = 1000L)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.shardManifest(docs, alloc, seqBudget = 0)
+    }
+    assert(e.getMessage.contains("seqBudget"))
+  }
+}
