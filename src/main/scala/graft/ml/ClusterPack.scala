@@ -158,8 +158,9 @@ object ClusterPack extends QueryPack {
     // numerator ride HUGEINT (≥ Spark's DECIMAL(38,0), both exact);
     // σ=0 dims drop by the EXACT integer test num = 0; t is the same
     // left-assoc IEEE chain dd / (sqrt(vr) · sqrt(1/nr + 1/nc)); the
-    // cross-dim Σt² is ×1e9 fixed-point. 1-based unnest d is
-    // grouping-key-only.
+    // cross-dim ×1e9 fixed-point Σt² rides HUGEINT (≥ Spark's
+    // DECIMAL(38,0) — t ~ √batch, a BIGINT sum overflows at |t| ≈ 1500
+    // over 4096 dims, r16). 1-based unnest d is grouping-key-only.
     "ns_embedding_drift_z" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
         |           FROM embeddings),
@@ -189,7 +190,7 @@ object ClusterPack extends QueryPack {
         |  FROM f)
         |SELECT label,
         |  CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
-        |  round(sqrt(CAST(sum(CAST(round((t * t) * 1e9) AS BIGINT))
+        |  round(sqrt(CAST(sum(CAST(round((t * t) * 1e9) AS HUGEINT))
         |          AS DOUBLE) / 1e9 / count(t)), 6) AS drift_z,
         |  round(max(abs(t)), 6) AS max_dim_z,
         |  CAST(count(t) AS INT) AS n_dims

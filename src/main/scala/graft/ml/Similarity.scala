@@ -952,9 +952,15 @@ object Similarity {
     * dropped from the RMS by the EXACT integer test n·Σxx − Sx² = 0
     * (`n_dims` exposes the contributing count, so a drop is visible);
     * labels with an empty side drop entirely, which makes the
-    * post-rebuild statistic read as no-rows → 0 upstream. The ×1e9 t²
-    * fixed point is long-safe for |t| ≤ ~10⁴ over ≤4096 dims — past
-    * that the gate has long since fired.
+    * post-rebuild statistic read as no-rows → 0 upstream. The cross-dim
+    * Σ round(t²·1e9) rides DECIMAL(38,0), NOT long (r16): t scales as
+    * √(batch size), so a Long accumulator is only safe for |t| ≲ 1500
+    * over 4096 dims (4096·(1.5e3)²·1e9 ≈ 9.2e18 = Long.MaxValue) — a
+    * moderate real drift over million-vector batches blows past that,
+    * and under ANSI Spark the sum THROWS (non-ANSI: wraps → NaN → the
+    * gate silently never fires) in exactly the most-drifted regime.
+    * DECIMAL(38,0) is exact to 10³⁸, mirrored by HUGEINT in the
+    * oracle replay; MlSpec pins the |t|≈2000 × 4096-dim face red→green.
     *
     * Scale shape: identical to [[embeddingDrift]] — ONE shuffle of
     * (label, dim) fixed-point partials, map-side combined to
@@ -985,7 +991,7 @@ object Similarity {
       .agg(max(col("nr")).cast("bigint").as("n_ref"),
         max(col("nc")).cast("bigint").as("n_cur"),
         round(sqrt(
-          sum(round((col("t") * col("t")) * lit(1e9)).cast("long"))
+          sum(dec(round((col("t") * col("t")) * lit(1e9))))
             .cast("double") / lit(1e9) /
             count(col("t")).cast("double")), 6).as("drift_z"),
         round(max(abs(col("t"))), 6).as("max_dim_z"),

@@ -279,12 +279,19 @@ object AnnStreams {
     * one finite threshold works for every corpus, and
     * [[maybeRebuild]]'s drift gate can finally ship ON
     * ([[DefaultDriftZ]] = 2.0, the two-sigma cut). Returns 0.0 when
-    * either side is empty, which keeps post-rebuild reads at zero. */
+    * either side is empty, which keeps post-rebuild reads at zero —
+    * and ALSO when `drift_z` itself is NULL, which happens on a
+    * degenerate reference where every dimension is zero-variance (all
+    * t dropped by the exact num = 0 test → count(t) = 0): no standard
+    * error exists to scale a shift, so the z gate abstains and
+    * [[maybeRebuild]] falls back to its grown-fraction signal instead
+    * of NPE-ing on `Row.getDouble` (r16 ADVICE, AnnStreamsSpec pins
+    * the constant-reference face red→green). */
   def indexDriftZ(spark: SparkSession, index: IvfPqIndex,
       corpus: DataFrame): Double = {
     val row = Similarity.embeddingDriftZ(tagIndexMembership(index, corpus),
       col("is_ref")).select(col("drift_z")).collect()
-    if (row.isEmpty) 0.0 else row(0).getDouble(0)
+    if (row.isEmpty || row(0).isNullAt(0)) 0.0 else row(0).getDouble(0)
   }
 
   private def tagIndexMembership(index: IvfPqIndex,

@@ -1337,4 +1337,27 @@ class MlSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("null token id")),
       s"expected the loud null-token error, got: $e")
   }
+
+  test("embeddingDriftZ survives extreme drift: the cross-dim sum of " +
+      "round(t^2*1e9) must not wrap Long (r16 ADVICE)") {
+    // Fixture engineered so each per-dim |t| ~ 2000 (inside the old
+    // comment's claimed ~1e4 envelope!) yet Σ round(t²·1e9) over 4096
+    // dims ≈ 1.64e19 > Long.MaxValue (9.22e18). A Long accumulator
+    // wraps negative → sqrt(negative) = NaN → `NaN > driftThreshold`
+    // is false → maybeRebuild's shipped-ON gate silently never fires in
+    // exactly the most-drifted regime. Per dim: ref x ∈ {0, 2e-6}
+    // (fp 0, 2) gives num = 2·4 − 4 = 4, σ_ref = 1e-6; cur x = 2.45e-3
+    // gives dd ≈ −2.449e-3, t = dd / (1e-6·√(1/2+1)) ≈ −2000.
+    val dims = 4096
+    val rows = Seq(
+      (0L, "x", Array.fill(dims)(0.0)),
+      (2L, "x", Array.fill(dims)(2e-6)),
+      (1L, "x", Array.fill(dims)(2.45e-3)))
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val r = Similarity.embeddingDriftZ(emb, $"vec_id" % 2 === 0).head()
+    val z = r.getDouble(r.fieldIndex("drift_z"))
+    assert(!z.isNaN && z > 1900 && z < 2100,
+      s"drift_z wrapped/corrupted under extreme drift: $z")
+    assert(r.getInt(r.fieldIndex("n_dims")) == dims)
+  }
 }

@@ -417,4 +417,23 @@ class AnnStreamsSpec extends SparkSpecBase {
       s"streamed refine diverged from batch tier: " +
         s"missing ${(batch -- streamed).size}, extra ${(streamed -- batch).size}")
   }
+
+  test("drift gate ABSTAINS (0.0, no NPE) on a zero-variance reference " +
+      "(r16 ADVICE)") {
+    // Degenerate/constant reference batch: every reference dimension is
+    // zero-variance, so every per-dim t drops by the exact num = 0 test,
+    // count(t) = 0, and drift_z is NULL. Pre-fix, Row.getDouble(0) threw
+    // NPE — maybeRebuild CRASHED on exactly the batch shape a stuck
+    // upstream producer (constant vectors) emits, instead of gating.
+    // Only index.codes.vec_id is consulted by the membership tag, so a
+    // minimal hand-built IvfPqIndex suffices.
+    val ref = Seq((0L, Array.fill(8)(1.0)), (2L, Array.fill(8)(1.0)))
+    val cur = Seq((1L, Array.fill(8)(3.0)))
+    val corpus = (ref ++ cur).toDF("vec_id", "embedding")
+    val index = Similarity.IvfPqIndex(
+      centroids = spark.emptyDataFrame, codebook = spark.emptyDataFrame,
+      codes = ref.map(_._1).toDF("vec_id"), m = 1, dim = 8)
+    val z = AnnStreams.indexDriftZ(spark, index, corpus)
+    assert(z == 0.0, s"zero-variance reference must abstain with 0.0, got $z")
+  }
 }
