@@ -1360,4 +1360,49 @@ class MlSpec extends SparkSpecBase {
       s"drift_z wrapped/corrupted under extreme drift: $z")
     assert(r.getInt(r.fieldIndex("n_dims")) == dims)
   }
+
+  test("REFUTATION pin (r16 verdict #1): length-banding the deletion-" +
+      "signature join prunes ZERO candidates — the band is already " +
+      "implied by variant equality") {
+    // The proposed lever: add a |len(a)−len(b)| ≤ 2 band to the
+    // signature join key, claimed to "cut cross-length candidate volume
+    // at zero recall cost". Refutation by the same pigeonhole the
+    // recall theorem uses: a SHARED variant v means len(a) − da =
+    // len(v) = len(b) − db with da, db ∈ [0, 2], hence
+    // |len(a) − len(b)| = |da − db| ≤ 2 for EVERY candidate the join
+    // can produce (hash collisions aside — discarded by exact verify
+    // either way). The band is a tautology over the candidate set, not
+    // a filter. Pinned BY VALUE on the fixture that maximally stresses
+    // cross-length variant sharing: runs of a repeated char, where a
+    // length-k string's 2-deletion neighborhood ALWAYS intersects the
+    // length-(k±2) run's neighborhood, plus mixed natural prefixes.
+    val runs = (3 to 30).map(k => (k.toLong, "a" * k))
+    val mixed = Seq((100L, "the quick brown fox"), (101L, "the quick brown fo"),
+      (102L, "the quick brown"), (103L, "quick brown fox jumps"),
+      (104L, "xyzzy"), (105L, "xyzz"), (106L, "xy"))
+    val strs = (runs ++ mixed).toDF("rid", "s")
+    // replicate fuzzyPairs' candidate chain (pre-verify!) verbatim
+    val sigs = strs.withColumn("sig",
+      explode(graft.functions.DeletionSigs.sigs(col("s"), 2)))
+      .select(col("rid"), col("sig"))
+    val grp = sigs.groupBy(col("sig"))
+      .agg(collect_list(col("rid")).as("rids")).filter(size(col("rids")) >= 2)
+    val cands = grp.select(explode(col("rids")).as("rid_a"), col("rids"))
+      .select(col("rid_a"), explode(col("rids")).as("rid_b"))
+      .filter(col("rid_a") < col("rid_b")).distinct()
+    val withLens = cands
+      .join(strs.select(col("rid").as("rid_a"), length(col("s")).as("la")), "rid_a")
+      .join(strs.select(col("rid").as("rid_b"), length(col("s")).as("lb")), "rid_b")
+    val n = withLens.count()
+    assert(n > 20, s"fixture too weak to refute anything: $n candidates")
+    // the pin: the proposed band keeps every single candidate
+    val banded = withLens.filter(abs(col("la") - col("lb")) <= 2).count()
+    assert(banded == n,
+      s"length band pruned ${n - banded} of $n candidates — refutation wrong!")
+    // and the run family DID generate cross-length candidates (ΔL = 1, 2),
+    // so the invariant is exercised, not vacuous
+    val crossLen = withLens.filter(col("la") =!= col("lb")).count()
+    assert(crossLen > 10, s"no cross-length candidates generated: $crossLen")
+    info(s"candidates: $n, cross-length: $crossLen, band keeps all $banded")
+  }
 }
