@@ -36,8 +36,23 @@ object Bench {
     Option(d)
   }
 
+  /** (load1, load5) from /proc/loadavg — the ambient-load evidence a
+    * DRIVER-side bench run carries with it (r16, verdict #2): the
+    * builder can wrap its own runs in tools/floor_seed.py's context
+    * recorder, but not the driver's, so the run must self-evidence.
+    * (-1, -1) when unreadable (non-Linux) — visibly absent, never a
+    * silent zero that reads as "idle box". */
+  def loadAvg(): (Double, Double) =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (load1Before, load5Before) = loadAvg()
+    val wallT0 = System.nanoTime()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // targeted-bisect knobs: ONLY=comma-sep query names, REPS=min-of-N
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -94,9 +109,15 @@ object Bench {
     // worth seconds — give those min-of-3 minimum.
     val repCounts = scala.collection.mutable.Map.empty[String, Int]
     val failedQueries = scala.collection.mutable.SortedSet.empty[String]
+    // execution order, as actually run: JIT/family-warmth adjudications
+    // (NOTES r15 entry 11) depend on WHICH queries ran before an
+    // elevated one in the same JVM — record it so a driver run is
+    // adjudicable from its own artifact (r16, verdict #2)
+    val runOrder = scala.collection.mutable.ArrayBuffer.empty[String]
     val firstPass = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
+        runOrder += name
         val f = floor.get(name)
         val r = if (f.exists(_ > 0.5)) math.max(reps, 3) else reps
         var attempts = r
@@ -169,6 +190,12 @@ object Bench {
     // line reintroduced exactly that (BENCH_r05 "parsed": null).
     println(s"""{"metric":"queries","queries":${toJson(results)},"sf":"$sfDir"}""")
     println(s"""{"metric":"vs_floor_full","vs_floor":${toJson(vsFloor)},"sf":"$sfDir"}""")
+    // full execution order on its OWN line (210 names would blow the
+    // final line's tail-capture budget); the final line carries its md5
+    // so two artifacts are order-comparable even if this line scrolls
+    // out of the captured tail
+    println(s"""{"metric":"run_order","order":${
+      runOrder.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
     // worst-10 is the regression SIGNAL, so it lists only entries whose
     // absolute delta to floor is >= 0.5s: a 5x ratio on a 0.1s floor is
     // half a second of co-tenant scheduling noise, not a regression, and
@@ -197,7 +224,24 @@ object Bench {
     // normally empty; any entry is a build-level red the totals above
     // deliberately do not absorb
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"config":{"master":"local[$cpus]","shuffle_partitions":$cpus,"base_reps":$reps},"reps":$extraReps,"queries":${toJson(head)},"vs_floor_worst10":${toJson(worst10)},"sf":"$sfDir"}""")
+    // `ambient`: the run's own co-tenancy evidence (r16, verdict #2) —
+    // load averages straddling the run, wall-clock vs summed query time
+    // (a large gap = scheduling pressure between queries), and the md5
+    // of the execution order (JVM-warmth comparability across runs).
+    // With these on the FINAL line, a driver-run regression face like
+    // r15's 108.0-vs-105.2 is adjudicable from BENCH_r{N}.json alone.
+    val (load1After, load5After) = loadAvg()
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val orderMd5 = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(runOrder.mkString(",").getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val ambient = s""""ambient":{"load1_before":$load1Before,""" +
+      s""""load5_before":$load5Before,"load1_after":$load1After,""" +
+      s""""load5_after":$load5After,"wall_sec":${math.round(wallSec * 100.0) / 100.0},""" +
+      s""""order_md5":"$orderMd5"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"config":{"master":"local[$cpus]","shuffle_partitions":$cpus,"base_reps":$reps},$ambient,"reps":$extraReps,"queries":${toJson(head)},"vs_floor_worst10":${toJson(worst10)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
