@@ -141,28 +141,7 @@ object Corpus {
     // 4×-replay class, r14). S rows: the checkpoint is metadata-priced.
     val al = alloc.select(col("source"), col("alloc_tokens"))
       .localCheckpoint()
-    val toks = docs.select(col("source"), col("doc_id"),
-        wsTokenCount(col("text")).as("n_tokens"))
-      .withColumn("bucket", floor(col("doc_id") / bucketSize))
-    val wInBucket = Window.partitionBy(col("source"), col("bucket"))
-      .orderBy(col("doc_id"))
-    val cum = toks.withColumn("cum_in_bucket",
-      sum(col("n_tokens")).over(wInBucket))
-    val offsets = toks.groupBy(col("source"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("bucket_total"))
-      .withColumn("bucket_offset",
-        coalesce(sum(col("bucket_total")).over(
-          Window.partitionBy(col("source")).orderBy(col("bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("bucket"), col("bucket_offset"))
-    val started = cum.join(broadcast(offsets), Seq("source", "bucket"))
-      .withColumn("start",
-        col("bucket_offset") + col("cum_in_bucket") - col("n_tokens"))
-    val capped = started
-      .join(broadcast(al), Seq("source"))
-      .filter(col("start") < col("alloc_tokens"))
-      .withColumn("take",
-        least(col("n_tokens"), col("alloc_tokens") - col("start")))
+    val capped = cappedLayout(docs, al, bucketSize)
     val per = capped.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs_used"),
         sum(when(col("n_tokens") === col("take"), 1L).otherwise(0L))
@@ -179,6 +158,88 @@ object Corpus {
           Window.orderBy(col("source"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .orderBy(col("source"))
+  }
+
+  /** The capped-consumption layout [[shardManifest]] aggregates and
+    * [[writeShards]] materializes — ONE implementation so the plan and
+    * the artifact cannot drift (r16, verdict #5): per doc of each
+    * source, the exact running token `start` (the per-(source, bucket)
+    * prefix-sum device — no corpus-sized window), kept while
+    * start < alloc with the boundary doc truncated to
+    * `take = least(n_tokens, alloc − start)`. `al` must already be the
+    * checkpointed S-row (source, alloc_tokens) frame. */
+  private def cappedLayout(docs: DataFrame, al: DataFrame,
+      bucketSize: Long): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+        wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bucketSize))
+    val wInBucket = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+    val cum = toks.withColumn("cum_in_bucket",
+      sum(col("n_tokens")).over(wInBucket))
+    val offsets = toks.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(
+          Window.partitionBy(col("source")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bucket"), col("bucket_offset"))
+    cum.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("start",
+        col("bucket_offset") + col("cum_in_bucket") - col("n_tokens"))
+      .join(broadcast(al), Seq("source"))
+      .filter(col("start") < col("alloc_tokens"))
+      .withColumn("take",
+        least(col("n_tokens"), col("alloc_tokens") - col("start")))
+  }
+
+  /** MATERIALIZE the shard plan (r16, verdict #5 — the artifact a
+    * dataloader mounts): the capped, boundary-truncated doc stream of
+    * [[shardManifest]]'s plan, laid out with GLOBAL sequence ids from
+    * the manifest's exact seq_start prefix sum and committed to `lake`
+    * as one snapshot append CLUSTERED BY SOURCE (each shard's rows land
+    * contiguously, so a worker mounts its shard as a source-filtered
+    * scan that GenStats min/max file skipping prunes to the shard's own
+    * files). Row schema: (source, doc_id, n_tokens_kept, seq_id,
+    * seq_offset) — seq_id = seq_start + start DIV seqBudget (the
+    * sequence the doc's first kept token lands in), seq_offset the
+    * position within it; a doc spanning sequences is reconstructed by
+    * the reader exactly as [[packSequences]] documents.
+    *
+    * Returns (published lake version, the manifest). Conservation holds
+    * by CONSTRUCTION, not by parallel arithmetic: rows and manifest both
+    * derive from the one [[cappedLayout]] frame, so per source
+    * sum(n_tokens_kept) = tokens_kept and every seq_id falls in
+    * [seq_start, seq_start + n_sequences) — MixPlanSpec pins both
+    * against the FILES read back from the lake, and the commit's
+    * changefeed shows the append as inserts.
+    *
+    * Scale shape: one corpus-sized repartition by source (the
+    * deliberate clustering shuffle — at 100 TB this is the write's
+    * layout cost, the same exchange any partitioned table write pays);
+    * the manifest join is an S-row broadcast; everything else is
+    * [[cappedLayout]]'s bucketed prefix sum. */
+  def writeShards(lake: graft.ingest.SnapshotLake, docs: DataFrame,
+      alloc: DataFrame, seqBudget: Int,
+      bucketSize: Long = 1000L): (Long, DataFrame) = {
+    require(seqBudget > 0, s"seqBudget must be positive, got $seqBudget")
+    val al = alloc.select(col("source"), col("alloc_tokens"))
+      .localCheckpoint()
+    // S rows, consumed twice (seq_start join + returned to the caller)
+    val manifest = shardManifest(docs, al, seqBudget, bucketSize)
+      .localCheckpoint()
+    val rows = cappedLayout(docs, al, bucketSize)
+      .join(broadcast(manifest.select(col("source"), col("seq_start"))),
+        Seq("source"))
+      .select(col("source"), col("doc_id"),
+        col("take").as("n_tokens_kept"),
+        (col("seq_start") + expr(s"start DIV $seqBudget")).as("seq_id"),
+        (col("start") % seqBudget).as("seq_offset"))
+    val version = lake.commit(
+      rows.repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("seq_id"), col("doc_id")),
+      overwrite = false)
+    (version, manifest)
   }
 
   /** Deterministic TRAINING-ORDER shuffle + dataloader sharding — the

@@ -123,4 +123,73 @@ class MixPlanSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("seqBudget"))
   }
+
+  test("writeShards materializes the plan: manifest↔files conservation, " +
+      "source-clustered layout, CDF append (r16 verdict #5)") {
+    import spark.implicits._
+    import graft.ingest.SnapshotLake
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/lake"
+    val lake = new SnapshotLake(root)
+    val alloc = TextAnalysis.divergenceBudgetAlloc(docs, budget = 40000L)
+    val (v1, manifest) = Corpus.writeShards(lake, docs, alloc, seqBudget = 512)
+    val m = manifest.collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    val files = lake.read(spark)
+    assert(files.columns.toSeq ==
+      Seq("source", "doc_id", "n_tokens_kept", "seq_id", "seq_offset"))
+    // per-shard conservation, FILES vs manifest: kept tokens, doc count,
+    // and every sequence id inside [seq_start, seq_start + n_sequences)
+    // with the first doc landing exactly at seq_start
+    val per = files.withColumn("fname", input_file_name())
+      .groupBy($"source").agg(
+      sum($"n_tokens_kept").as("kept"), count(lit(1)).as("used"),
+      min($"seq_id").as("min_seq"), max($"seq_id").as("max_seq"),
+      min($"seq_offset").as("min_off"), max($"seq_offset").as("max_off"),
+      countDistinct($"fname").as("n_files")).collect()
+    assert(per.length ==
+      m.values.count(_.getAs[Long]("tokens_kept") > 0))
+    per.foreach { r =>
+      val src = r.getString(0)
+      val mf = m(src)
+      assert(r.getLong(1) == mf.getAs[Long]("tokens_kept"),
+        s"$src: files carry ${r.getLong(1)} tokens, manifest says " +
+          s"${mf.getAs[Long]("tokens_kept")}")
+      assert(r.getLong(2) == mf.getAs[Long]("n_docs_used"),
+        s"$src: doc count diverged from manifest")
+      val s0 = mf.getAs[Long]("seq_start")
+      val ns = mf.getAs[Long]("n_sequences")
+      assert(r.getLong(3) == s0,
+        s"$src: first doc lands at ${r.getLong(3)}, shard starts at $s0")
+      assert(r.getLong(4) < s0 + ns,
+        s"$src: seq_id ${r.getLong(4)} beyond the shard's $ns sequences")
+      assert(r.getLong(5) >= 0L && r.getLong(6) < 512L,
+        s"$src: seq_offset outside [0, seqBudget)")
+      // source-clustered: repartition(source) puts each shard's rows in
+      // exactly ONE file — the layout a per-shard worker mounts
+      assert(r.getLong(7) == 1L, s"$src: shard split across ${r.getLong(7)} files")
+    }
+    // global sequence ids never collide across shards (disjoint ranges
+    // by the prefix sum — asserted on the DATA, not just the plan)
+    assert(files.groupBy($"seq_id")
+      .agg(countDistinct($"source").as("ns")).filter($"ns" > 1).count() == 0L,
+      "a global sequence id is claimed by two shards")
+    // the commit's changefeed shows the append: inserts only, one per row
+    val cdf = lake.changesBetween(spark, v1 - 1, v1)
+    assert(cdf.filter(col(SnapshotLake.ChangeTypeCol) =!= "insert")
+      .count() == 0L, "append surfaced non-insert changes")
+    assert(cdf.count() == files.count(), "changefeed row count != files")
+    // a SECOND plan (hand alloc) appends as its own commit: CDF between
+    // the versions carries exactly the new rows; earlier shards untouched
+    val sources = docs.select(col("source")).distinct()
+      .as[String].collect().sorted
+    val uniform = spark.createDataFrame(sources.map(s => (s, 700L)).toSeq)
+      .toDF("source", "alloc_tokens")
+    val (v2, m2) = Corpus.writeShards(lake, docs, uniform, seqBudget = 100)
+    assert(v2 == v1 + 1)
+    val cdf2 = lake.changesBetween(spark, v1, v2)
+    assert(cdf2.count() ==
+      lake.read(spark).count() - files.count())
+    assert(m2.collect().forall(_.getAs[Long]("tokens_kept") == 700L))
+  }
 }
