@@ -156,6 +156,7 @@ object Bench {
       if floor.get(q).exists(fl => fl > 0 && v / fl > 1.5) => q }.toSeq
     val results = firstPass ++ flagged.map { q =>
       repCounts(q) = repCounts.getOrElse(q, 0) + 1
+      runOrder += q // second-pass retries are real executions: record them
       q -> timeOnce(q, SparkEntry.queries(q))
         .fold(firstPass(q))(math.min(firstPass(q), _))
     }

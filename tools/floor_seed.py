@@ -25,7 +25,6 @@ FloorConsistencySpec pins the pairing (no orphaned context keys).
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 import time

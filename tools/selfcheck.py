@@ -20,10 +20,21 @@ Dev tooling only (driver-side python has duckdb/pyarrow); not a build dep.
 """
 import json
 import math
+import os
 import struct
 import sys
 
 import duckdb
+
+# The oracle-engine version every committed oracle was validated against
+# (r16, verdict #6): DuckDB minor releases have changed regex classes,
+# rounding, and hash/format semantics before — a silent upgrade would
+# misattribute oracle drift to the Spark engine (or worse, silently
+# green a divergence both engines share). A version change must be a
+# CONSCIOUS act: re-validate the full suite, then bump this pin in the
+# same commit. GRAFT_ALLOW_DUCKDB_DRIFT=1 overrides for that
+# re-validation run itself.
+PINNED_DUCKDB = "1.0.0"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -42,6 +53,16 @@ def close(a, b):
 
 
 def main():
+    if duckdb.__version__ != PINNED_DUCKDB:
+        msg = (f"selfcheck: DuckDB {duckdb.__version__} != pinned "
+               f"{PINNED_DUCKDB} — oracle semantics are only validated "
+               f"against the pin; re-validate the full suite and bump "
+               f"PINNED_DUCKDB, or set GRAFT_ALLOW_DUCKDB_DRIFT=1 for "
+               f"that re-validation run")
+        if os.environ.get("GRAFT_ALLOW_DUCKDB_DRIFT") != "1":
+            sys.exit(msg)
+        print(f"WARN {msg}", file=sys.stderr)
+    print(f"selfcheck: duckdb {duckdb.__version__} (pin {PINNED_DUCKDB})")
     sfdir, vout = sys.argv[1], sys.argv[2]
     overrides = {}
     if len(sys.argv) > 3:
