@@ -193,6 +193,66 @@ object Corpus {
         least(col("n_tokens"), col("alloc_tokens") - col("start")))
   }
 
+  /** Per-SEQUENCE fill accounting of the shard plan (r16) — the
+    * dataloader-side view [[shardManifest]] implies but does not state:
+    * for every global training sequence, how many documents contribute
+    * to it and how many of its `seqBudget` token slots are filled. The
+    * invariant a loader asserts before training: every sequence except
+    * each shard's LAST is EXACTLY full (n_tokens = seqBudget), and the
+    * per-shard sums reconcile with the manifest (Σ n_tokens =
+    * tokens_kept, max seq_id = seq_start + n_sequences − 1). A doc with
+    * kept tokens [start, start + take) contributes to local sequences
+    * start DIV B .. (start + take − 1) DIV B, with the exact overlap
+    * least((j+1)·B, start+take) − greatest(j·B, start) tokens in
+    * sequence j — pure long arithmetic, so the DuckDB replay is
+    * bit-for-bit.
+    *
+    * Scale shape: [[cappedLayout]]'s output is PLAN-bounded (at most
+    * `alloc` total tokens survive the cap, so ≤ Σalloc docs), hence the
+    * localCheckpoint below is metadata-priced and the per-doc sequence
+    * explode fans out to ≤ tokens_kept/B + n_docs_used segment rows —
+    * budget-sized, never corpus-sized. The seq_start frame is S rows,
+    * broadcast. The corpus-sized work is exactly cappedLayout's bucketed
+    * prefix sum, shared with the manifest. */
+  def seqFill(docs: DataFrame, alloc: DataFrame, seqBudget: Int,
+      bucketSize: Long = 1000L): DataFrame = {
+    require(seqBudget > 0, s"seqBudget must be positive, got $seqBudget")
+    val al = alloc.select(col("source"), col("alloc_tokens"))
+      .localCheckpoint()
+    // plan-bounded (≤ budget tokens ⇒ ≤ budget rows) and consumed TWICE
+    // (per-source totals + the segment explode): checkpoint per the
+    // small-frame-replay rule — each consumer would otherwise replay the
+    // whole corpus prefix-sum chain
+    val capped = cappedLayout(docs, al, bucketSize)
+      .filter(col("take") > 0) // an empty boundary doc spans no sequence
+      .select(col("source"), col("doc_id"), col("start"), col("take"))
+      .localCheckpoint()
+    val per = capped.groupBy(col("source"))
+      .agg(sum(col("take")).as("tokens_kept"))
+    val starts = al.join(per, Seq("source"), "left")
+      .na.fill(0L, Seq("tokens_kept"))
+      .withColumn("n_sequences",
+        expr(s"(tokens_kept + ${seqBudget - 1}) DIV $seqBudget"))
+      .withColumn("seq_start",
+        coalesce(sum(col("n_sequences")).over(
+          Window.orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("seq_start"))
+    val segs = capped
+      .withColumn("j", explode(sequence(
+        expr(s"start DIV $seqBudget"),
+        expr(s"(start + take - 1) DIV $seqBudget"))))
+      .withColumn("tok",
+        least((col("j") + 1) * seqBudget, col("start") + col("take"))
+          - greatest(col("j") * seqBudget, col("start")))
+    segs.groupBy(col("source"), col("j"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .join(broadcast(starts), Seq("source"))
+      .select((col("seq_start") + col("j")).as("seq_id"), col("source"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
   /** MATERIALIZE the shard plan (r16, verdict #5 — the artifact a
     * dataloader mounts): the capped, boundary-truncated doc stream of
     * [[shardManifest]]'s plan, laid out with GLOBAL sequence ids from

@@ -183,6 +183,20 @@ object QualityPack extends QueryPack {
       Corpus.shardManifest(docs,
         TextAnalysis.divergenceBudgetAlloc(docs, budget = 40000L),
         seqBudget = 512)
+    }),
+
+    // The manifest's dataloader-side VIEW (r16): per global training
+    // sequence, contributing docs and filled token slots — the check a
+    // loader runs before training (every sequence except each shard's
+    // last is EXACTLY seqBudget full; per-shard sums reconcile with the
+    // manifest). Same plan constants as ns_shard_manifest, so the two
+    // queries stay one composed chain. See Corpus.seqFill for the
+    // plan-bounded explode shape.
+    "ns_shard_seq_fill" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.seqFill(docs,
+        TextAnalysis.divergenceBudgetAlloc(docs, budget = 40000L),
+        seqBudget = 512)
     })
   )
 
@@ -232,6 +246,53 @@ object QualityPack extends QueryPack {
       |  FROM mn WHERE rn = 1),
       |t AS (SELECT CAST(sum(fp) AS BIGINT) AS tot_fp,
       |    CAST(count(*) AS BIGINT) AS n_src FROM m)""".stripMargin
+
+  /** Shared alloc→cap→manifest replay (r16): the budget-40,000
+    * largest-remainder allocation over the minJs chain, the per-source
+    * running-total cap with boundary truncation (`cp`: per-doc
+    * start/take), and the S-row manifest (`mf`). ONE spelling consumed
+    * by both ns_shard_manifest's and ns_shard_seq_fill's oracles so the
+    * plan replay cannot drift between them (the minJsCtes discipline). */
+  private val shardPlanCtes: String =
+    """f2 AS (SELECT source, min_js,
+      |    CASE WHEN tot_fp = 0 THEN 1 ELSE fp END AS fpe,
+      |    CASE WHEN tot_fp = 0 THEN n_src ELSE tot_fp END AS tote
+      |  FROM m CROSS JOIN t),
+      |a AS (SELECT source, fpe, tote,
+      |    CAST(40000 AS BIGINT) * fpe // tote AS fl,
+      |    CAST(40000 AS BIGINT) * fpe % tote AS rem FROM f2),
+      |r AS (SELECT source, fl,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |    (SELECT CAST(40000 AS BIGINT) - sum(fl) FROM a) AS short
+      |  FROM a),
+      |al AS (SELECT source,
+      |    CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+      |      AS alloc_tokens
+      |  FROM r),
+      |dt AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |cm AS (SELECT source, doc_id, n,
+      |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS start
+      |  FROM dt),
+      |cp AS (SELECT cm.source, n, start, alloc_tokens,
+      |    least(n, alloc_tokens - start) AS take
+      |  FROM cm JOIN al ON cm.source = al.source
+      |  WHERE start < alloc_tokens),
+      |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_used,
+      |    CAST(sum(CASE WHEN n = take THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_docs_full,
+      |    CAST(sum(take) AS BIGINT) AS tokens_kept
+      |  FROM cp GROUP BY 1),
+      |mf AS (SELECT al.source, alloc_tokens,
+      |    coalesce(n_docs_used, 0) AS n_docs_used,
+      |    coalesce(n_docs_full, 0) AS n_docs_full,
+      |    coalesce(tokens_kept, 0) AS tokens_kept,
+      |    alloc_tokens - coalesce(tokens_kept, 0) AS shortfall,
+      |    CAST((coalesce(tokens_kept, 0) + 511) // 512 AS BIGINT)
+      |      AS n_sequences
+      |  FROM al LEFT JOIN per ON al.source = per.source)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     // Full replay of the Gopher rule metrics over the same single-space
@@ -590,54 +651,45 @@ object QualityPack extends QueryPack {
     // per-source running token total (window sums promote to HUGEINT —
     // cast back), the start < alloc cap with least() truncating the
     // boundary doc, integer ceil via (x + 511) // 512, and the S-row
-    // seq_start prefix. Every step exact integer math.
+    // seq_start prefix. Every step exact integer math. The chain is the
+    // shared `shardPlanCtes` (r16) — one spelling for this oracle and
+    // ns_shard_seq_fill's, so the plan replay cannot drift between them.
     "ns_shard_manifest" ->
       s"""WITH $minJsCtes,
-         |f2 AS (SELECT source, min_js,
-         |    CASE WHEN tot_fp = 0 THEN 1 ELSE fp END AS fpe,
-         |    CASE WHEN tot_fp = 0 THEN n_src ELSE tot_fp END AS tote
-         |  FROM m CROSS JOIN t),
-         |a AS (SELECT source, fpe, tote,
-         |    CAST(40000 AS BIGINT) * fpe // tote AS fl,
-         |    CAST(40000 AS BIGINT) * fpe % tote AS rem FROM f2),
-         |r AS (SELECT source, fl,
-         |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
-         |    (SELECT CAST(40000 AS BIGINT) - sum(fl) FROM a) AS short
-         |  FROM a),
-         |al AS (SELECT source,
-         |    CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
-         |      AS alloc_tokens
-         |  FROM r),
-         |dt AS (SELECT source, doc_id,
-         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
-         |  FROM documents),
-         |cm AS (SELECT source, doc_id, n,
-         |    CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS start
-         |  FROM dt),
-         |cp AS (SELECT cm.source, n, start, alloc_tokens,
-         |    least(n, alloc_tokens - start) AS take
-         |  FROM cm JOIN al ON cm.source = al.source
-         |  WHERE start < alloc_tokens),
-         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_used,
-         |    CAST(sum(CASE WHEN n = take THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_docs_full,
-         |    CAST(sum(take) AS BIGINT) AS tokens_kept
-         |  FROM cp GROUP BY 1),
-         |mf AS (SELECT al.source, alloc_tokens,
-         |    coalesce(n_docs_used, 0) AS n_docs_used,
-         |    coalesce(n_docs_full, 0) AS n_docs_full,
-         |    coalesce(tokens_kept, 0) AS tokens_kept,
-         |    alloc_tokens - coalesce(tokens_kept, 0) AS shortfall,
-         |    CAST((coalesce(tokens_kept, 0) + 511) // 512 AS BIGINT)
-         |      AS n_sequences
-         |  FROM al LEFT JOIN per ON al.source = per.source)
+         |$shardPlanCtes
          |SELECT source, alloc_tokens, n_docs_used, n_docs_full,
          |  tokens_kept, shortfall, n_sequences,
          |  CAST(coalesce(sum(n_sequences) OVER (ORDER BY source
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |    AS BIGINT) AS seq_start
          |FROM mf ORDER BY source""".stripMargin,
+
+    // Per-sequence fill replay (r16): the same shared plan chain down to
+    // cp (per-doc start/take) and mf (per-source n_sequences), then the
+    // seq_start prefix, the doc→spanned-sequence expansion
+    // (range is end-exclusive in DuckDB = Spark's inclusive sequence
+    // bound + 1), and the exact per-sequence overlap
+    // least((j+1)·512, start+take) − greatest(j·512, start). Pure
+    // integer math; HUGEINT window/sum promotions cast back.
+    "ns_shard_seq_fill" ->
+      s"""WITH $minJsCtes,
+         |$shardPlanCtes,
+         |st AS (SELECT source,
+         |    CAST(coalesce(sum(n_sequences) OVER (ORDER BY source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS seq_start
+         |  FROM mf),
+         |segs AS (SELECT source, start, take,
+         |    unnest(range(start // 512, (start + take - 1) // 512 + 1)) AS j
+         |  FROM cp WHERE take > 0),
+         |sf AS (SELECT source, j,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(least((j + 1) * 512, start + take)
+         |           - greatest(j * 512, start)) AS BIGINT) AS n_tokens
+         |  FROM segs GROUP BY 1, 2)
+         |SELECT CAST(seq_start + j AS BIGINT) AS seq_id, source,
+         |  n_docs, n_tokens
+         |FROM sf JOIN st USING (source) ORDER BY seq_id""".stripMargin,
 
     // CDC replay: identical md5-window boundary rule (range end is
     // exclusive in DuckDB = Spark's inclusive sequence bound), zipped

@@ -124,6 +124,46 @@ class MixPlanSpec extends SparkSpecBase {
     assert(e.getMessage.contains("seqBudget"))
   }
 
+  test("seqFill: every non-final sequence exactly full; reconciles with " +
+      "the manifest (r16)") {
+    val alloc = TextAnalysis.divergenceBudgetAlloc(docs, budget = 40000L)
+    val fill = Corpus.seqFill(docs, alloc, seqBudget = 512).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val m = Corpus.shardManifest(docs, alloc, seqBudget = 512).collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    assert(fill.nonEmpty)
+    val bySource = fill.groupBy(_._2)
+    assert(bySource.keySet == m.filter(_._2.getAs[Long]("tokens_kept") > 0)
+      .keySet, "fill sources != manifest sources with kept tokens")
+    bySource.foreach { case (src, rows) =>
+      val mf = m(src)
+      val s0 = mf.getAs[Long]("seq_start")
+      val ns = mf.getAs[Long]("n_sequences")
+      // the shard covers exactly its manifest range, contiguously
+      assert(rows.map(_._1).sorted.toSeq == (s0 until s0 + ns).toSeq,
+        s"$src: sequence ids not contiguous over the manifest range")
+      // token conservation per shard
+      assert(rows.map(_._4).sum == mf.getAs[Long]("tokens_kept"),
+        s"$src: per-sequence tokens do not sum to tokens_kept")
+      // THE dataloader invariant: every sequence but the shard's LAST
+      // is exactly full; the last carries the remainder
+      val last = s0 + ns - 1
+      rows.foreach { case (sid, _, nd, nt) =>
+        assert(nd >= 1)
+        if (sid != last) assert(nt == 512L,
+          s"$src: sequence $sid holds $nt != 512 tokens (not full)")
+        else assert(nt >= 1L && nt <= 512L,
+          s"$src: final sequence $sid out of range with $nt tokens")
+      }
+    }
+    // every doc the plan uses contributes to >= 1 sequence: doc counts
+    // sum to n_docs_used plus the cross-boundary double-counts
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum >= m(src).getAs[Long]("n_docs_used"),
+        s"$src: fewer doc contributions than docs used")
+    }
+  }
+
   test("writeShards materializes the plan: manifest↔files conservation, " +
       "source-clustered layout, CDF append (r16 verdict #5)") {
     import spark.implicits._

@@ -282,6 +282,14 @@ object PlanGuardSpec {
     // list); a corpus-sized global Window or a shuffled alloc join =
     // the packSequences scale lesson regressed
     "ns_shard_manifest",
+    // r16: seq_fill pins the plan-bounded shape — the capped layout
+    // behind a localCheckpoint (LocalTableScan feeding BOTH the
+    // per-source totals and the segment explode: a replay of the corpus
+    // prefix-sum chain per consumer = the small-frame-replay class
+    // regressed), the S-row seq_start BroadcastHashJoin, and only the
+    // bounded S-row seq_start window — a corpus-sized Window or a
+    // shuffled starts join = the manifest scale lesson regressed
+    "ns_shard_seq_fill",
     // r15: curriculum pins the score scan behind a checkpoint (the
     // cutpoint aggregate and the output share ONE quality-feature
     // pass), the 1-row broadcast cutpoint join, and windows partitioned
