@@ -396,6 +396,35 @@ object Dedup {
     * cluster table is tiny relative to the corpus (only docs with a dup),
     * so Spark broadcasts the anti-join side.
     */
+  /** Per-source DEDUP IMPACT report (r16) — the number a curation
+    * pipeline feeds back into its mixture weights: how many documents
+    * (and whitespace tokens, the [[Corpus]] one-spelling count) the
+    * near-dup clustering removes from each source under the canonical
+    * keep-min rule ([[keepCanonical]]'s complement), next to the
+    * source's totals. A duplicate-heavy source signals boilerplate or
+    * syndication; down-weighting or re-crawling it is the decision this
+    * table feeds — the signal→decision composition discipline of
+    * divergence→alloc→manifest, applied to the dedup tier.
+    *
+    * Scale shape: the removed set is GRAPH-sized (docs with a
+    * duplicate, minus one representative per cluster) and broadcasts
+    * into ONE left join against the corpus; the report is a single
+    * corpus-scan aggregate, S rows out. */
+  def dedupImpact(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val removed = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("rm"))
+    docs.select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .join(broadcast(removed), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("tokens_total"),
+        coalesce(sum(col("rm")), lit(0L)).as("n_removed"),
+        coalesce(sum(when(col("rm") === 1L, col("n"))), lit(0L))
+          .as("tokens_removed"))
+      .orderBy(col("source"))
+  }
+
   def keepCanonical(docs: DataFrame, clusters: DataFrame): DataFrame =
     docs.join(
         clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),

@@ -73,6 +73,17 @@ object MlPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source dedup IMPACT over the same cluster tier (r16): docs
+    // and tokens the keep-min rule removes per source, next to the
+    // source totals — the feedback number a mixture plan re-weights on
+    // (duplicate-heavy source = boilerplate/syndication signal). See
+    // Dedup.dedupImpact for the graph-sized broadcast shape.
+    "ns_dedup_impact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupImpact(docs, Dedup.dupClusters(
+        Dedup.jaccardPairsCapped(docs, 0.5, Dedup.ScoredDfCap)))
+    }),
+
     // Duplicate-cluster size histogram over the same capped pair tier —
     // the dedup dashboard's shape statistic (pairs vs deep syndication
     // chains); size 1 = docs untouched by the near-dup graph.
@@ -1513,6 +1524,30 @@ object MlPack extends QueryPack {
          |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
          |SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
          |ORDER BY doc_id""".stripMargin,
+
+    // Impact replay: the same transitive closure, removed = members
+    // minus the min-id representative, LEFT JOIN against per-doc
+    // whitespace token counts, per-source rollup. count(rm.doc_id)
+    // counts non-null matches = Spark's coalesce(sum(rm), 0).
+    "ns_dedup_impact" ->
+      s"""WITH RECURSIVE $jaccardCappedCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |          UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+         |          UNION
+         |          SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+         |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+         |rm AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+         |dt AS (SELECT source, doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS tokens_total,
+         |  CAST(count(rm.doc_id) AS BIGINT) AS n_removed,
+         |  CAST(coalesce(sum(CASE WHEN rm.doc_id IS NOT NULL THEN n END), 0)
+         |    AS BIGINT) AS tokens_removed
+         |FROM dt LEFT JOIN rm ON dt.doc_id = rm.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // Same transitive closure rolled up twice: members per component,
     // then components per size; the size-1 branch is the corpus count

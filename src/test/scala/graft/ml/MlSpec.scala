@@ -1361,6 +1361,34 @@ class MlSpec extends SparkSpecBase {
     assert(r.getInt(r.fieldIndex("n_dims")) == dims)
   }
 
+  test("dedupImpact is keepCanonical's exact complement, per source (r16)") {
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairsCapped(docs, 0.5, Dedup.ScoredDfCap))
+      .localCheckpoint()
+    val impact = Dedup.dedupImpact(docs, clusters).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // complement: per source, docs kept by keepCanonical == n_docs − n_removed
+    val kept = Dedup.keepCanonical(docs, clusters)
+      .groupBy(col("source")).agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(impact.nonEmpty)
+    impact.foreach { case (src, (nDocs, tokTotal, nRem, tokRem)) =>
+      assert(kept.getOrElse(src, 0L) == nDocs - nRem,
+        s"$src: keepCanonical keeps ${kept.get(src)}, impact says " +
+          s"$nDocs - $nRem")
+      assert(nRem <= nDocs && tokRem <= tokTotal, s"$src: impossible removal")
+    }
+    // totals reconcile with the cluster table: removed across sources ==
+    // graph members minus one representative per cluster
+    val members = clusters.count()
+    val nClusters = clusters.select(col("cluster_id")).distinct().count()
+    assert(impact.values.map(_._3).sum == members - nClusters,
+      "sum of removals != graph members minus representatives")
+    // the planted near-dups make the report non-trivial
+    assert(impact.values.map(_._3).sum > 0, "no removals — fixture too weak")
+  }
+
   test("REFUTATION pin (r16 verdict #1): length-banding the deletion-" +
       "signature join prunes ZERO candidates — the band is already " +
       "implied by variant equality") {

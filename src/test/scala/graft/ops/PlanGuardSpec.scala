@@ -282,6 +282,12 @@ object PlanGuardSpec {
     // list); a corpus-sized global Window or a shuffled alloc join =
     // the packSequences scale lesson regressed
     "ns_shard_manifest",
+    // r16: impact pins the graph-sized broadcast — the removed set
+    // reaches the corpus scan as a BroadcastHashJoin LeftOuter (a
+    // shuffled join here = the corpus re-partitioned for a KB-sized
+    // probe side) and ONE corpus aggregate pair; the cluster chain
+    // stays the checkpointed propagation ns_dedup_clusters pins
+    "ns_dedup_impact",
     // r16: seq_fill pins the plan-bounded shape — the capped layout
     // behind a localCheckpoint (LocalTableScan feeding BOTH the
     // per-source totals and the segment explode: a replay of the corpus
