@@ -353,8 +353,28 @@ object Corpus {
   def curriculumOrder(docs: DataFrame, seed: Long, nShards: Int,
       accuracy: Long = 10000000L): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    graft.functions.SketchGuards.requireSketchAccuracy(
-      "curriculumOrder", accuracy)
+    val w = Window.partitionBy(col("phase"), col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    phasedScores("curriculumOrder", docs, accuracy)
+      .withColumn("shuffle_key",
+        md5Key(concat_ws(":", col("doc_id"), lit(seed))))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+      .select(col("doc_id"), col("lr_score"), col("phase"), col("shard"),
+        row_number().over(w).as("position"))
+  }
+
+  /** The score→tertile-phase derivation [[curriculumOrder]] shuffles
+    * and [[curriculumMix]] aggregates — ONE implementation (the
+    * cappedLayout discipline, r16) so the phase rule cannot drift
+    * between the schedule and its mixture report. Returns
+    * (doc_id, lr_score, phase [, sketch cols]); phase 1 = scores ABOVE
+    * the 2/3 cut (the clean tertile), phase 3 = at/below the 1/3 cut;
+    * boundary semantics mirror the oracle's exact ceil(q·n)-element
+    * cutpoints token-for-token, with the rank-exact envelope
+    * machine-checked under `opName`. */
+  private def phasedScores(opName: String, docs: DataFrame,
+      accuracy: Long): DataFrame = {
+    graft.functions.SketchGuards.requireSketchAccuracy(opName, accuracy)
     val scored = TextAnalysis.classifierScore(docs)
       .select(col("doc_id"), col("lr_score")).localCheckpoint()
     val cuts = scored.agg(percentile_approx(col("lr_score"),
@@ -362,22 +382,38 @@ object Corpus {
         lit(Math.toIntExact(accuracy))).as("cuts"),
       count(lit(1)).as("n_rows"))
     val envelopeZero = graft.functions.SketchGuards.rankExactEnvelope(
-      "curriculumOrder", "", col("n_rows"), accuracy,
+      opName, "", col("n_rows"), accuracy,
       "raise accuracy in lockstep", "int")
-    // phase 1 = scores ABOVE the 2/3 cut (the clean tertile), phase 3 =
-    // at/below the 1/3 cut; boundary semantics mirror the oracle's
-    // exact ceil(q·n)-element cutpoints token-for-token
-    val w = Window.partitionBy(col("phase"), col("shard"))
-      .orderBy(col("shuffle_key"), col("doc_id"))
     scored.crossJoin(broadcast(cuts))
       .withColumn("phase", lit(1) + envelopeZero
         + when(col("lr_score") <= col("cuts")(1), 1).otherwise(0)
         + when(col("lr_score") <= col("cuts")(0), 1).otherwise(0))
-      .withColumn("shuffle_key",
-        md5Key(concat_ws(":", col("doc_id"), lit(seed))))
-      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
-      .select(col("doc_id"), col("lr_score"), col("phase"), col("shard"),
-        row_number().over(w).as("position"))
+  }
+
+  /** CURRICULUM × MIXTURE interaction report (r16): per (phase, source),
+    * document and whitespace-token counts — the check that a quality-
+    * paced schedule does not STARVE a source in its early phases
+    * (quality scores correlate with source, so a curriculum silently
+    * reorders the mixture; this table is the signal a planner
+    * re-balances on, the divergence→alloc discipline applied to the
+    * schedule). Phases come from [[phasedScores]] — the same derivation
+    * [[curriculumOrder]] ships, so report and schedule cannot disagree.
+    *
+    * Scale shape: the phase side is the checkpointed (doc_id, lr_score)
+    * frame with a 1-row broadcast cutpoint join (curriculumOrder's
+    * pinned shape); attaching (source, tokens) is ONE narrow
+    * co-partition equi-join on doc_id (both sides ≤ ~24 B/row), then a
+    * 3·S-row aggregate. No windows at all. */
+  def curriculumMix(docs: DataFrame,
+      accuracy: Long = 10000000L): DataFrame = {
+    val phased = phasedScores("curriculumMix", docs, accuracy)
+      .select(col("doc_id"), col("phase"))
+    docs.select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).as("n"))
+      .join(phased, "doc_id")
+      .groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .orderBy(col("phase"), col("source"))
   }
 
   /** Training-mixture weights per source: token counts and the

@@ -600,6 +600,15 @@ object MlPack extends QueryPack {
     // phases (sketch cutpoints, rank-exact envelope machine-checked) →
     // per-(phase, shard) deterministic md5 shuffle — trainOrder with a
     // curriculum schedule on top. See Corpus.curriculumOrder.
+    // Curriculum × mixture interaction (r16): per (phase, source), doc
+    // and token counts — does the quality-paced schedule starve a
+    // source in phase 1? Phases come from the SAME derivation
+    // ns_curriculum_order ships (Corpus.phasedScores), so report and
+    // schedule cannot disagree.
+    "ns_curriculum_mix" -> ((s, d) => {
+      Corpus.curriculumMix(Tables.documents(s, d))
+    }),
+
     "ns_curriculum_order" -> ((s, d) => {
       Corpus.curriculumOrder(Tables.documents(s, d), seed = 42, nShards = 8)
         .orderBy(col("phase"), col("shard"), col("position"))
@@ -1008,6 +1017,50 @@ object MlPack extends QueryPack {
 
   private val jaccardCappedPairsOracle: String =
     s"WITH $jaccardCappedCtes\nSELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b"
+
+  /** Shared curriculum replay (r16): the ns_quality_lr logit fold,
+    * exact ceil(q·n)-element tertile cutpoints in (lr_score, doc_id)
+    * rank order, the DESCENDING phase rule, and the md5(doc_id:42)
+    * shuffle key — down to `p` (doc_id, lr_score, phase, shuffle_key).
+    * ONE spelling consumed by ns_curriculum_order's and
+    * ns_curriculum_mix's oracles (mirroring Corpus.phasedScores on the
+    * Spark side) so the phase rule cannot drift between the schedule
+    * and its mixture report. */
+  private val curriculumCtes: String =
+    """f AS (SELECT doc_id, text,
+      |    CAST(length(text) AS INT) AS n_chars,
+      |    string_split_regex(trim(text), '\s+') AS toks,
+      |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
+      |      AS n_punct,
+      |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 6) AS cpt,
+      |    round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct,
+      |    round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS upper_r,
+      |    round(CAST(len(list_filter(toks, t -> t IN
+      |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+      |      / greatest(len(toks), 1), 6) AS stop
+      |  FROM f),
+      |s AS (SELECT doc_id,
+      |    round(1.0 / (1.0 + exp(-(-6.5 + 20.0*stop + 1.0*cpt
+      |      + -12.0*punct + -8.0*upper_r))), 6) AS lr_score
+      |  FROM g),
+      |ranked AS (SELECT doc_id, lr_score,
+      |    row_number() OVER (ORDER BY lr_score, doc_id) AS rn,
+      |    count(*) OVER () AS cnt FROM s),
+      |cuts AS (SELECT
+      |    max(CASE WHEN rn = CAST(ceil(cnt * (1.0/3)) AS BIGINT)
+      |        THEN lr_score END) AS c1,
+      |    max(CASE WHEN rn = CAST(ceil(cnt * (2.0/3)) AS BIGINT)
+      |        THEN lr_score END) AS c2
+      |  FROM ranked),
+      |p AS (SELECT doc_id, lr_score,
+      |    1 + CAST(lr_score <= c.c2 AS INT) + CAST(lr_score <= c.c1 AS INT)
+      |      AS phase,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+      |      ::UINTEGER AS BIGINT) AS shuffle_key
+      |  FROM s CROSS JOIN cuts c)""".stripMargin
 
   /** Residual IVF-ADC oracle generated FROM the committed quantizer:
     * the frozen fixed-point tables render as fix/1e6 double literals
@@ -1683,46 +1736,27 @@ object MlPack extends QueryPack {
     // token-for-token (1 + (score ≤ c2) + (score ≤ c1)), and the
     // ns_train_order md5(doc_id:seed) shuffle within (phase, shard).
     "ns_curriculum_order" ->
-      """WITH f AS (SELECT doc_id, text,
-        |    CAST(length(text) AS INT) AS n_chars,
-        |    string_split_regex(trim(text), '\s+') AS toks,
-        |    length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))
-        |      AS n_punct,
-        |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |    round(CAST(n_chars AS DOUBLE) / greatest(len(toks), 1), 6) AS cpt,
-        |    round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct,
-        |    round(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 6) AS upper_r,
-        |    round(CAST(len(list_filter(toks, t -> t IN
-        |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-        |      / greatest(len(toks), 1), 6) AS stop
-        |  FROM f),
-        |s AS (SELECT doc_id,
-        |    round(1.0 / (1.0 + exp(-(-6.5 + 20.0*stop + 1.0*cpt
-        |      + -12.0*punct + -8.0*upper_r))), 6) AS lr_score
-        |  FROM g),
-        |ranked AS (SELECT doc_id, lr_score,
-        |    row_number() OVER (ORDER BY lr_score, doc_id) AS rn,
-        |    count(*) OVER () AS cnt FROM s),
-        |cuts AS (SELECT
-        |    max(CASE WHEN rn = CAST(ceil(cnt * (1.0/3)) AS BIGINT)
-        |        THEN lr_score END) AS c1,
-        |    max(CASE WHEN rn = CAST(ceil(cnt * (2.0/3)) AS BIGINT)
-        |        THEN lr_score END) AS c2
-        |  FROM ranked),
-        |p AS (SELECT doc_id, lr_score,
-        |    1 + CAST(lr_score <= c.c2 AS INT) + CAST(lr_score <= c.c1 AS INT)
-        |      AS phase,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
-        |      ::UINTEGER AS BIGINT) AS shuffle_key
-        |  FROM s CROSS JOIN cuts c)
+      s"""WITH $curriculumCtes
         |SELECT doc_id, lr_score, phase, shard,
         |  CAST(row_number() OVER (PARTITION BY phase, shard
         |    ORDER BY shuffle_key, doc_id) AS INT) AS position
         |FROM (SELECT doc_id, lr_score, phase, shuffle_key,
         |        CAST(shuffle_key % 8 AS INT) AS shard FROM p)
         |ORDER BY phase, shard, position""".stripMargin,
+
+    // Curriculum × mixture replay (r16): the shared curriculum chain
+    // down to p (doc_id, phase), joined to per-doc source/whitespace
+    // token counts, rolled up per (phase, source). count/sum promote —
+    // cast back to BIGINT.
+    "ns_curriculum_mix" ->
+      s"""WITH $curriculumCtes,
+        |dt AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT phase, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM p JOIN dt USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY phase, source""".stripMargin,
 
     "ns_sample_hash_rate" ->
       """SELECT doc_id, source, lang FROM documents

@@ -164,6 +164,35 @@ class MixPlanSpec extends SparkSpecBase {
     }
   }
 
+  test("curriculumMix reconciles with curriculumOrder and the corpus " +
+      "totals (r16)") {
+    val mix = Corpus.curriculumMix(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // same phase derivation as the schedule: per-phase doc counts match
+    val order = Corpus.curriculumOrder(docs, seed = 42, nShards = 4)
+      .groupBy(col("phase")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mixByPhase = mix.groupBy(_._1._1).view
+      .mapValues(_.values.map(_._1).sum).toMap
+    assert(mixByPhase == order,
+      s"mix phase totals $mixByPhase != schedule tertiles $order")
+    // (phase, source) cells partition the corpus: per-source sums equal
+    // the corpus per-source doc/token totals exactly
+    val totals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("nt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val mixBySource = mix.groupBy(_._1._2).view.mapValues(cells =>
+      (cells.values.map(_._1).sum, cells.values.map(_._2).sum)).toMap
+    assert(mixBySource == totals,
+      "per-source mix sums do not reconcile with corpus totals")
+    // non-trivial interaction: at least one source is unevenly
+    // distributed across phases (the starvation signal exists to catch)
+    assert(mix.keySet.map(_._1) == Set(1, 2, 3))
+  }
+
   test("writeShards materializes the plan: manifest↔files conservation, " +
       "source-clustered layout, CDF append (r16 verdict #5)") {
     import spark.implicits._

@@ -302,6 +302,12 @@ object PlanGuardSpec {
     // by (phase, shard) — a SinglePartition exchange before the rank =
     // the corpus-sized-window anti-pattern regressed
     "ns_curriculum_order",
+    // r16: curriculum×mixture pins the checkpointed score frame + 1-row
+    // broadcast cutpoints (curriculumOrder's shape), ONE narrow doc_id
+    // equi-join attaching (source, tokens), one aggregate pair, NO
+    // windows — a Window or a second corpus-side exchange = the
+    // schedule-report chain regressed
+    "ns_curriculum_mix",
     // r15: drift_z pins exactly TWO exchanges — the (label, d)
     // fixed-point corpus shuffle, then the (label) rollup whose input
     // is already the |labels|·dim aggregate — and no Window (a third
