@@ -15,9 +15,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * BPE needs only chained replaces.
   *
   * Everything is deterministic: the DP scans left to right, ties prefer
-  * the LONGER piece (then the lexicographically smaller one — both can
-  * only tie through equal doubles), and characters outside the
-  * vocabulary fall back to a fixed penalty so segmentation never fails.
+  * the LONGER piece (two candidate parses ending at the same position
+  * can only tie through equal double totals, and the longer-piece
+  * candidate is visited first with a strict-improvement update — there
+  * is no further tiebreak to need: at one start position there is only
+  * one piece), and characters outside the vocabulary fall back to a
+  * fixed penalty so segmentation never fails.
+  *
+  * Unit convention (r16 sweep note): the DP walks UTF-16 code units
+  * (Java substring), so an astral character (surrogate pair) is two
+  * positions whose halves are out-of-vocabulary singles — deterministic
+  * and self-consistent on the Spark side, but a codepoint-convention
+  * replay (DuckDB) would count it differently. The scored oracle is
+  * immune BY CONSTRUCTION: it derives a CLOSED word→count table from
+  * this very encoder at oracle-build time and inner-joins corpus words
+  * against it, so any convention-diverging word fails the join and reds
+  * the gate loudly (the ns_bpe_train ASCII-pin discipline, different
+  * mechanism).
   */
 object Unigram {
 
