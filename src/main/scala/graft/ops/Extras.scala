@@ -17,6 +17,55 @@ object Extras extends QueryPack {
   // session.
   private def freshView(prefix: String): String = QueryPack.freshView(prefix)
 
+  /** Skewness + excess kurtosis per event_type from EXACT integer power
+    * sums: values round to integer units first, both engines cast the
+    * identical integers to double and run identically-parenthesized
+    * IEEE arithmetic (m2^1.5 spelled m2*sqrt(m2): sqrt is correctly
+    * rounded, pow is not). The agg_stats/corr/regression convention
+    * extended to the 3rd and 4th moments.
+    *
+    * Overflow envelope (r16 fixed-point audit — the drift-z class): the
+    * per-row POWERS stay in long codegen, exact for |w| ≤ 55,108
+    * (⁴√Long.MaxValue; the events value range is ~[0, 600]), but the
+    * ACCUMULATORS for the 2nd-4th powers ride DECIMAL(38,0) — a long
+    * sum(w⁴) wraps at ~1.0e8 rows per event_type for w ≈ 560 (an ANSI
+    * ArithmeticException crash at a few GB of events, far below the
+    * design scale; sum(w³) at ~4e10 rows). The DuckDB replay sums the
+    * same BIGINT powers into its native HUGEINT; both engines then cast
+    * the identical exact integer (≤ ~1e38) to double — correctly
+    * rounded and identical on both sides, so parity does not require
+    * the sum to stay under 2^53, only the integers to be equal.
+    * s1 keeps a long accumulator: |w|·N ≤ 600·N wraps only past
+    * ~1.5e16 rows, 4 orders beyond the design point (the linear
+    * fixed-point-sum convention). */
+  def skewKurt(events: DataFrame): DataFrame = {
+    val w = round(col("value")).cast("long")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(w).as("s1"),
+        sum((w * w).cast(dec38)).as("s2"),
+        sum((w * w * w).cast(dec38)).as("s3"),
+        sum((w * w * w * w).cast(dec38)).as("s4"))
+      .select(col("event_type"), col("n"), {
+        val n = col("n").cast("double")
+        val m = col("s1").cast("double") / n
+        val m2 = col("s2").cast("double") / n - m * m
+        val m3 = col("s3").cast("double") / n -
+          lit(3.0) * m * (col("s2").cast("double") / n) +
+          lit(2.0) * m * m * m
+        val m4 = col("s4").cast("double") / n -
+          lit(4.0) * m * (col("s3").cast("double") / n) +
+          lit(6.0) * m * m * (col("s2").cast("double") / n) -
+          lit(3.0) * m * m * m * m
+        struct(r6(m3 / (m2 * sqrt(m2))).as("skewness"),
+          r6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+      }.as("mm"))
+      .select(col("event_type"), col("n"),
+        col("mm.skewness").as("skewness"),
+        col("mm.kurtosis").as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Scalar subquery: orders above the (decimal-exact) global average.
     "sub_scalar" -> ((s, d) => {
@@ -202,6 +251,11 @@ object Extras extends QueryPack {
     // INTEGER space before summing, so a libm last-ulp difference
     // cannot creep into the aggregate; exp at the end runs on an
     // identical double in both engines.
+    // Long-sum envelope (r16 audit): |summand| = round(ln(price)·1e6)
+    // ≤ 1.4e7, so the per-status accumulator wraps past ~6.5e11 rows —
+    // ~9× beyond a 100 TB orders table even if one status held every
+    // row. Linear fixed-point sums stay long per the repo convention;
+    // revisit only if the design point moves past ~1 PB of orders.
     "agg_geomean" -> ((s, d) => {
       Tables.orders(s, d).groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -212,37 +266,10 @@ object Extras extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // Skewness + excess kurtosis from EXACT integer power sums: values
-    // round to integer units first so every sum (w^4 summed over sf0.1's
-    // 100k events stays < 2^53) is exactly representable — both engines
-    // then cast identical integers and run identical IEEE arithmetic
-    // (m2^1.5 spelled m2*sqrt(m2): sqrt is correctly rounded, pow is
-    // not). The agg_stats/corr/regression convention extended to the
-    // 3rd and 4th moments.
-    "agg_skew_kurt" -> ((s, d) => {
-      val w = round(col("value")).cast("long")
-      Tables.events(s, d).groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(w).as("s1"), sum(w * w).as("s2"),
-          sum(w * w * w).as("s3"), sum(w * w * w * w).as("s4"))
-        .select(col("event_type"), col("n"), {
-          val n = col("n").cast("double")
-          val m = col("s1").cast("double") / n
-          val m2 = col("s2").cast("double") / n - m * m
-          val m3 = col("s3").cast("double") / n -
-            lit(3.0) * m * (col("s2").cast("double") / n) +
-            lit(2.0) * m * m * m
-          val m4 = col("s4").cast("double") / n -
-            lit(4.0) * m * (col("s3").cast("double") / n) +
-            lit(6.0) * m * m * (col("s2").cast("double") / n) -
-            lit(3.0) * m * m * m * m
-          struct(r6(m3 / (m2 * sqrt(m2))).as("skewness"),
-            r6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
-        }.as("mm"))
-        .select(col("event_type"), col("n"),
-          col("mm.skewness").as("skewness"),
-          col("mm.kurtosis").as("kurtosis"))
-        .orderBy(col("event_type"))
-    }),
+    // Skewness + excess kurtosis from EXACT integer power sums — see
+    // [[Extras.skewKurt]] for the moments pipeline and its overflow
+    // envelope.
+    "agg_skew_kurt" -> ((s, d) => skewKurt(Tables.events(s, d))),
 
     // EXACT distinct counting via mergeable bitmaps (Spark 4 bitmap
     // aggregates): per (group, 32k-bucket) bitmaps OR-merge in partial
@@ -463,14 +490,18 @@ object Extras extends QueryPack {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Identically-parenthesized double arithmetic from identical exact
-    // integers; kurtosis is EXCESS kurtosis (normal = 0).
+    // integers; kurtosis is EXCESS kurtosis (normal = 0). The 2nd-4th
+    // power sums stay in DuckDB's native HUGEINT (mirroring the Spark
+    // side's DECIMAL(38,0) accumulators — r16 overflow audit): both
+    // engines cast the identical exact integer to double, so parity
+    // holds even past 2^53.
     "agg_skew_kurt" ->
       """WITH p AS (SELECT event_type, CAST(round(value, 0) AS BIGINT) AS w
         |  FROM events),
         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(w) AS BIGINT) AS s1, CAST(sum(w*w) AS BIGINT) AS s2,
-        |    CAST(sum(w*w*w) AS BIGINT) AS s3,
-        |    CAST(sum(w*w*w*w) AS BIGINT) AS s4
+        |    CAST(sum(w) AS BIGINT) AS s1, sum(w*w) AS s2,
+        |    sum(w*w*w) AS s3,
+        |    sum(w*w*w*w) AS s4
         |  FROM p GROUP BY event_type),
         |m AS (SELECT event_type, n,
         |    CAST(s1 AS DOUBLE) / n AS mu,

@@ -821,4 +821,29 @@ class ScaleSpec extends SparkSpecBase {
       .agg(max($"count")).as[Long].head()
     assert(maxBlock <= n / b + 1, s"block skew: $maxBlock rows > ${n / b + 1}")
   }
+
+  test("skewKurt power sums survive cluster-scale row counts without " +
+      "wrapping Long (fixed-point overflow class, r16 audit)") {
+    // The drift-z ADVICE bug generalized: sum(w^4) over a Long
+    // accumulator with w ≈ 560 (the events table's real value range)
+    // exceeds Long.MaxValue (9.22e18) at ~1.0e8 rows per event_type —
+    // a few-GB events table, far below the 100 TB design point. Under
+    // ANSI the aggregation CRASHES (ARITHMETIC_OVERFLOW) exactly when
+    // the data gets big. 1.2e8 rows alternating 560/540 puts the raw
+    // s4 at ~1.1e19 > Long.MaxValue while keeping exact expected
+    // moments: a symmetric two-point distribution has skewness 0 and
+    // excess kurtosis −2 (m4/m2² = d⁴/(d²)² = 1), so the assertions
+    // are closed-form, not golden.
+    val events = spark.range(120L * 1000 * 1000).select(
+      lit("click").as("event_type"),
+      when($"id" % 2 === 0, lit(560.0)).otherwise(lit(540.0)).as("value"))
+    val r = Extras.skewKurt(events).head()
+    assert(r.getLong(r.fieldIndex("n")) == 120L * 1000 * 1000)
+    assert(r.getDouble(r.fieldIndex("skewness")) == 0.0,
+      s"skewness of a symmetric two-point distribution must round to 0, " +
+        s"got ${r.getDouble(r.fieldIndex("skewness"))}")
+    assert(r.getDouble(r.fieldIndex("kurtosis")) == -2.0,
+      s"excess kurtosis of a two-point distribution must round to -2, " +
+        s"got ${r.getDouble(r.fieldIndex("kurtosis"))}")
+  }
 }
