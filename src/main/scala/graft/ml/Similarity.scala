@@ -238,10 +238,13 @@ object Similarity {
         col("v"))
       .select(col("vec_id"), col("sub"),
         slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+    // coalesce: an all-query (empty) corpus sums ZERO rows to NULL and
+    // the eager twin's head.getDouble crashed — zero vectors have zero
+    // total distortion (degenerate-input class, r16 audit)
     subVecs.join(broadcast(codebook), "sub")
       .withColumn("d", pqL2sq(col("sv"), col("cv")))
       .groupBy(col("vec_id"), col("sub")).agg(min(col("d")).as("d"))
-      .agg(sum(col("d")).as("pq_sse"))
+      .agg(coalesce(sum(col("d")), lit(0.0)).as("pq_sse"))
   }
 
   /** Total squared-L2 distortion of a coarse quantizer over `corpus`
@@ -251,7 +254,8 @@ object Similarity {
     * seed anchors. */
   def coarseDistortionDF(corpus: DataFrame, centroids: DataFrame): DataFrame =
     l2CoarseAssign(corpus, centroids)
-      .agg(sum(pqL2sq(col("v"), col("lv"))).as("coarse_sse"))
+      .agg(coalesce(sum(pqL2sq(col("v"), col("lv"))), lit(0.0))
+        .as("coarse_sse"))
 
   private[ml] def pqL2sq(a: Column, b: Column): Column =
     round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),

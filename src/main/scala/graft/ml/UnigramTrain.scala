@@ -80,9 +80,13 @@ object UnigramTrain {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab)
+    // coalesce: sum over ZERO rows is NULL, and decoding NULL through
+    // the primitive Long encoder crashes — an empty corpus has zero
+    // loss by the sum-of-nothing semantics (degenerate-input class,
+    // r16 audit)
     val micro = words.map { case (w, c) =>
       math.round(Unigram.nll(w, bc.value, maxPieceLen) * 1e6) * c
-    }.toDF("m").agg(sum("m")).as[Long].head()
+    }.toDF("m").agg(coalesce(sum("m"), lit(0L))).as[Long].head()
     micro / 1e6
   }
 

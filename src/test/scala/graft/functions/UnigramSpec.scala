@@ -83,6 +83,16 @@ class UnigramSpec extends SparkSpecBase {
     assert(UnigramTrain.train(docs, "text", cfg) == vocab)
   }
 
+  test("corpusLoss of an empty corpus is 0.0, not an encoder crash " +
+      "(degenerate-input class, r16 audit)") {
+    // sum over zero rows is NULL; decoding NULL through the primitive
+    // Long encoder throws — the empty-input twin of the indexDriftZ
+    // null-guard ADVICE fix. An empty corpus has zero loss by the
+    // sum-of-nothing semantics.
+    val empty = spark.emptyDataset[(String, Long)]
+    assert(UnigramTrain.corpusLoss(empty, toyVocab, 5) == 0.0)
+  }
+
   test("frozen table parity: retraining the fixture corpus reproduces it") {
     val vocab = UnigramTrain.train(Tables.documents(spark, sf0001), "text")
     assert(vocab == UnigramTable.pieces.toSeq,

@@ -1079,6 +1079,21 @@ class MlSpec extends SparkSpecBase {
       f"trained codebook lost more than one pair of recall: $recallT%.3f vs $recall%.3f")
   }
 
+  test("pqDistortion over an all-query (empty) corpus is 0.0, not an " +
+      "NPE (degenerate-input class, r16 audit)") {
+    // every vector held out as a query leaves the distortion corpus
+    // empty: sum(d) is NULL and head.getDouble(0) threw — the eager
+    // twin of the indexDriftZ null-guard ADVICE fix. Zero vectors have
+    // zero total distortion by the sum-of-nothing semantics.
+    val emb2 = Seq(
+      (0L, Array.fill(4)(0.5)),
+      (1L, Array.fill(4)(0.25))).toDF("vec_id", "embedding")
+    val cb = Seq(
+      (0, 0L, Array(0.0, 0.0)),
+      (1, 0L, Array(0.0, 0.0))).toDF("sub", "cid", "cv")
+    assert(Similarity.pqDistortion(emb2, Seq(0L, 1L), 2, 4, cb) == 0.0)
+  }
+
   test("distributed BPE training reproduces the committed merge table") {
     // the corpus-scale trainer run on the same fixture corpus with the
     // same tie-break must rediscover BpeTable.merges rank for rank —
