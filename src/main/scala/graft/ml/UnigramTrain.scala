@@ -107,9 +107,18 @@ object UnigramTrain {
         w.map(ch => (ch.toString, c))
       }.toDF("piece", "cnt").groupBy("piece").agg(sum("cnt").as("cnt"))
         .as[(String, Long)].collect().toMap
+      // top-seedSize IN THE ENGINE (r16 audit): seedCounts is
+      // corpus-vocabulary-scaled (every ≤maxPieceLen substring of every
+      // distinct word), so collecting it whole then sorting on the
+      // driver is an OOM at corpus scale. orderBy+limit plans as
+      // TakeOrderedAndProject — per-partition bounded heaps, ONE
+      // seedSize-bounded merge on the driver — under the same total
+      // selection rule (count desc, piece asc: piece is unique after
+      // the groupBy, so the order is total and the set identical).
       val seeds = seedCounts(words, cfg.maxPieceLen)
-        .as[(String, Long)].collect()
-        .sortBy { case (p, c) => (-c, p) }.take(cfg.seedSize).toMap
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(cfg.seedSize)
+        .as[(String, Long)].collect().toMap
       var counts: Map[String, Long] = seeds ++ chars.map { case (p, c) =>
         p -> math.max(c, seeds.getOrElse(p, 0L)) }
       def em(rounds: Int): Unit = (0 until rounds).foreach { _ =>

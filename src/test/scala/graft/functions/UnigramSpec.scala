@@ -83,6 +83,29 @@ class UnigramSpec extends SparkSpecBase {
     assert(UnigramTrain.train(docs, "text", cfg) == vocab)
   }
 
+  test("seed selection is a bounded engine top-k, not a driver-side " +
+      "sort of the whole candidate set (r16 audit)") {
+    // seedCounts is corpus-vocabulary-scaled; the trainer must take its
+    // top seedSize through TakeOrderedAndProject (per-partition bounded
+    // heaps) so only seedSize rows ever reach the driver. Pins BOTH the
+    // plan shape and the selection itself: the engine top-k under
+    // (cnt desc, piece asc) must equal the old driver-side rule.
+    val docs = Tables.documents(spark, sf0001)
+    val words = UnigramTrain.wordCounts(docs, "text").as[(String, Long)]
+    val seedSize = 50
+    val topk = UnigramTrain.seedCounts(words, 5)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed top-k is not a bounded TakeOrderedAndProject:\n$plan")
+    val engine = topk.as[(String, Long)].collect().toSeq
+    val driver = UnigramTrain.seedCounts(words, 5)
+      .as[(String, Long)].collect()
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize).toSeq
+    assert(engine == driver,
+      "engine top-k diverged from the driver-side selection rule")
+  }
+
   test("corpusLoss of an empty corpus is 0.0, not an encoder crash " +
       "(degenerate-input class, r16 audit)") {
     // sum over zero rows is NULL; decoding NULL through the primitive
