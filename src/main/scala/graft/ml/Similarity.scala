@@ -258,14 +258,22 @@ object Similarity {
         .as("coarse_sse"))
 
   private[ml] def pqL2sq(a: Column, b: Column): Column =
-    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x), 6)
+    // native codegen kernel (r16, guide "expressions and codegen"): the
+    // interpreted `aggregate(zip_with(...))` HOF spelling ran per element
+    // through the interpreter on every PQ encode/train/distortion pass
+    // (n·m·ksub evaluations per corpus scan). L2Sq accumulates
+    // sequentially in element order with the identical per-element IEEE
+    // form, so values — and the DuckDB oracle replays written against
+    // the HOF spelling — are bit-identical (VecMathParitySpec pins it).
+    round(graft.functions.L2Sq.l2sq(a, b), 6)
 
   /** Sequential-fold inner product — the cross-engine determinism
     * contract for every fixed-point ADC term; ONE definition so the
-    * LUT entries and the residual tier's coarse term cannot diverge. */
+    * LUT entries and the residual tier's coarse term cannot diverge.
+    * Codegen kernel since r16, bit-identical to the HOF spelling (see
+    * [[pqL2sq]]). */
   private[ml] def pqDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotSeq.dot(a, b)
 
   /** Deterministic sample codebook: (sub, cid, cv) from the `ksub`
     * lowest-id corpus vectors' subvectors. */

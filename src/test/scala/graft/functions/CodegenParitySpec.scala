@@ -165,6 +165,10 @@ class CodegenParitySpec extends SparkSpecBase {
       HyperplaneSketch.sketch(col("va"), 16, 64)).orderBy(col("id")))
     assertModeParity("hyperplane_bands", vectors, df => df.select(col("id"),
       HyperplaneBands.bands(col("va"), 8, 2, 64)).orderBy(col("id")))
+    assertModeParity("l2_sq", vectors, df => df.select(col("id"),
+      L2Sq.l2sq(col("va"), col("vb"))).orderBy(col("id")))
+    assertModeParity("dot_seq", vectors, df => df.select(col("id"),
+      DotSeq.dot(col("va"), col("vb"))).orderBy(col("id")))
   }
 
   test("zorder2: identical across modes; out-of-range throws in every mode") {
