@@ -108,9 +108,20 @@ object Dedup {
     val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf && col("df") >= 2)
       .select(col("g"))
-    val rareInv = inv.join(rare, "g")
-    rareInv.select(col("doc_id").as("doc_a"), col("g"))
-      .join(rareInv.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+    // Pair expansion via ONE shuffle of the rare-shingle occurrences
+    // (r16, guide §2.4 — the Fuzzy.fuzzyPairs idiom applied here): the
+    // previous two-sided self-join exploded the shingle table twice,
+    // exchanged+sorted both sides (alias-renamed subtrees defeat
+    // exchange reuse) and sort-merge-joined them; this groups each rare
+    // shingle's occupants once and expands pairs within the group.
+    // Hot-key safety is UNCHANGED: the df filter above is still a
+    // partial-aggregating count (hot shingles collapse map-side and
+    // never reach the collect), so every collected list is ≤
+    // maxShingleDf ids — the same bound the join form carried.
+    val grp = inv.join(rare, "g")
+      .groupBy(col("g")).agg(collect_list(col("doc_id")).as("ids"))
+    grp.select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
@@ -197,12 +208,25 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
-  /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct). */
+  /** LSH band-bucket candidate pairs (doc_a < doc_b, distinct).
+    *
+    * ONE shuffle of the banded table (r16, the Fuzzy.fuzzyPairs idiom —
+    * same rewrite as [[cappedCandidates]]): group each (band, bucket)'s
+    * occupants, drop singleton buckets (the majority), expand pairs
+    * within the group. The two-sided self-join it replaces exchanged the
+    * banded table twice and sort-merge-joined it against itself. A
+    * bucket's membership is buffered in its collect_list exactly as the
+    * join buffered it in the sort-merge run — bucket sizes are the
+    * banding design's bounded quantity either way, and the pathological
+    * hot-bucket corpus routes through [[lshCandidatesSalted]] as before. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val banded = bandBuckets(sigs)
-    val l = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val r = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+    val grp = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    grp.select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
